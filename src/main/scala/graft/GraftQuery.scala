@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark plan builder plus (when ANSI-SQL-expressible)
+  * a DuckDB oracle for the driver's differential correctness gate.
+  *
+  * Contract (SURVEY.md §5): `run` and `oracle` must produce the same rows
+  * with the SAME column names (the harness sorts columns by name before
+  * hashing). Determinism rules: explicit ORDER BY on a unique key in both
+  * forms, no `monotonically_increasing_id`, doubles only where both engines
+  * compute bit-identical values (exact decimal sums cast to double, or IEEE
+  * ops over identical inputs in identical order).
+  */
+final case class GraftQuery(
+    name: String,
+    doc: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object Registry {
+  /** Full inventory, in SURVEY §2 order: reference-parity surface first,
+    * then beyond-reference analytics, then LLM-pipeline extensions. */
+  lazy val all: Seq[GraftQuery] =
+    graft.queries.ParityQueries.all ++
+    graft.queries.LakeQueries.all ++
+    graft.queries.PipelineQueries.all
+
+  lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
+}
