@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection at corpus scale (north-star ops): MinHash+LSH
+  * banding, SimHash blocking, and an exact inverted-index Jaccard join.
+  *
+  * All three share the contract: candidate generation is a pruning
+  * optimization; every candidate pair is then VERIFIED with the exact
+  * shingle-set Jaccard, so false positives never escape. Recall of the
+  * pruning step is a tunable (bands × rows; hamming blocks) — parameters
+  * below are chosen so that at similarity ≥ 0.8 the miss probability is
+  * negligible (≤1e-14 for MinHash with 32 bands × 4 rows).
+  *
+  * Scale posture (100 TB): nothing here is all-pairs. MinHash/SimHash
+  * reduce the quadratic candidate space to hash-bucket joins (shuffle on
+  * band/block key, skew-safe because bucket population at a fixed
+  * signature width is bounded w.h.p.); the exact join is an inverted-index
+  * self-join on shingles — the classic SIGMOD formulation — whose cost is
+  * Σ bucket².
+  */
+object Dedup {
+
+  /** i-th hash of the MinHash family: xxhash64 seeded by the permutation
+    * index (an extra leading column acts as the seed). Independent per i,
+    * deterministic everywhere, and — unlike the classic multiply-shift
+    * wraparound trick — safe under Spark 4's default ANSI overflow
+    * checking. */
+  private def permuted(shingle: Column, i: Int): Column =
+    xxhash64(lit(i), shingle)
+
+  val NumHashes = 128
+  val BandRows = 4
+  val NumBands: Int = NumHashes / BandRows  // 32 bands × 4 rows
+
+  /** MinHash signatures: input (docCol, shingleCol) exploded rows →
+    * one row per doc with NumBands band-hash columns. Partial aggregation
+    * (map-side min) means the shuffle carries one 128-long vector per doc
+    * regardless of document size. */
+  def minhashBands(exploded: DataFrame, docCol: String,
+      shingleCol: String): DataFrame = {
+    val mins = (0 until NumHashes).map(i =>
+      min(permuted(col(shingleCol), i)).as(s"m$i"))
+    val sig = exploded.groupBy(col(docCol))
+      .agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until NumBands).map { j =>
+      val rows = (0 until BandRows).map(r => col(s"m${j * BandRows + r}"))
+      xxhash64(lit(j) +: rows: _*)
+    }
+    sig.select(col(docCol), array(bandCols: _*).as("bands"))
+  }
+
+  /** LSH candidate pairs: docs sharing ≥1 band signature. Returns
+    * (a, b) with a < b, distinct. The join key is (band_idx, band_hash) —
+    * an equi-join Catalyst shuffles on the composite key. */
+  def lshCandidates(bands: DataFrame, docCol: String): DataFrame = {
+    val ex = bands.select(col(docCol).as("doc"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val x = ex.as("x"); val y = ex.as("y")
+    x.join(y,
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over xxhash64(shingle): per-bit ±1 vote sums, sign →
+    * fingerprint bit. Input exploded (docCol, shingleCol) rows. */
+  def simhash(exploded: DataFrame, docCol: String,
+      shingleCol: String): DataFrame = {
+    val h = xxhash64(col(shingleCol))
+    val votes = (0 until 64).map(i =>
+      sum(shiftright(h, i).bitwiseAND(1) * 2 - 1).as(s"v$i"))
+    val sums = exploded.groupBy(col(docCol)).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    sums.select(col(docCol), fp.as("simhash"))
+  }
+
+  /** SimHash candidate pairs with Hamming distance ≤ maxHamming, found by
+    * pigeonhole blocking: split 64 bits into (maxHamming+1) blocks — two
+    * fingerprints within the radius MUST agree on ≥1 whole block, so a
+    * bucket join on (block_idx, block_bits) has recall 1.0 for the radius
+    * (no probabilistic miss, unlike MinHash). */
+  def simhashCandidates(fps: DataFrame, docCol: String,
+      maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    val blocks = (0 until nBlocks).map { j =>
+      val lo = j * width
+      val w = if (j == nBlocks - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask)
+    }
+    val ex = fps.select(col(docCol).as("doc"), col("simhash"),
+        posexplode(array(blocks: _*)).as(Seq("block_idx", "block_bits")))
+    val x = ex.as("x"); val y = ex.as("y")
+    x.join(y,
+        col("x.block_idx") === col("y.block_idx") &&
+        col("x.block_bits") === col("y.block_bits") &&
+        col("x.doc") < col("y.doc"))
+      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+        <= maxHamming)
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+  }
+
+  /** Exact inverted-index Jaccard self-join: explode shingles, equi-join
+    * on the shingle, count common shingles per pair, compute
+    * |∩| / (|A|+|B|-|∩|). No false negatives by construction. */
+  def invertedIndexJaccard(docs: DataFrame, docCol: String,
+      shinglesCol: String, threshold: Double): DataFrame = {
+    val ex = docs.select(col(docCol).as("doc"),
+      size(col(shinglesCol)).as("nsh"),
+      explode(col(shinglesCol)).as("shingle"))
+    val x = ex.as("x"); val y = ex.as("y")
+    x.join(y, col("x.shingle") === col("y.shingle") &&
+        col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

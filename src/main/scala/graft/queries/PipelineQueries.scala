@@ -1,9 +1,433 @@
 package graft.queries
 
-import graft.GraftQuery
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** LLM-training-data pipeline operators (dedup, similarity search, text
-  * analysis, multimodal plumbing) — filled in build step §7.2.7. */
+import graft.GraftQuery
+import graft.ops.{Dedup, TextOps, VectorOps}
+import graft.sources.Readers.table
+
+/** LLM-training-data pipeline operators (the north star beyond the
+  * reference's surface): deduplication (exact, MinHash+LSH, SimHash,
+  * exact n-gram Jaccard, embedding cosine), similarity search (brute-force
+  * top-k baseline, label-partitioned IVF path, hyperplane-LSH buckets),
+  * and text analysis (stats, quality, language-ID, fingerprinting) —
+  * every oracle-checkable op differentially verified against DuckDB.
+  *
+  * Shared determinism trick for the near-dup family: LSH/blocking only
+  * GENERATES candidates; every pair is verified with the exact shingle
+  * Jaccard before output, so three different algorithms (MinHash bands,
+  * SimHash pigeonhole blocks, exact inverted index) all converge on the
+  * same oracle answer — a strong differential test of the pruning logic.
+  */
 object PipelineQueries {
-  val all: Seq[GraftQuery] = Seq()
+
+  private val Threshold = 0.8
+
+  /** documents → (doc_id, text, w tokens, sh 3-gram shingles). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.tokens(col("text"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), w.as("w"))
+      .withColumn("sh", TextOps.shingles(col("w"), 3))
+  }
+
+  /** DuckDB twin of docShingles. */
+  private val ShingleCte = """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t)"""
+
+  /** The one true near-dup answer: all pairs with exact shingle Jaccard ≥
+    * 0.8 (25 planted pairs at sf0.01, clean margin — next pair is at 0.1). */
+  private val AllPairsJaccardOracle = ShingleCte + """,
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+      ORDER BY doc_a, doc_b"""
+
+  /** Exact Jaccard verification of candidate (a, b) pairs → oracle shape. */
+  private def verifyPairs(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val sa = docs.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val sb = docs.select(col("doc_id").as("b"), col("sh").as("shb"))
+    cands.join(sa, "a").join(sb, "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= Threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------------
+  // Dedup family
+  // -------------------------------------------------------------------
+  private val dedupExact = GraftQuery(
+    name = "pipeline_dedup_exact",
+    doc = "Exact dedup via content hash: group by md5(text), keep the " +
+      "minimum doc_id as survivor. Hash-groupBy — one shuffle on a " +
+      "32-byte key regardless of document size; the standard first pass " +
+      "of every corpus dedup at 100 TB.",
+    oracle = Some("""
+      SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keeper_id"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id"))
+
+  private val dedupMinhash = GraftQuery(
+    name = "pipeline_dedup_minhash",
+    doc = "MinHash+LSH near-dup: 3-gram shingles → 128 multiply-shift " +
+      "permutations of one xxhash64 (map-side min, one 128-long vector " +
+      "per doc through the shuffle) → 32 bands × 4 rows → bucket " +
+      "self-join → exact-Jaccard verification. Candidate generation is " +
+      "O(Σ bucket²) not O(n²); miss probability at sim 0.9 is " +
+      "(1-0.9⁴)³² ≈ 1e-14. Oracle = exact all-pairs Jaccard ≥ 0.8.",
+    oracle = Some(AllPairsJaccardOracle),
+    run = (s, dir) => {
+      val docs = docShingles(s, dir)
+      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val bands = Dedup.minhashBands(exploded, "doc_id", "shingle")
+      val cands = Dedup.lshCandidates(bands, "doc_id")
+      verifyPairs(cands, docs)
+    })
+
+  private val dedupSimhash = GraftQuery(
+    name = "pipeline_dedup_simhash",
+    doc = "SimHash near-dup: 64-bit sign-of-vote fingerprint over shingle " +
+      "hashes; candidates via pigeonhole blocking (13 blocks — Hamming " +
+      "≤ 12 guarantees a whole matching block, recall 1.0 at the radius, " +
+      "NOT probabilistic); verified with exact Jaccard. Same oracle as " +
+      "MinHash — two independent algorithms, one answer. Measured on this " +
+      "corpus: jaccard-0.9 pairs reach Hamming 12/64, so the radius must " +
+      "be 12 — at which width 4-bit blocks prune weakly. Lesson encoded " +
+      "here deliberately: at 100 TB, MinHash banding (tunable s-curve) " +
+      "beats SimHash pigeonhole once the dup threshold drops below ~0.95.",
+    oracle = Some(AllPairsJaccardOracle),
+    run = (s, dir) => {
+      val docs = docShingles(s, dir)
+      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val fps = Dedup.simhash(exploded, "doc_id", "shingle")
+      val cands = Dedup.simhashCandidates(fps, "doc_id", maxHamming = 12)
+      verifyPairs(cands, docs)
+    })
+
+  private val dedupNgram = GraftQuery(
+    name = "pipeline_dedup_ngram",
+    doc = "Exact n-gram Jaccard dedup via inverted-index self-join " +
+      "(explode shingles, equi-join on shingle, count common per pair): " +
+      "zero false negatives by construction; cost Σ bucket² over shingle " +
+      "frequency — at 100 TB add prefix filtering to drop ubiquitous " +
+      "shingles from the index. Third algorithm, same oracle.",
+    oracle = Some(AllPairsJaccardOracle),
+    run = (s, dir) =>
+      Dedup.invertedIndexJaccard(docShingles(s, dir), "doc_id", "sh",
+        Threshold).orderBy("doc_a", "doc_b"))
+
+  private val embedNearDup = GraftQuery(
+    name = "pipeline_embed_neardup",
+    doc = "Embedding near-dup, IVF posture: pairs within the same label " +
+      "partition with cosine ≥ 0.4. Per-vector norm precomputed once; " +
+      "pair space pruned from n²/2 to Σ label-block² (the partition-" +
+      "pruning contract of IVF at 100 TB: only same-cell pairs compete). " +
+      "All double arithmetic folded left-to-right → bit-identical to " +
+      "DuckDB's list_dot_product.",
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      ORDER BY id_a, id_b"""),
+    run = (s, dir) => {
+      val pv = VectorOps.prepared(
+          table(s, dir, "embeddings").select(col("vec_id"), col("label"),
+            col("embedding")),
+          "vec_id", "embedding")
+        .join(table(s, dir, "embeddings").select(col("vec_id"), col("label")),
+          "vec_id")
+      val a = pv.select(col("vec_id").as("id_a"), col("label"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = pv.select(col("vec_id").as("id_b"), col("label").as("lb"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("label") === col("lb") && col("id_a") < col("id_b"))
+        .filter(VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb"))
+          >= 0.4)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    })
+
+  // -------------------------------------------------------------------
+  // Similarity search
+  // -------------------------------------------------------------------
+  private val knnBrute = GraftQuery(
+    name = "pipeline_knn_brute",
+    doc = "Brute-force exact cosine top-5 for a query set (vec_id < 20) " +
+      "against the full corpus — the ANN correctness baseline. Query side " +
+      "broadcast (tiny); corpus side streams once, no shuffle until the " +
+      "per-query top-k window. Rank ties broken on neighbor_id.",
+    oracle = Some("""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+            FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      r AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM p)
+      SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    run = (s, dir) => {
+      val pv = VectorOps.prepared(table(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      val q = pv.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val c = pv.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos",
+          VectorOps.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    })
+
+  private val knnIvf = GraftQuery(
+    name = "pipeline_knn_ivf",
+    doc = "Partition-pruned (IVF-style) top-3: every vector searches only " +
+      "its label cell. The scale path of pipeline_knn_brute: pair space " +
+      "is Σ cell² instead of n²; cells are the shuffle key, so the whole " +
+      "search is one co-partitioned self-join.",
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+              list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      r AS (SELECT vec_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM p)
+      SELECT vec_id, rank, neighbor_id FROM r WHERE rank <= 3
+      ORDER BY vec_id, rank"""),
+    run = (s, dir) => {
+      val pv = VectorOps.prepared(
+          table(s, dir, "embeddings").select(col("vec_id"), col("label"),
+            col("embedding")), "vec_id", "embedding")
+        .join(table(s, dir, "embeddings").select(col("vec_id"), col("label")),
+          "vec_id")
+      val a = pv.select(col("vec_id"), col("label"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = pv.select(col("vec_id").as("neighbor_id"),
+        col("label").as("lb"), col("v").as("vb"), col("nrm").as("nb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      a.join(b, col("label") === col("lb") && col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select("vec_id", "rank", "neighbor_id")
+        .orderBy("vec_id", "rank")
+    })
+
+  private val annLsh = GraftQuery(
+    name = "pipeline_ann_lsh",
+    doc = "Random-hyperplane LSH bucketing (16 deterministic sign bits " +
+      "from xxhash-derived planes): vectors bucketed by signature; " +
+      "reports bucket occupancy. Approximate by design → no SQL oracle " +
+      "(driver records rows-only); the exact baselines above are the " +
+      "correctness anchors. At 100 TB: signature is the shuffle key, " +
+      "candidate search touches one bucket (+ multiprobe neighbors).",
+    oracle = None,
+    run = (s, dir) => {
+      val pv = VectorOps.prepared(table(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      VectorOps.hyperplaneBuckets(s, pv, dim = 64, nBits = 16)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("vec_id")).as("min_vec_id"))
+        .orderBy("bucket")
+    })
+
+  // -------------------------------------------------------------------
+  // Text analysis
+  // -------------------------------------------------------------------
+  private val textStats = GraftQuery(
+    name = "pipeline_text_stats",
+    doc = "Per-document token statistics: token count, distinct tokens, " +
+      "char length, mean token length (exact-int division → drift-free " +
+      "double). Pure per-row map — embarrassingly parallel.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+             n_chars,
+             CAST(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                  / len(w) AS DOUBLE) AS mean_token_len
+      FROM t ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val w = col("w")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), TextOps.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(w).cast(LongType).as("n_tokens"),
+          size(array_distinct(w)).cast(LongType).as("n_distinct"),
+          col("n_chars"),
+          (aggregate(transform(w, t => length(t)), lit(0), _ + _)
+            .cast(DoubleType) / size(w).cast(DoubleType))
+            .as("mean_token_len"))
+        .orderBy("doc_id")
+    })
+
+  private val textQuality = GraftQuery(
+    name = "pipeline_text_quality",
+    doc = "Quality scoring: stopword ratio, type-token ratio, length " +
+      "gate → keep flag. The filter stage of a training-data pipeline; " +
+      "ratios are exact-int divisions so the oracle matches bitwise.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(w) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE)
+                / len(w) AS stop_ratio,
+              CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+            FROM t)
+      SELECT doc_id, n_tokens, stop_ratio, ttr,
+             CASE WHEN n_tokens >= 20 AND n_tokens <= 2000
+                   AND stop_ratio <= 0.3 AND ttr >= 0.2
+                  THEN 1 ELSE 0 END AS keep
+      FROM m ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val w = col("w")
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(w).cast(LongType).as("n_tokens"),
+          (TextOps.markerHits(w, Seq("the", "a")).cast(DoubleType) /
+            size(w).cast(DoubleType)).as("stop_ratio"),
+          (size(array_distinct(w)).cast(DoubleType) /
+            size(w).cast(DoubleType)).as("ttr"))
+        .withColumn("keep",
+          when(col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
+            col("stop_ratio") <= 0.3 && col("ttr") >= 0.2, 1).otherwise(0))
+        .orderBy("doc_id")
+    })
+
+  private val langId = GraftQuery(
+    name = "pipeline_lang_id",
+    doc = "Marker-word language ID (n-gram-heuristic family): occurrence " +
+      "counts against per-language marker lists, argmax with a fixed " +
+      "preference order. The classifier logic is replicated verbatim in " +
+      "the oracle — the differential check proves the scoring pipeline, " +
+      "not linguistic accuracy (the synthetic corpus shares one vocab).",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sc AS (SELECT doc_id,
+               CAST(len(list_filter(w, x -> x IN ('the', 'a', 'is', 'of'))) AS BIGINT) AS s_en,
+               CAST(len(list_filter(w, x -> x IN ('der', 'die', 'das', 'und'))) AS BIGINT) AS s_de,
+               CAST(len(list_filter(w, x -> x IN ('el', 'la', 'los', 'y'))) AS BIGINT) AS s_es,
+               CAST(len(list_filter(w, x -> x IN ('le', 'les', 'et', 'des'))) AS BIGINT) AS s_fr,
+               CAST(len(list_filter(w, x -> x IN ('的', '是', '在', '了'))) AS BIGINT) AS s_zh
+             FROM t)
+      SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS predicted
+      FROM sc ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val markers = Seq(
+        "en" -> Seq("the", "a", "is", "of"),
+        "de" -> Seq("der", "die", "das", "und"),
+        "es" -> Seq("el", "la", "los", "y"),
+        "fr" -> Seq("le", "les", "et", "des"),
+        "zh" -> Seq("的", "是", "在", "了"))
+      val scored = markers.foldLeft(
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))) {
+        case (df, (lang, ms)) => df.withColumn(s"s_$lang",
+          TextOps.markerHits(col("w"), ms).cast(LongType))
+      }
+      scored.withColumn("predicted",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+            col("s_de") >= col("s_zh"), "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+        .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "s_zh", "predicted")
+        .orderBy("doc_id")
+    })
+
+  private val fingerprint = GraftQuery(
+    name = "pipeline_fingerprint",
+    doc = "Document fingerprinting: byte-exact md5 plus an order-" +
+      "invariant bag-of-words md5 (sorted distinct tokens) — the pair of " +
+      "keys an exact-dedup pass groups on at 100 TB (32-byte shuffle key " +
+      "per doc, any document size).",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                 FROM documents)
+      SELECT doc_id, md5(text) AS content_md5,
+             md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_md5,
+             CAST(length(text) AS BIGINT) AS n_chars_exact
+      FROM t ORDER BY doc_id"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        TextOps.bagFingerprint(col("w")).as("bag_md5"),
+        length(col("text")).cast(LongType).as("n_chars_exact"))
+      .orderBy("doc_id"))
+
+  // -------------------------------------------------------------------
+  // Multimodal plumbing (binary columns; decode stubbed — see
+  // graft.multimodal.MultiModal for the typed pipeline + tests).
+  // -------------------------------------------------------------------
+  private val multimodalMeta = GraftQuery(
+    name = "pipeline_multimodal_meta",
+    doc = "Opaque-binary column plumbing (multimodal posture): content " +
+      "as BinaryType + typed metadata — byte length, content digest, " +
+      "magic-bytes prefix. Here the binary is the UTF-8 encoding of " +
+      "documents.text (the container has no media libs — decode is " +
+      "stubbed in graft.multimodal.MultiModal); schema, partitioning and " +
+      "per-row feature extraction are the real thing.",
+    oracle = Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS content_md5,
+             lower(hex(encode(substr(text, 1, 4)))) AS magic
+      FROM documents ORDER BY doc_id"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+      .select(col("doc_id"),
+        length(col("content")).cast(LongType).as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        lower(hex(substring(col("content"), 1, 4))).as("magic"))
+      .orderBy("doc_id"))
+
+  val all: Seq[GraftQuery] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, embedNearDup,
+    knnBrute, knnIvf, annLsh, textStats, textQuality, langId, fingerprint,
+    multimodalMeta)
 }
