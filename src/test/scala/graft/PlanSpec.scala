@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (the 100 TB posture, SURVEY.md §4): filters
+  * and projections must reach the parquet scan, small dims must
+  * broadcast, aggregates must be partial+final. These lock in the plan
+  * shapes `.explain` review arrived at — a regression here is a silent
+  * 100× at scale even when results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Registry.byName(name).run(spark, dir)
+    df.collect() // materialize so AQE finalizes (isFinalPlan=true)
+    // keep only the final-plan section (the string also embeds the
+    // pre-AQE initial plan, which double-counts operators)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  /** Pre-AQE physical plan — FileScan lines (PushedFilters/ReadSchema)
+    * render untruncated here. */
+  private def scanPlan(name: String): String =
+    Registry.byName(name).run(spark, dir).queryExecution.sparkPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val p = plan("parity_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]"),
+      s"filter not pushed:\n$p")
+    // pruned read schema: only the 4 needed source columns
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan("lake_star_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("pricing aggregate is partial+final with codegen") {
+    val p = plan("lake_agg_pricing")
+    assert(p.contains("partial_sum"), s"no partial (map-side) agg:\n$p")
+    // whole-stage codegen stages render as "*(n)" operator prefixes
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, s"no codegen:\n$p")
+    val sp = scanPlan("lake_agg_pricing")
+    assert(sp.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"date filter not pushed to scan:\n$sp")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("lake_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$p")
+  }
+
+  test("songplays star broadcasts the time dim (J2 small side)") {
+    val p = plan("parity_songplays_star")
+    assert(p.contains("BroadcastHashJoin"), s"time dim not broadcast:\n$p")
+  }
+}

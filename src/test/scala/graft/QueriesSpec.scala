@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query runs on sf0.001 (t1 smoke tier) without
+  * throwing; cross-algorithm consistency for the near-dup family; a few
+  * golden counts measured on the deterministic testdata. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every queries entry has matching column names with its oracle") {
+    // names must agree because the driver sorts columns by name — the
+    // SQL itself is checked by tools/check.py; here we just pin the maps
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // all but the intentionally-oracle-free ANN query are covered
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) ==
+      Set("pipeline_ann_lsh"))
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} runs on sf0.001") {
+      val df = q.run(spark, dir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("near-dup trio agrees (minhash = simhash = exact inverted index)") {
+    def pairs(name: String) =
+      Registry.byName(name).run(spark, dir)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("pipeline_dedup_ngram")
+    assert(exact.nonEmpty)
+    assert(pairs("pipeline_dedup_minhash") == exact)
+    assert(pairs("pipeline_dedup_simhash") == exact)
+  }
+
+  test("golden counts on sf0.001") {
+    assert(Registry.byName("parity_time_dim").run(spark, dir).count() == 1000)
+    assert(Registry.byName("pipeline_dedup_exact").run(spark, dir)
+      .count() == 500)
+    assert(Registry.byName("pipeline_knn_brute").run(spark, dir)
+      .count() == 100) // 20 queries × top-5
+  }
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Unit + property tests for the ops layer. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- TimeOps ----------------
+
+  test("TimeOps golden values (UTC, millis→second-string)") {
+    val df = Seq(1542729770796L).toDF("ts")
+      .select(TimeOps.startTimeString(col("ts")).as("s"),
+        TimeOps.epochMillisToTs(col("ts")).as("t"))
+    val r = df.collect().head
+    assert(r.getString(0) == "2018-11-20 16:02:50")
+    // the ÷1000.0 keeps the millisecond fraction, exactly like the
+    // reference's utcfromtimestamp UDF (etl.py:215)
+    assert(r.getTimestamp(1).toInstant.toEpochMilli == 1542729770796L)
+  }
+
+  test("TimeOps units agree with java.time across random epochs") {
+    val rnd = new scala.util.Random(42) // seeded: property-style, stable
+    val samples = Seq.fill(200)(math.abs(rnd.nextLong()) % 4102444800000L)
+    val df = samples.toDF("ts")
+      .withColumn("t", TimeOps.epochMillisToTs(col("ts")))
+    val rows = TimeOps.timeUnits(col("t")).foldLeft(df) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }.collect()
+    rows.foreach { row =>
+      val zdt = java.time.Instant.ofEpochMilli(row.getAs[Long]("ts"))
+        .atZone(java.time.ZoneOffset.UTC)
+      assert(row.getAs[Int]("hour") == zdt.getHour)
+      assert(row.getAs[Int]("day") == zdt.getDayOfMonth)
+      assert(row.getAs[Int]("week") ==
+        zdt.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR))
+      assert(row.getAs[Int]("month") == zdt.getMonthValue)
+      assert(row.getAs[Int]("year") == zdt.getYear)
+      // Spark dayofweek: 1=Sunday; java DayOfWeek: 1=Monday..7=Sunday
+      assert(row.getAs[Int]("weekday") ==
+        (zdt.getDayOfWeek.getValue % 7) + 1)
+    }
+  }
+
+  // ---------------- TextOps ----------------
+
+  test("shingles + jaccard on known arrays") {
+    val df = Seq(("a b c d", "b c d e"), ("a b c", "x y z"))
+      .toDF("t1", "t2")
+      .select(
+        TextOps.shingles(TextOps.tokens(col("t1")), 2).as("s1"),
+        TextOps.shingles(TextOps.tokens(col("t2")), 2).as("s2"))
+      .select(TextOps.jaccard(col("s1"), col("s2")).as("j"))
+    val js = df.collect().map(_.getDouble(0))
+    assert(js(0) == 2.0 / 4.0) // {ab,bc,cd} ∩ {bc,cd,de} = 2; ∪ = 4
+    assert(js(1) == 0.0)
+  }
+
+  test("shingles shorter than n yield empty array, not garbage") {
+    val df = Seq("one two").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("s"))
+    assert(df.collect().head.getSeq[String](0).isEmpty)
+  }
+
+  test("bag fingerprint is word-order invariant") {
+    val df = Seq(("c b a a", "a b c"), ("a b", "a c"))
+      .toDF("t1", "t2").select(
+        TextOps.bagFingerprint(TextOps.tokens(col("t1"))).as("f1"),
+        TextOps.bagFingerprint(TextOps.tokens(col("t2"))).as("f2"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == rows(0).getString(1))
+    assert(rows(1).getString(0) != rows(1).getString(1))
+  }
+
+  // ---------------- Dedup ----------------
+
+  /** 30 synthetic docs: doc i = 40 words; docs 20/21 share 39 of 41
+    * positions (planted near-dup), everything else disjoint-ish. */
+  private lazy val corpus = {
+    val base = (0 until 30).map { i =>
+      val words = (0 until 40).map(w => s"w${i}_$w")
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDup = (20L, base(21)._2.replace("w21_39", "w21_x"))
+    spark.createDataFrame(base.updated(20, nearDup)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .withColumn("sh", TextOps.shingles(col("w"), 3))
+  }
+
+  test("minhash LSH finds the planted near-dup pair, nothing else") {
+    val ex = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashBands(ex, "doc_id", "shingle"), "doc_id")
+    val sa = corpus.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val sb = corpus.select(col("doc_id").as("b"), col("sh").as("shb"))
+    val verified = cands.join(sa, "a").join(sb, "b")
+      .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(verified.toSeq == Seq((20L, 21L)))
+  }
+
+  test("simhash pigeonhole blocking finds the planted pair") {
+    val ex = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val fps = Dedup.simhash(ex, "doc_id", "shingle")
+    val cands = Dedup.simhashCandidates(fps, "doc_id", maxHamming = 12)
+    assert(cands.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((20L, 21L)))
+    // identical docs → identical fingerprints → hamming 0
+    val fpMap = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(fpMap(20L) ^ fpMap(21L)) <= 12)
+  }
+
+  test("inverted-index jaccard is exact on the corpus") {
+    val out = Dedup.invertedIndexJaccard(corpus, "doc_id", "sh", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((20L, 21L)))
+  }
+
+  // ---------------- VectorOps ----------------
+
+  test("dot/norm/cosine match scala reference computation") {
+    val a = Array(1.0f, 2.0f, 3.0f); val b = Array(-1.0f, 0.5f, 2.0f)
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(
+        VectorOps.dot(VectorOps.asDouble(col("a")),
+          VectorOps.asDouble(col("b"))).as("dot"),
+        VectorOps.l2norm(VectorOps.asDouble(col("a"))).as("na"))
+    val r = df.collect().head
+    val expDot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    assert(r.getDouble(0) == expDot)
+    assert(r.getDouble(1) == math.sqrt(a.map(x => x.toDouble * x).sum))
+  }
+
+  test("hyperplane buckets: identical and scaled vectors share a bucket") {
+    val vecs = Seq(
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(0.5f)),          // identical → same bucket
+      (3L, Array.fill(8)(1.0f)),          // positive scale → same bucket
+      (4L, Array.fill(8)(-0.5f)))         // flipped → different bucket
+      .toDF("vec_id", "embedding")
+    val prepared = VectorOps.prepared(vecs, "vec_id", "embedding")
+    val buckets = VectorOps.hyperplaneBuckets(spark, prepared, 8, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(2L))
+    assert(buckets(1L) == buckets(3L))
+    assert(buckets(1L) != buckets(4L))
+  }
+}

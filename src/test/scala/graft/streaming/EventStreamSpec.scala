@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Readers
+
+/** Streaming surfaces proven by batch equivalence: drain the stream over
+  * a static parquet dir, compare with the batch plan on the same input
+  * (SURVEY.md §7.4.4 — no external oracle for streaming). */
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** events with µs timestamps re-written so readStream sees a plain
+    * TimestampType parquet (the raw testdata is TIMESTAMP(NANOS)). */
+  lazy val inputDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Readers.table(spark, "/root/testdata/sf0.001", "events")
+      .coalesce(2).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("windowed counts: stream drained == batch") {
+    val streamed = EventStream.drainToMemory(spark,
+      EventStream.windowedCounts(spark, inputDir), "wc", OutputMode.Append)
+    val batch = EventStream.windowedCountsBatch(spark.read.parquet(inputDir))
+    // append mode emits only watermark-closed windows: every emitted row
+    // must match the batch result exactly, and most windows must emit
+    val b = batch.collect().map(r => r.toSeq).toSet
+    val s = streamed.collect().map(r => r.toSeq).toSet
+    assert(s.nonEmpty)
+    assert(s.subsetOf(b), "streamed window not in batch result")
+    assert(s.size >= b.size - 10, "too few windows emitted before drain")
+  }
+
+  test("stateful session counts: totals match batch sessionization") {
+    val out = EventStream.drainToMemory(spark,
+      EventStream.sessionCounts(spark, inputDir).toDF(),
+      "sc", OutputMode.Update)
+    // one final state row per user (single micro-batch over static input)
+    val latest = out.groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+    val ev = spark.read.parquet(inputDir)
+    val expectedEvents = ev.groupBy("user_id").count()
+    val joined = latest.join(expectedEvents, "user_id")
+    assert(joined.filter(col("n_events") =!= col("count")).count() == 0)
+    // session counts: recompute with the batch window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = ev
+      .withColumn("prev", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) - col("prev") <= 1800000000L, 0L)
+          .otherwise(1L))
+      .groupBy("user_id").agg(sum("new_sess").as("exp_sessions"))
+    val j2 = latest.join(sessions, "user_id")
+    assert(j2.filter(col("n_sessions") =!= col("exp_sessions")).count() == 0)
+  }
+}
