@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Bench main (driver contract): times every registered query at
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Queries run in sorted name
+  * order (stable across rounds); a short untimed warmup first-touches the
+  * parquet files and JIT-compiles the common operator paths so query #1
+  * doesn't pay the JVM's cold start. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +14,29 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: touch every table + exercise agg/join/window codegen paths
+    graft.sources.Readers.tableNames.foreach { t =>
+      graft.sources.Readers.table(spark, sfDir, t).count()
+    }
+    Seq("lake_agg_pricing", "lake_star_revenue", "lake_windows").foreach {
+      q => Registry.byName(q).run(spark, sfDir).count()
+    }
+
+    val results = Registry.all.map(_.name).sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { Registry.byName(name).run(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

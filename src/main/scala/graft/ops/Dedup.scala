@@ -111,15 +111,25 @@ object Dedup {
 
   /** Exact inverted-index Jaccard self-join: explode shingles, equi-join
     * on the shingle, count common shingles per pair, compute
-    * |∩| / (|A|+|B|-|∩|). No false negatives by construction. */
+    * |∩| / (|A|+|B|-|∩|). No false negatives by construction.
+    *
+    * Two scale optimizations, both answer-preserving:
+    *  - the join key is xxhash64(shingle) — an 8-byte shuffle key instead
+    *    of a ~60-byte string (collision odds 2⁻⁶⁴ per shingle pair);
+    *  - length-ratio prefilter inside the join condition: jaccard ≥ θ
+    *    requires min(|A|,|B|) ≥ θ·max(|A|,|B|), so wildly different-sized
+    *    docs never materialize as pairs. */
   def invertedIndexJaccard(docs: DataFrame, docCol: String,
       shinglesCol: String, threshold: Double): DataFrame = {
     val ex = docs.select(col(docCol).as("doc"),
-      size(col(shinglesCol)).as("nsh"),
-      explode(col(shinglesCol)).as("shingle"))
+        size(col(shinglesCol)).as("nsh"),
+        explode(col(shinglesCol)).as("shingle"))
+      .select(col("doc"), col("nsh"), xxhash64(col("shingle")).as("shash"))
     val x = ex.as("x"); val y = ex.as("y")
-    x.join(y, col("x.shingle") === col("y.shingle") &&
-        col("x.doc") < col("y.doc"))
+    x.join(y, col("x.shash") === col("y.shash") &&
+        col("x.doc") < col("y.doc") &&
+        greatest(col("x.nsh"), col("y.nsh")).cast(DoubleType) * threshold
+          <= least(col("x.nsh"), col("y.nsh")).cast(DoubleType))
       .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
         col("x.nsh").as("na"), col("y.nsh").as("nb"))
       .agg(count(lit(1)).as("inter"))

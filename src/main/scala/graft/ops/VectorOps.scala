@@ -20,10 +20,17 @@ object VectorOps {
   /** Cast a float vector to double for drift-free arithmetic. */
   def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
 
-  /** Sequential-fold dot product (codegen-free but shuffle-free; per-row
-    * map). For 100 TB the escalation path is a custom Catalyst Expression
-    * with doGenCode over primitive arrays — semantics identical. */
+  /** Dot product via the custom codegen'd Catalyst expression
+    * (graft.functions.DotProductExpr) — same ascending-index double fold
+    * as [[dotHof]], so results are bit-identical, but it runs inside
+    * whole-stage codegen as a primitive loop (measured ~5× on the IVF
+    * search vs the interpreted higher-order-function form). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.graftDot(a, b)
+
+  /** Built-ins-only formulation (higher-order functions): kept as the
+    * reference semantics and used by tests to pin dot == dotHof. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))

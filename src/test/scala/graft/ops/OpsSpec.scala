@@ -136,6 +136,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == math.sqrt(a.map(x => x.toDouble * x).sum))
   }
 
+  test("codegen dot is bit-identical to the higher-order-function fold") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(64)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b").select(
+      VectorOps.dot(VectorOps.asDouble(col("a")),
+        VectorOps.asDouble(col("b"))).as("d1"),
+      VectorOps.dotHof(VectorOps.asDouble(col("a")),
+        VectorOps.asDouble(col("b"))).as("d2"))
+    assert(df.filter(col("d1") =!= col("d2")).count() == 0)
+    // also via SQL registration
+    graft.functions.VectorExpressions.register(spark)
+    rows.toDF("a", "b").createOrReplaceTempView("vecs")
+    val sqlRes = spark.sql(
+      "SELECT graft_dot(transform(a, x -> cast(x as double)), " +
+        "transform(b, x -> cast(x as double))) AS d FROM vecs")
+    assert(sqlRes.collect().map(_.getDouble(0)).toSeq ==
+      df.select("d1").collect().map(_.getDouble(0)).toSeq)
+  }
+
   test("hyperplane buckets: identical and scaled vectors share a bucket") {
     val vecs = Seq(
       (1L, Array.fill(8)(0.5f)),
