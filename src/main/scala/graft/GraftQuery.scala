@@ -24,6 +24,7 @@ object Registry {
   lazy val all: Seq[GraftQuery] =
     graft.queries.ParityQueries.all ++
     graft.queries.LakeQueries.all ++
+    graft.queries.ExtendedQueries.all ++
     graft.queries.PipelineQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

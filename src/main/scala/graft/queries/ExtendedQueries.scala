@@ -1,0 +1,350 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.ops.AsofJoin
+import graft.sources.Readers.table
+
+/** Second wave of beyond-reference operators: as-of join, physical-join
+  * strategies (bucketed co-located, salted skew, forced sort-merge),
+  * richer windows (range frames, rank family), pivot, array explode,
+  * JSON-scan round-trip, sketch aggregates. */
+object ExtendedQueries {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  // -------------------------------------------------------------------
+  // As-of join — events enriched with each user's latest order state.
+  // -------------------------------------------------------------------
+  private val asofJoin = GraftQuery(
+    name = "lake_asof_join",
+    doc = "Backward as-of join via the union+window formulation " +
+      "(graft.ops.AsofJoin): one shuffle on the key, no per-row " +
+      "subquery — the 100 TB shape. Differentially checked against " +
+      "DuckDB's NATIVE ASOF JOIN — two completely different " +
+      "implementations, one answer. Right side pre-aggregated to one row " +
+      "per (custkey, orderdate) as the as-of contract requires.",
+    oracle = Some("""
+      WITH r AS (SELECT o_custkey, o_orderdate,
+                   MAX(o_orderkey) AS last_orderkey,
+                   COUNT(*) AS n_orders_day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+                 FROM orders GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, r.last_orderkey, r.n_orders_day, r.day_total
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      ORDER BY e.event_id"""),
+    run = (s, dir) => {
+      val r = table(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"),
+          count(lit(1)).as("n_orders_day"),
+          dsum(col("o_totalprice")).as("day_total"))
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; under the UTC
+        // session the cast is wall-clock-identity
+        .withColumn("t_us",
+          unix_micros(col("o_orderdate").cast(TimestampType)))
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("e_us"))
+      AsofJoin.asofBackward(e, r,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "e_us", rightTime = "t_us",
+          payload = Seq("last_orderkey", "n_orders_day", "day_total"))
+        .select("event_id", "user_id", "last_orderkey", "n_orders_day",
+          "day_total")
+        .orderBy("event_id")
+    })
+
+  // -------------------------------------------------------------------
+  // Bucketed co-located join — zero-exchange big⋈big.
+  // -------------------------------------------------------------------
+  private val bucketedJoin = GraftQuery(
+    name = "lake_bucketed_join",
+    doc = "Bucketed co-located join: both fact tables written " +
+      "bucketBy(8, orderkey) + sortBy, then joined with NO exchange and " +
+      "NO sort (PlanSpec asserts) — the pre-shuffled layout that makes " +
+      "repeated fact⋈fact joins at 100 TB pay the shuffle once at write " +
+      "time instead of per query.",
+    oracle = Some("""
+      SELECT o.o_orderpriority,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority"""),
+    run = (s, dir) => {
+      // a crashed previous run can leave the managed location behind with
+      // no catalog entry (in-memory catalog) — clear both before writing
+      def reset(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val loc = java.nio.file.Paths.get(wh, name)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+      }
+      reset("graft_bucketed_lineitem"); reset("graft_bucketed_orders")
+      table(s, dir, "lineitem").write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bucketed_lineitem")
+      table(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bucketed_orders")
+      val li = s.table("graft_bucketed_lineitem")
+      // merge hint: at tiny SF AQE would broadcast instead, hiding the
+      // co-located layout this query demonstrates (SMJ with no exchange
+      // and no sort on either side)
+      val o = s.table("graft_bucketed_orders").hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    })
+
+  // -------------------------------------------------------------------
+  // Salted skew join.
+  // -------------------------------------------------------------------
+  private val saltedJoin = GraftQuery(
+    name = "lake_salted_join",
+    doc = "Salted skew join: lineitem keyed by l_suppkey (10 suppliers → " +
+      "pathological skew: every row lands in 10 of N partitions). Fact " +
+      "side salts with pmod(xxhash64(rowkey), 8); dim side replicates ×8 " +
+      "via explode — the shuffle spreads each hot key over 8 partitions. " +
+      "Result provably identical to the unsalted join (the oracle). At " +
+      "100 TB this (or AQE skew-join) is mandatory for hot keys.",
+    oracle = Some("""
+      SELECT s.s_name,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1 ORDER BY s_name"""),
+    run = (s, dir) => {
+      val nSalt = 8
+      val li = table(s, dir, "lineitem")
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(nSalt.toLong)))
+      val sup = table(s, dir, "supplier")
+        .withColumn("salt",
+          explode(sequence(lit(0L), lit(nSalt.toLong - 1))))
+      li.join(sup,
+          li("l_suppkey") === sup("s_suppkey") &&
+            li("salt") === sup("salt"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_name")
+    })
+
+  // -------------------------------------------------------------------
+  // Forced sort-merge join (big ⋈ big posture).
+  // -------------------------------------------------------------------
+  private val bigBigJoin = GraftQuery(
+    name = "lake_join_bigbig",
+    doc = "Fact⋈fact sort-merge join (merge hint; broadcast would hide " +
+      "the shape): both sides shuffle+sort on the key once — the " +
+      "baseline plan when neither side fits in memory at 100 TB. " +
+      "PlanSpec asserts SortMergeJoin.",
+    oracle = Some("""
+      SELECT year(o.o_orderdate) AS order_year,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY order_year"""),
+    run = (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders").hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("order_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("revenue"))
+        .orderBy("order_year")
+    })
+
+  // -------------------------------------------------------------------
+  // Range-frame window: trailing-30-day running total per customer.
+  // -------------------------------------------------------------------
+  private val windowRange = GraftQuery(
+    name = "lake_window_range",
+    doc = "RANGE frame window (value-based, not row-based): per-customer " +
+      "trailing-30-day order total. One exchange on custkey; frame " +
+      "bounds are day offsets so same-day peers aggregate together in " +
+      "both engines.",
+    oracle = Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing30_total
+      FROM orders ORDER BY o_orderkey"""),
+    run = (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      table(s, dir, "orders")
+        .withColumn("day",
+          datediff(col("o_orderdate"), lit("1970-01-01").cast(DateType)))
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("trailing30_total"))
+        .orderBy("o_orderkey")
+    })
+
+  // -------------------------------------------------------------------
+  // Rank-family window: ntile / percent_rank / cume_dist / dense_rank.
+  // -------------------------------------------------------------------
+  private val windowRanks = GraftQuery(
+    name = "lake_window_ranks",
+    doc = "Ranking suite per order-status partition, fully tiebroken " +
+      "(totalprice, orderkey) so ntile assignment is deterministic. " +
+      "percent_rank/cume_dist are exact int-ratio doubles → bit-equal " +
+      "across engines.",
+    oracle = Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cdist,
+             CAST(dense_rank() OVER w AS BIGINT) AS drank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey"""),
+    run = (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          dense_rank().over(w).cast(LongType).as("drank"))
+        .orderBy("o_orderkey")
+    })
+
+  // -------------------------------------------------------------------
+  // Pivot (wide aggregation).
+  // -------------------------------------------------------------------
+  private val pivotEvents = GraftQuery(
+    name = "lake_pivot",
+    doc = "Pivot events into one column per event type (explicit value " +
+      "list — no extra distinct pass to discover columns, which at " +
+      "100 TB would be its own scan). Single aggregate, Expand-free.",
+    oracle = Some("""
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val pivoted = table(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(pivoted) { (df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L)))
+        }
+        .orderBy("user_id")
+    })
+
+  // -------------------------------------------------------------------
+  // Array explode / unnest: per-dimension embedding statistics.
+  // -------------------------------------------------------------------
+  private val explodeUnnest = GraftQuery(
+    name = "lake_explode_unnest",
+    doc = "posexplode (zipped unnest) over the embedding column: " +
+      "per-dimension mean/min/max across the corpus. The mean folds the " +
+      "values sequentially in vec_id order in BOTH engines (sorted " +
+      "collect + left fold here, list(ORDER BY)+list_reduce there) — " +
+      "double→decimal casts are NOT portable at the ulp (Java BigDecimal " +
+      "vs DuckDB's scaled-multiply round differently), a real " +
+      "cross-engine determinism lesson this query encodes.",
+    oracle = Some("""
+      WITH ex AS (
+        SELECT vec_id,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x,
+               unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings)
+      SELECT dim,
+             list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
+               / COUNT(*) AS mean_x,
+             MIN(x) AS min_x,
+             MAX(x) AS max_x
+      FROM ex GROUP BY 1 ORDER BY dim"""),
+    run = (s, dir) => table(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(
+        transform(col("embedding"), _.cast(DoubleType))).as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).cast(LongType).as("dim"))
+      .agg(
+        sort_array(collect_list(struct(col("vec_id"), col("x")))).as("arr"),
+        count(lit(1)).as("n"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+      .select(col("dim"),
+        (aggregate(col("arr"), lit(0.0d),
+          (acc, s) => acc + s.getField("x")) / col("n")).as("mean_x"),
+        col("min_x"), col("max_x"))
+      .orderBy("dim"))
+
+  // -------------------------------------------------------------------
+  // JSON scan with declared schema (S1/S2 as a first-class query).
+  // -------------------------------------------------------------------
+  private val jsonScan = GraftQuery(
+    name = "parity_json_scan",
+    doc = "Schema-on-read JSON source round-trip (SURVEY §2.1 S1/S2, " +
+      "§1.3): documents written as JSON lines, re-read with a DECLARED " +
+      "schema (zero inference passes — at 100 TB inference is a full " +
+      "extra scan), aggregated. Oracle aggregates the parquet original: " +
+      "proves the JSON writer/reader loses nothing.",
+    oracle = Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang"""),
+    run = (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_jsonscan").toString
+      table(s, dir, "documents").write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    })
+
+  // -------------------------------------------------------------------
+  // Sketch aggregate (no cross-engine oracle for HLL internals).
+  // -------------------------------------------------------------------
+  private val approxDistinct = GraftQuery(
+    name = "lake_approx_distinct",
+    doc = "approx_count_distinct (HyperLogLog++) per order status — the " +
+      "sketch that replaces exact COUNT(DISTINCT) at 100 TB (fixed-size " +
+      "state per group vs a shuffle of every distinct value). " +
+      "Sketch internals are engine-specific → no SQL oracle (driver " +
+      "records rows-only); the exact twin lake_distinct_agg is the " +
+      "correctness anchor.",
+    oracle = None,
+    run = (s, dir) => table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus"))
+
+  val all: Seq[GraftQuery] = Seq(
+    asofJoin, bucketedJoin, saltedJoin, bigBigJoin, windowRange,
+    windowRanks, pivotEvents, explodeUnnest, jsonScan, approxDistinct)
+}

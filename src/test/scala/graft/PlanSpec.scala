@@ -58,4 +58,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("parity_songplays_star")
     assert(p.contains("BroadcastHashJoin"), s"time dim not broadcast:\n$p")
   }
+
+  test("bucketed join runs with no exchange between the bucketed scans") {
+    val p = plan("lake_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    // the co-located layout removes the per-query shuffle before the join:
+    // the only exchange left is the one for the final groupBy aggregate
+    val joinPart = p.split("SortMergeJoin").last
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles its inputs:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+  }
+
+  test("forced merge hint yields SortMergeJoin for fact-fact join") {
+    val p = plan("lake_join_bigbig")
+    assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n$p")
+  }
+
+  test("as-of join plans as a single window pass, no nested-loop join") {
+    val p = plan("lake_asof_join")
+    assert(p.contains("Window"), s"as-of not window-based:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"as-of degenerated to a quadratic join:\n$p")
+  }
 }
