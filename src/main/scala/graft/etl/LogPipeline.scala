@@ -25,8 +25,12 @@ object LogPipeline {
   /** `users` dim: 5-col projection, NO dedup — one row per NextSong
     * event; a user who upgraded appears with both levels (etl.py:195-197). */
   def usersTable(logData: DataFrame): DataFrame =
-    nextSongEvents(logData)
-      .select("userId", "firstName", "lastName", "gender", "level")
+    usersFromCleaned(nextSongEvents(logData))
+
+  /** Variant over an already-cleaned (deduped+filtered) event frame —
+    * lets a multi-sink job persist the shared prefix once (SURVEY §3.2). */
+  def usersFromCleaned(cleaned: DataFrame): DataFrame =
+    cleaned.select("userId", "firstName", "lastName", "gender", "level")
 
   /** Deterministic keyed-dedup variant (SURVEY §7.2.6): latest level per
     * user by event time — what the reference arguably intended. */
@@ -42,8 +46,11 @@ object LogPipeline {
 
   /** `time` dim (etl.py:215-236): epoch-millis ts + STRING start_time +
     * six int units, full-row dedup. Written partitioned (year, month). */
-  def timeTable(logData: DataFrame): DataFrame = {
-    val base = nextSongEvents(logData)
+  def timeTable(logData: DataFrame): DataFrame =
+    timeFromCleaned(nextSongEvents(logData))
+
+  def timeFromCleaned(cleaned: DataFrame): DataFrame = {
+    val base = cleaned
       .withColumn("start_time", TimeOps.startTimeString(col("ts")))
       .withColumn("ts_ts", TimeOps.epochMillisToTs(col("ts")))
     TimeOps.timeUnits(col("ts_ts")).foldLeft(base) {
@@ -61,8 +68,12 @@ object LogPipeline {
     * (non-deterministic across runs — excluded from oracle comparisons;
     * use songplaysDeterministic for compared output). */
   def songplaysTable(logData: DataFrame, songData: DataFrame,
+      time: DataFrame): DataFrame =
+    songplaysFromCleaned(nextSongEvents(logData), songData, time)
+
+  def songplaysFromCleaned(cleaned: DataFrame, songData: DataFrame,
       time: DataFrame): DataFrame = {
-    val base = songplayBase(logData, songData, time)
+    val base = songplayBase(cleaned, songData, time)
     base.select(
       monotonically_increasing_id().as("songplay_id") +: factCols: _*)
   }
@@ -73,7 +84,7 @@ object LogPipeline {
       time: DataFrame): DataFrame = {
     val w = Window.orderBy(col("sessionId"), col("itemInSession"),
       col("ts"), col("song_id"))
-    songplayBase(logData, songData, time)
+    songplayBase(nextSongEvents(logData), songData, time)
       .select(row_number().over(w).cast(LongType).as("songplay_id") +:
         factCols: _*)
   }
@@ -82,9 +93,9 @@ object LogPipeline {
     "artist_id", "sessionId", "location", "userAgent", "month", "year")
     .map(col)
 
-  private def songplayBase(logData: DataFrame, songData: DataFrame,
+  private def songplayBase(cleaned: DataFrame, songData: DataFrame,
       time: DataFrame): DataFrame = {
-    val log = nextSongEvents(logData)
+    val log = cleaned
       .withColumn("start_time", TimeOps.startTimeString(col("ts")))
     // Narrow the catalog to the join keys + carried ids BEFORE the join:
     // avoids the ambiguous `year` (song year vs time-dim year) and keeps

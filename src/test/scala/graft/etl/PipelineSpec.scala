@@ -115,6 +115,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(refIds.distinct.length == refIds.length)
   }
 
+  test("SparkifyJob builds and writes all five tables with persist") {
+    val out = java.nio.file.Files.createTempDirectory("graft_full").toString
+    val res = SparkifyJob.run(spark, songPath, logPath, Some(out))
+    assert(res.songs.count() == 4 && res.artists.count() == 4)
+    assert(res.users.count() == 5 && res.time.count() == 5)
+    assert(res.songplays.count() == 6)
+    Seq("songs", "artists", "users", "time", "songplays").foreach { t =>
+      assert(spark.read.parquet(s"$out/$t").count() > 0, s"$t empty")
+    }
+    // the partitioned fact lost no columns to the layout
+    assert(spark.read.parquet(s"$out/songplays").columns.toSet
+      .contains("songplay_id"))
+  }
+
   test("partitioned writes round-trip (S6)") {
     val out = java.nio.file.Files.createTempDirectory("graft_songs").toString
     SongPipeline.writeSongs(SongPipeline.songsTable(songData), out)
