@@ -25,6 +25,7 @@ object Registry {
     graft.queries.ParityQueries.all ++
     graft.queries.LakeQueries.all ++
     graft.queries.ExtendedQueries.all ++
+    graft.queries.ScalarQueries.all ++
     graft.queries.PipelineQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

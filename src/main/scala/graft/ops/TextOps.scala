@@ -16,10 +16,15 @@ object TextOps {
     * oracle (`string_split(text, ' ')`) is exactly equivalent. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles, distinct, in document order of first occurrence
-    * removed (array_distinct keeps first occurrence — same as DuckDB
-    * list_distinct ordering is irrelevant: consumers treat it as a set). */
-  def shingles(words: Column, n: Int): Column = {
+  /** Word n-gram shingles, distinct, first-occurrence order. Uses the
+    * native one-pass expression (graft.functions.WordShinglesExpr);
+    * [[shinglesHof]] is the built-ins-only twin, pinned equal by test. */
+  def shingles(words: Column, n: Int): Column =
+    graft.functions.TextExpressions.wordShingles(words, n)
+
+  /** Built-ins-only shingling (transform/slice/concat_ws/array_distinct),
+    * kept as the reference semantics for differential testing. */
+  def shinglesHof(words: Column, n: Int): Column = {
     val idx = sequence(lit(1), size(words) - lit(n - 1))
     val grams = transform(idx, i => concat_ws(" ", slice(words, i, lit(n))))
     when(size(words) >= n, array_distinct(grams))

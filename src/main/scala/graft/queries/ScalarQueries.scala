@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.functions.TypedAggregators
+import graft.sources.Readers.table
+
+/** Scalar-function families (string / date / null-conditional) plus the
+  * typed-Dataset Aggregator surface — each family one oracle-checked
+  * query, all per-row maps that scale embarrassingly. */
+object ScalarQueries {
+
+  // -------------------------------------------------------------------
+  // Typed Dataset + custom Aggregator (UDAF surface).
+  // -------------------------------------------------------------------
+  private val typedAgg = GraftQuery(
+    name = "lake_typed_agg",
+    doc = "Typed-Dataset aggregation through a custom " +
+      "Aggregator[IN,BUF,OUT] (graft.functions.PricingAgg): scaled-" +
+      "integer-cents buffer → exact sums under any partitioning, no " +
+      "decimal in the shuffle. Demonstrates the case-class Encoder path " +
+      "(groupByKey) the reference never used.",
+    oracle = Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    run = (s, dir) => {
+      import s.implicits._
+      import TypedAggregators._
+      table(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .as[LineSlim]
+        .groupByKey(_.l_returnflag)
+        .agg(PricingAgg.toColumn.name("stats"))
+        .select(col("key").as("l_returnflag"),
+          col("stats.sum_qty").as("sum_qty"),
+          col("stats.sum_price").as("sum_price"),
+          col("stats.n_rows").as("n_rows"))
+        .orderBy("l_returnflag")
+    })
+
+  // -------------------------------------------------------------------
+  // String functions.
+  // -------------------------------------------------------------------
+  private val stringFuncs = GraftQuery(
+    name = "lake_string_funcs",
+    doc = "String-function family over part: case mapping, substring, " +
+      "length, pad, reverse, replace, concat — all codegen'd built-ins, " +
+      "pure per-row map.",
+    oracle = Some("""
+      SELECT p_partkey,
+             upper(p_type) AS type_u,
+             lower(p_brand) AS brand_l,
+             substr(p_name, 1, 8) AS name8,
+             CAST(length(p_name) AS BIGINT) AS name_len,
+             lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+             reverse(p_brand) AS brand_rev,
+             replace(p_type, ' ', '_') AS type_us,
+             concat(p_brand, '|', p_type) AS brand_type
+      FROM part ORDER BY p_partkey"""),
+    run = (s, dir) => table(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_type")).as("type_u"),
+        lower(col("p_brand")).as("brand_l"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        lpad(col("p_size").cast(StringType), 4, "0").as("size_pad"),
+        reverse(col("p_brand")).as("brand_rev"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        concat(col("p_brand"), lit("|"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey"))
+
+  // -------------------------------------------------------------------
+  // Date functions.
+  // -------------------------------------------------------------------
+  private val dateFuncs = GraftQuery(
+    name = "lake_date_funcs",
+    doc = "Date-function family over orders: add/diff/trunc/last_day/" +
+      "quarter. Dates surfaced as formatted strings so the compare is " +
+      "representation-independent across engines.",
+    oracle = Some("""
+      SELECT o_orderkey,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+             strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS d_plus30,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+             strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr
+      FROM orders ORDER BY o_orderkey"""),
+    run = (s, dir) => {
+      val d = col("o_orderdate").cast(DateType)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(d, "yyyy-MM-dd").as("d"),
+          date_format(date_add(d, 30), "yyyy-MM-dd").as("d_plus30"),
+          datediff(lit("2002-01-01").cast(DateType), d).cast(LongType)
+            .as("days_to_2002"),
+          date_format(trunc(d, "month"), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+          quarter(d).cast(LongType).as("qtr"))
+        .orderBy("o_orderkey")
+    })
+
+  // -------------------------------------------------------------------
+  // Null-handling / conditional functions.
+  // -------------------------------------------------------------------
+  private val nullFuncs = GraftQuery(
+    name = "lake_null_funcs",
+    doc = "Null/conditional family over customer: nullif + coalesce " +
+      "round-trip, greatest/least clamps, CASE bucketing — the " +
+      "expression plumbing every cleansing pipeline leans on.",
+    oracle = Some("""
+      SELECT c_custkey,
+             COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(bldg)') AS seg,
+             GREATEST(c_acctbal, 0.0) AS bal_floor0,
+             LEAST(c_acctbal, 5000.0) AS bal_cap5k,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  ELSE 'high' END AS bal_bucket,
+             CAST(c_acctbal IS NULL AS INTEGER) AS bal_is_null
+      FROM customer ORDER BY c_custkey"""),
+    run = (s, dir) => table(s, dir, "customer")
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)"))
+          .as("seg"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+        least(col("c_acctbal"), lit(5000.0)).as("bal_cap5k"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 3000, "low")
+          .otherwise("high").as("bal_bucket"),
+        col("c_acctbal").isNull.cast(IntegerType).as("bal_is_null"))
+      .orderBy("c_custkey"))
+
+  // -------------------------------------------------------------------
+  // Grouped string aggregation (order-canonical list agg).
+  // -------------------------------------------------------------------
+  private val listAgg = GraftQuery(
+    name = "lake_groupagg_list",
+    doc = "Grouped collection aggregation with canonical ordering: " +
+      "sorted collect_list joined to one string per group (collect_list " +
+      "alone is partition-order-nondeterministic — sorting restores a " +
+      "comparable value; same rule DuckDB needs via ORDER BY in " +
+      "string_agg).",
+    oracle = Some("""
+      SELECT n_regionkey,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             COUNT(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+    run = (s, dir) => table(s, dir, "nation")
+      .groupBy("n_regionkey")
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey"))
+
+  val all: Seq[GraftQuery] = Seq(
+    typedAgg, stringFuncs, dateFuncs, nullFuncs, listAgg)
+}

@@ -67,6 +67,15 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().head.getSeq[String](0).isEmpty)
   }
 
+  test("native shingles expression equals the built-ins formulation") {
+    val docs = graft.sources.Readers
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(TextOps.shingles(col("w"), 3).as("native"),
+        TextOps.shinglesHof(col("w"), 3).as("hof"))
+    assert(docs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("bag fingerprint is word-order invariant") {
     val df = Seq(("c b a a", "a b c"), ("a b", "a c"))
       .toDF("t1", "t2").select(
