@@ -113,6 +113,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Canonical-keeper assignment over a near-dup pair graph: connected
+    * components by iterative min-label propagation. Each round every node
+    * adopts the minimum label among itself and its neighbors; converges
+    * in O(component diameter) rounds (dup clusters are near-cliques, so
+    * 2-3). Pure DataFrame joins — one shuffle per round, no driver-side
+    * graph — with `localCheckpoint` per round to truncate lineage (on a
+    * real cluster: `checkpoint` to durable storage). This is the final
+    * step of corpus dedup at 100 TB: pairs → clusters → keep min-id.
+    *
+    * @return (doc_id, canonical_id) for EVERY id in `docs` (singletons
+    *         map to themselves). */
+  def canonicalIds(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      // monotone non-increasing label sum → cheap convergence probe
+      converged = next.agg(sum(col("label"))).head.getLong(0) ==
+        labels.agg(sum(col("label"))).head.getLong(0)
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+  }
+
   /** Exact inverted-index Jaccard self-join: explode shingles, equi-join
     * on the shingle, count common shingles per pair, compute
     * |∩| / (|A|+|B|-|∩|). No false negatives by construction.

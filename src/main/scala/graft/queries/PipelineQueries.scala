@@ -128,6 +128,39 @@ object PipelineQueries {
       Dedup.invertedIndexJaccard(docShingles(s, dir), "doc_id", "sh",
         Threshold).orderBy("doc_a", "doc_b"))
 
+  private val dedupClusters = GraftQuery(
+    name = "pipeline_dedup_clusters",
+    doc = "Dedup capstone: near-dup pairs (exact inverted-index Jaccard " +
+      "≥ 0.8) clustered into connected components by iterative min-label " +
+      "propagation (Dedup.canonicalIds) — every document mapped to its " +
+      "cluster-minimum keeper id, singletons to themselves. Oracle: a " +
+      "DuckDB RECURSIVE CTE computes reachability over the same pair " +
+      "graph — a completely different algorithm (transitive closure) " +
+      "agreeing with the distributed label propagation.",
+    oracle = Some((ShingleCte + """,
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+                UNION ALL SELECT doc_b, doc_a FROM p),
+      reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+          WHERE e.v <> r.u)
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS canonical_id
+      FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      GROUP BY d.doc_id ORDER BY d.doc_id""")
+      .replaceFirst("WITH", "WITH RECURSIVE")),
+    run = (s, dir) => {
+      val docs = docShingles(s, dir)
+      val pairs = Dedup.invertedIndexJaccard(docs, "doc_id", "sh", Threshold)
+      Dedup.canonicalIds(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    })
+
   private val embedNearDup = GraftQuery(
     name = "pipeline_embed_neardup",
     doc = "Embedding near-dup, IVF posture: pairs within the same label " +
@@ -427,7 +460,8 @@ object PipelineQueries {
       .orderBy("doc_id"))
 
   val all: Seq[GraftQuery] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, embedNearDup,
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupClusters,
+    embedNearDup,
     knnBrute, knnIvf, annLsh, textStats, textQuality, langId, fingerprint,
     multimodalMeta)
 }

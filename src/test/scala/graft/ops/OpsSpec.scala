@@ -130,6 +130,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((20L, 21L)))
   }
 
+  test("canonicalIds: multi-hop chains collapse to the component min") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // chain 1-2-3 (no direct 1-3 edge) + pair 4-5 + singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.canonicalIds(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      9L -> 9L))
+  }
+
   // ---------------- VectorOps ----------------
 
   test("dot/norm/cosine match scala reference computation") {
