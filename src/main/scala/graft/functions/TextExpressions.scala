@@ -57,8 +57,49 @@ case class WordShinglesExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Polynomial rolling hash (Rabin–Karp) over a string's code points:
+  * h_{i+1} = (h_i * B + c_{i+1}) mod M with B=31, M=2³¹−1. M is small
+  * enough that the recurrence is exact in BOTH 64-bit integer arithmetic
+  * (here) and DuckDB's BIGINT `list_reduce` (the oracle replicates the
+  * identical recurrence) — the determinism constraint that rules out a
+  * 64-bit modulus. The incremental form is what makes k-gram winnowing
+  * fingerprints O(n) at scale. */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash expects string, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  private val M = 2147483647L // 2^31 - 1
+  private val B = 31L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * B + cp) % M
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(words: Column, n: Int): Column =
     GraftColumnBridge.column(
       WordShinglesExpr(GraftColumnBridge.expression(words), n))
+
+  def rollingHash(text: Column): Column =
+    GraftColumnBridge.column(
+      RollingHashExpr(GraftColumnBridge.expression(text)))
 }

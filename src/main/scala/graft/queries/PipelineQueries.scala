@@ -414,15 +414,21 @@ object PipelineQueries {
 
   private val fingerprint = GraftQuery(
     name = "pipeline_fingerprint",
-    doc = "Document fingerprinting: byte-exact md5 plus an order-" +
-      "invariant bag-of-words md5 (sorted distinct tokens) — the pair of " +
-      "keys an exact-dedup pass groups on at 100 TB (32-byte shuffle key " +
-      "per doc, any document size).",
+    doc = "Document fingerprinting: byte-exact md5, order-invariant " +
+      "bag-of-words md5 (sorted distinct tokens), and a Rabin–Karp " +
+      "polynomial rolling hash (custom expression; oracle replicates the " +
+      "identical mod-2³¹−1 recurrence via list_reduce) — the key set an " +
+      "exact-dedup pass groups on at 100 TB.",
     oracle = Some("""
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
                  FROM documents)
       SELECT doc_id, md5(text) AS content_md5,
              md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_md5,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(text) + 1),
+                   i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 2147483647) AS roll_hash,
              CAST(length(text) AS BIGINT) AS n_chars_exact
       FROM t ORDER BY doc_id"""),
     run = (s, dir) => table(s, dir, "documents")
@@ -430,7 +436,32 @@ object PipelineQueries {
       .select(col("doc_id"),
         md5(col("text")).as("content_md5"),
         TextOps.bagFingerprint(col("w")).as("bag_md5"),
+        graft.functions.TextExpressions.rollingHash(col("text"))
+          .as("roll_hash"),
         length(col("text")).cast(LongType).as("n_chars_exact"))
+      .orderBy("doc_id"))
+
+  private val textNormalize = GraftQuery(
+    name = "pipeline_text_normalize",
+    doc = "Text normalization (the first stage of every corpus " +
+      "pipeline): lowercase → non-alphanumeric to space → whitespace " +
+      "collapse → trim, plus the normalized token count. Pure per-row " +
+      "regex map; DuckDB twin uses the 'g' flag (its regexp_replace is " +
+      "first-match by default, Spark's is global — a cross-engine trap).",
+    oracle = Some("""
+      WITH n AS (SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                 FROM documents)
+      SELECT doc_id, norm,
+             CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm
+      FROM n ORDER BY doc_id"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        size(split(col("norm"), " ")).cast(LongType).as("n_tokens_norm"))
       .orderBy("doc_id"))
 
   // -------------------------------------------------------------------
@@ -463,5 +494,5 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupClusters,
     embedNearDup,
     knnBrute, knnIvf, annLsh, textStats, textQuality, langId, fingerprint,
-    multimodalMeta)
+    textNormalize, multimodalMeta)
 }

@@ -130,6 +130,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((20L, 21L)))
   }
 
+  test("rolling hash matches the scala recurrence, empty-safe") {
+    def expected(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    val inputs = Seq("hello world", "", "a", "the quick brown fox")
+    val got = inputs.toDF("t")
+      .select(graft.functions.TextExpressions.rollingHash(col("t")))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == inputs.map(expected))
+  }
+
   test("canonicalIds: multi-hop chains collapse to the component min") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
     // chain 1-2-3 (no direct 1-3 edge) + pair 4-5 + singleton 9
