@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (after the dot product) worth a custom Catalyst node.
   */
 case class WordShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
@@ -31,10 +30,27 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  override def nullSafeEval(input: Any): Any =
+    WordShinglesExpr.compute(input.asInstanceOf[ArrayData], n)
+
+  /** Static-call codegen: the surrounding stage stays in whole-stage
+    * codegen (a CodegenFallback would split the generated projection). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordShinglesExpr.compute($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WordShinglesExpr {
   private val sep = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  /** One pass, sliding window, insertion-ordered dedup. */
+  def compute(words: ArrayData, n: Int): ArrayData = {
     val m = words.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -52,9 +68,6 @@ case class WordShinglesExpr(child: Expression, n: Int)
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
 }
 
 /** Polynomial rolling hash (Rabin–Karp) over a string's code points:
@@ -65,7 +78,7 @@ case class WordShinglesExpr(child: Expression, n: Int)
   * 64-bit modulus. The incremental form is what makes k-gram winnowing
   * fingerprints O(n) at scale. */
 case class RollingHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -75,11 +88,26 @@ case class RollingHashExpr(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
+  override def nullSafeEval(input: Any): Any =
+    RollingHashExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RollingHashExpr.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RollingHashExpr {
   private val M = 2147483647L // 2^31 - 1
   private val B = 31L
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  def compute(u: UTF8String): Long = {
+    val s = u.toString
     var h = 0L
     var i = 0
     while (i < s.length) {
@@ -89,9 +117,6 @@ case class RollingHashExpr(child: Expression)
     }
     h
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
 }
 
 object TextExpressions {

@@ -293,6 +293,43 @@ object LakeQueries {
     })
 
   // -------------------------------------------------------------------
+  // Native session_window (the declarative twin of lake_sessionize).
+  // -------------------------------------------------------------------
+  private val sessionWindow = GraftQuery(
+    name = "lake_session_window",
+    doc = "Native session_window operator (30-min gap): Spark's built-in " +
+      "merging session aggregation — same session semantics as the " +
+      "lag+cumsum formulation in lake_sessionize, expressed as ONE " +
+      "groupBy. The oracle derives sessions with the window-function " +
+      "formulation: two different algorithms, one answer. session_start " +
+      "surfaced at second granularity (string) for representation-" +
+      "independent compare.",
+    oracle = Some("""
+      WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000 THEN 0 ELSE 1 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM marked)
+      SELECT user_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY user_id, session_no
+      ORDER BY user_id, session_start"""),
+    run = (s, dir) => table(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+        min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start"))
+
+  // -------------------------------------------------------------------
   // Global top-k.
   // -------------------------------------------------------------------
   private val topkGlobal = GraftQuery(
@@ -332,5 +369,5 @@ object LakeQueries {
 
   val all: Seq[GraftQuery] = Seq(
     aggLineitem, starJoin, windows, latestPerUser, rollupDocs, cubeLineitem,
-    setOps, semiAnti, sessionize, topkGlobal, distinctAgg)
+    setOps, semiAnti, sessionize, sessionWindow, topkGlobal, distinctAgg)
 }

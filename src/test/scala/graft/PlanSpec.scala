@@ -75,6 +75,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n$p")
   }
 
+  test("hive-partitioned layout enables partition pruning on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Registry.byName("parity_partitioned_write") // reuse the writer shape
+    graft.sources.Readers.table(spark, dir, "lineitem")
+      .withColumn("ship_year", org.apache.spark.sql.functions
+        .year(org.apache.spark.sql.functions.col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("ship_year").parquet(out)
+    val df = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("ship_year") === 1996)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(ship_year"),
+      s"partition filter not applied:\n$p")
+    // the data filter list must be empty — pruning happened at the
+    // directory level, no per-row ship_year predicate remains
+    assert(!p.contains("PushedFilters: [IsNotNull(ship_year"),
+      s"ship_year leaked into data filters:\n$p")
+  }
+
   test("as-of join plans as a single window pass, no nested-loop join") {
     val p = plan("lake_asof_join")
     assert(p.contains("Window"), s"as-of not window-based:\n$p")
