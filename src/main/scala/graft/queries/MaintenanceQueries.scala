@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.sources.Readers.table
+
+/** Data-lake maintenance operators (the category this engine lives in):
+  * SCD-2 dimension upsert, small-file compaction, schema evolution on
+  * read — each a deterministic round-trip whose oracle aggregates the
+  * source, proving the maintenance op loses nothing. */
+object MaintenanceQueries {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  // -------------------------------------------------------------------
+  // SCD type-2 upsert (merge-into semantics on plain parquet).
+  // -------------------------------------------------------------------
+  private val scd2 = GraftQuery(
+    name = "lake_scd2_upsert",
+    doc = "Slowly-changing-dimension type 2 merge without a table " +
+      "format: deterministic updates (every 7th customer upgrades to " +
+      "segment VIP, +100 balance) applied as semi-join (close old " +
+      "version) + anti-join (carry unchanged) + new versions — the " +
+      "copy-on-write MERGE pattern for plain-parquet lakes. Whole " +
+      "history reproducible in SQL → exact oracle.",
+    oracle = Some("""
+      WITH upd AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+      SELECT c.c_custkey, c.c_mktsegment AS segment, c.c_acctbal AS bal,
+             1 AS version,
+             CASE WHEN u.c_custkey IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+      UNION ALL
+      SELECT c.c_custkey, 'VIP' AS segment, c.c_acctbal + 100.0 AS bal,
+             2 AS version, 1 AS is_current
+      FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+      ORDER BY c_custkey, version"""),
+    run = (s, dir) => {
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("bal"))
+      val updKeys = base.filter(col("c_custkey") % 7 === 0)
+        .select("c_custkey")
+      val closed = base.join(updKeys, Seq("c_custkey"), "left_semi")
+        .withColumn("version", lit(1)).withColumn("is_current", lit(0))
+      val unchanged = base.join(updKeys, Seq("c_custkey"), "left_anti")
+        .withColumn("version", lit(1)).withColumn("is_current", lit(1))
+      val newRows = base.join(updKeys, Seq("c_custkey"), "left_semi")
+        .withColumn("segment", lit("VIP"))
+        .withColumn("bal", col("bal") + 100.0)
+        .withColumn("version", lit(2)).withColumn("is_current", lit(1))
+      closed.unionByName(unchanged).unionByName(newRows)
+        .orderBy("c_custkey", "version")
+    })
+
+  // -------------------------------------------------------------------
+  // Small-file compaction round-trip.
+  // -------------------------------------------------------------------
+  private val compaction = GraftQuery(
+    name = "lake_compaction",
+    doc = "Small-file compaction: fragment lineitem into 64 files, " +
+      "compact to 4 with repartition, aggregate the compacted copy. " +
+      "Oracle aggregates the source — the compaction moved bytes, not " +
+      "rows. At 100 TB this is the scheduled maintenance that keeps " +
+      "scan task counts sane; repartition(N) is the shuffle-based " +
+      "rewrite (coalesce for the no-shuffle variant).",
+    oracle = Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+    run = (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString
+      table(s, dir, "lineitem").repartition(64)
+        .write.mode("overwrite").parquet(s"$base/fragmented")
+      s.read.parquet(s"$base/fragmented").repartition(4)
+        .write.mode("overwrite").parquet(s"$base/compacted")
+      s.read.parquet(s"$base/compacted")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    })
+
+  // -------------------------------------------------------------------
+  // Schema evolution on read (mergeSchema).
+  // -------------------------------------------------------------------
+  private val schemaEvolution = GraftQuery(
+    name = "lake_schema_evolution",
+    doc = "Schema evolution: two parquet generations of part (v2 adds " +
+      "p_retailprice), read together with mergeSchema — old rows " +
+      "surface NULL for the new column. The additive-column path every " +
+      "long-lived lake table takes; oracle reconstructs the union " +
+      "arithmetic from the source.",
+    oracle = Some("""
+      SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n_rows,
+             COUNT(*) AS n_with_price,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM part"""),
+    run = (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_evolve").toString
+      val part = table(s, dir, "part")
+      part.select("p_partkey", "p_name")
+        .write.mode("overwrite").parquet(s"$base/gen=1")
+      part.select("p_partkey", "p_name", "p_retailprice")
+        .write.mode("overwrite").parquet(s"$base/gen=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p_retailprice")).as("n_with_price"),
+          dsum(col("p_retailprice")).as("sum_price"))
+    })
+
+  val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution)
+}
