@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftQuery
+import graft.sources.Readers
+import graft.sources.Readers.table
+
+/** Queries whose Spark form IS the SQL text — the same engine-portable
+  * ANSI string runs through Spark's parser (temp views → Catalyst, the
+  * SURVEY §3.3 entry point) and through DuckDB as the oracle. The
+  * strongest possible differential: byte-identical query text, two
+  * engines, hash-equal results. */
+object SqlTextQueries {
+
+  private def sqlQuery(name: String, doc: String, sql: String,
+      tables: Seq[String]): GraftQuery =
+    GraftQuery(name, doc, Some(sql), (s: SparkSession, dir: String) => {
+      tables.foreach(t => table(s, dir, t).createOrReplaceTempView(t))
+      s.sql(sql)
+    })
+
+  private val correlated = sqlQuery(
+    name = "sql_correlated_subqueries",
+    doc = "SQL entry point (SURVEY §3.3) with correlated scalar + EXISTS " +
+      "subqueries — Catalyst decorrelates both into joins (no per-row " +
+      "re-execution; at 100 TB a correlated rewrite is the difference " +
+      "between one shuffle and a million queries). Identical text runs " +
+      "in DuckDB.",
+    sql = """
+      SELECT c.c_custkey,
+             (SELECT COUNT(*) FROM orders o
+               WHERE o.o_custkey = c.c_custkey) AS n_orders,
+             CASE WHEN EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 100000)
+                  THEN 1 ELSE 0 END AS has_big
+      FROM customer c
+      ORDER BY c.c_custkey""",
+    tables = Seq("customer", "orders"))
+
+  private val groupingSets = sqlQuery(
+    name = "sql_grouping_sets",
+    doc = "Explicit GROUPING SETS (the generalization under rollup/cube) " +
+      "through the SQL parser — one Expand + single aggregate pass for " +
+      "three grouping levels. Identical text runs in DuckDB.",
+    sql = """
+      SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+             COALESCE(l_linestatus, 'ALL') AS status,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), ())
+      ORDER BY flag, status""",
+    tables = Seq("lineitem"))
+
+  private val inSubquery = sqlQuery(
+    name = "sql_in_subquery",
+    doc = "IN / NOT IN subqueries through the SQL parser — planned as " +
+      "left-semi/anti joins. Identical text runs in DuckDB.",
+    sql = """
+      SELECT p_partkey, p_brand
+      FROM part
+      WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                          WHERE l_quantity >= 49)
+        AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                              WHERE l_returnflag = 'R'
+                                AND l_quantity >= 49)
+      ORDER BY p_partkey""",
+    tables = Seq("part", "lineitem"))
+
+  val all: Seq[GraftQuery] = Seq(correlated, groupingSets, inSubquery)
+}
