@@ -131,6 +131,9 @@ object Dedup {
       .localCheckpoint(true)
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
+    // monotone non-increasing label sum → cheap convergence probe; carry
+    // the previous round's sum instead of re-aggregating it
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -142,9 +145,9 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .localCheckpoint(true)
-      // monotone non-increasing label sum → cheap convergence probe
-      converged = next.agg(sum(col("label"))).head.getLong(0) ==
-        labels.agg(sum(col("label"))).head.getLong(0)
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -298,6 +298,33 @@ object PipelineQueries {
         .orderBy("bucket")
     })
 
+  private val embedNormalize = GraftQuery(
+    name = "pipeline_embed_normalize",
+    doc = "Embedding preprocessing: L2 normalization to unit vectors " +
+      "(the step before any cosine index build — post-normalization, " +
+      "cosine becomes a plain dot product). Per-row map; division by " +
+      "the codegen'd norm is bit-identical across engines, checked on " +
+      "the first component plus the resulting unit norm.",
+    oracle = Some("""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT vec_id,
+             v[1] / nrm AS first_component,
+             list_dot_product(list_transform(v, x -> x / nrm),
+                              list_transform(v, x -> x / nrm)) AS unit_norm_sq
+      FROM n ORDER BY vec_id"""),
+    run = (s, dir) => {
+      val pv = VectorOps.prepared(table(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      val unit = transform(col("v"), _ / col("nrm"))
+      pv.select(col("vec_id"),
+          (element_at(col("v"), 1) / col("nrm")).as("first_component"),
+          VectorOps.dot(unit, unit).as("unit_norm_sq"))
+        .orderBy("vec_id")
+    })
+
   // -------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------
@@ -441,6 +468,62 @@ object PipelineQueries {
         length(col("text")).cast(LongType).as("n_chars_exact"))
       .orderBy("doc_id"))
 
+  private val tokenCountBpe = GraftQuery(
+    name = "pipeline_token_count_bpe",
+    doc = "BPE-ish token counting: whitespace tokens plus a regex " +
+      "sub-token pass ([a-z0-9]+ runs — the alphanumeric-run primitive " +
+      "BPE pretokenizers start from) and a chars-per-token compression " +
+      "estimate. regexp_extract_all in both engines; the pattern stays " +
+      "in the POSIX-common subset so Java and RE2 dialects agree.",
+    oracle = Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens,
+             CAST(length(text) AS DOUBLE) /
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS chars_per_token
+      FROM documents ORDER BY doc_id"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .cast(LongType).as("n_re_tokens"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_re_tokens"),
+        (length(col("text")).cast(DoubleType) /
+          col("n_re_tokens").cast(DoubleType)).as("chars_per_token"))
+      .orderBy("doc_id"))
+
+  private val textLevenshtein = GraftQuery(
+    name = "pipeline_text_levenshtein",
+    doc = "Edit-distance verification of near-dup pairs: Levenshtein " +
+      "between the texts of every exact-Jaccard pair — a second, " +
+      "character-level similarity signal on the same candidates. Both " +
+      "engines implement the same DP recurrence → identical integers.",
+    oracle = Some(ShingleCte + """,
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8)
+      SELECT p.doc_a, p.doc_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+      FROM p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+      ORDER BY doc_a, doc_b"""),
+    run = (s, dir) => {
+      val docs = docShingles(s, dir)
+      val pairs = Dedup.invertedIndexJaccard(docs, "doc_id", "sh", Threshold)
+        .select(col("doc_a"), col("doc_b"))
+      val texts = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      pairs
+        .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+          "doc_a")
+        .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast(LongType).as("edit_dist"))
+        .orderBy("doc_a", "doc_b")
+    })
+
   private val textNormalize = GraftQuery(
     name = "pipeline_text_normalize",
     doc = "Text normalization (the first stage of every corpus " +
@@ -492,7 +575,7 @@ object PipelineQueries {
 
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupClusters,
-    embedNearDup,
+    embedNearDup, embedNormalize,
     knnBrute, knnIvf, annLsh, textStats, textQuality, langId, fingerprint,
-    textNormalize, multimodalMeta)
+    tokenCountBpe, textLevenshtein, textNormalize, multimodalMeta)
 }
