@@ -80,6 +80,34 @@ object MultiModal {
     }
   }
 
+  /** ====================== RESIZE STUB ==============================
+    * Deterministic fake resize: a real implementation decodes, scales,
+    * re-encodes; this one derives the "resized" payload by strided byte
+    * sampling so output size tracks the target dimensions and content
+    * stays a pure function of the input. The pipeline contract it
+    * preserves — binary in, smaller binary out, metadata updated, pure
+    * per-row — is exactly what a codec-backed version must satisfy.
+    * ================================================================= */
+  def resizeStub(content: Array[Byte], targetW: Int,
+      targetH: Int): Array[Byte] = {
+    val targetLen = math.max(1, math.min(content.length, targetW * targetH / 64))
+    val stride = math.max(1, content.length / targetLen)
+    content.indices.collect { case i if i % stride == 0 => content(i) }.toArray
+  }
+
+  /** Resize stage: per-partition batch map, metadata rewritten to the
+    * target dims alongside the (stubbed) re-encoded payload. */
+  def resize(assets: Dataset[MediaAsset], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaAsset] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        a.copy(content = resizeStub(a.content, targetW, targetH),
+          meta_width = targetW, meta_height = targetH)
+      }
+    }
+  }
+
   /** Frame sampling for video-like assets: every `stride` bytes is a
     * "frame" offset (the fake stand-in for keyframe indices). posexplode
     * keeps it declarative — one row per sampled frame, no UDTF. */

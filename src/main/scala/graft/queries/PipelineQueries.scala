@@ -298,6 +298,37 @@ object PipelineQueries {
         .orderBy("bucket")
     })
 
+  private val embedNearDupGlobal = GraftQuery(
+    name = "pipeline_embed_neardup_global",
+    doc = "Global (unpartitioned) embedding near-dup: ALL vector pairs " +
+      "with cosine ≥ 0.4 — the exact brute-force baseline the IVF " +
+      "variant (pipeline_embed_neardup) approximates by partition " +
+      "pruning. Affordable as a baseline because the codegen'd dot " +
+      "kernel makes the O(n²) pass compute-bound; at 100 TB only the " +
+      "pruned/LSH paths survive, which is why all three are shipped.",
+    oracle = Some("""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      ORDER BY id_a, id_b"""),
+    run = (s, dir) => {
+      val pv = VectorOps.prepared(table(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      val a = pv.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = pv.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb"))
+          >= 0.4)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    })
+
   private val embedNormalize = GraftQuery(
     name = "pipeline_embed_normalize",
     doc = "Embedding preprocessing: L2 normalization to unit vectors " +
@@ -575,7 +606,7 @@ object PipelineQueries {
 
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupClusters,
-    embedNearDup, embedNormalize,
+    embedNearDup, embedNearDupGlobal, embedNormalize,
     knnBrute, knnIvf, annLsh, textStats, textQuality, langId, fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, multimodalMeta)
 }

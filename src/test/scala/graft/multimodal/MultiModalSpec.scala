@@ -36,6 +36,20 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize stage: deterministic, shrinks payload, rewrites metadata") {
+    val ds = assets.as[MultiModal.MediaAsset]
+    val r1 = MultiModal.resize(ds, 32, 32).collect().map(a => a.asset_id -> a).toMap
+    val r2 = MultiModal.resize(ds.repartition(5), 32, 32).collect()
+      .map(a => a.asset_id -> a).toMap
+    val orig = ds.collect().map(a => a.asset_id -> a).toMap
+    assert(r1.keySet == orig.keySet)
+    r1.foreach { case (id, a) =>
+      assert(a.meta_width == 32 && a.meta_height == 32)
+      assert(a.content.length <= orig(id).content.length)
+      assert(a.content.toSeq == r2(id).content.toSeq) // partition-invariant
+    }
+  }
+
   test("frame sampling yields stride-aligned offsets per asset") {
     val frames = MultiModal.sampleFrames(assets, stride = 100)
     val one = frames.filter(col("asset_id") === 1L)
