@@ -327,6 +327,54 @@ object ExtendedQueries {
     })
 
   // -------------------------------------------------------------------
+  // CSV / ORC source round-trips (source-format matrix beyond the
+  // reference's JSON+parquet).
+  // -------------------------------------------------------------------
+  private val csvScan = GraftQuery(
+    name = "parity_csv_scan",
+    doc = "CSV source round-trip with a DECLARED schema (no inference " +
+      "pass): documents → csv (header, quoted) → schema'd read → " +
+      "aggregate. Oracle aggregates the parquet original — the CSV " +
+      "writer/reader must lose nothing, including quoted free text.",
+    oracle = Some("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source ORDER BY source"""),
+    run = (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString
+      table(s, dir, "documents").write.mode("overwrite")
+        .option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).option("header", "true").csv(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    })
+
+  private val orcRoundtrip = GraftQuery(
+    name = "parity_orc_roundtrip",
+    doc = "ORC source round-trip: lineitem → ORC (the other columnar " +
+      "lake format; same pushdown/pruning machinery as parquet) → " +
+      "aggregate. Oracle aggregates the parquet original.",
+    oracle = Some("""
+      SELECT l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY l_linestatus"""),
+    run = (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString
+      table(s, dir, "lineitem").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_linestatus")
+    })
+
+  // -------------------------------------------------------------------
   // Sketch aggregate (no cross-engine oracle for HLL internals).
   // -------------------------------------------------------------------
   private val approxDistinct = GraftQuery(
@@ -346,5 +394,6 @@ object ExtendedQueries {
 
   val all: Seq[GraftQuery] = Seq(
     asofJoin, bucketedJoin, saltedJoin, bigBigJoin, windowRange,
-    windowRanks, pivotEvents, explodeUnnest, jsonScan, approxDistinct)
+    windowRanks, pivotEvents, explodeUnnest, jsonScan, csvScan,
+    orcRoundtrip, approxDistinct)
 }

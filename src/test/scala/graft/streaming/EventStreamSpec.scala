@@ -35,6 +35,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(s.size >= b.size - 10, "too few windows emitted before drain")
   }
 
+  test("file-sink streaming: AvailableNow + checkpoint drains to parquet") {
+    import org.apache.spark.sql.streaming.Trigger
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = spark.readStream.schema(EventStream.eventSchema)
+      .parquet(inputDir)
+      .filter(col("event_type") === "purchase")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir).count()
+    val batch = spark.read.parquet(inputDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(streamed == batch)
+    // restart with the same checkpoint: no new input → no duplicates
+    val q2 = spark.readStream.schema(EventStream.eventSchema)
+      .parquet(inputDir)
+      .filter(col("event_type") === "purchase")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(outDir).count() == batch)
+  }
+
   test("stateful session counts: totals match batch sessionization") {
     val out = EventStream.drainToMemory(spark,
       EventStream.sessionCounts(spark, inputDir).toDF(),
