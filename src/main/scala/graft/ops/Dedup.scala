@@ -133,7 +133,7 @@ object Dedup {
       .localCheckpoint(true)
     // monotone non-increasing label sum → cheap convergence probe; carry
     // the previous round's sum instead of re-aggregating it
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -145,7 +145,7 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next

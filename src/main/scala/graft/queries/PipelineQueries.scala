@@ -161,6 +161,56 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val dedupKeepBest = GraftQuery(
+    name = "pipeline_dedup_keep_best",
+    doc = "End-to-end dedup policy: near-dup clusters (exact pairs → " +
+      "connected components) × quality scoring — each cluster keeps its " +
+      "HIGHEST-QUALITY member (longest text, doc_id tiebreak), not just " +
+      "the min id. The integration a real training-data pipeline runs: " +
+      "dedup decides the groups, quality decides the survivor. Oracle " +
+      "recomputes components with a RECURSIVE CTE and picks keepers with " +
+      "a window.",
+    oracle = Some((ShingleCte + """,
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+                UNION ALL SELECT doc_b, doc_a FROM p),
+      reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+          WHERE e.v <> r.u),
+      comp AS (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS canonical_id
+        FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        GROUP BY d.doc_id),
+      ranked AS (
+        SELECT c.doc_id, c.canonical_id, length(d.text) AS q,
+               ROW_NUMBER() OVER (PARTITION BY c.canonical_id
+                 ORDER BY length(d.text) DESC, d.doc_id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+      SELECT doc_id, canonical_id,
+             CAST(q AS BIGINT) AS quality,
+             CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep
+      FROM ranked ORDER BY doc_id""").replaceFirst("WITH", "WITH RECURSIVE")),
+    run = (s, dir) => {
+      val docs = docShingles(s, dir)
+      val pairs = Dedup.invertedIndexJaccard(docs, "doc_id", "sh", Threshold)
+      val comp = Dedup.canonicalIds(docs, "doc_id", pairs, "doc_a", "doc_b")
+      val quality = table(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("quality"))
+      val w = Window.partitionBy(col("canonical_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      comp.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("canonical_id"), col("quality"),
+          when(col("rn") === 1, 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
+    })
+
   private val embedNearDup = GraftQuery(
     name = "pipeline_embed_neardup",
     doc = "Embedding near-dup, IVF posture: pairs within the same label " +
@@ -606,7 +656,7 @@ object PipelineQueries {
 
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupClusters,
-    embedNearDup, embedNearDupGlobal, embedNormalize,
+    dedupKeepBest, embedNearDup, embedNearDupGlobal, embedNormalize,
     knnBrute, knnIvf, annLsh, textStats, textQuality, langId, fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, multimodalMeta)
 }
