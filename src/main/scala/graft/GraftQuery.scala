@@ -28,6 +28,7 @@ object Registry {
     graft.queries.ScalarQueries.all ++
     graft.queries.MaintenanceQueries.all ++
     graft.queries.SqlTextQueries.all ++
+    graft.queries.CoverageQueries.all ++
     graft.queries.PipelineQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

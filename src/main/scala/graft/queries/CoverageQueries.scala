@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.sources.Readers.table
+
+/** Coverage completion batch: navigation windows, outer-join matrix,
+  * unpivot, deterministic train/test splitting, exact percentiles. */
+object CoverageQueries {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  // -------------------------------------------------------------------
+  // Navigation window functions.
+  // -------------------------------------------------------------------
+  private val windowNav = GraftQuery(
+    name = "lake_window_nav",
+    doc = "Navigation windows per user: first/last/nth event over the " +
+      "full-partition frame, lead with default. One exchange serves all " +
+      "four (same window family).",
+    oracle = Some("""
+      SELECT event_id, user_id,
+             FIRST_VALUE(event_id) OVER w AS first_ev,
+             LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ev,
+             NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ev,
+             LEAD(event_id, 1, -1) OVER w AS next_ev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""),
+    run = (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          first(col("event_id")).over(w).as("first_ev"),
+          last(col("event_id")).over(wFull).as("last_ev"),
+          nth_value(col("event_id"), 2).over(wFull).as("second_ev"),
+          lead(col("event_id"), 1, -1).over(w).as("next_ev"))
+        .orderBy("event_id")
+    })
+
+  // -------------------------------------------------------------------
+  // Full outer join (completes the join-type matrix).
+  // -------------------------------------------------------------------
+  private val outerJoin = GraftQuery(
+    name = "lake_outer_join",
+    doc = "Full outer join customer⋈orders aggregated into a match " +
+      "matrix: customers without orders, orders without (in-range) " +
+      "customers, matched pairs. Null-side handling is where outer " +
+      "joins go wrong — the oracle counts every cell.",
+    oracle = Some("""
+      SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                  WHEN o.o_orderkey IS NULL THEN 'customer_only'
+                  ELSE 'matched' END AS side,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(COALESCE(o.o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1 ORDER BY side"""),
+    run = (s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          when(c("c_custkey").isNull, "order_only")
+            .when(o("o_orderkey").isNull, "customer_only")
+            .otherwise("matched").as("side"),
+          coalesce(o("o_totalprice"), lit(0.0)).as("price"))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"), dsum(col("price")).as("total"))
+        .orderBy("side")
+    })
+
+  // -------------------------------------------------------------------
+  // Unpivot (pivot's inverse).
+  // -------------------------------------------------------------------
+  private val unpivot = GraftQuery(
+    name = "lake_unpivot",
+    doc = "Unpivot: the wide per-type counts back to long form via " +
+      "stack/UNPIVOT — schema-reshaping both directions (see lake_pivot " +
+      "for the forward pass).",
+    oracle = Some("""
+      WITH wide AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY user_id)
+      SELECT user_id, kind, n FROM wide
+      UNPIVOT (n FOR kind IN (click, view))
+      ORDER BY user_id, kind"""),
+    run = (s, dir) => {
+      val wide = table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("view"))
+      wide.unpivot(Array(col("user_id")),
+          Array(col("click"), col("view")), "kind", "n")
+        .orderBy("user_id", "kind")
+    })
+
+  // -------------------------------------------------------------------
+  // Deterministic train/test split (the pipeline sampling op).
+  // -------------------------------------------------------------------
+  private val trainTestSplit = GraftQuery(
+    name = "pipeline_train_test_split",
+    doc = "Deterministic held-out split: Knuth multiplicative hash of " +
+      "the id (exact 64-bit arithmetic, identical in any engine) " +
+      "thresholded at 90% — reproducible split with no RNG state, the " +
+      "only kind that survives re-runs and backfills at 100 TB. " +
+      "Summarized per (lang, split).",
+    oracle = Some("""
+      WITH tagged AS (
+        SELECT lang,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents)
+      SELECT lang, split, COUNT(*) AS n
+      FROM tagged GROUP BY 1, 2 ORDER BY lang, split"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("lang"),
+        when((col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+          < lit(3865470566L), "train").otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split"))
+
+  // -------------------------------------------------------------------
+  // Exact percentiles (attempted cross-engine parity).
+  // -------------------------------------------------------------------
+  private val percentiles = GraftQuery(
+    name = "lake_percentiles",
+    doc = "Exact interpolated percentiles (median, p90) of order totals " +
+      "per status: Spark's percentile vs DuckDB's quantile_cont — both " +
+      "linear interpolation over the sorted set.",
+    oracle = Some("""
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.5) AS p50,
+             quantile_cont(o_totalprice, 0.9) AS p90,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    run = (s, dir) => table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus"))
+
+  val all: Seq[GraftQuery] = Seq(
+    windowNav, outerJoin, unpivot, trainTestSplit, percentiles)
+}
