@@ -155,6 +155,67 @@ object CoverageQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus"))
 
+  // -------------------------------------------------------------------
+  // Higher-order array functions as user-facing ops.
+  // -------------------------------------------------------------------
+  private val higherOrder = GraftQuery(
+    name = "lake_higher_order",
+    doc = "Higher-order array functions over embeddings: filter+size " +
+      "(positive-component count), exists / forall predicates, " +
+      "transform+array_max (max |x|). Boolean/int outputs only — " +
+      "HOF float arithmetic parity is proven elsewhere (vector suite).",
+    oracle = Some("""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings)
+      SELECT vec_id,
+             CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive,
+             CAST(list_bool_or(list_transform(v, x -> x > 0.3)) AS INTEGER) AS has_big,
+             CAST(list_bool_and(list_transform(v, x -> abs(x) < 1.0)) AS INTEGER) AS all_small,
+             list_max(list_transform(v, x -> abs(x))) AS max_abs
+      FROM e ORDER BY vec_id"""),
+    run = (s, dir) => {
+      val v = transform(col("embedding"), _.cast(DoubleType))
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(filter(v, _ > 0)).cast(LongType).as("n_positive"),
+          exists(v, _ > 0.3).cast(IntegerType).as("has_big"),
+          forall(v, x => abs(x) < 1.0).cast(IntegerType).as("all_small"),
+          array_max(transform(v, x => abs(x))).as("max_abs"))
+        .orderBy("vec_id")
+    })
+
+  // -------------------------------------------------------------------
+  // Null-safe equality join (<=> / IS NOT DISTINCT FROM).
+  // -------------------------------------------------------------------
+  private val nullSafeJoin = GraftQuery(
+    name = "lake_nullsafe_join",
+    doc = "Null-safe equi join: keys nulled via NULLIF, joined with <=> " +
+      "(IS NOT DISTINCT FROM) so null keys MATCH each other — the " +
+      "semantics regular equality silently drops. Counts per key bucket.",
+    oracle = Some("""
+      WITH a AS (SELECT NULLIF(c_mktsegment, 'BUILDING') AS k, c_custkey
+                 FROM customer),
+      b AS (SELECT NULLIF(c_mktsegment, 'BUILDING') AS k,
+                   COUNT(*) AS n_side_b
+            FROM customer GROUP BY 1)
+      SELECT COALESCE(a.k, '(null)') AS key, COUNT(*) AS n_pairs,
+             MIN(b.n_side_b) AS group_size
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      GROUP BY 1 ORDER BY key"""),
+    run = (s, dir) => {
+      val c = table(s, dir, "customer")
+      val a = c.select(nullif(col("c_mktsegment"), lit("BUILDING")).as("k"),
+        col("c_custkey"))
+      val b = c.groupBy(nullif(col("c_mktsegment"), lit("BUILDING")).as("kb"))
+        .agg(count(lit(1)).as("n_side_b"))
+      a.join(b, col("k") <=> col("kb"))
+        .groupBy(coalesce(col("k"), lit("(null)")).as("key"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("n_side_b")).as("group_size"))
+        .orderBy("key")
+    })
+
   val all: Seq[GraftQuery] = Seq(
-    windowNav, outerJoin, unpivot, trainTestSplit, percentiles)
+    windowNav, outerJoin, unpivot, trainTestSplit, percentiles,
+    higherOrder, nullSafeJoin)
 }
