@@ -113,5 +113,37 @@ object MaintenanceQueries {
           dsum(col("p_retailprice")).as("sum_price"))
     })
 
-  val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution)
+  // -------------------------------------------------------------------
+  // Range-clustered write layout (min/max-pruning enabler).
+  // -------------------------------------------------------------------
+  private val rangeLayout = GraftQuery(
+    name = "lake_range_layout",
+    doc = "Write-layout clustering: repartitionByRange(o_orderdate) + " +
+      "sortWithinPartitions before the write puts disjoint date ranges " +
+      "in each file with sorted row groups — at 100 TB that's what makes " +
+      "parquet min/max statistics actually skip IO for time filters " +
+      "(Z-order-lite for a single key). Round-trip filtered aggregate " +
+      "must equal the oracle over the unclustered source.",
+    oracle = Some("""
+      SELECT year(o_orderdate) AS y, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1 ORDER BY y"""),
+    run = (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_range").toString
+      table(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("y"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("y")
+    })
+
+  val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
+    rangeLayout)
 }
