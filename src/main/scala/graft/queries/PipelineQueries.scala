@@ -629,6 +629,90 @@ object PipelineQueries {
       .orderBy("doc_id"))
 
   // -------------------------------------------------------------------
+  // The showcase composition: full corpus-cleaning pipeline.
+  // -------------------------------------------------------------------
+  private val corpusClean = GraftQuery(
+    name = "pipeline_corpus_clean",
+    doc = "End-to-end corpus cleaning in ONE query: quality gate " +
+      "(token/stopword/TTR thresholds) → exact near-dup pairs among " +
+      "survivors → connected components → highest-quality keeper per " +
+      "cluster → deterministic train/test split of the keepers. Every " +
+      "stage is an operator proven individually elsewhere; this is the " +
+      "composition a real training-data pipeline runs nightly. Oracle " +
+      "rebuilds the whole chain in SQL (recursive CTE + windows).",
+    oracle = Some(("""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      q AS (SELECT doc_id, text, w,
+              CAST(len(w) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w) AS stop_ratio,
+              CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+            FROM t),
+      keepq AS (SELECT doc_id, text, w FROM q
+                WHERE n_tokens >= 20 AND n_tokens <= 2000
+                  AND stop_ratio <= 0.3 AND ttr >= 0.2),
+      s AS (SELECT doc_id, text, list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM keepq),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+                UNION ALL SELECT doc_b, doc_a FROM p),
+      reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+          WHERE e.v <> r.u),
+      comp AS (
+        SELECT s.doc_id, LEAST(s.doc_id, COALESCE(MIN(r.v), s.doc_id)) AS canonical_id
+        FROM s LEFT JOIN reach r ON r.u = s.doc_id
+        GROUP BY s.doc_id),
+      ranked AS (
+        SELECT c.doc_id, c.canonical_id,
+               ROW_NUMBER() OVER (PARTITION BY c.canonical_id
+                 ORDER BY length(d.text) DESC, d.doc_id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+      SELECT doc_id,
+             CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                  THEN 'train' ELSE 'test' END AS split
+      FROM ranked WHERE rn = 1 ORDER BY doc_id""")
+      .replaceFirst("WITH", "WITH RECURSIVE")),
+    run = (s, dir) => {
+      val w = col("w")
+      // stage 1: quality gate (same thresholds as pipeline_text_quality)
+      val survivors = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("w"))
+        .withColumn("n_tokens", size(w).cast(LongType))
+        .withColumn("stop_ratio",
+          TextOps.markerHits(w, Seq("the", "a")).cast(DoubleType) /
+            size(w).cast(DoubleType))
+        .withColumn("ttr", size(array_distinct(w)).cast(DoubleType) /
+          size(w).cast(DoubleType))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
+          col("stop_ratio") <= 0.3 && col("ttr") >= 0.2)
+        .withColumn("sh", TextOps.shingles(w, 3))
+        .select("doc_id", "text", "sh")
+      // stage 2-3: exact near-dup pairs among survivors → components
+      val pairs = Dedup.invertedIndexJaccard(survivors, "doc_id", "sh",
+        Threshold)
+      val comp = Dedup.canonicalIds(survivors, "doc_id", pairs,
+        "doc_a", "doc_b")
+      // stage 4: highest-quality keeper per component
+      val quality = survivors.select(col("doc_id"),
+        length(col("text")).as("q"))
+      val rankW = Window.partitionBy(col("canonical_id"))
+        .orderBy(col("q").desc, col("doc_id"))
+      val keepers = comp.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") === 1)
+      // stage 5: deterministic split of the clean corpus
+      keepers.select(col("doc_id"),
+          when((col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+            < lit(3865470566L), "train").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    })
+
+  // -------------------------------------------------------------------
   // Multimodal plumbing (binary columns; decode stubbed — see
   // graft.multimodal.MultiModal for the typed pipeline + tests).
   // -------------------------------------------------------------------
@@ -658,5 +742,6 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupClusters,
     dedupKeepBest, embedNearDup, embedNearDupGlobal, embedNormalize,
     knnBrute, knnIvf, annLsh, textStats, textQuality, langId, fingerprint,
-    tokenCountBpe, textLevenshtein, textNormalize, multimodalMeta)
+    tokenCountBpe, textLevenshtein, textNormalize, corpusClean,
+    multimodalMeta)
 }
