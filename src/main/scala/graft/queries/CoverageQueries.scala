@@ -215,7 +215,58 @@ object CoverageQueries {
         .orderBy("key")
     })
 
+  // -------------------------------------------------------------------
+  // Statistical aggregates from exact moments.
+  // -------------------------------------------------------------------
+  private val statsExplicit = GraftQuery(
+    name = "lake_stats_explicit",
+    doc = "Correlation + population stddev per group, computed from " +
+      "EXACT decimal moment sums (Σx, Σy, Σx², Σxy are 2-dec × 2-dec " +
+      "products — exact in decimal) then identical double arithmetic. " +
+      "The built-in corr/stddev use one-pass streaming updates whose " +
+      "float rounding is engine-specific — moments-from-decimal is the " +
+      "portable formulation, and at 100 TB it is also one aggregation " +
+      "pass with map-side partials.",
+    oracle = Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             round((n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS corr_qty_price,
+             round(sqrt((n * sxx - sx * sx)) / n, 12) AS stddev_pop_qty
+      FROM m ORDER BY l_returnflag"""),
+    run = (s, dir) => {
+      val q = col("l_quantity").cast(DecimalType(18, 2))
+      val p = col("l_extendedprice").cast(DecimalType(18, 2))
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(q).cast(DoubleType).as("sx"),
+          sum(p).cast(DoubleType).as("sy"),
+          sum(q * q).cast(DoubleType).as("sxx"),
+          sum(p * p).cast(DoubleType).as("syy"),
+          sum(q * p).cast(DoubleType).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          // round(12): difference-of-products shapes can differ by one
+          // ulp across engines (FMA contraction) — rounding well above
+          // the noise floor restores portability without losing signal
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 12)
+            .as("corr_qty_price"),
+          round(sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            / col("n"), 12).as("stddev_pop_qty"))
+        .orderBy("l_returnflag")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     windowNav, outerJoin, unpivot, trainTestSplit, percentiles,
-    higherOrder, nullSafeJoin)
+    higherOrder, nullSafeJoin, statsExplicit)
 }
