@@ -327,6 +327,36 @@ object ExtendedQueries {
     })
 
   // -------------------------------------------------------------------
+  // Interval (range) join against a generated calendar dimension.
+  // -------------------------------------------------------------------
+  private val intervalJoin = GraftQuery(
+    name = "lake_interval_join",
+    doc = "Interval/range join: orders against a GENERATED month " +
+      "calendar (sequence + explode — no stored dim) on " +
+      "month_start <= d < next_month. The calendar side is tiny and " +
+      "broadcast, so the non-equi predicate is a per-row scan against " +
+      "~80 months, not a quadratic join; at 100 TB prefer deriving the " +
+      "bucket arithmetically (date_trunc) when semantics allow — this " +
+      "query proves both give the same answer.",
+    oracle = Some("""
+      SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1 ORDER BY month_start"""),
+    run = (s, dir) => {
+      val months = s.range(1).select(explode(sequence(
+          lit("1995-01-01").cast(DateType), lit("2001-12-01").cast(DateType),
+          expr("interval 1 month"))).as("m"))
+      val o = table(s, dir, "orders")
+        .withColumn("d", col("o_orderdate").cast(DateType))
+      o.join(broadcast(months),
+          col("d") >= col("m") && col("d") < add_months(col("m"), 1))
+        .groupBy(date_format(col("m"), "yyyy-MM-dd").as("month_start"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("month_start")
+    })
+
+  // -------------------------------------------------------------------
   // CSV / ORC source round-trips (source-format matrix beyond the
   // reference's JSON+parquet).
   // -------------------------------------------------------------------
@@ -393,7 +423,7 @@ object ExtendedQueries {
       .orderBy("o_orderstatus"))
 
   val all: Seq[GraftQuery] = Seq(
-    asofJoin, bucketedJoin, saltedJoin, bigBigJoin, windowRange,
-    windowRanks, pivotEvents, explodeUnnest, jsonScan, csvScan,
-    orcRoundtrip, approxDistinct)
+    asofJoin, bucketedJoin, saltedJoin, bigBigJoin, intervalJoin,
+    windowRange, windowRanks, pivotEvents, explodeUnnest, jsonScan,
+    csvScan, orcRoundtrip, approxDistinct)
 }
