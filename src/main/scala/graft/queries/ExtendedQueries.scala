@@ -385,6 +385,26 @@ object ExtendedQueries {
         .orderBy("source")
     })
 
+  private val textScan = GraftQuery(
+    name = "parity_text_scan",
+    doc = "Plain-text lines source (spark.read.text — the rawest " +
+      "training-corpus input format): one line per document written and " +
+      "re-read as a `value` column, then length-profiled. Oracle " +
+      "profiles the parquet original.",
+    oracle = Some("""
+      SELECT CAST(length(text) AS BIGINT) AS n_chars, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY n_chars"""),
+    run = (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_text").toString
+      table(s, dir, "documents").select("text")
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .groupBy(length(col("value")).cast(LongType).as("n_chars"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("n_chars")
+    })
+
   private val orcRoundtrip = GraftQuery(
     name = "parity_orc_roundtrip",
     doc = "ORC source round-trip: lineitem → ORC (the other columnar " +
@@ -425,5 +445,5 @@ object ExtendedQueries {
   val all: Seq[GraftQuery] = Seq(
     asofJoin, bucketedJoin, saltedJoin, bigBigJoin, intervalJoin,
     windowRange, windowRanks, pivotEvents, explodeUnnest, jsonScan,
-    csvScan, orcRoundtrip, approxDistinct)
+    csvScan, textScan, orcRoundtrip, approxDistinct)
 }
