@@ -94,6 +94,14 @@ class PlanSpec extends AnyFunSuite {
       s"ship_year leaked into data filters:\n$p")
   }
 
+  test("salted join shuffles on the composite (key, salt)") {
+    val p = plan("lake_salted_join")
+    // the exchange key must include the salt — that's the whole point:
+    // each hot supplier key spreads over nSalt partitions
+    assert(p.contains("salt"), s"salt not in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"salting degenerated:\n$p")
+  }
+
   test("as-of join plans as a single window pass, no nested-loop join") {
     val p = plan("lake_asof_join")
     assert(p.contains("Window"), s"as-of not window-based:\n$p")

@@ -61,6 +61,24 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == batch)
   }
 
+  test("foreachBatch sink: arbitrary-sink pattern drains all rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.schema(EventStream.eventSchema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.addAndGet(batch.count()); batches.incrementAndGet(); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(seen.get() == spark.read.parquet(inputDir).count())
+    assert(batches.get() >= 1)
+  }
+
   test("stateful session counts: totals match batch sessionization") {
     val out = EventStream.drainToMemory(spark,
       EventStream.sessionCounts(spark, inputDir).toDF(),
