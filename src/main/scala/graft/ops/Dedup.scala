@@ -60,8 +60,14 @@ object Dedup {
     * (a, b) with a < b, distinct. The join key is (band_idx, band_hash) —
     * an equi-join Catalyst shuffles on the composite key. */
   def lshCandidates(bands: DataFrame, docCol: String): DataFrame = {
+    // materialize the signature table once: it feeds BOTH sides of the
+    // self-join, and without this the whole upstream shingle+minhash
+    // lineage is recomputed per side (measured 2-3x the query's cost).
+    // On a multi-node cluster this is persist()/checkpoint() to survive
+    // executor loss; locally localCheckpoint is the same cut.
     val ex = bands.select(col(docCol).as("doc"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .localCheckpoint(true)
     val x = ex.as("x"); val y = ex.as("y")
     x.join(y,
         col("x.band_idx") === col("y.band_idx") &&
@@ -100,8 +106,10 @@ object Dedup {
       val mask = if (w >= 64) -1L else (1L << w) - 1
       shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask)
     }
+    // same self-join double-compute cut as lshCandidates
     val ex = fps.select(col(docCol).as("doc"), col("simhash"),
         posexplode(array(blocks: _*)).as(Seq("block_idx", "block_bits")))
+      .localCheckpoint(true)
     val x = ex.as("x"); val y = ex.as("y")
     x.join(y,
         col("x.block_idx") === col("y.block_idx") &&
@@ -129,11 +137,21 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+    // propagate only over nodes that appear in the pair graph: dup pairs
+    // are a sparse subset of the corpus, so the iteration state is the
+    // dup set, not the corpus (at 100 TB: millions of rows per round,
+    // not billions). Singletons rejoin via the final left-join coalesce.
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     // monotone non-increasing label sum → cheap convergence probe; carry
-    // the previous round's sum instead of re-aggregating it
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // the previous round's sum instead of re-aggregating it. sum() over
+    // an empty label set (no pairs at all) is NULL → treat as 0.
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("label"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -145,13 +163,16 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("canonical_id"))
   }
 
   /** Exact inverted-index Jaccard self-join: explode shingles, equi-join
@@ -170,6 +191,7 @@ object Dedup {
         size(col(shinglesCol)).as("nsh"),
         explode(col(shinglesCol)).as("shingle"))
       .select(col("doc"), col("nsh"), xxhash64(col("shingle")).as("shash"))
+      .localCheckpoint(true) // feeds both sides of the self-join
     val x = ex.as("x"); val y = ex.as("y")
     x.join(y, col("x.shash") === col("y.shash") &&
         col("x.doc") < col("y.doc") &&

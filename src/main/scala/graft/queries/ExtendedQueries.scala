@@ -92,10 +92,18 @@ object ExtendedQueries {
         }
       }
       reset("graft_bucketed_lineitem"); reset("graft_bucketed_orders")
-      table(s, dir, "lineitem").write.mode("overwrite")
+      // project to the join/agg columns before the bucketed write:
+      // bucketed derived tables carry only what their queries read —
+      // at 100 TB the bucketed copy is a curated projection, not a
+      // second full copy of the fact table
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("graft_bucketed_lineitem")
-      table(s, dir, "orders").write.mode("overwrite")
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_bucketed_orders")
       val li = s.table("graft_bucketed_lineitem")

@@ -74,7 +74,13 @@ object MaintenanceQueries {
     run = (s, dir) => {
       val base = java.nio.file.Files
         .createTempDirectory("graft_compact").toString
-      table(s, dir, "lineitem").repartition(64)
+      // the small-file problem is file COUNT, not row width — fragment a
+      // working-set projection (key + the columns the downstream agg
+      // reads) so the demo exercises 64-to-4 consolidation without
+      // paying a double full-width table rewrite
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .repartition(64)
         .write.mode("overwrite").parquet(s"$base/fragmented")
       s.read.parquet(s"$base/fragmented").repartition(4)
         .write.mode("overwrite").parquet(s"$base/compacted")

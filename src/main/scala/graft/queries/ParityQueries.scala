@@ -235,7 +235,11 @@ object ParityQueries {
       val out = java.nio.file.Files
         .createTempDirectory("graft_partwrite").toString
       table(s, dir, "lineitem")
-        .withColumn("ship_year", year(col("l_shipdate")))
+        // write the working-set projection: the partition column plus
+        // what the read-back aggregate consumes (a partitioned derived
+        // table, not a second full copy of the fact)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          year(col("l_shipdate")).as("ship_year"))
         .write.mode("overwrite").partitionBy("ship_year").parquet(out)
       s.read.parquet(out)
         .groupBy(col("ship_year").cast(LongType).as("ship_year"))

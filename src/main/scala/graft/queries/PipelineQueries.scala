@@ -26,12 +26,18 @@ object PipelineQueries {
 
   private val Threshold = 0.8
 
-  /** documents → (doc_id, text, w tokens, sh 3-gram shingles). */
+  /** documents → (doc_id, text, w tokens, sh 3-gram shingles).
+    * Materialized eagerly: every consumer fans it into 2-4 plan branches
+    * (self-join sides, the verify step, label propagation), and without
+    * the cut Spark recomputes tokenize+shingle per branch — measured at
+    * 2-3x the whole query's runtime. At cluster scale this is the
+    * `.persist()` on the shared pipeline prefix (SURVEY §3.2). */
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
     val w = TextOps.tokens(col("text"))
     table(s, dir, "documents")
       .select(col("doc_id"), col("text"), w.as("w"))
       .withColumn("sh", TextOps.shingles(col("w"), 3))
+      .localCheckpoint(true)
   }
 
   /** DuckDB twin of docShingles. */
@@ -692,6 +698,9 @@ object PipelineQueries {
           col("stop_ratio") <= 0.3 && col("ttr") >= 0.2)
         .withColumn("sh", TextOps.shingles(w, 3))
         .select("doc_id", "text", "sh")
+        // survivors feed four downstream stages (pair join x2 sides,
+        // components, quality ranking) — materialize the gate once
+        .localCheckpoint(true)
       // stage 2-3: exact near-dup pairs among survivors → components
       val pairs = Dedup.invertedIndexJaccard(survivors, "doc_id", "sh",
         Threshold)
