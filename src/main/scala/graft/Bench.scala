@@ -16,6 +16,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config(graft.sources.Readers.NanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,7 +43,10 @@ object Bench {
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val total = results.map(_._2).sum
 
-    def r3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: default-locale formatting would emit "0,328" under a
+    // comma-decimal locale and break both JSON outputs.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
 
@@ -53,9 +57,14 @@ object Bench {
     // subset; BENCH_DETAIL.json has everything.
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detail + "\n").getBytes("UTF-8"))
+    // Anchor the detail file: env override first, else CWD resolved to an
+    // absolute path — and LOG where it went, so a driver launched from a
+    // different directory can't silently leave a stale repo copy behind.
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      .toAbsolutePath
+    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] detail written to $detailPath")
 
     val headline = Seq(
       "parity_songplays_star", "parity_join_twokey", "parity_partitioned_write",

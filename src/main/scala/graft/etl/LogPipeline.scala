@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.TimeOps
+import graft.ops.{Ids, TimeOps}
 
 /** The reference's log-data pipeline (SURVEY.md §3.2; reference
   * etl.py:136-314): users, time, songplays builders.
@@ -78,15 +78,18 @@ object LogPipeline {
       monotonically_increasing_id().as("songplay_id") +: factCols: _*)
   }
 
-  /** Deterministic twin: row_number over (sessionId, itemInSession, ts)
-    * replaces the partition-encoded id (SURVEY §5 determinism rule). */
+  /** Deterministic twin: sequential id over (sessionId, itemInSession,
+    * ts, song_id) replaces the partition-encoded id (SURVEY §5
+    * determinism rule). Assigned with the two-phase partition-offset
+    * pattern (graft.ops.Ids) — a global-window row_number would funnel
+    * the whole fact through one task, a scale-killer at 100 TB. */
   def songplaysDeterministic(logData: DataFrame, songData: DataFrame,
       time: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("sessionId"), col("itemInSession"),
-      col("ts"), col("song_id"))
-    songplayBase(nextSongEvents(logData), songData, time)
-      .select(row_number().over(w).cast(LongType).as("songplay_id") +:
-        factCols: _*)
+    val keys = Seq(col("sessionId"), col("itemInSession"), col("ts"),
+      col("song_id"))
+    Ids.orderedId(songplayBase(nextSongEvents(logData), songData, time),
+        keys, "songplay_id")
+      .select(col("songplay_id") +: factCols: _*)
   }
 
   private val factCols = Seq("start_time", "userId", "level", "song_id",

@@ -130,6 +130,12 @@ object Dedup {
     * real cluster: `checkpoint` to durable storage). This is the final
     * step of corpus dedup at 100 TB: pairs → clusters → keep min-id.
     *
+    * PRECONDITION: every id in `pairs` must appear in `docs` — pairs are
+    * always derived from the same corpus here, so this holds at every
+    * call site. A foreign id in `pairs` would participate in propagation
+    * and could surface as a canonical_id that no docs row owns; semi-join
+    * the edges against `docs` first if that invariant ever weakens.
+    *
     * @return (doc_id, canonical_id) for EVERY id in `docs` (singletons
     *         map to themselves). */
   def canonicalIds(docs: DataFrame, idCol: String, pairs: DataFrame,

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scale-safe deterministic sequential ids.
+  *
+  * `row_number() OVER (ORDER BY …)` with no PARTITION BY plans an
+  * `Exchange SinglePartition`: the entire input funnels through ONE task —
+  * correct at any SF, a scale-killer at 100 TB. This is the classic
+  * two-phase (zipWithIndex) pattern instead:
+  *
+  *   1. range-repartition + sort within partitions on the key, so
+  *      partition p holds a contiguous key range and ranges increase
+  *      with p (materialized once — on a cluster this is the
+  *      persist/checkpoint that pins the layout for both phases);
+  *   2. count rows per partition — a tiny aggregate, one long per
+  *      partition, collected to the driver (bounded by the partition
+  *      count, the same driver-side footprint as RDD `zipWithIndex`);
+  *   3. id = exclusive prefix-sum offset of the partition + the local
+  *      row position, assigned in a narrow per-partition pass.
+  *
+  * No stage is single-task and no extra shuffle happens after the range
+  * partition; the assignment pass is narrow. Output ids equal the global
+  * `row_number` over `keys` whenever the key is unique (range boundaries
+  * only move rows between partitions, never change global rank).
+  */
+object Ids {
+
+  /** Append a 1-based dense sequential id column ordered by `keys`. */
+  def orderedId(df: DataFrame, keys: Seq[Column], idCol: String): DataFrame = {
+    val parted = df.repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin the layout: both phases must see it
+    // phase 2: one row per partition — bounded driver-side work
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .orderBy("__pid").collect()
+    var acc = 0L
+    val offsets: Map[Int, Long] = counts.map { r =>
+      val entry = r.getInt(0) -> acc; acc += r.getLong(1); entry
+    }.toMap
+    // phase 3: narrow per-partition assignment (no shuffle, no window)
+    val pidIdx = parted.schema.fieldIndex("__pid")
+    val outSchema = StructType(
+      parted.schema.fields.patch(pidIdx, Nil, 1) :+
+        StructField(idCol, LongType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    parted.mapPartitions { it =>
+      var started = false
+      var next = 0L
+      it.map { row =>
+        if (!started) { next = offsets(row.getInt(pidIdx)); started = true }
+        next += 1
+        val vals = row.toSeq.patch(pidIdx, Nil, 1) :+ next
+        Row.fromSeq(vals)
+      }
+    }
+  }
+}

@@ -273,12 +273,14 @@ object ExtendedQueries {
   private val explodeUnnest = GraftQuery(
     name = "lake_explode_unnest",
     doc = "posexplode (zipped unnest) over the embedding column: " +
-      "per-dimension mean/min/max across the corpus. The mean folds the " +
-      "values sequentially in vec_id order in BOTH engines (sorted " +
-      "collect + left fold here, list(ORDER BY)+list_reduce there) — " +
-      "double→decimal casts are NOT portable at the ulp (Java BigDecimal " +
-      "vs DuckDB's scaled-multiply round differently), a real " +
-      "cross-engine determinism lesson this query encodes.",
+      "per-dimension mean/min/max across the corpus. The mean is an " +
+      "EXACT fixed-point sum: x·2⁴⁰ (power-of-two multiply — exact in " +
+      "IEEE, unlike ·10ⁿ), round, sum as longs, one correctly-rounded " +
+      "int→double division at the end. O(1) state per group (a per-group " +
+      "sorted collect_list would OOM at 100×) and portable across " +
+      "engines — double→DECIMAL casts are NOT (Java BigDecimal rounds " +
+      "the exact expansion, DuckDB rounds a scaled double multiply); " +
+      "quantization bias ≤ 2⁻⁴¹ per element, far below float input ulp.",
     oracle = Some("""
       WITH ex AS (
         SELECT vec_id,
@@ -286,8 +288,9 @@ object ExtendedQueries {
                unnest(range(1, len(embedding) + 1)) AS dim
         FROM embeddings)
       SELECT dim,
-             list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
-               / COUNT(*) AS mean_x,
+             CAST(CAST(SUM(CAST(round(x * 1099511627776.0) AS BIGINT))
+                       AS BIGINT) AS DOUBLE)
+               / (COUNT(*) * 1099511627776.0) AS mean_x,
              MIN(x) AS min_x,
              MAX(x) AS max_x
       FROM ex GROUP BY 1 ORDER BY dim"""),
@@ -296,13 +299,14 @@ object ExtendedQueries {
         transform(col("embedding"), _.cast(DoubleType))).as(Seq("pos", "x")))
       .groupBy((col("pos") + 1).cast(LongType).as("dim"))
       .agg(
-        sort_array(collect_list(struct(col("vec_id"), col("x")))).as("arr"),
+        sum(round(col("x") * lit(1099511627776.0d)).cast(LongType))
+          .as("fxsum"),
         count(lit(1)).as("n"),
         min(col("x")).as("min_x"),
         max(col("x")).as("max_x"))
       .select(col("dim"),
-        (aggregate(col("arr"), lit(0.0d),
-          (acc, s) => acc + s.getField("x")) / col("n")).as("mean_x"),
+        (col("fxsum").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(1099511627776.0d))).as("mean_x"),
         col("min_x"), col("max_x"))
       .orderBy("dim"))
 

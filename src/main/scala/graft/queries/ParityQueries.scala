@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.GraftQuery
-import graft.ops.TimeOps
+import graft.ops.{Ids, TimeOps}
 import graft.sources.Readers.table
 
 /** The reference's operator surface (SURVEY.md §2) re-expressed over the
@@ -153,9 +153,12 @@ object ParityQueries {
     doc = "Reference fact-table build (SURVEY §1.4 songplays, §2.3 J2): " +
       "filtered log joined to the deduped time dim on string-equality " +
       "start_time (second granularity — the fan-out quirk, §2.8.3), id " +
-      "assigned by row_number over an explicit order (replaces the " +
-      "non-deterministic monotonically_increasing_id, §2.8.4). The time " +
-      "dim is small after dedup → broadcast side.",
+      "assigned by the two-phase partition-offset pattern over an " +
+      "explicit order (replaces the non-deterministic " +
+      "monotonically_increasing_id, §2.8.4, WITHOUT the single-task " +
+      "global window — no Exchange SinglePartition anywhere in the fact " +
+      "build; see graft.ops.Ids). The time dim is small after dedup → " +
+      "broadcast side.",
     oracle = Some("""
       WITH t AS (
         SELECT DISTINCT epoch_ms(ts) AS ts_ms,
@@ -170,29 +173,34 @@ object ParityQueries {
              l.start_time, l.event_id, l.user_id, l.value, t.month, t.year
       FROM log l JOIN t ON l.start_time = t.start_time
       ORDER BY songplay_id"""),
-    run = (s, dir) => {
-      val ev = table(s, dir, "events")
-      val timeDim = ev
-        .select(unix_millis(col("ts")).as("ts_ms"),
-          TimeOps.startTimeString(unix_millis(col("ts"))).as("start_time"),
-          month(col("ts")).cast(LongType).as("month"),
-          year(col("ts")).cast(LongType).as("year"))
-        .dropDuplicates()
-      val log = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"),
-          TimeOps.startTimeString(unix_millis(col("ts"))).as("start_time"))
-      log.join(broadcast(timeDim),
-          log("start_time") === timeDim("start_time"), "inner")
-        .select(log("start_time"), col("event_id"), col("user_id"),
-          col("value"), col("month"), col("year"), col("ts_ms"))
-        .withColumn("songplay_id",
-          row_number().over(Window.orderBy(col("event_id"), col("ts_ms")))
-            .cast(LongType))
+    run = (s, dir) =>
+      Ids.orderedId(songplaysJoined(s, dir),
+          Seq(col("event_id"), col("ts_ms")), "songplay_id")
         .select("songplay_id", "start_time", "event_id", "user_id", "value",
           "month", "year")
-        .orderBy("songplay_id")
-    })
+        .orderBy("songplay_id"))
+
+  /** The pre-id fact join of parity_songplays_star (J2 broadcast shape).
+    * Exposed so PlanSpec can assert the broadcast on THIS stage — the id
+    * assignment checkpoints it, so the final query plan no longer shows
+    * the join. */
+  private[graft] def songplaysJoined(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val timeDim = ev
+      .select(unix_millis(col("ts")).as("ts_ms"),
+        TimeOps.startTimeString(unix_millis(col("ts"))).as("start_time"),
+        month(col("ts")).cast(LongType).as("month"),
+        year(col("ts")).cast(LongType).as("year"))
+      .dropDuplicates()
+    val log = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        TimeOps.startTimeString(unix_millis(col("ts"))).as("start_time"))
+    log.join(broadcast(timeDim),
+        log("start_time") === timeDim("start_time"), "inner")
+      .select(log("start_time"), col("event_id"), col("user_id"),
+        col("value"), col("month"), col("year"), col("ts_ms"))
+  }
 
   // -------------------------------------------------------------------
   // S1-family — JSON parsing (the reference's whole input surface is

@@ -27,17 +27,21 @@ object PipelineQueries {
   private val Threshold = 0.8
 
   /** documents → (doc_id, text, w tokens, sh 3-gram shingles).
-    * Materialized eagerly: every consumer fans it into 2-4 plan branches
-    * (self-join sides, the verify step, label propagation), and without
-    * the cut Spark recomputes tokenize+shingle per branch — measured at
-    * 2-3x the whole query's runtime. At cluster scale this is the
-    * `.persist()` on the shared pipeline prefix (SURVEY §3.2). */
-  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    * Materialized eagerly by default: every current consumer fans it into
+    * 2-4 plan branches (self-join sides, the verify step, label
+    * propagation), and without the cut Spark recomputes tokenize+shingle
+    * per branch — measured at 2-3x the whole query's runtime. At cluster
+    * scale this is the `.persist()` on the shared pipeline prefix
+    * (SURVEY §3.2). Pass `materialize = false` from any future
+    * single-branch consumer — an eager cut there would only block
+    * pushdown and add block-manager pressure for no reuse. */
+  private def docShingles(s: SparkSession, dir: String,
+      materialize: Boolean = true): DataFrame = {
     val w = TextOps.tokens(col("text"))
-    table(s, dir, "documents")
+    val df = table(s, dir, "documents")
       .select(col("doc_id"), col("text"), w.as("w"))
       .withColumn("sh", TextOps.shingles(col("w"), 3))
-      .localCheckpoint(true)
+    if (materialize) df.localCheckpoint(true) else df
   }
 
   /** DuckDB twin of docShingles. */

@@ -20,6 +20,13 @@ object Readers {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session config every graft session must set at BUILD time (Bench,
+    * Verify, TestSpark all do): lets the vectorized parquet reader accept
+    * the events table's TIMESTAMP(NANOS) column as a nanos long. Set once
+    * at construction — a per-read `spark.conf.set` would be racy under
+    * concurrent queries sharing the session. */
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** Parquet scan of one driver table (SURVEY §2.1 S8).
     *
     * `events.ts` is physically TIMESTAMP(NANOS), which Spark's vectorized
@@ -30,7 +37,9 @@ object Readers {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(spark.conf.get(NanosAsLongKey, "false") == "true",
+        s"set $NanosAsLongKey=true in the SparkSession builder " +
+          "(session-level, once) before reading the events table")
       spark.read.parquet(path)
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -55,8 +55,22 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("songplays star broadcasts the time dim (J2 small side)") {
-    val p = plan("parity_songplays_star")
+    // the id assignment checkpoints the joined fact, so assert the
+    // broadcast on the pre-id join stage (the plan the cluster executes)
+    val df = graft.queries.ParityQueries.songplaysJoined(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(p.contains("BroadcastHashJoin"), s"time dim not broadcast:\n$p")
+  }
+
+  test("songplays fact id is assigned with no single-partition exchange") {
+    // the two-phase partition-offset id (graft.ops.Ids) must not fall
+    // back to a global window: an Exchange SinglePartition here funnels
+    // the whole fact table through one task at 100 TB
+    val p = plan("parity_songplays_star")
+    assert(!p.contains("SinglePartition"),
+      s"single-task stage in the fact build:\n$p")
   }
 
   test("bucketed join runs with no exchange between the bucketed scans") {
