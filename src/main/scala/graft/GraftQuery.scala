@@ -11,6 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * forms, no `monotonically_increasing_id`, doubles only where both engines
   * compute bit-identical values (exact decimal sums cast to double, or IEEE
   * ops over identical inputs in identical order).
+  *
+  * Laziness: `run` normally returns an unexecuted plan, but it MAY
+  * execute jobs at call time when the operator requires materialization
+  * (two-phase id assignment in graft.ops.Ids, drained streaming runs in
+  * StreamingQueries). Explain-only callers should use the plan-stage
+  * accessors those modules expose instead of `run`.
   */
 final case class GraftQuery(
     name: String,
@@ -29,7 +35,8 @@ object Registry {
     graft.queries.MaintenanceQueries.all ++
     graft.queries.SqlTextQueries.all ++
     graft.queries.CoverageQueries.all ++
-    graft.queries.PipelineQueries.all
+    graft.queries.PipelineQueries.all ++
+    graft.queries.StreamingQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

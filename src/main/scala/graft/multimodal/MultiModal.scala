@@ -9,14 +9,107 @@ import org.apache.spark.sql.types._
   * stages shaped for 100 TB (per-partition batch processing, no driver
   * round trips, schema known up front).
   *
-  * The container ships no image/audio codecs, so `decodeStub` is a
-  * clearly-marked DETERMINISTIC FAKE standing in for a real decoder (in
-  * production: a JNI/FFI codec or a vectorized Python worker). Everything
-  * around it — the asset schema, the `mapPartitions` batch shape, the
-  * partition-preserving pipeline, frame sampling — is the real thing and
-  * is what the tests exercise.
+  * Image decode is REAL: `decodeImage` parses PNG/JPEG/BMP/GIF bytes
+  * with the pure-JDK `javax.imageio` codec (no external libs), and
+  * `extractFeatures` uses it for every decodable image payload. Audio
+  * and video have no JDK codec, so `decodeStub` remains the
+  * clearly-marked DETERMINISTIC FAKE for those kinds (in production: a
+  * JNI/FFI codec or a vectorized Python worker) — the asset schema,
+  * `mapPartitions` batch shape, partition-preserving pipeline and frame
+  * sampling are identical for both paths.
   */
 object MultiModal {
+
+  /** Decoded raster properties: verified dims + per-channel means. */
+  case class DecodedImage(width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** One image-bearing row: the opaque multimodal column + its id. */
+  case class ImageAsset(doc_id: Long, content: Array[Byte])
+
+  /** `decodeImages` output row (means exact for solid-color fixtures). */
+  case class ImageDecoded(doc_id: Long, width: Long, height: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL image decode via javax.imageio: parses the container format,
+    * decodes pixels, returns verified dimensions and per-channel means.
+    * None when the bytes are not a supported image — callers fall back
+    * to the stub (audio/video) or drop the row (corrupt input at scale
+    * is data, not an exception). */
+  def decodeImage(content: Array[Byte]): Option[DecodedImage] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some(DecodedImage(w, h, sr.toDouble / n, sg.toDouble / n,
+        sb.toDouble / n))
+    }
+  }
+
+  /** Encode a solid-color PNG (test/fixture input for the real decoder:
+    * a genuine PNG container the ImageIO reader must parse). */
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic PNG ingest: one real PNG per id, whose dimensions and
+    * solid fill color are pure functions of the id — which is exactly
+    * what makes the decode stage oracle-checkable (the oracle predicts
+    * the decoded metadata from the same formulas). */
+  def syntheticPngAssets(ids: Dataset[Long])(
+      implicit spark: SparkSession): Dataset[ImageAsset] = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map { d =>
+        val w = (8 + d % 13).toInt
+        val h = (8 + d % 7).toInt
+        val rgb = (((d % 256) << 16) | (((d * 7) % 256) << 8) |
+          ((d * 13) % 256)).toInt
+        ImageAsset(d, encodePng(w, h, rgb))
+      }
+    }
+  }
+
+  /** REAL decode stage: per-partition batch map over binary image
+    * content — same shape as `extractFeatures`, but the decoder is
+    * javax.imageio, not a stub. Undecodable rows are dropped (at corpus
+    * scale corrupt media is filtered, not thrown). */
+  def decodeImages(assets: Dataset[ImageAsset])(
+      implicit spark: SparkSession): Dataset[ImageDecoded] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        decodeImage(a.content).map(d =>
+          ImageDecoded(a.doc_id, d.width.toLong, d.height.toLong,
+            d.mean_r, d.mean_g, d.mean_b))
+      }
+    }
+  }
 
   /** One media asset: content opaque, metadata typed. */
   case class MediaAsset(
@@ -38,11 +131,11 @@ object MultiModal {
   val FeatureDim = 8
 
   /** ======================= DECODE STUB =============================
-    * Deterministic fake decoder. A real implementation would parse the
-    * container format and decode pixels/samples; this derives a stable
-    * pseudo-feature from the bytes so the surrounding pipeline (batching,
-    * schema, partitioning) is fully testable without codecs. Swap this
-    * single function for a real codec binding in production.
+    * Deterministic fake decoder for the kinds the JDK has NO codec for
+    * (audio, video) and for undecodable image bytes. Images use the real
+    * `decodeImage` above. This derives a stable pseudo-feature from the
+    * bytes so the surrounding pipeline (batching, schema, partitioning)
+    * is fully testable; swap for a JNI/FFI codec binding in production.
     * ================================================================= */
   def decodeStub(content: Array[Byte]): Array[Float] = {
     var h = 1125899906842597L // fixed seed; per-asset determinism only
@@ -66,16 +159,26 @@ object MultiModal {
 
   /** Feature extraction as a per-partition batch map — the Scala analog
     * of `mapInPandas`: one iterator in, one iterator out, executor-local,
-    * no shuffle, preserves partitioning. This is the stage where a real
-    * decoder would amortize model/codec init across the partition. */
+    * no shuffle, preserves partitioning. Image payloads get the REAL
+    * javax.imageio decode (verified dims + channel means as the leading
+    * feature components); audio/video and undecodable bytes fall back to
+    * the labeled stub. Per-partition init (codec cache config here;
+    * model weights in production) is amortized across the batch. */
   def extractFeatures(assets: Dataset[MediaAsset])(
       implicit spark: SparkSession): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.mapPartitions { it =>
-      // per-partition init happens here (codec handles, model weights)
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
+        val feature =
+          (if (a.kind == "image") decodeImage(a.content) else None) match {
+            case Some(d) => Array(d.width.toFloat, d.height.toFloat,
+              d.mean_r.toFloat, d.mean_g.toFloat, d.mean_b.toFloat,
+              0f, 0f, 0f)
+            case None => decodeStub(a.content)
+          }
         AssetFeatures(a.asset_id, a.kind, a.content.length.toLong,
-          fnv(a.content), decodeStub(a.content))
+          fnv(a.content), feature)
       }
     }
   }

@@ -44,32 +44,40 @@ object VectorOps {
     vecs.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
 
-  /** Deterministic random-hyperplane LSH bucketing (`nBits` sign bits).
-    * Plane j's i-th component is a fixed pseudo-random double derived
-    * from xxhash64(j, i) — no RNG state, reproducible on any cluster.
-    *
-    * Formulated as explode → broadcast-join the (nBits × dim) plane table
-    * → partial-agg projections → signature, i.e., a fully distributed
-    * matrix-vector product: the per-row expression tree stays small and
-    * the plane table broadcasts once, which is the shape that survives
-    * 100 TB (vectors never co-locate with anything; planes are tiny).
-    * Input must be `prepared()` output (vec_id, v, nrm). */
-  def hyperplaneBuckets(spark: SparkSession, preparedVecs: DataFrame,
-      dim: Int, nBits: Int): DataFrame = {
-    val planes = spark.range(nBits).select(col("id").cast(IntegerType).as("j"),
-        explode(sequence(lit(0), lit(dim - 1))).as("i"))
-      // xxhash64 / 2^63 → deterministic uniform in (-1, 1)
-      .withColumn("pw",
-        xxhash64(col("j"), col("i")).cast(DoubleType)
-          / lit(9.223372036854776e18))
-    preparedVecs
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-      .join(broadcast(planes), "i")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("x") * col("pw")).as("proj"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") >= 0,
-          pow(lit(2.0), col("j").cast(DoubleType)).cast(LongType))
-        .otherwise(0L)).as("bucket"))
+  /** Component i of hyperplane j, as an exact double both engines can
+    * reproduce: Knuth multiplicative hash of the flat index mapped to
+    * (-1, 1). Every step is IEEE-exact (k < 2³² has ≤ 32 significant
+    * bits; /2³² and ·2 are power-of-two scalings; the final −1 keeps
+    * ≤ 32 significant bits), so a SQL twin computing the same integer
+    * recurrence gets bit-identical plane weights — which is what makes
+    * the LSH bucketing fully oracle-checkable, unlike an xxhash64-seeded
+    * plane only Spark can compute. */
+  def planeWeight(j: Int, i: Int, dim: Int): Double = {
+    val k = ((j.toLong * dim + i) * 2654435761L) % 4294967296L
+    k.toDouble / 4294967296.0 * 2.0 - 1.0
   }
+
+  /** Deterministic random-hyperplane LSH signature (`nBits` sign bits)
+    * for a prepared double vector column: bit j = [v · plane_j ≥ 0].
+    *
+    * The planes are inlined as array literals — the driver-side constant
+    * the plan broadcasts for free — and each projection is one codegen'd
+    * sequential dot product, so the whole signature is a narrow per-row
+    * map: ZERO shuffles until whatever aggregation consumes the bucket.
+    * (The previous formulation exploded components and joined a plane
+    * table — two shuffles per signature; this one survives 100 TB
+    * strictly better AND is reproducible in the DuckDB oracle.) */
+  def hyperplaneSignature(v: Column, dim: Int, nBits: Int): Column = {
+    require(nBits <= 62, "signature must fit a positive long")
+    (0 until nBits).map { j =>
+      val plane = (0 until dim).map(i => planeWeight(j, i, dim))
+      when(dot(v, typedLit(plane)) >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** (vec_id, bucket) per vector. Input must be `prepared()` output. */
+  def hyperplaneBuckets(preparedVecs: DataFrame, dim: Int,
+      nBits: Int): DataFrame =
+    preparedVecs.select(col("vec_id"),
+      hyperplaneSignature(col("v"), dim, nBits).as("bucket"))
 }

@@ -278,9 +278,17 @@ object ExtendedQueries {
       "IEEE, unlike ·10ⁿ), round, sum as longs, one correctly-rounded " +
       "int→double division at the end. O(1) state per group (a per-group " +
       "sorted collect_list would OOM at 100×) and portable across " +
-      "engines — double→DECIMAL casts are NOT (Java BigDecimal rounds " +
-      "the exact expansion, DuckDB rounds a scaled double multiply); " +
-      "quantization bias ≤ 2⁻⁴¹ per element, far below float input ulp.",
+      "engines — double→DECIMAL casts of HIGH-PRECISION values are NOT " +
+      "(Java BigDecimal rounds the exact expansion, DuckDB rounds a " +
+      "scaled double multiply; an INTEGRAL double like round()'s output " +
+      "converts exactly in both, which is all this uses); quantization " +
+      "bias ≤ 2⁻⁴¹ per element, far below float input ulp. The sum " +
+      "accumulates in DECIMAL(38,0)/HUGEINT, not BIGINT: per-dimension " +
+      "the long form overflows once n·|x| exceeds 2²³ (≈8.4M rows at " +
+      "|x|≈1) — and diverges across engines (Spark wraps, DuckDB " +
+      "promotes) — while 38 digits carry ~10²⁵ rows. The final " +
+      "int→double cast is round-half-even of an exact integer in both " +
+      "engines → bit-identical.",
     oracle = Some("""
       WITH ex AS (
         SELECT vec_id,
@@ -288,8 +296,8 @@ object ExtendedQueries {
                unnest(range(1, len(embedding) + 1)) AS dim
         FROM embeddings)
       SELECT dim,
-             CAST(CAST(SUM(CAST(round(x * 1099511627776.0) AS BIGINT))
-                       AS BIGINT) AS DOUBLE)
+             CAST(SUM(CAST(round(x * 1099511627776.0) AS HUGEINT))
+                  AS DOUBLE)
                / (COUNT(*) * 1099511627776.0) AS mean_x,
              MIN(x) AS min_x,
              MAX(x) AS max_x
@@ -299,7 +307,7 @@ object ExtendedQueries {
         transform(col("embedding"), _.cast(DoubleType))).as(Seq("pos", "x")))
       .groupBy((col("pos") + 1).cast(LongType).as("dim"))
       .agg(
-        sum(round(col("x") * lit(1099511627776.0d)).cast(LongType))
+        sum(round(col("x") * lit(1099511627776.0d)).cast(DecimalType(38, 0)))
           .as("fxsum"),
         count(lit(1)).as("n"),
         min(col("x")).as("min_x"),
@@ -441,17 +449,31 @@ object ExtendedQueries {
   // -------------------------------------------------------------------
   private val approxDistinct = GraftQuery(
     name = "lake_approx_distinct",
-    doc = "approx_count_distinct (HyperLogLog++) per order status — the " +
-      "sketch that replaces exact COUNT(DISTINCT) at 100 TB (fixed-size " +
-      "state per group vs a shuffle of every distinct value). " +
-      "Sketch internals are engine-specific → no SQL oracle (driver " +
-      "records rows-only); the exact twin lake_distinct_agg is the " +
-      "correctness anchor.",
-    oracle = None,
+    doc = "approx_count_distinct (HyperLogLog++, rsd 0.02) per order " +
+      "status — the sketch that replaces exact COUNT(DISTINCT) at " +
+      "100 TB (fixed-size state per group vs a shuffle of every " +
+      "distinct value). Sketch internals are engine-specific, so the " +
+      "oracle checks the sketch's CONTRACT instead of its value: the " +
+      "query emits the exact distinct count plus a flag asserting the " +
+      "HLL estimate landed within 5% of it (2.5σ at rsd 0.02); the " +
+      "oracle recomputes the exact count and expects the flag to be 1. " +
+      "Deterministic: HLL merge is a register-wise max — commutative " +
+      "and associative — so the estimate is partition-order-invariant.",
+    oracle = Some("""
+      SELECT o_orderstatus,
+             COUNT(DISTINCT o_custkey) AS exact_customers,
+             COUNT(*) AS n,
+             CAST(1 AS BIGINT) AS sketch_within_5pct
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     run = (s, dir) => table(s, dir, "orders")
       .groupBy("o_orderstatus")
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
-        count(lit(1)).as("n"))
+      .agg(count_distinct(col("o_custkey")).as("exact_customers"),
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .select(col("o_orderstatus"), col("exact_customers"), col("n"),
+        when(abs(col("approx") - col("exact_customers")).cast(DoubleType)
+          <= col("exact_customers").cast(DoubleType) * 0.05, 1L)
+          .otherwise(0L).as("sketch_within_5pct"))
       .orderBy("o_orderstatus"))
 
   val all: Seq[GraftQuery] = Seq(

@@ -342,16 +342,38 @@ object PipelineQueries {
   private val annLsh = GraftQuery(
     name = "pipeline_ann_lsh",
     doc = "Random-hyperplane LSH bucketing (16 deterministic sign bits " +
-      "from xxhash-derived planes): vectors bucketed by signature; " +
-      "reports bucket occupancy. Approximate by design → no SQL oracle " +
-      "(driver records rows-only); the exact baselines above are the " +
-      "correctness anchors. At 100 TB: signature is the shuffle key, " +
-      "candidate search touches one bucket (+ multiprobe neighbors).",
-    oracle = None,
+      "from integer-hash-derived planes): vectors bucketed by signature; " +
+      "reports bucket occupancy. FULLY oracle-checked: the plane weights " +
+      "are an exact integer recurrence (Knuth hash → power-of-two " +
+      "scaling, every step IEEE-exact) and each projection a sequential " +
+      "left-to-right dot product, so DuckDB recomputes bit-identical " +
+      "projections and the same buckets. The signature is a narrow " +
+      "per-row map (planes inlined as broadcast literals, zero shuffles " +
+      "before the occupancy groupBy). At 100 TB: signature is the " +
+      "shuffle key, candidate search touches one bucket (+ multiprobe " +
+      "neighbors); OpsSpec pins banded-probe recall ≥ 0.9 vs the exact " +
+      "brute-force top-k.",
+    oracle = Some("""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      planes AS (SELECT j, list_transform(range(0, 64), i ->
+                   CAST(((j * 64 + i) * 2654435761) % 4294967296 AS DOUBLE)
+                     / 4294967296.0 * 2.0 - 1.0) AS pw
+                 FROM range(0, 16) t(j)),
+      proj AS (SELECT e.vec_id, p.j, list_dot_product(e.v, p.pw) AS pr
+               FROM e CROSS JOIN planes p),
+      sig AS (SELECT vec_id,
+                CAST(SUM(CASE WHEN pr >= 0
+                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                     AS BIGINT) AS bucket
+              FROM proj GROUP BY vec_id)
+      SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+      FROM sig GROUP BY bucket ORDER BY bucket"""),
     run = (s, dir) => {
       val pv = VectorOps.prepared(table(s, dir, "embeddings"),
         "vec_id", "embedding")
-      VectorOps.hyperplaneBuckets(s, pv, dim = 64, nBits = 16)
+      VectorOps.hyperplaneBuckets(pv, dim = 64, nBits = 16)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_vectors"),
           min(col("vec_id")).as("min_vec_id"))
@@ -751,10 +773,44 @@ object PipelineQueries {
         lower(hex(substring(col("content"), 1, 4))).as("magic"))
       .orderBy("doc_id"))
 
+  private val multimodalDecode = GraftQuery(
+    name = "pipeline_multimodal_decode",
+    doc = "REAL image decode over a binary multimodal column: one " +
+      "genuine PNG per document (dimensions and solid fill color are " +
+      "pure functions of doc_id), decoded back with the pure-JDK " +
+      "javax.imageio codec in a per-partition batch stage " +
+      "(graft.multimodal.MultiModal.decodeImages — the mapInPandas " +
+      "shape). The oracle predicts the DECODED width/height/channel " +
+      "means from the same doc_id formulas, so a green row proves the " +
+      "encode→PNG-container→decode round trip pixel-exactly. No stub " +
+      "anywhere in this path.",
+    oracle = Some("""
+      SELECT doc_id,
+             CAST(8 + doc_id % 13 AS BIGINT) AS width,
+             CAST(8 + doc_id % 7 AS BIGINT) AS height,
+             CAST(doc_id % 256 AS BIGINT) AS mean_r,
+             CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+             CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+      FROM documents ORDER BY doc_id"""),
+    run = (s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      val decoded = graft.multimodal.MultiModal.decodeImages(
+        graft.multimodal.MultiModal.syntheticPngAssets(ids))
+      // fixture images are solid-color → channel means are exact ints
+      decoded.toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r")).cast(LongType).as("mean_r"),
+          round(col("mean_g")).cast(LongType).as("mean_g"),
+          round(col("mean_b")).cast(LongType).as("mean_b"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupClusters,
     dedupKeepBest, embedNearDup, embedNearDupGlobal, embedNormalize,
     knnBrute, knnIvf, annLsh, textStats, textQuality, langId, fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, corpusClean,
-    multimodalMeta)
+    multimodalMeta, multimodalDecode)
 }

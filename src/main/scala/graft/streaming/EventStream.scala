@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming twin of the batch event analytics (SURVEY.md
@@ -85,6 +85,73 @@ object EventStream {
     val q = streaming.writeStream.outputMode(outputMode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Schema of the driver's events.parquet as the streaming source sees
+    * it under the required nanosAsLong session config: `ts` arrives as
+    * raw int64 nanoseconds and is rebuilt into a µs TimestampType right
+    * after the scan (same floor conversion as Readers.table). */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream over the driver's events table (TIMESTAMP(NANOS)
+    * parquet). Declared schema — a streaming source can never afford an
+    * inference pass, it would race the arriving files. The streaming
+    * file source only monitors DIRECTORIES; when handed a single
+    * parquet file (the driver's layout) it is exposed through a
+    * symlinked temp directory — a metadata-only operation, no data
+    * copy, and exactly how a production stream would point at a
+    * landing directory instead of one file. */
+  def eventsStream(spark: SparkSession, eventsPath: String): DataFrame = {
+    require(
+      spark.conf.get(graft.sources.Readers.NanosAsLongKey, "false") == "true",
+      s"set ${graft.sources.Readers.NanosAsLongKey}=true in the " +
+        "SparkSession builder before streaming the events table")
+    val p = java.nio.file.Paths.get(eventsPath)
+    val dir =
+      if (java.nio.file.Files.isDirectory(p)) eventsPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(p.getFileName), p.toAbsolutePath)
+        d.toString
+      }
+    spark.readStream.schema(rawEventSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val drainId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Oracle-checkable drained run (SURVEY §7.4.4's drained case): the
+    * 5-minute tumbling-window aggregate executed as a REAL streaming
+    * query — file source → stateful agg → memory sink — with
+    * `Trigger.AvailableNow`, which processes everything available in
+    * bounded micro-batches and stops. Complete output mode so the final
+    * (post-last-watermark) windows are emitted too; the drained result
+    * must equal the batch twin row-for-row, which is exactly what the
+    * DuckDB oracle checks. Window starts surface as epoch seconds —
+    * integer bucket arithmetic both engines share. */
+  def windowedCountsDrained(spark: SparkSession, eventsDir: String)
+      : DataFrame = {
+    val agg = eventsStream(spark, eventsDir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = s"graft_stream_drain_${drainId.incrementAndGet()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     spark.table(name)
   }
 }

@@ -17,9 +17,9 @@ class QueriesSpec extends AnyFunSuite {
     // names must agree because the driver sorts columns by name — the
     // SQL itself is checked by tools/check.py; here we just pin the maps
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // all but the intentionally-oracle-free sketch/ANN queries are covered
-    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) ==
-      Set("pipeline_ann_lsh", "lake_approx_distinct"))
+    // since round 4 every registered query carries a DuckDB oracle —
+    // the sketch/ANN queries oracle their deterministic contracts
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).isEmpty)
   }
 
   Registry.all.foreach { q =>

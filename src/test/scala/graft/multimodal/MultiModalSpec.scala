@@ -50,6 +50,41 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG decode: javax.imageio round trip is pixel-exact") {
+    val png = MultiModal.encodePng(12, 9, 0x345678)
+    // real PNG container: magic bytes, parsed by the actual codec
+    assert(png.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val d = MultiModal.decodeImage(png).get
+    assert(d.width == 12 && d.height == 9)
+    assert(d.mean_r == 0x34.toDouble && d.mean_g == 0x56.toDouble &&
+      d.mean_b == 0x78.toDouble)
+    // non-image bytes are rejected, not mis-decoded
+    assert(MultiModal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractFeatures uses the real decoder for image assets") {
+    val png = MultiModal.encodePng(10, 5, 0x102030)
+    val ds = Seq(MultiModal.MediaAsset(1L, "image", png, 10, 5, 0)).toDS()
+    val f = MultiModal.extractFeatures(ds).collect().head
+    assert(f.feature.take(5).toSeq ==
+      Seq(10f, 5f, 0x10.toFloat, 0x20.toFloat, 0x30.toFloat))
+  }
+
+  test("decodeImages dataset stage matches the fixture formulas") {
+    val ids = spark.range(0, 50).as[Long]
+    val out = MultiModal.decodeImages(MultiModal.syntheticPngAssets(ids))
+      .collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      assert(r.width == 8 + r.doc_id % 13)
+      assert(r.height == 8 + r.doc_id % 7)
+      assert(r.mean_r == (r.doc_id % 256).toDouble)
+      assert(r.mean_g == ((r.doc_id * 7) % 256).toDouble)
+      assert(r.mean_b == ((r.doc_id * 13) % 256).toDouble)
+    }
+  }
+
   test("frame sampling yields stride-aligned offsets per asset") {
     val frames = MultiModal.sampleFrames(assets, stride = 100)
     val one = frames.filter(col("asset_id") === 1L)

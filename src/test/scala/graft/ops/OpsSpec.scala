@@ -194,10 +194,53 @@ class OpsSpec extends AnyFunSuite {
       (4L, Array.fill(8)(-0.5f)))         // flipped → different bucket
       .toDF("vec_id", "embedding")
     val prepared = VectorOps.prepared(vecs, "vec_id", "embedding")
-    val buckets = VectorOps.hyperplaneBuckets(spark, prepared, 8, 16)
+    val buckets = VectorOps.hyperplaneBuckets(prepared, 8, 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(buckets(1L) == buckets(2L))
     assert(buckets(1L) == buckets(3L))
     assert(buckets(1L) != buckets(4L))
+  }
+
+  test("LSH banded probe reaches recall@5 >= 0.9 vs brute force") {
+    // the multiprobe contract of pipeline_ann_lsh: OR-ing the 16-bit
+    // signature as 8 bands x 2 bits recovers >= 90% of the exact top-5
+    // (single-bucket equality alone is a filter, not a search).
+    val dim = 64; val nBits = 16; val bandBits = 2
+    val sigs = VectorOps.hyperplaneBuckets(
+        VectorOps.prepared(
+          graft.sources.Readers.table(spark, "/root/testdata/sf0.001",
+            "embeddings"),
+          "vec_id", "embedding"),
+        dim, nBits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = graft.sources.Readers
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    def bands(sig: Long): Seq[(Int, Long)] =
+      (0 until nBits / bandBits).map { b =>
+        b -> ((sig >>> (b * bandBits)) & ((1L << bandBits) - 1))
+      }
+    val queries = vecs.keys.filter(_ < 20).toSeq
+    val recalls = queries.map { q =>
+      val exact = (vecs.keySet - q).toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(5).toSet
+      val qBands = bands(sigs(q)).toSet
+      val cands = (vecs.keySet - q)
+        .filter(n => bands(sigs(n)).exists(qBands.contains))
+      val approx = cands.toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(5).toSet
+      exact.intersect(approx).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@5 = $mean")
   }
 }
