@@ -681,6 +681,53 @@ object PipelineQueries {
         size(split(col("norm"), " ")).cast(LongType).as("n_tokens_norm"))
       .orderBy("doc_id"))
 
+  private val vocabTopk = GraftQuery(
+    name = "pipeline_vocab_topk",
+    doc = "Vocabulary build: global token frequencies, top-100 by " +
+      "(count desc, token) — the first step of tokenizer training over " +
+      "a corpus. Partial (map-side) counts then TakeOrderedAndProject: " +
+      "no global sort; only each partition's 100-row heap crosses the " +
+      "final exchange at 100 TB.",
+    oracle = Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                   FROM documents)
+      SELECT token, COUNT(*) AS n FROM tok
+      GROUP BY token ORDER BY n DESC, token LIMIT 100"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(100))
+
+  private val stratifiedSample = GraftQuery(
+    name = "pipeline_stratified_sample",
+    doc = "Stratified deterministic sampling: per-language keep rates " +
+      "(en 75%, de 50%, rest 25%) applied via the multiplicative-hash " +
+      "threshold — RNG-free, reproducible under any cluster or " +
+      "partitioning, the primitive a training data mix is built from. " +
+      "Reports per-stratum totals; the oracle replays the identical " +
+      "integer arithmetic.",
+    oracle = Some("""
+      WITH s AS (SELECT lang,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 <
+                     CASE lang WHEN 'en' THEN 3221225472
+                               WHEN 'de' THEN 2147483648
+                               ELSE 1073741824 END
+                   THEN 1 ELSE 0 END AS keep
+                 FROM documents)
+      SELECT lang, COUNT(*) AS n_total, CAST(SUM(keep) AS BIGINT) AS n_sampled
+      FROM s GROUP BY lang ORDER BY lang"""),
+    run = (s, dir) => {
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val thr = when(col("lang") === "en", 3221225472L)
+        .when(col("lang") === "de", 2147483648L)
+        .otherwise(1073741824L)
+      table(s, dir, "documents")
+        .select(col("lang"), when(h < thr, 1L).otherwise(0L).as("keep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"), sum(col("keep")).as("n_sampled"))
+        .orderBy("lang")
+    })
+
   // -------------------------------------------------------------------
   // The showcase composition: full corpus-cleaning pipeline.
   // -------------------------------------------------------------------
@@ -833,6 +880,6 @@ object PipelineQueries {
     dedupClusters,
     dedupKeepBest, embedNearDup, embedNearDupGlobal, embedNormalize,
     knnBrute, knnIvf, annLsh, textStats, textQuality, langId, fingerprint,
-    tokenCountBpe, textLevenshtein, textNormalize, corpusClean,
-    multimodalMeta, multimodalDecode)
+    tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
+    stratifiedSample, corpusClean, multimodalMeta, multimodalDecode)
 }

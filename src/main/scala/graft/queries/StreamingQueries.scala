@@ -36,5 +36,34 @@ object StreamingQueries {
       EventStream.windowedCountsDrained(s, s"$dir/events.parquet")
         .orderBy("window_start_s", "event_type"))
 
-  val all: Seq[GraftQuery] = Seq(streamWindowedCounts)
+  private val streamSessionCounts = GraftQuery(
+    name = "stream_session_counts",
+    doc = "Drained mapGroupsWithState run: per-user event and " +
+      "gap-session (30 min) counts held as O(1) custom keyed state " +
+      "(KeyValueGroupedDataset), executed as a real Update-mode " +
+      "streaming query to completion via Trigger.AvailableNow. The " +
+      "oracle recomputes the final state in batch SQL (lag-gap " +
+      "sessionization over µs-floored timestamps — the same floor the " +
+      "nanos scan applies). Works because the events table arrives as " +
+      "one source file = one micro-batch; a multi-file layout would " +
+      "need event-time ordering guarantees across batches (noted in " +
+      "EventStream).",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+                 FROM events),
+      x AS (SELECT user_id,
+              CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id) IS NULL
+                    OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+            FROM e)
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(new_session) AS BIGINT) AS n_sessions
+      FROM x GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) =>
+      EventStream.sessionCountsDrained(s, s"$dir/events.parquet")
+        .orderBy("user_id"))
+
+  val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSessionCounts)
 }

@@ -50,14 +50,15 @@ object EventStream {
   case class UserSessionState(nEvents: Long, lastTsMicros: Long, nSessions: Long)
   case class UserSessionCount(user_id: Long, n_events: Long, n_sessions: Long)
 
-  /** Custom keyed state via mapGroupsWithState: per-user running event
+  /** Custom keyed state via mapGroupsWithState over any streaming
+    * events frame (ts must be TimestampType): per-user running event
     * and gap-session (30 min) counts — the stateful-operator surface
     * (KeyValueGroupedDataset) the 100 TB streaming path needs. Update
     * mode; state is O(1) per user. */
-  def sessionCounts(spark: SparkSession, inputDir: String)
-      : Dataset[UserSessionCount] = {
+  def sessionCountsFrom(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[UserSessionCount] = {
     import spark.implicits._
-    spark.readStream.schema(eventSchema).parquet(inputDir)
+    events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
       .as[UserEvent]
       .groupByKey(_.user_id)
@@ -75,6 +76,32 @@ object EventStream {
           state.update(st)
           UserSessionCount(uid, st.nEvents, st.nSessions)
       }
+  }
+
+  def sessionCounts(spark: SparkSession, inputDir: String)
+      : Dataset[UserSessionCount] =
+    sessionCountsFrom(
+      spark.readStream.schema(eventSchema).parquet(inputDir))(spark)
+
+  /** Drained stateful run: sessionCountsFrom over the driver's events
+    * table, executed with Trigger.AvailableNow to completion. Update
+    * mode re-emits a user's row on every batch that touches it, so the
+    * final answer is the per-user MAX over the sink — valid because
+    * both counters are monotone non-decreasing. Oracle-checkable: the
+    * final state equals the batch lag-gap sessionization. */
+  def sessionCountsDrained(spark: SparkSession, eventsPath: String)
+      : DataFrame = {
+    implicit val sp: SparkSession = spark
+    val counts = sessionCountsFrom(eventsStream(spark, eventsPath))
+    val name = s"graft_stream_sessions_${drainId.incrementAndGet()}"
+    val q = counts.toDF().writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_sessions")).as("n_sessions"))
   }
 
   /** Drain helper for tests/demos: run a streaming DF to a memory sink

@@ -160,6 +160,18 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("orderedId equals global row_number over unique keys") {
+    val df = graft.sources.Readers
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id")
+    val out = graft.ops.Ids.orderedId(df, Seq(col("event_id")), "rid")
+      .select("event_id", "rid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = out.keys.toSeq.sorted.zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(out == expected && out.size == 1000)
+  }
+
   test("prefix-filtered jaccard equals the plain inverted index") {
     val exact = Dedup.invertedIndexJaccard(corpus, "doc_id", "sh", 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
