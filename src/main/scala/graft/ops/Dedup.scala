@@ -230,15 +230,17 @@ object Dedup {
     * pre-hashed sorted shingle arrays (8-byte tokens; same 2⁻⁶⁴
     * collision assumption the plain index's hashed join key makes).
     *
-    * Measured trade (sf0.1, 5000 docs, avg shingle df ≈ 9.6, no hot
-    * keys): plain index 1.4 s, this 2.9 s — a FLAT frequency
-    * distribution leaves the plain index's count-based join cheap while
-    * this path pays a frequency pass plus per-candidate array verify.
-    * It inverts under skew: with boilerplate shingles at df in the
-    * millions the plain index's hot buckets go quadratic while the
-    * prefix index drops them entirely. Both are shipped; pick by
-    * frequency profile (the composite pipelines use the plain index,
-    * matching this corpus).
+    * Measured trade: at sf0.1 (5000 docs, avg shingle df ≈ 9.6, no hot
+    * keys) the plain index wins — 1.2 s vs 1.9 s — because a FLAT
+    * frequency distribution leaves its count-based join cheap while
+    * this path pays a frequency pass plus per-candidate verify. Under
+    * duplication it inverts violently: on a 10× corpus where every
+    * document is a 10-clique of copies (df ×10 ⇒ join output ×100),
+    * the plain index ran >9 min while this path finished in 14 s on
+    * the same machine. Dedup's real workload is the second case, so
+    * the composite pipelines (clusters / keep_best / corpus_clean /
+    * levenshtein) run on THIS path; the plain index remains as the
+    * flat-profile baseline (`pipeline_dedup_ngram`).
     *
     * Exactness is preserved either way: output equals
     * [[invertedIndexJaccard]] row for row (the shared DuckDB all-pairs
@@ -276,9 +278,12 @@ object Dedup {
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .distinct()
     // exact verification on the hashed sorted sets (set semantics →
-    // intersect/union sizes equal the string-array computation)
-    val sa = base.select(col("doc").as("a"), col("shh").as("sha"))
-    val sb = base.select(col("doc").as("b"), col("shh").as("shb"))
+    // intersect/union sizes equal the string-array computation). Merge
+    // hint: the array side's stats under-estimate its object size, and
+    // an accidental broadcast of it is a driver-memory cliff (measured
+    // at 10×) — the verify join must stay a shuffle join.
+    val sa = base.select(col("doc").as("a"), col("shh").as("sha")).hint("merge")
+    val sb = base.select(col("doc").as("b"), col("shh").as("shb")).hint("merge")
     cands.join(sa, "a").join(sb, "b")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /

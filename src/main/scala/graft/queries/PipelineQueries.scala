@@ -60,10 +60,15 @@ object PipelineQueries {
       SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
       ORDER BY doc_a, doc_b"""
 
-  /** Exact Jaccard verification of candidate (a, b) pairs → oracle shape. */
+  /** Exact Jaccard verification of candidate (a, b) pairs → oracle shape.
+    * The shingle-array side carries ~kB rows: its byte size is grossly
+    * under-estimated by plan stats (array object expansion), so left to
+    * itself Catalyst may BROADCAST it — measured as a driver-memory
+    * cliff on a 10× corpus. The merge hint pins a shuffle join: both
+    * sides partition on the id, nothing fat ever broadcasts. */
   private def verifyPairs(cands: DataFrame, docs: DataFrame): DataFrame = {
-    val sa = docs.select(col("doc_id").as("a"), col("sh").as("sha"))
-    val sb = docs.select(col("doc_id").as("b"), col("sh").as("shb"))
+    val sa = docs.select(col("doc_id").as("a"), col("sh").as("sha")).hint("merge")
+    val sb = docs.select(col("doc_id").as("b"), col("sh").as("shb")).hint("merge")
     cands.join(sa, "a").join(sb, "b")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
@@ -130,10 +135,12 @@ object PipelineQueries {
     name = "pipeline_dedup_ngram",
     doc = "Exact n-gram Jaccard dedup via inverted-index self-join " +
       "(explode shingles, equi-join on shingle, count common per pair): " +
-      "zero false negatives by construction; cost Σ bucket² over " +
-      "shingle frequency. Kept as the exact BASELINE formulation; " +
-      "pipeline_dedup_prefix is its 100 TB twin (prefix filtering " +
-      "drops ubiquitous shingles from the index). Third algorithm, " +
+      "zero false negatives by construction; cost Σ df² over shingle " +
+      "document frequency. BASELINE ONLY — wins on flat frequency " +
+      "profiles (1.2s vs prefix 1.9s at sf0.1) but goes quadratic " +
+      "under duplication: on a 10× corpus of 10-cliques it ran >9min " +
+      "where pipeline_dedup_prefix took 14s, which is why the " +
+      "composite pipelines run on the prefix path. Third algorithm, " +
       "same oracle.",
     oracle = Some(AllPairsJaccardOracle),
     run = (s, dir) =>
@@ -146,14 +153,14 @@ object PipelineQueries {
       "document's |d|−⌈θ·|d|⌉+1 globally-rarest shingles enter the " +
       "index — any θ-pair must still collide there (prefix principle " +
       "holds under any shared total order), so recall stays 1.0 while " +
-      "ubiquitous shingles (the Σ bucket² blowup of the plain index " +
+      "ubiquitous shingles (the Σ df² blowup of the plain index " +
       "under skew) never generate candidates. Candidates verified with " +
       "the exact Jaccard over pre-hashed sorted shingle sets. Fourth " +
-      "algorithm, same oracle as " +
-      "minhash/simhash/ngram — four independent pruning strategies, " +
-      "one exact answer. The composite pipelines keep the plain " +
-      "index (cheaper on this corpus's flat frequency profile - " +
-      "measured trade in the Scaladoc of Dedup.prefixFilteredJaccard).",
+      "algorithm, same oracle as minhash/simhash/ngram — four " +
+      "independent pruning strategies, one exact answer. Measured: " +
+      "1.9s vs plain 1.2s at sf0.1 (flat profile), 14s vs plain >9min " +
+      "on a 10× duplication-heavy corpus — dedup exists for the " +
+      "latter, so the composite pipelines run on THIS path.",
     oracle = Some(AllPairsJaccardOracle),
     run = (s, dir) =>
       Dedup.prefixFilteredJaccard(docShingles(s, dir), "doc_id", "sh",
@@ -187,7 +194,7 @@ object PipelineQueries {
       .replaceFirst("WITH", "WITH RECURSIVE")),
     run = (s, dir) => {
       val docs = docShingles(s, dir)
-      val pairs = Dedup.invertedIndexJaccard(docs, "doc_id", "sh", Threshold)
+      val pairs = Dedup.prefixFilteredJaccard(docs, "doc_id", "sh", 4, 5)
       Dedup.canonicalIds(docs, "doc_id", pairs, "doc_a", "doc_b")
         .orderBy("doc_id")
     })
@@ -229,7 +236,7 @@ object PipelineQueries {
       FROM ranked ORDER BY doc_id""").replaceFirst("WITH", "WITH RECURSIVE")),
     run = (s, dir) => {
       val docs = docShingles(s, dir)
-      val pairs = Dedup.invertedIndexJaccard(docs, "doc_id", "sh", Threshold)
+      val pairs = Dedup.prefixFilteredJaccard(docs, "doc_id", "sh", 4, 5)
       val comp = Dedup.canonicalIds(docs, "doc_id", pairs, "doc_a", "doc_b")
       val quality = table(s, dir, "documents")
         .select(col("doc_id"), length(col("text")).cast(LongType).as("quality"))
@@ -645,7 +652,7 @@ object PipelineQueries {
       ORDER BY doc_a, doc_b"""),
     run = (s, dir) => {
       val docs = docShingles(s, dir)
-      val pairs = Dedup.invertedIndexJaccard(docs, "doc_id", "sh", Threshold)
+      val pairs = Dedup.prefixFilteredJaccard(docs, "doc_id", "sh", 4, 5)
         .select(col("doc_a"), col("doc_b"))
       val texts = table(s, dir, "documents").select(col("doc_id"), col("text"))
       pairs
@@ -796,8 +803,8 @@ object PipelineQueries {
         // components, quality ranking) — materialize the gate once
         .localCheckpoint(true)
       // stage 2-3: exact near-dup pairs among survivors → components
-      val pairs = Dedup.invertedIndexJaccard(survivors, "doc_id", "sh",
-        Threshold)
+      val pairs = Dedup.prefixFilteredJaccard(survivors, "doc_id", "sh",
+        4, 5)
       val comp = Dedup.canonicalIds(survivors, "doc_id", pairs,
         "doc_a", "doc_b")
       // stage 4: highest-quality keeper per component
