@@ -76,8 +76,9 @@ object Bench {
       "lake_agg_pricing", "lake_star_revenue", "lake_join_bigbig",
       "lake_topk_orders", "lake_windows", "lake_sessionize", "lake_asof_join",
       "pipeline_dedup_exact", "pipeline_dedup_minhash", "pipeline_dedup_simhash",
-      "pipeline_dedup_clusters", "pipeline_corpus_clean",
-      "pipeline_knn_brute", "pipeline_knn_ivf", "pipeline_ann_lsh")
+      "pipeline_dedup_prefix", "pipeline_dedup_clusters", "pipeline_corpus_clean",
+      "pipeline_knn_brute", "pipeline_knn_ivf", "pipeline_ann_lsh",
+      "pipeline_multimodal_decode", "stream_windowed_counts")
     val byName = results.toMap
     val head = jsonMap(headline.flatMap(n => byName.get(n).map(n -> _)))
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"sf":"$sfDir"}""")

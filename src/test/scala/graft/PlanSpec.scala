@@ -89,6 +89,27 @@ class PlanSpec extends AnyFunSuite {
       s"single-task stage in id phase 1:\n$p")
   }
 
+  test("vocab top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("pipeline_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$p")
+  }
+
+  test("LSH bucketing is a narrow map: literal planes, no join") {
+    // the signature is per-row dot products against inlined plane
+    // literals — a plan with any join (the old broadcast-plane-table
+    // formulation) reintroduces two shuffles per signature
+    val p = plan("pipeline_ann_lsh")
+    assert(!p.contains("Join"), s"LSH signature must not join:\n$p")
+  }
+
+  test("multimodal decode stays a narrow per-partition pipeline") {
+    val p = plan("pipeline_multimodal_decode")
+    assert(!p.contains("Join"), s"decode must not join:\n$p")
+    // only the final presentation sort may shuffle
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"decode pipeline should shuffle at most once (final sort):\n$p")
+  }
+
   test("bucketed join runs with no exchange between the bucketed scans") {
     val p = plan("lake_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
