@@ -114,14 +114,16 @@ object PipelineQueries {
   private val dedupSimhash = GraftQuery(
     name = "pipeline_dedup_simhash",
     doc = "SimHash near-dup: 64-bit sign-of-vote fingerprint over shingle " +
-      "hashes; candidates via pigeonhole blocking (13 blocks — Hamming " +
-      "≤ 12 guarantees a whole matching block, recall 1.0 at the radius, " +
-      "NOT probabilistic); verified with exact Jaccard. Same oracle as " +
-      "MinHash — two independent algorithms, one answer. Measured on this " +
-      "corpus: jaccard-0.9 pairs reach Hamming 12/64, so the radius must " +
-      "be 12 — at which width 4-bit blocks prune weakly. Lesson encoded " +
-      "here deliberately: at 100 TB, MinHash banding (tunable s-curve) " +
-      "beats SimHash pigeonhole once the dup threshold drops below ~0.95.",
+      "hashes; candidates via MULTI-INDEX HASHING (7 blocks of 9-10 " +
+      "bits + single-bit-flip probes — Hamming ≤ 12 guarantees a block " +
+      "with ≤1 differing bit, recall 1.0 at the radius, NOT " +
+      "probabilistic); verified with exact Jaccard. Same oracle as " +
+      "MinHash — two independent algorithms, one answer. The radius " +
+      "must be 12 on this corpus (jaccard-0.9 pairs reach Hamming " +
+      "12/64); plain (maxHamming+1)-block pigeonhole at that radius " +
+      "means 4-bit blocks — 16 bucket values, 1/16 of the corpus " +
+      "colliding per block — which MIH's wide blocks replace at the " +
+      "cost of ~71 probe rows per document.",
     oracle = Some(AllPairsJaccardOracle),
     run = (s, dir) => {
       val docs = docShingles(s, dir)
