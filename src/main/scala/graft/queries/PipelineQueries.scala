@@ -737,6 +737,55 @@ object PipelineQueries {
         .orderBy("lang")
     })
 
+  private val trainingExport = GraftQuery(
+    name = "pipeline_training_export",
+    doc = "The export stage of a training-data pipeline: length-gated, " +
+      "exact-deduped documents inner-joined to their embedding " +
+      "modality (doc_id = vec_id) with token counts, embedding " +
+      "norm², and the deterministic split — the assembly a trainer " +
+      "consumes. Cross-modal join shuffles both sides on the id once; " +
+      "at 100 TB both tables are bucketed on it and the join is " +
+      "exchange-free (lake_bucketed_join proves that layout).",
+    oracle = Some("""
+      WITH q AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 2000),
+      keeper AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      j AS (
+        SELECT q.doc_id, q.n_tokens,
+               list_dot_product(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                 AS norm_sq
+        FROM q
+        JOIN keeper k ON k.doc_id = q.doc_id
+        JOIN embeddings e ON e.vec_id = q.doc_id)
+      SELECT doc_id, n_tokens, norm_sq,
+             CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                  THEN 'train' ELSE 'test' END AS split
+      FROM j ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val gated = docs
+        .select(col("doc_id"), size(TextOps.tokens(col("text")))
+          .cast(LongType).as("n_tokens"))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 2000)
+      val keepers = docs.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          VectorOps.asDouble(col("embedding")).as("v"))
+        .select(col("doc_id"), VectorOps.dot(col("v"), col("v")).as("norm_sq"))
+      gated.join(keepers, "doc_id").join(emb, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("norm_sq"),
+          when((col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+            < lit(3865470566L), "train").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    })
+
   // -------------------------------------------------------------------
   // The showcase composition: full corpus-cleaning pipeline.
   // -------------------------------------------------------------------
@@ -890,5 +939,6 @@ object PipelineQueries {
     dedupKeepBest, embedNearDup, embedNearDupGlobal, embedNormalize,
     knnBrute, knnIvf, annLsh, textStats, textQuality, langId, fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
-    stratifiedSample, corpusClean, multimodalMeta, multimodalDecode)
+    stratifiedSample, trainingExport, corpusClean, multimodalMeta,
+    multimodalDecode)
 }

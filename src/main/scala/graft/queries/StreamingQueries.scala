@@ -65,5 +65,23 @@ object StreamingQueries {
       EventStream.sessionCountsDrained(s, s"$dir/events.parquet")
         .orderBy("user_id"))
 
-  val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSessionCounts)
+  private val streamDedupExact = GraftQuery(
+    name = "stream_dedup_exact",
+    doc = "Streaming exact dedup: dropDuplicates on (user_id, " +
+      "event_type) over the event stream — the streaming twin of the " +
+      "batch hash-dedup pass, state is one entry per distinct key. " +
+      "Drained with Trigger.AvailableNow; only the KEY columns are " +
+      "emitted (which physical row arrives first is racy, the distinct " +
+      "key set is deterministic), so the drained sink equals DISTINCT " +
+      "in batch SQL exactly.",
+    oracle = Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""),
+    run = (s, dir) =>
+      EventStream.dedupDrained(s, s"$dir/events.parquet",
+          Seq("user_id", "event_type"))
+        .orderBy("user_id", "event_type"))
+
+  val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSessionCounts,
+    streamDedupExact)
 }

@@ -83,6 +83,26 @@ object EventStream {
     sessionCountsFrom(
       spark.readStream.schema(eventSchema).parquet(inputDir))(spark)
 
+  /** Drained streaming exact dedup: dropDuplicates on `keys` (state =
+    * one entry per distinct key — at scale, bound it with
+    * `withWatermark` + dropDuplicatesWithinWatermark), run to
+    * completion with Trigger.AvailableNow. Emits ONLY the key columns:
+    * the distinct key set is deterministic even though which physical
+    * row wins the race is not. */
+  def dedupDrained(spark: SparkSession, eventsPath: String,
+      keys: Seq[String]): DataFrame = {
+    val deduped = eventsStream(spark, eventsPath)
+      .select(keys.map(col): _*)
+      .dropDuplicates(keys)
+    val name = s"graft_stream_dedup_${drainId.incrementAndGet()}"
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Drained stateful run: sessionCountsFrom over the driver's events
     * table, executed with Trigger.AvailableNow to completion. Update
     * mode re-emits a user's row on every batch that touches it, so the
