@@ -32,21 +32,30 @@ object Bench {
     // two timed passes, keep the per-query minimum: the shared machine
     // shows ±30% wall-clock noise and min-of-2 is a stabler estimator
     // of the achievable time than a single sample
+    // a failed query must not masquerade as a fast one: record it as
+    // -1 in the detail (clearly invalid), surface it on stderr, and
+    // keep it out of the total
     def pass(): Seq[(String, Double)] =
       Registry.all.map(_.name).sorted.map { name =>
         val t0 = System.nanoTime()
-        try { Registry.byName(name).run(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { Registry.byName(name).run(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // untimed: drop blocks pinned by this query (localCheckpoint /
         // persist intermediates) so they don't accumulate across the
-        // 75×2 runs and squeeze later queries' execution memory
+        // passes and squeeze later queries' execution memory
         Caches.clearAll(spark)
         name -> dt
       }
     val (p1, p2) = (pass(), pass())
+    // min-of-2 also propagates failure: -1 wins the min if either pass failed
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val total = results.map(_._2).sum
+    val nFailed = results.count(_._2 < 0)
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
 
     // Locale.ROOT: default-locale formatting would emit "0,328" under a
     // comma-decimal locale and break both JSON outputs.
@@ -61,7 +70,7 @@ object Bench {
     // parse). The printed line carries the total plus a fixed headline
     // subset; BENCH_DETAIL.json has everything.
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     // Anchor the detail file: env override first, else CWD resolved to an
     // absolute path — and LOG where it went, so a driver launched from a
     // different directory can't silently leave a stale repo copy behind.
@@ -81,7 +90,7 @@ object Bench {
       "pipeline_multimodal_decode", "stream_windowed_counts")
     val byName = results.toMap
     val head = jsonMap(headline.flatMap(n => byName.get(n).map(n -> _)))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$head,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,8 +37,12 @@ object MultiModal {
     * to the stub (audio/video) or drop the row (corrupt input at scale
     * is data, not an exception). */
   def decodeImage(content: Array[Byte]): Option[DecodedImage] = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(content))
+    // ImageIO returns null for unrecognized bytes but THROWS for
+    // recognized-but-corrupt containers (truncated PNG/JPEG) — both are
+    // data at corpus scale, so both map to None.
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)

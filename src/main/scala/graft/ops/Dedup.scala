@@ -286,9 +286,11 @@ object Dedup {
     val dfreq = ex.groupBy("shash").agg(count(lit(1)).as("dfreq"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy(col("dfreq"), col("shash"))
-    // prefix length n − ⌈num·n/den⌉ + 1, exact integer ceil-division
+    // prefix length n − ⌈num·n/den⌉ + 1; `div` is Spark's INTEGRAL
+    // division (a `/` would detour through double, and the exactness
+    // claim above is only true if this stays in integers end to end)
     val prefixLen = col("nsh") -
-      floor((col("nsh") * thrNum + lit(thrDen - 1)) / thrDen) + 1
+      expr(s"(nsh * $thrNum + ${thrDen - 1}) div $thrDen") + 1
     val prefix = ex.join(dfreq, "shash")
       .withColumn("rank_rarity", row_number().over(byRarity))
       .filter(col("rank_rarity") <= prefixLen)
@@ -311,9 +313,7 @@ object Dedup {
     val sb = base.select(col("doc").as("b"), col("shh").as("shb")).hint("merge")
     cands.join(sa, "a").join(sb, "b")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
-          size(array_union(col("sha"), col("shb"))).cast(DoubleType))
-          .as("jaccard"))
+        TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

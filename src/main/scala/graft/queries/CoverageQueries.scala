@@ -121,14 +121,14 @@ object CoverageQueries {
     oracle = Some("""
       WITH tagged AS (
         SELECT lang,
-               CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+               CASE WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296 < 3865470566
                     THEN 'train' ELSE 'test' END AS split
         FROM documents)
       SELECT lang, split, COUNT(*) AS n
       FROM tagged GROUP BY 1, 2 ORDER BY lang, split"""),
     run = (s, dir) => table(s, dir, "documents")
       .select(col("lang"),
-        when((col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+        when(graft.ops.Sampling.hash32(col("doc_id"))
           < lit(3865470566L), "train").otherwise("test").as("split"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n"))

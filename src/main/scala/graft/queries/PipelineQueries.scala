@@ -24,7 +24,13 @@ import graft.sources.Readers.table
   */
 object PipelineQueries {
 
-  private val Threshold = 0.8
+  /** Near-dup Jaccard threshold as a rational (exact integer prefix
+    * arithmetic needs num/den) with its double twin derived, never
+    * written separately — change it in ONE place; every oracle's 0.8
+    * literal must move in lockstep. */
+  private val ThresholdNum = 4
+  private val ThresholdDen = 5
+  private val Threshold = ThresholdNum.toDouble / ThresholdDen
 
   /** documents → (doc_id, text, w tokens, sh 3-gram shingles).
     * Materialized eagerly by default: every current consumer fans it into
@@ -166,7 +172,7 @@ object PipelineQueries {
     oracle = Some(AllPairsJaccardOracle),
     run = (s, dir) =>
       Dedup.prefixFilteredJaccard(docShingles(s, dir), "doc_id", "sh",
-        4, 5).orderBy("doc_a", "doc_b"))
+        ThresholdNum, ThresholdDen).orderBy("doc_a", "doc_b"))
 
   private val dedupClusters = GraftQuery(
     name = "pipeline_dedup_clusters",
@@ -196,7 +202,7 @@ object PipelineQueries {
       .replaceFirst("WITH", "WITH RECURSIVE")),
     run = (s, dir) => {
       val docs = docShingles(s, dir)
-      val pairs = Dedup.prefixFilteredJaccard(docs, "doc_id", "sh", 4, 5)
+      val pairs = Dedup.prefixFilteredJaccard(docs, "doc_id", "sh", ThresholdNum, ThresholdDen)
       Dedup.canonicalIds(docs, "doc_id", pairs, "doc_a", "doc_b")
         .orderBy("doc_id")
     })
@@ -238,7 +244,7 @@ object PipelineQueries {
       FROM ranked ORDER BY doc_id""").replaceFirst("WITH", "WITH RECURSIVE")),
     run = (s, dir) => {
       val docs = docShingles(s, dir)
-      val pairs = Dedup.prefixFilteredJaccard(docs, "doc_id", "sh", 4, 5)
+      val pairs = Dedup.prefixFilteredJaccard(docs, "doc_id", "sh", ThresholdNum, ThresholdDen)
       val comp = Dedup.canonicalIds(docs, "doc_id", pairs, "doc_a", "doc_b")
       val quality = table(s, dir, "documents")
         .select(col("doc_id"), length(col("text")).cast(LongType).as("quality"))
@@ -654,7 +660,7 @@ object PipelineQueries {
       ORDER BY doc_a, doc_b"""),
     run = (s, dir) => {
       val docs = docShingles(s, dir)
-      val pairs = Dedup.prefixFilteredJaccard(docs, "doc_id", "sh", 4, 5)
+      val pairs = Dedup.prefixFilteredJaccard(docs, "doc_id", "sh", ThresholdNum, ThresholdDen)
         .select(col("doc_a"), col("doc_b"))
       val texts = table(s, dir, "documents").select(col("doc_id"), col("text"))
       pairs
@@ -717,7 +723,7 @@ object PipelineQueries {
       "integer arithmetic.",
     oracle = Some("""
       WITH s AS (SELECT lang,
-                   CASE WHEN (doc_id * 2654435761) % 4294967296 <
+                   CASE WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296 <
                      CASE lang WHEN 'en' THEN 3221225472
                                WHEN 'de' THEN 2147483648
                                ELSE 1073741824 END
@@ -726,7 +732,7 @@ object PipelineQueries {
       SELECT lang, COUNT(*) AS n_total, CAST(SUM(keep) AS BIGINT) AS n_sampled
       FROM s GROUP BY lang ORDER BY lang"""),
     run = (s, dir) => {
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val h = graft.ops.Sampling.hash32(col("doc_id"))
       val thr = when(col("lang") === "en", 3221225472L)
         .when(col("lang") === "de", 2147483648L)
         .otherwise(1073741824L)
@@ -764,7 +770,7 @@ object PipelineQueries {
         JOIN keeper k ON k.doc_id = q.doc_id
         JOIN embeddings e ON e.vec_id = q.doc_id)
       SELECT doc_id, n_tokens, norm_sq,
-             CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+             CASE WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296 < 3865470566
                   THEN 'train' ELSE 'test' END AS split
       FROM j ORDER BY doc_id"""),
     run = (s, dir) => {
@@ -781,7 +787,7 @@ object PipelineQueries {
         .select(col("doc_id"), VectorOps.dot(col("v"), col("v")).as("norm_sq"))
       gated.join(keepers, "doc_id").join(emb, "doc_id")
         .select(col("doc_id"), col("n_tokens"), col("norm_sq"),
-          when((col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+          when(graft.ops.Sampling.hash32(col("doc_id"))
             < lit(3865470566L), "train").otherwise("test").as("split"))
         .orderBy("doc_id")
     })
@@ -831,7 +837,7 @@ object PipelineQueries {
                  ORDER BY length(d.text) DESC, d.doc_id) AS rn
         FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
       SELECT doc_id,
-             CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+             CASE WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296 < 3865470566
                   THEN 'train' ELSE 'test' END AS split
       FROM ranked WHERE rn = 1 ORDER BY doc_id""")
       .replaceFirst("WITH", "WITH RECURSIVE")),
@@ -855,7 +861,7 @@ object PipelineQueries {
         .localCheckpoint(true)
       // stage 2-3: exact near-dup pairs among survivors → components
       val pairs = Dedup.prefixFilteredJaccard(survivors, "doc_id", "sh",
-        4, 5)
+        ThresholdNum, ThresholdDen)
       val comp = Dedup.canonicalIds(survivors, "doc_id", pairs,
         "doc_a", "doc_b")
       // stage 4: highest-quality keeper per component
@@ -868,7 +874,7 @@ object PipelineQueries {
         .filter(col("rn") === 1)
       // stage 5: deterministic split of the clean corpus
       keepers.select(col("doc_id"),
-          when((col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+          when(graft.ops.Sampling.hash32(col("doc_id"))
             < lit(3865470566L), "train").otherwise("test").as("split"))
         .orderBy("doc_id")
     })

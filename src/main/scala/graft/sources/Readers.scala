@@ -40,11 +40,17 @@ object Readers {
       require(spark.conf.get(NanosAsLongKey, "false") == "true",
         s"set $NanosAsLongKey=true in the SparkSession builder " +
           "(session-level, once) before reading the events table")
-      spark.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      tsFromNanos(spark.read.parquet(path))
     } else spark.read.parquet(path)
   }
+
+  /** The ONE nanos→µs `ts` rebuild, shared by the batch reader above
+    * and the streaming source (graft.streaming.EventStream) so the two
+    * can never diverge on the oracle-parity-critical floor semantics.
+    * `div` (integral), never `/` — int64 nanos overflow double. */
+  def tsFromNanos(df: DataFrame): DataFrame =
+    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000")))
 
   // ---------------------------------------------------------------------
   // Sparkify-shaped sources (reference parity; SURVEY §1.2, §2.1 S1/S2).

@@ -94,13 +94,7 @@ object EventStream {
     val deduped = eventsStream(spark, eventsPath)
       .select(keys.map(col): _*)
       .dropDuplicates(keys)
-    val name = s"graft_stream_dedup_${drainId.incrementAndGet()}"
-    val q = deduped.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drainToTable(spark, deduped, "graft_stream_dedup", OutputMode.Append())
   }
 
   /** Drained stateful run: sessionCountsFrom over the driver's events
@@ -113,13 +107,9 @@ object EventStream {
       : DataFrame = {
     implicit val sp: SparkSession = spark
     val counts = sessionCountsFrom(eventsStream(spark, eventsPath))
-    val name = s"graft_stream_sessions_${drainId.incrementAndGet()}"
-    val q = counts.toDF().writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).groupBy("user_id")
+    drainToTable(spark, counts.toDF(), "graft_stream_sessions",
+        OutputMode.Update())
+      .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"),
         max(col("n_sessions")).as("n_sessions"))
   }
@@ -163,17 +153,43 @@ object EventStream {
     val p = java.nio.file.Paths.get(eventsPath)
     val dir =
       if (java.nio.file.Files.isDirectory(p)) eventsPath
-      else {
+      else symlinkDirs.computeIfAbsent(p.toAbsolutePath.toString, { _ =>
         val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
         java.nio.file.Files.createSymbolicLink(
           d.resolve(p.getFileName), p.toAbsolutePath)
         d.toString
-      }
-    spark.readStream.schema(rawEventSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      })
+    graft.sources.Readers.tsFromNanos(
+      spark.readStream.schema(rawEventSchema).parquet(dir))
   }
 
+  /** One symlink dir per source file for the JVM's lifetime — repeated
+    * drains (bench passes, test suites) must not litter the temp dir. */
+  private val symlinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val drainId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run a streaming frame to a fresh memory-sink table with
+    * Trigger.AvailableNow and return it. The PREVIOUS drain's table for
+    * the same prefix is dropped first: a memory sink holds its whole
+    * result on the driver, and the caller of drain N has necessarily
+    * finished consuming table N−1 — without this, every bench/verify/
+    * test pass leaks one full result set. */
+  private def drainToTable(spark: SparkSession, df: DataFrame,
+      prefix: String, mode: OutputMode): DataFrame = {
+    val name = s"${prefix}_${drainId.incrementAndGet()}"
+    Option(lastDrain.put(prefix, name))
+      .foreach(spark.catalog.dropTempView(_))
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+  private val lastDrain =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Oracle-checkable drained run (SURVEY §7.4.4's drained case): the
     * 5-minute tumbling-window aggregate executed as a REAL streaming
@@ -193,12 +209,6 @@ object EventStream {
           .as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n"), col("sum_value"))
-    val name = s"graft_stream_drain_${drainId.incrementAndGet()}"
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drainToTable(spark, agg, "graft_stream_windows", OutputMode.Complete())
   }
 }
