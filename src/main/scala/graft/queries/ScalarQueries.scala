@@ -159,6 +159,35 @@ object ScalarQueries {
         count(lit(1)).as("n"))
       .orderBy("n_regionkey"))
 
+  private val mapFuncs = GraftQuery(
+    name = "lake_map_funcs",
+    doc = "MapType family (the one complex type the array suite didn't " +
+      "cover): from_json into MapType(String, Long), element_at " +
+      "lookup, map_keys cardinality, in-plan map construction " +
+      "(functions.map), and the map higher-order map_filter — all " +
+      "per-row, codegen-friendly. Oracle extracts the same values via " +
+      "DuckDB's JSON path functions.",
+    oracle = Some("""
+      SELECT event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             CAST(1 AS BIGINT) AS n_keys,
+             event_type AS t_val,
+             CAST(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_hi
+      FROM events ORDER BY event_id"""),
+    run = (s, dir) => table(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"),
+        map(lit("t"), col("event_type"),
+          lit("u"), col("user_id").cast(StringType)).as("built"))
+      .select(col("event_id"),
+        element_at(col("m"), "k").as("k_val"),
+        size(map_keys(col("m"))).cast(LongType).as("n_keys"),
+        element_at(col("built"), "t").as("t_val"),
+        size(map_filter(col("m"), (_, v) => v >= 50)).cast(LongType)
+          .as("n_hi"))
+      .orderBy("event_id"))
+
   val all: Seq[GraftQuery] = Seq(
-    typedAgg, stringFuncs, dateFuncs, nullFuncs, listAgg)
+    typedAgg, stringFuncs, dateFuncs, nullFuncs, listAgg, mapFuncs)
 }

@@ -30,7 +30,7 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("near-dup trio agrees (minhash = simhash = exact inverted index)") {
+  test("near-dup quartet agrees (minhash = simhash = prefix = exact index)") {
     def pairs(name: String) =
       Registry.byName(name).run(spark, dir)
         .select("doc_a", "doc_b").collect()
@@ -39,6 +39,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     assert(pairs("pipeline_dedup_minhash") == exact)
     assert(pairs("pipeline_dedup_simhash") == exact)
+    assert(pairs("pipeline_dedup_prefix") == exact)
   }
 
   test("golden counts on sf0.001") {
