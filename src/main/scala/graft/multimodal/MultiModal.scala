@@ -38,11 +38,13 @@ object MultiModal {
     * is data, not an exception). */
   def decodeImage(content: Array[Byte]): Option[DecodedImage] = {
     // ImageIO returns null for unrecognized bytes but THROWS for
-    // recognized-but-corrupt containers (truncated PNG/JPEG) — both are
-    // data at corpus scale, so both map to None.
+    // recognized-but-corrupt containers — and not only IOException: the
+    // JDK readers surface CMMException (corrupt ICC profile),
+    // IndexOutOfBounds (truncated GIF), IllegalArgument... All of it is
+    // data at corpus scale, so every non-fatal failure maps to None.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)

@@ -121,7 +121,7 @@ object CoverageQueries {
     oracle = Some("""
       WITH tagged AS (
         SELECT lang,
-               CASE WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296 < 3865470566
+               CASE WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 4294967296 < 3865470566
                     THEN 'train' ELSE 'test' END AS split
         FROM documents)
       SELECT lang, split, COUNT(*) AS n

@@ -26,8 +26,8 @@ object PipelineQueries {
 
   /** Near-dup Jaccard threshold as a rational (exact integer prefix
     * arithmetic needs num/den) with its double twin derived, never
-    * written separately — change it in ONE place; every oracle's 0.8
-    * literal must move in lockstep. */
+    * written separately, and interpolated into every oracle string —
+    * change it in ONE place and Spark + DuckDB move together. */
   private val ThresholdNum = 4
   private val ThresholdDen = 5
   private val Threshold = ThresholdNum.toDouble / ThresholdDen
@@ -58,12 +58,12 @@ object PipelineQueries {
 
   /** The one true near-dup answer: all pairs with exact shingle Jaccard ≥
     * 0.8 (25 planted pairs at sf0.01, clean margin — next pair is at 0.1). */
-  private val AllPairsJaccardOracle = ShingleCte + """,
+  private val AllPairsJaccardOracle = ShingleCte + s""",
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               len(list_intersect(a.sh, b.sh)) * 1.0 /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
             FROM s a JOIN s b ON a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+      SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $Threshold
       ORDER BY doc_a, doc_b"""
 
   /** Exact Jaccard verification of candidate (a, b) pairs → oracle shape.
@@ -183,11 +183,11 @@ object PipelineQueries {
       "DuckDB RECURSIVE CTE computes reachability over the same pair " +
       "graph — a completely different algorithm (transitive closure) " +
       "agreeing with the distributed label propagation.",
-    oracle = Some((ShingleCte + """,
+    oracle = Some((ShingleCte + s""",
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $Threshold),
       edges AS (SELECT doc_a AS u, doc_b AS v FROM p
                 UNION ALL SELECT doc_b, doc_a FROM p),
       reach AS (
@@ -216,11 +216,11 @@ object PipelineQueries {
       "dedup decides the groups, quality decides the survivor. Oracle " +
       "recomputes components with a RECURSIVE CTE and picks keepers with " +
       "a window.",
-    oracle = Some((ShingleCte + """,
+    oracle = Some((ShingleCte + s""",
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $Threshold),
       edges AS (SELECT doc_a AS u, doc_b AS v FROM p
                 UNION ALL SELECT doc_b, doc_a FROM p),
       reach AS (
@@ -728,11 +728,11 @@ object PipelineQueries {
       "between the texts of every exact-Jaccard pair — a second, " +
       "character-level similarity signal on the same candidates. Both " +
       "engines implement the same DP recurrence → identical integers.",
-    oracle = Some(ShingleCte + """,
+    oracle = Some(ShingleCte + s""",
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8)
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $Threshold)
       SELECT p.doc_a, p.doc_b,
              CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
       FROM p
@@ -804,7 +804,7 @@ object PipelineQueries {
       "integer arithmetic.",
     oracle = Some("""
       WITH s AS (SELECT lang,
-                   CASE WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296 <
+                   CASE WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 4294967296 <
                      CASE lang WHEN 'en' THEN 3221225472
                                WHEN 'de' THEN 2147483648
                                ELSE 1073741824 END
@@ -851,7 +851,7 @@ object PipelineQueries {
         JOIN keeper k ON k.doc_id = q.doc_id
         JOIN embeddings e ON e.vec_id = q.doc_id)
       SELECT doc_id, n_tokens, norm_sq,
-             CASE WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296 < 3865470566
+             CASE WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 4294967296 < 3865470566
                   THEN 'train' ELSE 'test' END AS split
       FROM j ORDER BY doc_id"""),
     run = (s, dir) => {
@@ -885,7 +885,7 @@ object PipelineQueries {
       "stage is an operator proven individually elsewhere; this is the " +
       "composition a real training-data pipeline runs nightly. Oracle " +
       "rebuilds the whole chain in SQL (recursive CTE + windows).",
-    oracle = Some(("""
+    oracle = Some((s"""
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
       q AS (SELECT doc_id, text, w,
               CAST(len(w) AS BIGINT) AS n_tokens,
@@ -900,7 +900,7 @@ object PipelineQueries {
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $Threshold),
       edges AS (SELECT doc_a AS u, doc_b AS v FROM p
                 UNION ALL SELECT doc_b, doc_a FROM p),
       reach AS (
@@ -918,7 +918,7 @@ object PipelineQueries {
                  ORDER BY length(d.text) DESC, d.doc_id) AS rn
         FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
       SELECT doc_id,
-             CASE WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296 < 3865470566
+             CASE WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 4294967296 < 3865470566
                   THEN 'train' ELSE 'test' END AS split
       FROM ranked WHERE rn = 1 ORDER BY doc_id""")
       .replaceFirst("WITH", "WITH RECURSIVE")),

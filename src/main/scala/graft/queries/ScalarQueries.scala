@@ -170,7 +170,7 @@ object ScalarQueries {
     oracle = Some("""
       SELECT event_id,
              CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-             CAST(1 AS BIGINT) AS n_keys,
+             CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
              event_type AS t_val,
              CAST(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
                   THEN 1 ELSE 0 END AS BIGINT) AS n_hi

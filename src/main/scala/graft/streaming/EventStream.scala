@@ -171,22 +171,29 @@ object EventStream {
   private val drainId = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Run a streaming frame to a fresh memory-sink table with
-    * Trigger.AvailableNow and return it. The PREVIOUS drain's table for
-    * the same prefix is dropped first: a memory sink holds its whole
-    * result on the driver, and the caller of drain N has necessarily
-    * finished consuming table N−1 — without this, every bench/verify/
-    * test pass leaks one full result set. */
+    * Trigger.AvailableNow and return it. After the new drain SUCCEEDS,
+    * the previous drain's table for the same prefix is dropped: a
+    * memory sink holds its whole result on the driver, and by the time
+    * drain N completes its sequential caller (bench pass / verify /
+    * test suite) has finished consuming table N−1 — without the drop,
+    * every pass leaks one full result set. Bookkeeping is updated only
+    * on success, so a failed start/drain can neither drop a live table
+    * nor record a table that was never created. Same-prefix drains are
+    * sequential by contract (each query family drains from one caller
+    * at a time). */
   private def drainToTable(spark: SparkSession, df: DataFrame,
       prefix: String, mode: OutputMode): DataFrame = {
     val name = s"${prefix}_${drainId.incrementAndGet()}"
-    Option(lastDrain.put(prefix, name))
-      .foreach(spark.catalog.dropTempView(_))
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val out = spark.table(name)
+    Option(lastDrain.put(prefix, name))
+      .filter(_ != name)
+      .foreach(spark.catalog.dropTempView(_))
+    out
   }
   private val lastDrain =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
