@@ -27,6 +27,9 @@ class QueriesSpec extends AnyFunSuite {
       val df = q.run(spark, dir)
       assert(df.columns.nonEmpty)
       assert(df.count() >= 0)
+      // same hygiene as Bench/Verify: pinned blocks must not accumulate
+      // across the 85 queries sharing this test JVM
+      Caches.clearAll(spark)
     }
   }
 
