@@ -82,6 +82,27 @@ object StreamingQueries {
           Seq("user_id", "event_type"))
         .orderBy("user_id", "event_type"))
 
+  private val streamStaticJoin = GraftQuery(
+    name = "stream_static_join",
+    doc = "Stream-static enrichment join: the event stream joined to " +
+      "the broadcast customer dimension on user_id, aggregated per " +
+      "market segment, drained with Trigger.AvailableNow — the " +
+      "enrich-then-aggregate shape every production event pipeline " +
+      "runs. Oracle = the same join in batch SQL; a drained stream " +
+      "must agree exactly.",
+    oracle = Some("""
+      SELECT c.c_mktsegment, COUNT(*) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""),
+    run = (s, dir) => {
+      val dim = graft.sources.Readers.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      EventStream.staticJoinCountsDrained(s, s"$dir/events.parquet",
+          dim, "c_custkey", "c_mktsegment")
+        .orderBy("c_mktsegment")
+    })
+
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSessionCounts,
-    streamDedupExact)
+    streamDedupExact, streamStaticJoin)
 }

@@ -83,6 +83,23 @@ object EventStream {
     sessionCountsFrom(
       spark.readStream.schema(eventSchema).parquet(inputDir))(spark)
 
+  /** Drained stream-STATIC enrichment join (the standard streaming
+    * pattern the others don't cover: an unbounded stream joined to a
+    * bounded dimension): events ⋈ broadcast dim on user_id, then a
+    * windowless grouped aggregate, drained with Trigger.AvailableNow.
+    * The static side broadcasts once per micro-batch planning — no
+    * state grows with the stream except the per-group aggregate. */
+  def staticJoinCountsDrained(spark: SparkSession, eventsPath: String,
+      dim: DataFrame, dimKey: String, groupCol: String): DataFrame = {
+    val ev = eventsStream(spark, eventsPath)
+    val agg = ev.join(broadcast(dim), ev("user_id") === dim(dimKey))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+    drainToTable(spark, agg, "graft_stream_enrich", OutputMode.Complete())
+  }
+
   /** Drained streaming exact dedup: dropDuplicates on `keys` (state =
     * one entry per distinct key — at scale, bound it with
     * `withWatermark` + dropDuplicatesWithinWatermark), run to
