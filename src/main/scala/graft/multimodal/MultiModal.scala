@@ -9,20 +9,27 @@ import org.apache.spark.sql.types._
   * stages shaped for 100 TB (per-partition batch processing, no driver
   * round trips, schema known up front).
   *
-  * Image decode is REAL: `decodeImage` parses PNG/JPEG/BMP/GIF bytes
-  * with the pure-JDK `javax.imageio` codec (no external libs), and
-  * `extractFeatures` uses it for every decodable image payload. Audio
-  * and video have no JDK codec, so `decodeStub` remains the
-  * clearly-marked DETERMINISTIC FAKE for those kinds (in production: a
-  * JNI/FFI codec or a vectorized Python worker) — the asset schema,
-  * `mapPartitions` batch shape, partition-preserving pipeline and frame
-  * sampling are identical for both paths.
+  * Image decode AND resize are REAL: `decodeImage` parses
+  * PNG/JPEG/BMP/GIF bytes with the pure-JDK `javax.imageio` codec (no
+  * external libs), `resizeImage` decodes → `Graphics2D` rescale → PNG
+  * re-encode, and `extractFeatures` uses the codec for every decodable
+  * image payload. Audio decode is REAL for WAV/PCM via the pure-JDK
+  * `javax.sound.sampled` stack (`decodeWav`). Only video has no JDK
+  * codec, so `decodeStub` remains the clearly-marked DETERMINISTIC FAKE
+  * for that kind (in production: a JNI/FFI codec or a vectorized Python
+  * worker) — the asset schema, `mapPartitions` batch shape,
+  * partition-preserving pipeline and frame sampling are identical for
+  * all paths.
   */
 object MultiModal {
 
   /** Decoded raster properties: verified dims + per-channel means. */
   case class DecodedImage(width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Decoded PCM properties: verified rate / length / sample stats. */
+  case class DecodedAudio(sample_rate: Int, n_samples: Long,
+      mean_sample: Double, peak_sample: Int)
 
   /** One image-bearing row: the opaque multimodal column + its id. */
   case class ImageAsset(doc_id: Long, content: Array[Byte])
@@ -63,6 +70,68 @@ object MultiModal {
       Some(DecodedImage(w, h, sr.toDouble / n, sg.toDouble / n,
         sb.toDouble / n))
     }
+  }
+
+  /** REAL audio decode via javax.sound.sampled: parses the WAV/AIFF
+    * container, streams the PCM frames, returns verified rate, length
+    * and sample statistics. Handles 16-bit signed mono (the fixture
+    * format and the overwhelmingly common corpus shape); anything the
+    * JDK stack cannot parse maps to None — corrupt media at corpus
+    * scale is filtered data, not an exception. */
+  def decodeWav(content: Array[Byte]): Option[DecodedAudio] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in == null) None
+    else try {
+      val fmt = in.getFormat
+      val ok = fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian // WAV PCM is little-endian by spec
+      if (!ok) None
+      else {
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        var i = 0
+        var sum = 0L
+        var peak = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt
+          val s = (hi << 8) | lo
+          sum += s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        Some(DecodedAudio(fmt.getSampleRate.toInt, n.toLong,
+          if (n == 0) 0.0 else sum.toDouble / n, peak))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
+  /** Encode 16-bit signed mono PCM samples as a genuine WAV container
+    * (fixture input for the real decoder — the RIFF header, format
+    * chunk and little-endian frames all come from the JDK writer). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Encode a solid-color PNG (test/fixture input for the real decoder:
@@ -117,6 +186,44 @@ object MultiModal {
     }
   }
 
+  /** One audio-bearing row: the opaque multimodal column + its id. */
+  case class AudioAsset(doc_id: Long, content: Array[Byte])
+
+  /** `decodeAudio` output row (stats exact for constant-tone fixtures). */
+  case class AudioDecoded(doc_id: Long, sample_rate: Long, n_samples: Long,
+      mean_sample: Double, peak_sample: Long)
+
+  /** Deterministic WAV ingest: one real RIFF/WAV container per id whose
+    * sample rate, length and constant amplitude are pure functions of
+    * the id — which is exactly what makes the decode stage
+    * oracle-checkable (the oracle predicts the decoded stats from the
+    * same formulas). */
+  def syntheticWavAssets(ids: Dataset[Long])(
+      implicit spark: SparkSession): Dataset[AudioAsset] = {
+    import spark.implicits._
+    ids.map { d =>
+      val rate = (8000 + (d % 4) * 4000).toInt
+      val n = (64 + d % 97).toInt
+      val amp = ((d % 2001) - 1000).toShort
+      AudioAsset(d, encodeWav(rate, Array.fill(n)(amp)))
+    }
+  }
+
+  /** REAL audio decode stage: per-partition batch map over binary WAV
+    * content — same shape as `decodeImages`, decoder is the JDK
+    * javax.sound.sampled stack. Undecodable rows are dropped. */
+  def decodeAudio(assets: Dataset[AudioAsset])(
+      implicit spark: SparkSession): Dataset[AudioDecoded] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        decodeWav(a.content).map(d =>
+          AudioDecoded(a.doc_id, d.sample_rate.toLong, d.n_samples,
+            d.mean_sample, d.peak_sample.toLong))
+      }
+    }
+  }
+
   /** One media asset: content opaque, metadata typed. */
   case class MediaAsset(
       asset_id: Long,
@@ -137,11 +244,12 @@ object MultiModal {
   val FeatureDim = 8
 
   /** ======================= DECODE STUB =============================
-    * Deterministic fake decoder for the kinds the JDK has NO codec for
-    * (audio, video) and for undecodable image bytes. Images use the real
-    * `decodeImage` above. This derives a stable pseudo-feature from the
-    * bytes so the surrounding pipeline (batching, schema, partitioning)
-    * is fully testable; swap for a JNI/FFI codec binding in production.
+    * Deterministic fake decoder for the ONE kind the JDK has no codec
+    * for (video) and for undecodable image/audio bytes. Images use the
+    * real `decodeImage`, audio the real `decodeWav` above. This derives
+    * a stable pseudo-feature from the bytes so the surrounding pipeline
+    * (batching, schema, partitioning) is fully testable; swap for a
+    * JNI/FFI codec binding in production.
     * ================================================================= */
   def decodeStub(content: Array[Byte]): Array[Float] = {
     var h = 1125899906842597L // fixed seed; per-asset determinism only
@@ -167,52 +275,79 @@ object MultiModal {
     * of `mapInPandas`: one iterator in, one iterator out, executor-local,
     * no shuffle, preserves partitioning. Image payloads get the REAL
     * javax.imageio decode (verified dims + channel means as the leading
-    * feature components); audio/video and undecodable bytes fall back to
-    * the labeled stub. Per-partition init (codec cache config here;
-    * model weights in production) is amortized across the batch. */
+    * feature components), audio payloads the REAL javax.sound.sampled
+    * WAV decode (rate / length / sample stats); video and undecodable
+    * bytes fall back to the labeled stub. Per-partition init (codec
+    * cache config here; model weights in production) is amortized
+    * across the batch. */
   def extractFeatures(assets: Dataset[MediaAsset])(
       implicit spark: SparkSession): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val feature =
-          (if (a.kind == "image") decodeImage(a.content) else None) match {
+        val feature = a.kind match {
+          case "image" => decodeImage(a.content) match {
             case Some(d) => Array(d.width.toFloat, d.height.toFloat,
               d.mean_r.toFloat, d.mean_g.toFloat, d.mean_b.toFloat,
               0f, 0f, 0f)
             case None => decodeStub(a.content)
           }
+          case "audio" => decodeWav(a.content) match {
+            case Some(d) => Array(d.sample_rate.toFloat,
+              d.n_samples.toFloat, d.mean_sample.toFloat,
+              d.peak_sample.toFloat, 0f, 0f, 0f, 0f)
+            case None => decodeStub(a.content)
+          }
+          case _ => decodeStub(a.content)
+        }
         AssetFeatures(a.asset_id, a.kind, a.content.length.toLong,
           fnv(a.content), feature)
       }
     }
   }
 
-  /** ====================== RESIZE STUB ==============================
-    * Deterministic fake resize: a real implementation decodes, scales,
-    * re-encodes; this one derives the "resized" payload by strided byte
-    * sampling so output size tracks the target dimensions and content
-    * stays a pure function of the input. The pipeline contract it
-    * preserves — binary in, smaller binary out, metadata updated, pure
-    * per-row — is exactly what a codec-backed version must satisfy.
-    * ================================================================= */
-  def resizeStub(content: Array[Byte], targetW: Int,
-      targetH: Int): Array[Byte] = {
-    val targetLen = math.max(1, math.min(content.length, targetW * targetH / 64))
-    val stride = math.max(1, content.length / targetLen)
-    content.indices.collect { case i if i % stride == 0 => content(i) }.toArray
+  /** REAL image resize: javax.imageio decode → `Graphics2D` bilinear
+    * rescale into a fresh RGB raster → PNG re-encode. None when the
+    * bytes are not a decodable image (pass-through/drop is the caller's
+    * call — resizing non-image media is meaningless). Pure per-row:
+    * binary in, binary out, no shared state. */
+  def resizeImage(content: Array[Byte], targetW: Int,
+      targetH: Int): Option[Array[Byte]] = {
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (src == null) None
+    else {
+      val dst = new java.awt.image.BufferedImage(targetW, targetH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      Some(bos.toByteArray)
+    }
   }
 
-  /** Resize stage: per-partition batch map, metadata rewritten to the
-    * target dims alongside the (stubbed) re-encoded payload. */
+  /** Resize stage: per-partition batch map; image payloads get the REAL
+    * decode→scale→re-encode with metadata rewritten to the target dims,
+    * non-image (or undecodable) payloads pass through untouched. */
   def resize(assets: Dataset[MediaAsset], targetW: Int, targetH: Int)(
       implicit spark: SparkSession): Dataset[MediaAsset] = {
     import spark.implicits._
     assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        a.copy(content = resizeStub(a.content, targetW, targetH),
-          meta_width = targetW, meta_height = targetH)
+        resizeImage(a.content, targetW, targetH) match {
+          case Some(bytes) => a.copy(content = bytes,
+            meta_width = targetW, meta_height = targetH)
+          case None => a
+        }
       }
     }
   }

@@ -1020,6 +1020,75 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val multimodalResize = GraftQuery(
+    name = "pipeline_multimodal_resize",
+    doc = "REAL image resize over a binary multimodal column: the " +
+      "per-doc PNG (varying source dims 8-20 x 8-14) is decoded, " +
+      "Graphics2D-bilinear-scaled to a fixed 16x10 thumbnail, PNG " +
+      "re-encoded (graft.multimodal.MultiModal.resize), then decoded " +
+      "AGAIN to verify. Solid-color fixtures survive bilinear scaling " +
+      "exactly, so the oracle predicts the re-decoded dims and channel " +
+      "means from the doc_id formulas — a green row proves the full " +
+      "decode->scale->re-encode->decode round trip. No stub anywhere.",
+    oracle = Some("""
+      SELECT doc_id,
+             CAST(16 AS BIGINT) AS width,
+             CAST(10 AS BIGINT) AS height,
+             CAST(doc_id % 256 AS BIGINT) AS mean_r,
+             CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+             CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+      FROM documents ORDER BY doc_id"""),
+    run = (s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = graft.multimodal.MultiModal.syntheticPngAssets(ids)
+        .map(a => graft.multimodal.MultiModal.MediaAsset(
+          a.doc_id, "image", a.content, 0, 0, 0))
+      val resized = graft.multimodal.MultiModal
+        .resize(media, targetW = 16, targetH = 10)
+        .map(a => graft.multimodal.MultiModal.ImageAsset(a.asset_id,
+          a.content))
+      graft.multimodal.MultiModal.decodeImages(resized).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r")).cast(LongType).as("mean_r"),
+          round(col("mean_g")).cast(LongType).as("mean_g"),
+          round(col("mean_b")).cast(LongType).as("mean_b"))
+        .orderBy("doc_id")
+    })
+
+  private val multimodalAudio = GraftQuery(
+    name = "pipeline_multimodal_audio",
+    doc = "REAL audio decode over a binary multimodal column: one " +
+      "genuine RIFF/WAV container per document (sample rate, length and " +
+      "constant tone amplitude are pure functions of doc_id), decoded " +
+      "back with the pure-JDK javax.sound.sampled stack in a " +
+      "per-partition batch stage (graft.multimodal.MultiModal" +
+      ".decodeAudio). The oracle predicts the DECODED rate / frame " +
+      "count / sample mean / peak from the same formulas, so a green " +
+      "row proves the PCM encode->WAV-container->decode round trip " +
+      "sample-exactly. Stub remains only for video.",
+    oracle = Some("""
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+             CAST(64 + doc_id % 97 AS BIGINT) AS n_samples,
+             CAST((doc_id % 2001) - 1000 AS BIGINT) AS mean_sample,
+             CAST(abs((doc_id % 2001) - 1000) AS BIGINT) AS peak_sample
+      FROM documents ORDER BY doc_id"""),
+    run = (s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      val decoded = graft.multimodal.MultiModal.decodeAudio(
+        graft.multimodal.MultiModal.syntheticWavAssets(ids))
+      // constant-tone fixtures → the sample mean is an exact integer
+      decoded.toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          round(col("mean_sample")).cast(LongType).as("mean_sample"),
+          col("peak_sample"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupClusters,
@@ -1028,5 +1097,5 @@ object PipelineQueries {
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     stratifiedSample, trainingExport, corpusClean, multimodalMeta,
-    multimodalDecode)
+    multimodalDecode, multimodalResize, multimodalAudio)
 }

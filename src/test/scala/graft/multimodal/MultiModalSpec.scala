@@ -36,18 +36,55 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
-  test("resize stage: deterministic, shrinks payload, rewrites metadata") {
-    val ds = assets.as[MultiModal.MediaAsset]
-    val r1 = MultiModal.resize(ds, 32, 32).collect().map(a => a.asset_id -> a).toMap
-    val r2 = MultiModal.resize(ds.repartition(5), 32, 32).collect()
+  test("resize stage: real rescale for images, pass-through otherwise") {
+    val media = Seq(
+      MultiModal.MediaAsset(1L, "image",
+        MultiModal.encodePng(20, 14, 0x405060), 20, 14, 0),
+      MultiModal.MediaAsset(2L, "image",
+        MultiModal.encodePng(8, 8, 0x112233), 8, 8, 0),
+      MultiModal.MediaAsset(3L, "audio",
+        "not an image".getBytes("UTF-8"), 0, 0, 16000))
+    val ds = media.toDS()
+    val r1 = MultiModal.resize(ds, 16, 10).collect()
       .map(a => a.asset_id -> a).toMap
-    val orig = ds.collect().map(a => a.asset_id -> a).toMap
-    assert(r1.keySet == orig.keySet)
-    r1.foreach { case (id, a) =>
-      assert(a.meta_width == 32 && a.meta_height == 32)
-      assert(a.content.length <= orig(id).content.length)
+    val r2 = MultiModal.resize(ds.repartition(3), 16, 10).collect()
+      .map(a => a.asset_id -> a).toMap
+    // image payloads: really re-encoded — decode verifies target dims and
+    // that the solid fill survives the bilinear scale exactly
+    Seq(1L -> 0x405060, 2L -> 0x112233).foreach { case (id, rgb) =>
+      val a = r1(id)
+      assert(a.meta_width == 16 && a.meta_height == 10)
+      val d = MultiModal.decodeImage(a.content).get
+      assert(d.width == 16 && d.height == 10)
+      assert(d.mean_r == ((rgb >> 16) & 0xff).toDouble &&
+        d.mean_g == ((rgb >> 8) & 0xff).toDouble &&
+        d.mean_b == (rgb & 0xff).toDouble)
       assert(a.content.toSeq == r2(id).content.toSeq) // partition-invariant
     }
+    // non-image payload: untouched, metadata preserved
+    assert(r1(3L).content.toSeq == media(2).content.toSeq)
+    assert(r1(3L).meta_sample_rate == 16000 && r1(3L).meta_width == 0)
+  }
+
+  test("real WAV decode: javax.sound.sampled round trip is sample-exact") {
+    val samples = Array.tabulate(200)(i => ((i % 7) * 100 - 300).toShort)
+    val wav = MultiModal.encodeWav(16000, samples)
+    // genuine RIFF/WAVE container from the JDK writer
+    assert(wav.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq)
+    assert(wav.slice(8, 12).toSeq == "WAVE".getBytes("US-ASCII").toSeq)
+    val d = MultiModal.decodeWav(wav).get
+    assert(d.sample_rate == 16000 && d.n_samples == 200)
+    assert(d.mean_sample == samples.map(_.toLong).sum.toDouble / 200)
+    assert(d.peak_sample == samples.map(s => math.abs(s.toInt)).max)
+    // non-audio bytes are rejected, not mis-decoded
+    assert(MultiModal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractFeatures uses the real WAV decoder for audio assets") {
+    val wav = MultiModal.encodeWav(8000, Array.fill(50)(123.toShort))
+    val ds = Seq(MultiModal.MediaAsset(1L, "audio", wav, 0, 0, 8000)).toDS()
+    val f = MultiModal.extractFeatures(ds).collect().head
+    assert(f.feature.take(4).toSeq == Seq(8000f, 50f, 123f, 123f))
   }
 
   test("real PNG decode: javax.imageio round trip is pixel-exact") {
