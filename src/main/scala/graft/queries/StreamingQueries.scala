@@ -103,6 +103,33 @@ object StreamingQueries {
         .orderBy("c_mktsegment")
     })
 
+  private val streamLateData = GraftQuery(
+    name = "stream_late_data",
+    doc = "Watermark/late-data semantics, drained and oracle-checked: " +
+      "the events table is re-delivered as two engineered micro-batches " +
+      "(maxFilesPerTrigger=1; batch 1 = everything from stream start " +
+      "+30min on, batch 2 = the first 30 minutes, arriving late). After " +
+      "batch 1 the watermark sits at max(ts)-10min, so append mode must " +
+      "DROP every batch-2 row and emit exactly the windows whose end <= " +
+      "final watermark. The oracle predicts both effects in batch SQL " +
+      "from the same split predicate: aggregate only the on-time rows, " +
+      "keep only finalized windows. Green = the engine's late-drop and " +
+      "append-finalization cutoffs both match the spec.",
+    oracle = Some("""
+      WITH b AS (SELECT epoch_ns(min(ts)) // 1000 AS mn_us,
+                        epoch_ns(max(ts)) // 1000 AS mx_us FROM events)
+      SELECT (epoch_ns(e.ts) // 300000000000) * 300 AS window_start_s,
+             e.event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e, b
+      WHERE epoch_ns(e.ts) // 1000 >= b.mn_us + 1800000000
+        AND ((epoch_ns(e.ts) // 300000000000) * 300 + 300) * 1000000
+            <= (b.mx_us // 1000 - 600000) * 1000
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    run = (s, dir) =>
+      EventStream.lateDataDrained(s, dir)
+        .orderBy("window_start_s", "event_type"))
+
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSessionCounts,
-    streamDedupExact, streamStaticJoin)
+    streamDedupExact, streamStaticJoin, streamLateData)
 }

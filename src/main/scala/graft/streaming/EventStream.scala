@@ -171,7 +171,8 @@ object EventStream {
     val dir =
       if (java.nio.file.Files.isDirectory(p)) eventsPath
       else symlinkDirs.computeIfAbsent(p.toAbsolutePath.toString, { _ =>
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        val d = deleteOnExit(
+          java.nio.file.Files.createTempDirectory("graft_stream_src"))
         java.nio.file.Files.createSymbolicLink(
           d.resolve(p.getFileName), p.toAbsolutePath)
         d.toString
@@ -181,9 +182,24 @@ object EventStream {
   }
 
   /** One symlink dir per source file for the JVM's lifetime — repeated
-    * drains (bench passes, test suites) must not litter the temp dir. */
+    * drains (bench passes, test suites) must not litter the temp dir.
+    * Every created dir is registered for deletion at JVM exit so
+    * repeated RUNS don't litter the system temp dir either. */
   private val symlinkDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Best-effort recursive delete at JVM exit (temp fixture/symlink
+    * dirs are small: a symlink, or one parquet split per batch). */
+  private def deleteOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }))
+    dir
+  }
 
   private val drainId = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -224,6 +240,77 @@ object EventStream {
     * must equal the batch twin row-for-row, which is exactly what the
     * DuckDB oracle checks. Window starts surface as epoch seconds —
     * integer bucket arithmetic both engines share. */
+  /** Minimal schema for the late-data fixture stream (written by
+    * `lateDataDrained` itself with µs timestamps — no nanos rebuild). */
+  private val lateEventSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Drained WATERMARK/LATE-DATA run — the append-mode semantics the
+    * other drained queries can't reach (they see one file = one batch,
+    * so nothing is ever late). Two micro-batches, engineered from the
+    * events table itself:
+    *
+    *   run 1 sees every event from 30 minutes after stream start on
+    *         (contains the global max event time),
+    *   run 2 delivers the first 30 minutes of events, arriving LATE.
+    *
+    * Batch separation is STRUCTURAL, not a read-limit knob: two
+    * sequential `Trigger.AvailableNow` executions against the same
+    * checkpoint (the watermark is persisted state, exactly as in a
+    * production restart), with a parquet file sink accumulating the
+    * append-mode emissions across runs. After run 1 the committed
+    * watermark is max(ts) − 10 min; every run-2 row is >45 min older
+    * than that on any events fixture spanning hours, so the engine must
+    * DROP all of them and emit nothing new, while run 1 emitted exactly
+    * the windows whose end ≤ watermark. Both effects are predictable in
+    * batch SQL from the same split predicate — that prediction is the
+    * DuckDB oracle. (A read-limit split of one directory was tried
+    * first: AvailableNow planned both files into one micro-batch,
+    * nothing was ever late — the restart formulation cannot be merged.) */
+  def lateDataDrained(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val events = graft.sources.Readers.table(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    // bounds for the split predicate: one 2-long driver-side aggregate
+    val bounds = events
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val cutUs = bounds.getLong(0) + 1800000000L // stream start + 30 min
+    val dir = deleteOnExit(Files.createTempDirectory("graft_stream_late"))
+    val srcDir = dir.resolve("src").toString
+    val outDir = dir.resolve("out").toString
+    val cpDir = dir.resolve("cp").toString
+    def drainOnce(): Unit = {
+      val agg = spark.readStream.schema(lateEventSchema).parquet(srcDir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    events.filter(unix_micros(col("ts")) >= cutUs)
+      .write.mode("append").parquet(srcDir)
+    drainOnce() // watermark commits at max(ts) - 10 min; windows emit
+    events.filter(unix_micros(col("ts")) < cutUs)
+      .write.mode("append").parquet(srcDir)
+    drainOnce() // restored watermark must drop every late row
+    spark.read.schema(StructType(Seq(
+        StructField("window_start_s", LongType),
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("sum_value", DoubleType))))
+      .parquet(outDir)
+  }
+
   def windowedCountsDrained(spark: SparkSession, eventsDir: String)
       : DataFrame = {
     val agg = eventsStream(spark, eventsDir)
