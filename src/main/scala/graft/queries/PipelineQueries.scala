@@ -334,20 +334,41 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     })
 
+  /** Max vectors per IVF search cell: an oversized cell is split by a
+    * secondary deterministic id hash into ⌈cell_n/cap⌉ sub-cells,
+    * bounding per-cell pair work at ~cap² and total pair work at
+    * ~cap·n — the Σ cell² quadratic blowup the 10× probe measured
+    * (27×) becomes linear in n at fixed cap. */
+  private val IvfCellCap = 64
+
   private val knnIvf = GraftQuery(
     name = "pipeline_knn_ivf",
-    doc = "Partition-pruned (IVF-style) top-3: every vector searches only " +
-      "its label cell. The scale path of pipeline_knn_brute: pair space " +
-      "is Σ cell² instead of n²; cells are the shuffle key, so the whole " +
-      "search is one co-partitioned self-join.",
-    oracle = Some("""
+    doc = "Partition-pruned (IVF-style) top-3 with a CELL-SIZE CAP: " +
+      "every vector searches only its label cell, and any cell larger " +
+      s"than $IvfCellCap is split by a secondary deterministic id hash " +
+      "into ceil(cell_n/cap) sub-cells (the standard IVF refinement: " +
+      "probe fewer candidates for bounded latency). Pair space drops " +
+      "from sigma cell^2 (quadratic per cell) to at most cap*n " +
+      "(linear). (label, sub) is the shuffle key, so the whole search " +
+      "is one co-partitioned self-join; the cell-size lookup " +
+      "broadcasts (one row per label). The cap changes the candidate " +
+      "set, so the oracle splits cells with the IDENTICAL hash - the " +
+      "approximation itself is differential-tested.",
+    oracle = Some(s"""
       WITH e AS (SELECT vec_id, label,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
       n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      c AS (SELECT label, COUNT(*) AS cell_n FROM n GROUP BY label),
+      h AS (SELECT n.*,
+              (((vec_id % 1000000007 + 1000000007) % 1000000007)
+                 * 2654435761) % 4294967296
+                 % ((cell_n + ${IvfCellCap - 1}) // $IvfCellCap) AS sub
+            FROM n JOIN c USING (label)),
       p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+            FROM h a JOIN h b ON a.label = b.label AND a.sub = b.sub
+              AND a.vec_id <> b.vec_id),
       r AS (SELECT vec_id, neighbor_id,
               ROW_NUMBER() OVER (PARTITION BY vec_id
                 ORDER BY cos DESC, neighbor_id) AS rank
@@ -360,13 +381,22 @@ object PipelineQueries {
             col("embedding")), "vec_id", "embedding")
         .join(table(s, dir, "embeddings").select(col("vec_id"), col("label")),
           "vec_id")
-      val a = pv.select(col("vec_id"), col("label"), col("v").as("va"),
-        col("nrm").as("na"))
-      val b = pv.select(col("vec_id").as("neighbor_id"),
-        col("label").as("lb"), col("v").as("vb"), col("nrm").as("nb"))
+      // cell sizes: one row per label — broadcast, never a shuffle
+      val sizes = pv.groupBy("label")
+        .agg(count(lit(1)).as("cell_n"))
+      val sub = graft.ops.Sampling.hash32(col("vec_id")) %
+        expr(s"(cell_n + ${IvfCellCap - 1}) div $IvfCellCap")
+      val capped = pv.join(broadcast(sizes), "label")
+        .withColumn("sub", sub)
+      val a = capped.select(col("vec_id"), col("label"), col("sub"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = capped.select(col("vec_id").as("neighbor_id"),
+        col("label").as("lb"), col("sub").as("sb"), col("v").as("vb"),
+        col("nrm").as("nb"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
-      a.join(b, col("label") === col("lb") && col("vec_id") =!= col("neighbor_id"))
+      a.join(b, col("label") === col("lb") && col("sub") === col("sb") &&
+          col("vec_id") =!= col("neighbor_id"))
         .withColumn("cos",
           VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
         .withColumn("rank", row_number().over(w).cast(LongType))
