@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Several operators pin intermediates for intra-query reuse
   * (`localCheckpoint`/`persist` in Dedup, Ids, PipelineQueries). Those
-  * blocks are only useful within one query's execution; across a 75-query
+  * blocks are only useful within one query's execution; across a multi-query
   * bench/verify session they accumulate in the block manager and compete
   * with shuffle/execution memory. Bench and Verify call this between
   * queries — dropping every persistent RDD and SQL-cache entry is safe

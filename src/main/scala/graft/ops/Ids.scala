@@ -40,6 +40,18 @@ object Ids {
 
   /** Append a 1-based dense sequential id column ordered by `keys`.
     *
+    * PRECONDITION (asserted, not just documented): `keys` must be
+    * unique per row. Ids equal the global `row_number` ONLY then, and
+    * uniqueness also makes a lineage recompute of a lost persisted
+    * block order-deterministic on a multi-node cluster (with ties, the
+    * shuffle-fetch arrival order could silently permute tie rows
+    * between the phase-2 offsets and the phase-3 assignment). The
+    * check is FREE: phase 1 sorts by key within range partitions and
+    * range partitioning co-locates equal keys, so any duplicate is
+    * adjacent within one partition — phase 3 spots it during the
+    * assignment pass it already runs, no extra job. (Structural Row
+    * equality: binary/array-typed key columns are not supported keys.)
+    *
     * EAGER: phases 1-2 execute Spark jobs at call time (the layout must
     * be pinned before offsets are read), so this is not a lazy plan
     * builder — see the laziness note on GraftQuery. The pinned blocks
@@ -49,7 +61,7 @@ object Ids {
     * until the session drops them; Bench/Verify clear caches between
     * queries (graft.Caches). */
   def orderedId(df: DataFrame, keys: Seq[Column], idCol: String): DataFrame = {
-    val parted = phase1(df, keys)
+    val parted = phase1(df.withColumn("__key", struct(keys: _*)), keys)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase 2: one row per partition — bounded driver-side work; this
     // action also fills the persisted blocks phase 3 reads
@@ -59,20 +71,29 @@ object Ids {
     val offsets: Map[Int, Long] = counts.map { r =>
       val entry = r.getInt(0) -> acc; acc += r.getLong(1); entry
     }.toMap
-    // phase 3: narrow per-partition assignment (no shuffle, no window)
+    // phase 3: narrow per-partition assignment (no shuffle, no window);
+    // the last two columns are __key then __pid (see phase1 call above)
     val pidIdx = parted.schema.fieldIndex("__pid")
+    val keyIdx = parted.schema.fieldIndex("__key")
     val outSchema = StructType(
-      parted.schema.fields.patch(pidIdx, Nil, 1) :+
+      parted.schema.fields.take(keyIdx) :+
         StructField(idCol, LongType, nullable = false))
     implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
     parted.mapPartitions { it =>
       var started = false
       var next = 0L
+      var prevKey: Row = null
       it.map { row =>
         if (!started) { next = offsets(row.getInt(pidIdx)); started = true }
+        val k = row.getStruct(keyIdx)
+        if (k == prevKey)
+          throw new IllegalStateException(
+            s"Ids.orderedId requires unique keys, found duplicate: $k " +
+              "(with ties, sequential ids would be nondeterministic " +
+              "under lineage recompute)")
+        prevKey = k
         next += 1
-        val vals = row.toSeq.patch(pidIdx, Nil, 1) :+ next
-        Row.fromSeq(vals)
+        Row.fromSeq(row.toSeq.take(keyIdx) :+ next)
       }
     }
   }

@@ -28,7 +28,7 @@ class QueriesSpec extends AnyFunSuite {
       assert(df.columns.nonEmpty)
       assert(df.count() >= 0)
       // same hygiene as Bench/Verify: pinned blocks must not accumulate
-      // across the 85 queries sharing this test JVM
+      // across the full registry sharing this test JVM
       Caches.clearAll(spark)
     }
   }

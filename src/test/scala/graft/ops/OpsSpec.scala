@@ -172,6 +172,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out == expected && out.size == 1000)
   }
 
+  test("orderedId fails loudly on duplicate keys instead of mis-ranking") {
+    val df = graft.sources.Readers
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id")
+    val ex = intercept[org.apache.spark.SparkException] {
+      // user_id repeats across events — the uniqueness precondition the
+      // sequential-id contract (and cluster recompute determinism) needs
+      graft.ops.Ids.orderedId(df, Seq(col("user_id")), "rid").count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage)
+        .exists(_.contains("requires unique keys"))))
+  }
+
   test("prefix-filtered jaccard equals the plain inverted index") {
     val exact = Dedup.invertedIndexJaccard(corpus, "doc_id", "sh", 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
