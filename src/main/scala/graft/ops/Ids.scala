@@ -40,17 +40,22 @@ object Ids {
 
   /** Append a 1-based dense sequential id column ordered by `keys`.
     *
-    * PRECONDITION (asserted, not just documented): `keys` must be
-    * unique per row. Ids equal the global `row_number` ONLY then, and
-    * uniqueness also makes a lineage recompute of a lost persisted
-    * block order-deterministic on a multi-node cluster (with ties, the
-    * shuffle-fetch arrival order could silently permute tie rows
-    * between the phase-2 offsets and the phase-3 assignment). The
-    * check is FREE: phase 1 sorts by key within range partitions and
-    * range partitioning co-locates equal keys, so any duplicate is
-    * adjacent within one partition — phase 3 spots it during the
-    * assignment pass it already runs, no extra job. (Structural Row
-    * equality: binary/array-typed key columns are not supported keys.)
+    * PRECONDITION (asserted, not just documented): a key tie is only
+    * legal between FULLY IDENTICAL rows. Ids equal the global
+    * `row_number` over the keys, and the assignment is deterministic
+    * under lineage recompute of a lost persisted block on a multi-node
+    * cluster — with a tie between rows that differ outside the key,
+    * the shuffle-fetch arrival order could silently permute which row
+    * gets which id between the phase-2 offsets and the phase-3
+    * assignment. Identical rows are value-indistinguishable (any
+    * order among them yields the same output), so they pass — that is
+    * the songplays J2 fan-out case, where the reference deliberately
+    * duplicates whole fact rows. The check is FREE: phase 1 sorts by
+    * key within range partitions and range partitioning co-locates
+    * equal keys, so any tie is adjacent within one partition — phase 3
+    * spots it during the assignment pass it already runs, no extra
+    * job. (Structural Row equality: binary/array-typed columns are not
+    * supported in guarded rows.)
     *
     * EAGER: phases 1-2 execute Spark jobs at call time (the layout must
     * be pinned before offsets are read), so this is not a lazy plan
@@ -83,17 +88,21 @@ object Ids {
       var started = false
       var next = 0L
       var prevKey: Row = null
+      var prevRest: Seq[Any] = null
       it.map { row =>
         if (!started) { next = offsets(row.getInt(pidIdx)); started = true }
         val k = row.getStruct(keyIdx)
-        if (k == prevKey)
+        val rest = row.toSeq.take(keyIdx)
+        if (k == prevKey && rest != prevRest)
           throw new IllegalStateException(
             s"Ids.orderedId requires unique keys, found duplicate: $k " +
-              "(with ties, sequential ids would be nondeterministic " +
-              "under lineage recompute)")
+              "between rows that differ outside the key (their id " +
+              "assignment would be nondeterministic under lineage " +
+              "recompute); add a tie-breaker column to the key")
         prevKey = k
+        prevRest = rest
         next += 1
-        Row.fromSeq(row.toSeq.take(keyIdx) :+ next)
+        Row.fromSeq(rest :+ next)
       }
     }
   }
