@@ -130,6 +130,27 @@ object StreamingQueries {
       EventStream.lateDataDrained(s, dir)
         .orderBy("window_start_s", "event_type"))
 
+  private val streamStreamJoin = GraftQuery(
+    name = "stream_stream_join",
+    doc = "STREAM-STREAM inner join, drained: signup events joined to " +
+      "purchase events of the same user within one hour after the " +
+      "signup - two unbounded sides with buffered state, watermarks on " +
+      "both and an event-time range condition so state stays bounded " +
+      "to the watermark horizon at scale. Inner-join emissions never " +
+      "wait on the watermark, so the drained result equals the batch " +
+      "join exactly; the oracle replays it over the same " +
+      "microsecond-floored timestamps the nanos scan produces.",
+    oracle = Some("""
+      SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
+      FROM events a JOIN events b ON a.user_id = b.user_id
+       AND a.event_type = 'signup' AND b.event_type = 'purchase'
+       AND epoch_ns(b.ts) // 1000 >= epoch_ns(a.ts) // 1000
+       AND epoch_ns(b.ts) // 1000 <= epoch_ns(a.ts) // 1000 + 3600000000
+      ORDER BY a.user_id, signup_id, purchase_id"""),
+    run = (s, dir) =>
+      EventStream.streamStreamJoinDrained(s, s"$dir/events.parquet")
+        .orderBy("user_id", "signup_id", "purchase_id"))
+
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSessionCounts,
-    streamDedupExact, streamStaticJoin, streamLateData)
+    streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin)
 }

@@ -240,6 +240,35 @@ object EventStream {
     * must equal the batch twin row-for-row, which is exactly what the
     * DuckDB oracle checks. Window starts surface as epoch seconds —
     * integer bucket arithmetic both engines share. */
+  /** Drained STREAM-STREAM inner join — the remaining first-class
+    * streaming operator (two unbounded sides, buffered state on both):
+    * signup events joined to purchase events of the same user within
+    * one hour after the signup. Both sides carry watermarks and the
+    * join carries the event-time range condition, so on a real cluster
+    * the buffered state is bounded to the watermark horizon (Spark
+    * evicts rows whose join window has passed); inner-join emissions
+    * themselves never wait on the watermark, so the drained result
+    * equals the batch join exactly — which is what the oracle checks. */
+  def streamStreamJoinDrained(spark: SparkSession, eventsPath: String)
+      : DataFrame = {
+    val a = eventsStream(spark, eventsPath)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val b = eventsStream(spark, eventsPath)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"),
+        col("event_id").as("purchase_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+    drainToTable(spark, joined, "graft_stream_join", OutputMode.Append())
+  }
+
   /** Minimal schema for the late-data fixture stream (written by
     * `lateDataDrained` itself with µs timestamps — no nanos rebuild). */
   private val lateEventSchema: StructType = StructType(Seq(
