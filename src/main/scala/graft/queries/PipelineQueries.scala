@@ -1119,6 +1119,47 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val multimodalVideo = GraftQuery(
+    name = "pipeline_multimodal_video",
+    doc = "REAL video-frame decode + keyframe sampling over a binary " +
+      "multimodal column: one genuine multi-frame container (animated " +
+      "GIF - the pure-JDK multi-frame codec) per document, frame " +
+      "count / dims / per-frame solid colors all pure functions of " +
+      "doc_id. The decode stage walks every frame with the actual " +
+      "javax.imageio reader and emits every 2nd frame as a row (the " +
+      "keyframe-sampling shape). The oracle predicts the sampled " +
+      "frames' indices, dims and channel means from the same formulas " +
+      "- a green row proves the full multi-frame encode->decode->" +
+      "sample loop. With this, all three media kinds decode for real; " +
+      "the byte-derived fallback remains only for corrupt input.",
+    oracle = Some("""
+      SELECT d.doc_id,
+             CAST(t.i AS BIGINT) AS frame_idx,
+             CAST(2 + d.doc_id % 5 AS BIGINT) AS n_frames,
+             CAST(8 + d.doc_id % 11 AS BIGINT) AS width,
+             CAST(8 + d.doc_id % 6 AS BIGINT) AS height,
+             CAST((d.doc_id + 17 * t.i) % 256 AS BIGINT) AS mean_r,
+             CAST((d.doc_id * 7 + 29 * t.i) % 256 AS BIGINT) AS mean_g,
+             CAST((d.doc_id * 13 + 23 * t.i) % 256 AS BIGINT) AS mean_b
+      FROM documents d CROSS JOIN range(0, 6) t(i)
+      WHERE t.i < 2 + d.doc_id % 5 AND t.i % 2 = 0
+      ORDER BY d.doc_id, frame_idx"""),
+    run = (s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      val sampled = graft.multimodal.MultiModal.sampleVideoFrames(
+        graft.multimodal.MultiModal.syntheticGifAssets(ids), stride = 2)
+      // solid-color frames → channel means are exact ints
+      sampled.toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"),
+          round(col("mean_r")).cast(LongType).as("mean_r"),
+          round(col("mean_g")).cast(LongType).as("mean_g"),
+          round(col("mean_b")).cast(LongType).as("mean_b"))
+        .orderBy("doc_id", "frame_idx")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupClusters,
@@ -1127,5 +1168,5 @@ object PipelineQueries {
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     stratifiedSample, trainingExport, corpusClean, multimodalMeta,
-    multimodalDecode, multimodalResize, multimodalAudio)
+    multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo)
 }

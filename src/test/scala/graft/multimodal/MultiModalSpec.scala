@@ -122,6 +122,44 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("real multi-frame GIF decode walks every frame pixel-exactly") {
+    val gif = MultiModal.encodeGif(12, 8, Seq(0x112233, 0xa0b0c0, 0xff00ee))
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    val frames = MultiModal.decodeVideoFrames(gif)
+    assert(frames.length == 3)
+    assert(frames.forall(f => f.width == 12 && f.height == 8))
+    assert(frames.map(f => (f.mean_r, f.mean_g, f.mean_b)) == Seq(
+      (0x11.toDouble, 0x22.toDouble, 0x33.toDouble),
+      (0xa0.toDouble, 0xb0.toDouble, 0xc0.toDouble),
+      (0xff.toDouble, 0x00.toDouble, 0xee.toDouble)))
+    assert(MultiModal.decodeVideoFrames("not video".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("sampleVideoFrames emits every stride-th real frame") {
+    val ids = spark.range(0, 30).as[Long]
+    val out = MultiModal.sampleVideoFrames(
+      MultiModal.syntheticGifAssets(ids), stride = 2).collect()
+    out.foreach { f =>
+      assert(f.frame_idx % 2 == 0)
+      assert(f.n_frames == 2 + f.doc_id % 5)
+      assert(f.width == 8 + f.doc_id % 11 && f.height == 8 + f.doc_id % 6)
+      assert(f.mean_r == ((f.doc_id + 17 * f.frame_idx) % 256).toDouble)
+    }
+    // every doc contributes ceil(n_frames / 2) sampled frames
+    val perDoc = out.groupBy(_.doc_id).view.mapValues(_.length)
+    (0L until 30L).foreach { d =>
+      assert(perDoc(d) == (2 + d % 5 + 1) / 2)
+    }
+  }
+
+  test("extractFeatures uses the real frame decoder for video assets") {
+    val gif = MultiModal.encodeGif(10, 5, Seq(0x102030, 0x405060))
+    val ds = Seq(MultiModal.MediaAsset(1L, "video", gif, 10, 5, 0)).toDS()
+    val f = MultiModal.extractFeatures(ds).collect().head
+    assert(f.feature.take(6).toSeq ==
+      Seq(10f, 5f, 2f, 0x10.toFloat, 0x20.toFloat, 0x30.toFloat))
+  }
+
   test("frame sampling yields stride-aligned offsets per asset") {
     val frames = MultiModal.sampleFrames(assets, stride = 100)
     val one = frames.filter(col("asset_id") === 1L)
