@@ -110,6 +110,25 @@ class PlanSpec extends AnyFunSuite {
       s"decode pipeline should shuffle at most once (final sort):\n$p")
   }
 
+  test("multimodal video frame sampling stays narrow per-partition") {
+    val p = plan("pipeline_multimodal_video")
+    assert(!p.contains("Join"), s"frame sampling must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"frame sampling should shuffle at most once (final sort):\n$p")
+  }
+
+  test("IVF search broadcasts the cell-size lookup, never a cartesian") {
+    val p = plan("pipeline_knn_ivf")
+    // cell sizes are one row per label: the cap lookup must broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-size lookup should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF self-join degenerated to all-pairs:\n$p")
+    // the self-join key must include the sub-cell (the cap's whole point)
+    assert(p.contains("sub"), s"sub-cell key missing from the plan:\n$p")
+  }
+
   test("bucketed join runs with no exchange between the bucketed scans") {
     val p = plan("lake_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
