@@ -476,8 +476,52 @@ object ExtendedQueries {
           .otherwise(0L).as("sketch_within_5pct"))
       .orderBy("o_orderstatus"))
 
+  private val resampleGapfill = GraftQuery(
+    name = "lake_resample_gapfill",
+    doc = "Time-series resample with GAP FILLING: events downsampled to " +
+      "hourly buckets per event_type over a dense generated grid " +
+      "(sequence + explode from a one-row bounds aggregate - no driver " +
+      "round trip), empty buckets coalesced to zero. The standard " +
+      "prepare-for-training downsampling shape; at scale the grid side " +
+      "is tiny (hours x types) and broadcasts into the left join. " +
+      "Bucket arithmetic is integer floor division on epoch " +
+      "microseconds, replayed identically by the oracle on epoch nanos " +
+      "(nested floors agree).",
+    oracle = Some("""
+      WITH b AS (SELECT epoch_ns(min(ts)) // 3600000000000 AS h0,
+                        epoch_ns(max(ts)) // 3600000000000 AS h1 FROM events),
+      g AS (SELECT unnest(range((SELECT h0 FROM b),
+                                (SELECT h1 FROM b) + 1)) AS h),
+      grid AS (SELECT g.h, t.event_type FROM g CROSS JOIN
+               (SELECT DISTINCT event_type FROM events) t),
+      agg AS (SELECT epoch_ns(ts) // 3600000000000 AS h, event_type,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sv
+              FROM events GROUP BY 1, 2)
+      SELECT grid.h, grid.event_type,
+             COALESCE(a.n, 0) AS n,
+             CAST(COALESCE(a.sv, 0) AS DOUBLE) AS sum_value
+      FROM grid LEFT JOIN agg a USING (h, event_type)
+      ORDER BY grid.h, grid.event_type"""),
+    run = (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(expr("unix_micros(ts) div 3600000000").as("h"),
+          col("event_type"), col("value"))
+      val agg = ev.groupBy("h", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+      val grid = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        .crossJoin(ev.select("event_type").distinct())
+      grid.join(agg, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sv"), lit(0.0)).as("sum_value"))
+        .orderBy("h", "event_type")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     asofJoin, bucketedJoin, saltedJoin, bigBigJoin, intervalJoin,
     windowRange, windowRanks, pivotEvents, explodeUnnest, jsonScan,
-    csvScan, textScan, orcRoundtrip, approxDistinct)
+    csvScan, textScan, orcRoundtrip, approxDistinct, resampleGapfill)
 }

@@ -1119,6 +1119,44 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val embedQuantize = GraftQuery(
+    name = "pipeline_embed_quantize",
+    doc = "Int8 scalar quantization of the embedding column (the " +
+      "storage/serving compression every vector corpus applies before " +
+      "ANN indexing): per-vector scale = max(|v_i|), quantized value = " +
+      "floor(v_i / scale * 127) - all IEEE double ops applied to " +
+      "identical inputs in identical order, so DuckDB replays the " +
+      "quantization bit for bit (floor, unlike round, has no half-way " +
+      "tie mode to disagree on). Emitted exploded (vec_id, dim, q, " +
+      "scale) so every scalar is hash-compared. Per-row narrow map at " +
+      "scale; zero-vector guard mirrored in both engines.",
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS scale
+                 FROM embeddings)
+      SELECT e.vec_id, CAST(t.i AS BIGINT) AS dim,
+             CASE WHEN e.scale = 0 THEN 0
+                  ELSE CAST(FLOOR(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                         / e.scale * 127) AS BIGINT) END AS q,
+             e.scale
+      FROM e CROSS JOIN range(0, 64) t(i)
+      ORDER BY e.vec_id, dim"""),
+    run = (s, dir) => {
+      val scale = array_max(transform(col("embedding"),
+        x => abs(x.cast(DoubleType))))
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), scale.as("scale"))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+          when(col("scale") === 0, 0L)
+            .otherwise(floor(col("x").cast(DoubleType) / col("scale")
+              * lit(127)).cast(LongType)).as("q"),
+          col("scale"))
+        .orderBy("vec_id", "dim")
+    })
+
   private val multimodalVideo = GraftQuery(
     name = "pipeline_multimodal_video",
     doc = "REAL video-frame decode + keyframe sampling over a binary " +
@@ -1167,6 +1205,7 @@ object PipelineQueries {
     knnBrute, knnIvf, annLsh, annLshTopk, textStats, textQuality, langId,
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
-    stratifiedSample, trainingExport, corpusClean, multimodalMeta,
+    stratifiedSample, trainingExport, corpusClean, embedQuantize,
+    multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo)
 }
