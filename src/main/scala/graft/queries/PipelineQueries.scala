@@ -1119,6 +1119,62 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val piiScrub = GraftQuery(
+    name = "pipeline_pii_scrub",
+    doc = "PII redaction over document text (the compliance pass every " +
+      "training corpus runs before export): emails, phone numbers and " +
+      "IPv4 addresses replaced by typed placeholders via a chained " +
+      "regexp_replace pipeline - pure per-row, codegen-resident, zero " +
+      "shuffles before the presentation sort. The fixture injects one " +
+      "deterministic email (doc_id formula) plus a phone and an IP " +
+      "into every document so the scrub is provably exercised; the " +
+      "oracle replays injection + all three scrubs with DuckDB's " +
+      "'g'-flag regexp_replace on the same POSIX-common patterns and " +
+      "md5-compares the scrubbed text.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id,
+          text || ' contact user' || doc_id ||
+            '@example.com or 555-123-4567 at 10.0.' ||
+            (doc_id % 256) || '.1' AS raw
+        FROM documents),
+      s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+          raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+          '\b\d+\.\d+\.\d+\.\d+\b', '<IP>', 'g') AS scrubbed,
+          raw FROM t)
+      SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
+             CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{3}-\d{4}\b'))
+               AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(raw, '\b\d+\.\d+\.\d+\.\d+\b'))
+               AS BIGINT) AS n_ip
+      FROM s ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ipRe = "\\b\\d+\\.\\d+\\.\\d+\\.\\d+\\b"
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-4567 at 10.0."),
+            col("doc_id") % 256, lit(".1")).as("raw"))
+        .select(col("doc_id"),
+          md5(regexp_replace(regexp_replace(regexp_replace(
+            col("raw"),
+            emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+            ipRe, "<IP>")).as("scrubbed_md5"),
+          regexp_count(col("raw"), lit(emailRe)).cast(LongType)
+            .as("n_email"),
+          regexp_count(col("raw"), lit(phoneRe)).cast(LongType)
+            .as("n_phone"),
+          regexp_count(col("raw"), lit(ipRe)).cast(LongType).as("n_ip"))
+        .orderBy("doc_id")
+    })
+
   private val embedQuantize = GraftQuery(
     name = "pipeline_embed_quantize",
     doc = "Int8 scalar quantization of the embedding column (the " +
@@ -1206,6 +1262,7 @@ object PipelineQueries {
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     stratifiedSample, trainingExport, corpusClean, embedQuantize,
+    piiScrub,
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo)
 }

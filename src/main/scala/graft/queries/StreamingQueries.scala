@@ -130,6 +130,23 @@ object StreamingQueries {
       EventStream.lateDataDrained(s, dir)
         .orderBy("window_start_s", "event_type"))
 
+  private val streamDedupWatermarked = GraftQuery(
+    name = "stream_dedup_watermarked",
+    doc = "BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark " +
+      "on user_id over the watermarked event stream - the variant of " +
+      "stream_dedup_exact whose state EXPIRES (a key is held only " +
+      "within the watermark horizon), i.e. the formulation that " +
+      "survives an unbounded stream at 100 TB. Drained with " +
+      "Trigger.AvailableNow; only the key column is emitted (first " +
+      "arrival is racy, the key set is not), so the drained sink " +
+      "equals batch DISTINCT exactly.",
+    oracle = Some("""
+      SELECT DISTINCT user_id FROM events ORDER BY user_id"""),
+    run = (s, dir) =>
+      EventStream.dedupWithinWatermarkDrained(s, s"$dir/events.parquet",
+          Seq("user_id"))
+        .orderBy("user_id"))
+
   private val streamStreamJoin = GraftQuery(
     name = "stream_stream_join",
     doc = "STREAM-STREAM inner join, drained: signup events joined to " +
@@ -152,5 +169,6 @@ object StreamingQueries {
         .orderBy("user_id", "signup_id", "purchase_id"))
 
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSessionCounts,
-    streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin)
+    streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
+    streamDedupWatermarked)
 }

@@ -114,6 +114,24 @@ object EventStream {
     drainToTable(spark, deduped, "graft_stream_dedup", OutputMode.Append())
   }
 
+  /** Drained BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark
+    * — the 100 TB-correct variant of [[dedupDrained]], whose per-key
+    * state never expires. Here state for a key is dropped once the
+    * watermark passes its event time + delay, so an unbounded stream
+    * holds only the watermark horizon's keys. Same emission contract:
+    * only the KEY columns (first-arrival is racy, the key set is not),
+    * so the drained sink equals batch DISTINCT exactly. */
+  def dedupWithinWatermarkDrained(spark: SparkSession, eventsPath: String,
+      keys: Seq[String]): DataFrame = {
+    val deduped = eventsStream(spark, eventsPath)
+      .withWatermark("ts", "1 hour")
+      .select((keys.map(col) :+ col("ts")): _*)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+    drainToTable(spark, deduped, "graft_stream_dedup_wm",
+      OutputMode.Append())
+  }
+
   /** Drained stateful run: sessionCountsFrom over the driver's events
     * table, executed with Trigger.AvailableNow to completion. Update
     * mode re-emits a user's row on every batch that touches it, so the
