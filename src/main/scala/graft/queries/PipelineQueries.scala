@@ -1119,6 +1119,90 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val qualityRepetition = GraftQuery(
+    name = "pipeline_quality_repetition",
+    doc = "Repetition-based quality signal (the Gopher-style filter " +
+      "family): per-document bigram counts WITH multiplicity, top " +
+      "bigram frequency and its fraction of all bigrams - high " +
+      "repetition marks boilerplate/spam for the corpus gate. One " +
+      "explode + two aggregations, shuffled on (doc_id, bigram) then " +
+      "doc_id; the ratio is an exact IEEE division of two integers so " +
+      "the oracle matches bit for bit.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i+1])) AS bg
+            FROM t WHERE len(w) >= 2),
+      c AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY 1, 2)
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             CAST(MAX(n) AS BIGINT) AS top_n,
+             CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS rep_ratio
+      FROM c GROUP BY doc_id ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val w = TextOps.tokens(col("text"))
+      val bigrams = transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat(element_at(col("w"), i + 1), lit(" "),
+          element_at(col("w"), i + 2)))
+      table(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_n"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_n"),
+          (col("top_n").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).as("rep_ratio"))
+        .orderBy("doc_id")
+    })
+
+  private val decontaminate = GraftQuery(
+    name = "pipeline_decontaminate",
+    doc = "Benchmark decontamination (the eval-integrity pass every " +
+      "training corpus needs): training documents (doc_id >= 20) are " +
+      "flagged when they share ANY distinct 5-gram with the benchmark " +
+      "set (doc_id < 20). The benchmark 5-gram set is tiny and " +
+      "broadcasts; the training side joins on the 8-byte xxhash64 of " +
+      "the shingle (same 2^-64 collision posture as the dedup joins), " +
+      "so at 100 TB this is one broadcast semi-join over an exploded " +
+      "narrow column. The oracle replays membership on the raw strings.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                   w[i+3] || ' ' || w[i+4])) AS sh
+            FROM t WHERE len(w) >= 5),
+      ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      bench AS (SELECT DISTINCT g FROM ex WHERE doc_id < 20),
+      cont AS (SELECT DISTINCT e.doc_id FROM ex e JOIN bench b USING (g)
+               WHERE e.doc_id >= 20)
+      SELECT d.doc_id,
+             CAST(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS contaminated
+      FROM documents d LEFT JOIN cont c USING (doc_id)
+      WHERE d.doc_id >= 20 ORDER BY d.doc_id"""),
+    run = (s, dir) => {
+      val w = TextOps.tokens(col("text"))
+      val ex = table(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("w"), 5)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      val bench = ex.filter(col("doc_id") < 20).select("gh").distinct()
+      val cont = ex.filter(col("doc_id") >= 20)
+        .join(broadcast(bench), "gh")
+        .select("doc_id").distinct()
+        .withColumn("c", lit(1L))
+      table(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") >= 20)
+        .join(cont, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("c"), lit(0L)).as("contaminated"))
+        .orderBy("doc_id")
+    })
+
   private val piiScrub = GraftQuery(
     name = "pipeline_pii_scrub",
     doc = "PII redaction over document text (the compliance pass every " +
@@ -1262,7 +1346,7 @@ object PipelineQueries {
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     stratifiedSample, trainingExport, corpusClean, embedQuantize,
-    piiScrub,
+    piiScrub, qualityRepetition, decontaminate,
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo)
 }
