@@ -824,6 +824,69 @@ object PipelineQueries {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(100))
 
+  private val vocabCoverage = GraftQuery(
+    name = "pipeline_vocab_coverage",
+    doc = "Vocabulary coverage / OOV rate: per-document fraction of " +
+      "tokens (with multiplicity) not in the top-100 vocabulary that " +
+      "pipeline_vocab_topk builds - the tokenizer-fit diagnostic run " +
+      "before committing a vocab. The vocab is top-100 by (count desc, " +
+      "token), a total order, so the set is deterministic; it " +
+      "broadcasts into a left join over the exploded tokens (at 100 TB " +
+      "the vocab is always the tiny side). OOV ratio is an exact IEEE " +
+      "integer division.",
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      v AS (SELECT token FROM (SELECT token, COUNT(*) AS n FROM tok
+              GROUP BY token ORDER BY n DESC, token LIMIT 100)),
+      j AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END
+              AS oov FROM tok t LEFT JOIN v USING (token))
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(oov) AS BIGINT) AS n_oov,
+             CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS oov_ratio
+      FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100)
+        .select(col("token"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+            .as("oov_ratio"))
+        .orderBy("doc_id")
+    })
+
+  private val lengthHistogram = GraftQuery(
+    name = "pipeline_length_histogram",
+    doc = "Log2-bucketed document-length histogram (the corpus-shape " +
+      "profile a mixing/packing plan starts from): bucket = bit length " +
+      "of the character count, computed EXACTLY as length(bin(n)) - " +
+      "string length of the binary representation - because a " +
+      "floating-point floor(log2(n)) can disagree between engines by " +
+      "one ulp exactly at the power-of-two bucket boundaries. One " +
+      "narrow map + one tiny aggregation.",
+    oracle = Some("""
+      SELECT CAST(length(bin(length(text))) AS BIGINT) AS bit_bucket,
+             COUNT(*) AS n_docs,
+             CAST(MIN(length(text)) AS BIGINT) AS min_len,
+             CAST(MAX(length(text)) AS BIGINT) AS max_len
+      FROM documents GROUP BY 1 ORDER BY 1"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(length(col("text")).as("len"))
+      .groupBy(length(bin(col("len").cast(LongType))).cast(LongType)
+        .as("bit_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("len")).cast(LongType).as("min_len"),
+        max(col("len")).cast(LongType).as("max_len"))
+      .orderBy("bit_bucket"))
+
   private val stratifiedSample = GraftQuery(
     name = "pipeline_stratified_sample",
     doc = "Stratified deterministic sampling: per-language keep rates " +
@@ -1345,6 +1408,7 @@ object PipelineQueries {
     knnBrute, knnIvf, annLsh, annLshTopk, textStats, textQuality, langId,
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
+    vocabCoverage, lengthHistogram,
     stratifiedSample, trainingExport, corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate,
     multimodalMeta,
