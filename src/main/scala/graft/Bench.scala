@@ -82,8 +82,15 @@ object Bench {
     // Anchor the detail file: env override first, else CWD resolved to an
     // absolute path — and LOG where it went, so a driver launched from a
     // different directory can't silently leave a stale repo copy behind.
+    // A FILTERED dev run must never clobber the tracked full detail: with
+    // SPARK_GRAFT_BENCH_ONLY set and no explicit detail path, write to a
+    // temp-side file instead.
+    val defaultDetail =
+      if (only.isDefined)
+        sys.props("java.io.tmpdir") + "/BENCH_DETAIL_partial.json"
+      else "BENCH_DETAIL.json"
     val detailPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetail))
       .toAbsolutePath
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] detail written to $detailPath")

@@ -260,11 +260,14 @@ object MultiModal {
     * and returns per-frame verified dims + channel means, in frame
     * order. Empty for undecodable bytes. */
   def decodeVideoFrames(content: Array[Byte]): Seq[DecodedImage] = {
-    try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (iis == null) Nil
+    else try { // iis closed on EVERY path, including reader-acquisition throws
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); Nil }
+      if (!readers.hasNext) Nil
       else {
         val r = readers.next()
         try {
@@ -289,9 +292,10 @@ object MultiModal {
             Some(DecodedImage(w, h, sr.toDouble / np, sg.toDouble / np,
               sb.toDouble / np))
           }
-        } finally { r.dispose(); iis.close() }
+        } finally r.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => Nil }
+    finally iis.close()
   }
 
   /** One video-bearing row: the opaque multimodal column + its id. */
@@ -462,14 +466,18 @@ object MultiModal {
 
   /** Resize stage: per-partition batch map; image payloads get the REAL
     * decode→scale→re-encode with metadata rewritten to the target dims,
-    * non-image (or undecodable) payloads pass through untouched. */
+    * non-image and undecodable payloads pass through untouched. The
+    * kind gate matters: ImageIO would happily decode frame 0 of a
+    * VIDEO (animated GIF) payload and flatten it to a one-frame PNG —
+    * silent data destruction, not a resize. */
   def resize(assets: Dataset[MediaAsset], targetW: Int, targetH: Int)(
       implicit spark: SparkSession): Dataset[MediaAsset] = {
     import spark.implicits._
     assets.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        resizeImage(a.content, targetW, targetH) match {
+        (if (a.kind == "image") resizeImage(a.content, targetW, targetH)
+         else None) match {
           case Some(bytes) => a.copy(content = bytes,
             meta_width = targetW, meta_height = targetH)
           case None => a

@@ -151,8 +151,10 @@ object Dedup {
     * adopts the minimum label among itself and its neighbors; converges
     * in O(component diameter) rounds (dup clusters are near-cliques, so
     * 2-3). Pure DataFrame joins — one shuffle per round, no driver-side
-    * graph — with `localCheckpoint` per round to truncate lineage (on a
-    * real cluster: `checkpoint` to durable storage). This is the final
+    * graph — each round's labels pinned with `persist` and materialized
+    * by the convergence probe itself (one job per round; lineage nests
+    * across the few rounds — on a real cluster swap in durable
+    * `checkpoint` for a hard cut). This is the final
     * step of corpus dedup at 100 TB: pairs → clusters → keep min-id.
     *
     * Ids in `pairs` that do not appear in `docs` are DROPPED before

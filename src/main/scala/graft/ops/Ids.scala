@@ -54,8 +54,10 @@ object Ids {
     * key within range partitions and range partitioning co-locates
     * equal keys, so any tie is adjacent within one partition — phase 3
     * spots it during the assignment pass it already runs, no extra
-    * job. (Structural Row equality: binary/array-typed columns are not
-    * supported in guarded rows.)
+    * job. Non-key columns compare structurally, with element-wise
+    * equality for array/binary values (a plain Seq equality would be
+    * reference equality for arrays and spuriously reject identical
+    * rows).
     *
     * EAGER: phases 1-2 execute Spark jobs at call time (the layout must
     * be pinned before offsets are read), so this is not a lazy plan
@@ -84,6 +86,17 @@ object Ids {
       parted.schema.fields.take(keyIdx) :+
         StructField(idCol, LongType, nullable = false))
     implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    // structural value equality: arrays (incl. Array[Byte] for binary
+    // columns) compare element-wise, everything else by ==
+    def valEq(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x: Array[_], y: Array[_]) =>
+        x.length == y.length && x.indices.forall(i => valEq(x(i), y(i)))
+      case _ => a == b
+    }
+    def restEq(a: Seq[Any], b: Seq[Any]): Boolean =
+      a != null && b != null && a.length == b.length &&
+        a.indices.forall(i => valEq(a(i), b(i)))
     parted.mapPartitions { it =>
       var started = false
       var next = 0L
@@ -93,7 +106,7 @@ object Ids {
         if (!started) { next = offsets(row.getInt(pidIdx)); started = true }
         val k = row.getStruct(keyIdx)
         val rest = row.toSeq.take(keyIdx)
-        if (k == prevKey && rest != prevRest)
+        if (k == prevKey && !restEq(rest, prevRest))
           throw new IllegalStateException(
             s"Ids.orderedId requires unique keys, found duplicate: $k " +
               "between rows that differ outside the key (their id " +

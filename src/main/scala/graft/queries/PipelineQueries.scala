@@ -847,9 +847,13 @@ object PipelineQueries {
                AS oov_ratio
       FROM j GROUP BY doc_id ORDER BY doc_id"""),
     run = (s, dir) => {
+      // the exploded tokens feed BOTH the vocab build and the join side
+      // — cut once (the repo's shared-prefix convention; without it the
+      // scan+tokenize+explode runs twice)
       val tok = table(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text")))
           .as("token"))
+        .localCheckpoint(true)
       val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(100)
         .select(col("token"), lit(1).as("in_vocab"))
@@ -1160,7 +1164,7 @@ object PipelineQueries {
       ".decodeAudio). The oracle predicts the DECODED rate / frame " +
       "count / sample mean / peak from the same formulas, so a green " +
       "row proves the PCM encode->WAV-container->decode round trip " +
-      "sample-exactly. Stub remains only for video.",
+      "sample-exactly.",
     oracle = Some("""
       SELECT doc_id,
              CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
@@ -1247,12 +1251,15 @@ object PipelineQueries {
       WHERE d.doc_id >= 20 ORDER BY d.doc_id"""),
     run = (s, dir) => {
       val w = TextOps.tokens(col("text"))
+      // hashed exploded shingles feed BOTH the benchmark set and the
+      // training side — cut once (shared-prefix convention)
       val ex = table(s, dir, "documents")
         .select(col("doc_id"), w.as("w"))
         .filter(size(col("w")) >= 5)
         .select(col("doc_id"),
           explode(TextOps.shingles(col("w"), 5)).as("g"))
         .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        .localCheckpoint(true)
       val bench = ex.filter(col("doc_id") < 20).select("gh").distinct()
       val cont = ex.filter(col("doc_id") >= 20)
         .join(broadcast(bench), "gh")

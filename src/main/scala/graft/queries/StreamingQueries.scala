@@ -107,8 +107,11 @@ object StreamingQueries {
     name = "stream_late_data",
     doc = "Watermark/late-data semantics, drained and oracle-checked: " +
       "the events table is re-delivered as two engineered micro-batches " +
-      "(maxFilesPerTrigger=1; batch 1 = everything from stream start " +
-      "+30min on, batch 2 = the first 30 minutes, arriving late). After " +
+      "via two sequential Trigger.AvailableNow runs sharing ONE " +
+      "checkpoint (the watermark is persisted state, as in a production " +
+      "restart; a read-limit split does NOT work - AvailableNow plans " +
+      "all files into one batch). Run 1 = everything from stream start " +
+      "+30min on, run 2 = the first 30 minutes, arriving late. After " +
       "batch 1 the watermark sits at max(ts)-10min, so append mode must " +
       "DROP every batch-2 row and emit exactly the windows whose end <= " +
       "final watermark. The oracle predicts both effects in batch SQL " +

@@ -125,8 +125,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"IVF self-join degenerated to all-pairs:\n$p")
-    // the self-join key must include the sub-cell (the cap's whole point)
-    assert(p.contains("sub"), s"sub-cell key missing from the plan:\n$p")
+    // the self-join KEY must include the sub-cell (the cap's whole
+    // point) — a bare substring match would still pass if the column
+    // were computed but dropped from the join condition, so assert it
+    // on a join operator's own line (AQE may pick broadcast at tiny SF,
+    // sort-merge at scale; either way the keys must carry sub/sb)
+    val joinKeyed = p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) &&
+        l.contains("sub#") && l.contains("sb#"))
+    assert(joinKeyed, s"sub-cell not part of any join's keys:\n$p")
   }
 
   test("bucketed join runs with no exchange between the bucketed scans") {

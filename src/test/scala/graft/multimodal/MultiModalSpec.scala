@@ -43,7 +43,11 @@ class MultiModalSpec extends AnyFunSuite {
       MultiModal.MediaAsset(2L, "image",
         MultiModal.encodePng(8, 8, 0x112233), 8, 8, 0),
       MultiModal.MediaAsset(3L, "audio",
-        "not an image".getBytes("UTF-8"), 0, 0, 16000))
+        "not an image".getBytes("UTF-8"), 0, 0, 16000),
+      // DECODABLE non-image payload: ImageIO could read frame 0 of this
+      // animated GIF — the kind gate must keep resize's hands off it
+      MultiModal.MediaAsset(4L, "video",
+        MultiModal.encodeGif(6, 6, Seq(0x111111, 0x222222)), 0, 0, 0))
     val ds = media.toDS()
     val r1 = MultiModal.resize(ds, 16, 10).collect()
       .map(a => a.asset_id -> a).toMap
@@ -64,6 +68,9 @@ class MultiModalSpec extends AnyFunSuite {
     // non-image payload: untouched, metadata preserved
     assert(r1(3L).content.toSeq == media(2).content.toSeq)
     assert(r1(3L).meta_sample_rate == 16000 && r1(3L).meta_width == 0)
+    // decodable VIDEO payload: still untouched — both frames survive
+    assert(r1(4L).content.toSeq == media(3).content.toSeq)
+    assert(MultiModal.decodeVideoFrames(r1(4L).content).length == 2)
   }
 
   test("real WAV decode: javax.sound.sampled round trip is sample-exact") {
