@@ -867,6 +867,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val chunkWindows = GraftQuery(
+    name = "pipeline_chunk_windows",
+    doc = "Sliding context-window chunking (the sequence-prep step " +
+      "before packing a pretraining batch): each document's tokens " +
+      "split into windows of 64 with stride 48 (17-token overlap), " +
+      "final short window kept. Pure integer arithmetic end to end - " +
+      "window count 1 + (n-17) div 48 for n > 64 - so the oracle " +
+      "replays it exactly; per-row sequence+explode, no shuffle before " +
+      "the presentation sort.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                 FROM documents),
+      c AS (SELECT doc_id, n,
+              CASE WHEN n <= 64 THEN 1
+                   ELSE 1 + (n - 17) // 48 END AS k FROM t)
+      SELECT c.doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+             CAST(t.i * 48 AS BIGINT) AS tok_start,
+             CAST(LEAST(t.i * 48 + 64, c.n) AS BIGINT) AS tok_end
+      FROM c CROSS JOIN range(0, 64) t(i) WHERE t.i < c.k
+      ORDER BY c.doc_id, chunk_idx"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n"))
+      .withColumn("k",
+        when(col("n") <= 64, 1L)
+          .otherwise(lit(1L) + expr("(n - 17) div 48")))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("k") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * 48).as("tok_start"),
+        least(col("chunk_idx") * 48 + 64, col("n")).as("tok_end"))
+      .orderBy("doc_id", "chunk_idx"))
+
   private val lengthHistogram = GraftQuery(
     name = "pipeline_length_histogram",
     doc = "Log2-bucketed document-length histogram (the corpus-shape " +
@@ -1415,7 +1448,7 @@ object PipelineQueries {
     knnBrute, knnIvf, annLsh, annLshTopk, textStats, textQuality, langId,
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
-    vocabCoverage, lengthHistogram,
+    vocabCoverage, lengthHistogram, chunkWindows,
     stratifiedSample, trainingExport, corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate,
     multimodalMeta,
