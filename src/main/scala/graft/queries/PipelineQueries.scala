@@ -867,6 +867,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val urlExtract = GraftQuery(
+    name = "pipeline_url_extract",
+    doc = "URL parsing over document metadata (the provenance/domain " +
+      "bucketing step of web-corpus curation): one deterministic URL " +
+      "per document (pure doc_id formulas), parsed with Spark's native " +
+      "parse_url into host / path / query. The oracle predicts every " +
+      "component from the same formulas - a green row proves the " +
+      "parser against known ground truth rather than against another " +
+      "parser's quirks. Per-row narrow map.",
+    oracle = Some("""
+      SELECT doc_id,
+             'host' || (doc_id % 50) || '.example.com' AS host,
+             '/docs/' || doc_id AS path,
+             'q=' || (doc_id % 7) AS query
+      FROM documents ORDER BY doc_id"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("https://host"), col("doc_id") % 50,
+          lit(".example.com/docs/"), col("doc_id"),
+          lit("?q="), col("doc_id") % 7).as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"))
+      .orderBy("doc_id"))
+
   private val chunkWindows = GraftQuery(
     name = "pipeline_chunk_windows",
     doc = "Sliding context-window chunking (the sequence-prep step " +
@@ -1448,7 +1474,7 @@ object PipelineQueries {
     knnBrute, knnIvf, annLsh, annLshTopk, textStats, textQuality, langId,
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
-    vocabCoverage, lengthHistogram, chunkWindows,
+    vocabCoverage, lengthHistogram, chunkWindows, urlExtract,
     stratifiedSample, trainingExport, corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate,
     multimodalMeta,

@@ -194,6 +194,42 @@ object ScalarQueries {
           .as("n_hi"))
       .orderBy("event_id"))
 
+  private val argExtremes = GraftQuery(
+    name = "lake_arg_extremes",
+    doc = "Argument-extreme aggregates: max_by/min_by over a " +
+      "lexicographic (o_totalprice, o_orderkey) struct — which order " +
+      "carried each customer's largest and smallest total, ties broken " +
+      "on the unique key so the answer is total-order deterministic " +
+      "regardless of data. DuckDB's arg_max takes no struct ordering, " +
+      "so the oracle states the same total order as rank-1 window rows " +
+      "(DESC,DESC for max_by; ASC,ASC for min_by).",
+    oracle = Some("""
+      WITH r AS (SELECT o_custkey, o_orderkey,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey DESC)
+            AS rx,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(o_totalprice AS DOUBLE) ASC, o_orderkey ASC)
+            AS rn
+        FROM orders)
+      SELECT o_custkey,
+             MAX(CASE WHEN rx = 1 THEN o_orderkey END) AS max_order,
+             MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS min_order,
+             COUNT(*) AS n
+      FROM r GROUP BY o_custkey ORDER BY o_custkey"""),
+    run = (s, dir) => table(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice").cast(DoubleType), col("o_orderkey")))
+          .as("max_order"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice").cast(DoubleType), col("o_orderkey")))
+          .as("min_order"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey"))
+
   val all: Seq[GraftQuery] = Seq(
-    typedAgg, stringFuncs, dateFuncs, nullFuncs, listAgg, mapFuncs)
+    typedAgg, stringFuncs, dateFuncs, nullFuncs, listAgg, mapFuncs,
+    argExtremes)
 }
