@@ -476,6 +476,30 @@ object ExtendedQueries {
           .otherwise(0L).as("sketch_within_5pct"))
       .orderBy("o_orderstatus"))
 
+  private val explodeOuter = GraftQuery(
+    name = "lake_explode_outer",
+    doc = "Outer explode null semantics: documents' tokens filtered to " +
+      "the rare 'zq'-prefixed subset (empty for most docs), exploded " +
+      "with explode_outer so EMPTY arrays keep their row with a NULL " +
+      "token - the left-join-shaped unnest a feature extraction needs " +
+      "when absence is signal. A plain explode silently drops those " +
+      "rows; the oracle models the outer semantics with a LEFT JOIN " +
+      "onto the unnested subset.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                     w -> w LIKE 'zq%') AS zs
+                 FROM documents),
+      u AS (SELECT doc_id, unnest(zs) AS token FROM t WHERE len(zs) > 0)
+      SELECT t.doc_id, u.token
+      FROM t LEFT JOIN u USING (doc_id)
+      ORDER BY t.doc_id, u.token"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w.startsWith("zq")).as("zs"))
+      .select(col("doc_id"), explode_outer(col("zs")).as("token"))
+      .orderBy("doc_id", "token"))
+
   private val resampleGapfill = GraftQuery(
     name = "lake_resample_gapfill",
     doc = "Time-series resample with GAP FILLING: events downsampled to " +
@@ -523,5 +547,6 @@ object ExtendedQueries {
   val all: Seq[GraftQuery] = Seq(
     asofJoin, bucketedJoin, saltedJoin, bigBigJoin, intervalJoin,
     windowRange, windowRanks, pivotEvents, explodeUnnest, jsonScan,
-    csvScan, textScan, orcRoundtrip, approxDistinct, resampleGapfill)
+    csvScan, textScan, orcRoundtrip, approxDistinct, resampleGapfill,
+    explodeOuter)
 }

@@ -150,6 +150,39 @@ object StreamingQueries {
           Seq("user_id"))
         .orderBy("user_id"))
 
+  private val streamSessionRows = GraftQuery(
+    name = "stream_session_rows",
+    doc = "Drained flatMapGroupsWithState run: one row PER 30-minute " +
+      "gap session per user (the multi-row stateful emission surface; " +
+      "mapGroupsWithState can only emit one row per key per batch). " +
+      "State is the open session only - O(1) per user. The oracle " +
+      "recomputes the per-session rows in batch SQL: lag-gap flags, " +
+      "running session index, group by (user, session). Same " +
+      "single-file = one micro-batch drain contract as " +
+      "stream_session_counts.",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+                 FROM events),
+      x AS (SELECT user_id, ts_us, event_id,
+              CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id) IS NULL
+                    OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+            FROM e),
+      s AS (SELECT user_id,
+              SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM x)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""),
+    run = (s, dir) =>
+      EventStream.sessionRowsDrained(s, s"$dir/events.parquet")
+        .orderBy("user_id", "session_idx"))
+
   private val streamStreamJoin = GraftQuery(
     name = "stream_stream_join",
     doc = "STREAM-STREAM inner join, drained: signup events joined to " +
@@ -173,5 +206,5 @@ object StreamingQueries {
 
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
-    streamDedupWatermarked)
+    streamDedupWatermarked, streamSessionRows)
 }

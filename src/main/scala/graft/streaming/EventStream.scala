@@ -83,6 +83,61 @@ object EventStream {
     sessionCountsFrom(
       spark.readStream.schema(eventSchema).parquet(inputDir))(spark)
 
+  case class SessionListState(sessionIdx: Long, lastTsMicros: Long,
+      curN: Long)
+  case class SessionRow(user_id: Long, session_idx: Long, n_events: Long)
+
+  /** flatMapGroupsWithState — the MULTI-ROW stateful surface
+    * (mapGroupsWithState emits exactly one row per key per batch; this
+    * emits one row per completed 30-minute gap session). State is the
+    * open session only (O(1) per user). Same single-file = one
+    * micro-batch contract as [[sessionCountsFrom]]: the final open
+    * session is emitted on drain because AvailableNow delivers
+    * everything in that batch; a multi-file layout would need
+    * event-time ordering across batches plus a timeout to close
+    * sessions (noted, not needed for the drained oracle). */
+  def sessionRowsFrom(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[SessionRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[UserEvent],
+         state: GroupState[SessionListState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption
+            .getOrElse(SessionListState(0L, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
+          sorted.foreach { e =>
+            val newSession = st.lastTsMicros == Long.MinValue ||
+              e.tsMicros - st.lastTsMicros > 1800000000L
+            if (newSession) {
+              if (st.curN > 0)
+                out += SessionRow(uid, st.sessionIdx, st.curN)
+              st = SessionListState(st.sessionIdx + 1, e.tsMicros, 1L)
+            } else st = SessionListState(st.sessionIdx, e.tsMicros,
+              st.curN + 1)
+          }
+          state.update(st)
+          // drained single-batch contract: the open session is complete
+          if (st.curN > 0) out += SessionRow(uid, st.sessionIdx, st.curN)
+          out.iterator
+      }
+  }
+
+  /** Drained flatMapGroupsWithState run over the driver's events table. */
+  def sessionRowsDrained(spark: SparkSession, eventsPath: String)
+      : DataFrame = {
+    implicit val sp: SparkSession = spark
+    val rows = sessionRowsFrom(eventsStream(spark, eventsPath))
+    drainToTable(spark, rows.toDF(), "graft_stream_session_rows",
+      OutputMode.Append())
+  }
+
   /** Drained stream-STATIC enrichment join (the standard streaming
     * pattern the others don't cover: an unbounded stream joined to a
     * bounded dimension): events ⋈ broadcast dim on user_id, then a
