@@ -295,7 +295,12 @@ object MultiModal {
         } finally r.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => Nil }
-    finally iis.close()
+    finally {
+      // close() itself may throw (it flushes); the 'undecodable bytes
+      // yield Nil' contract must hold on that path too
+      try iis.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** One video-bearing row: the opaque multimodal column + its id. */

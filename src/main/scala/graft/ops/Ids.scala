@@ -86,12 +86,18 @@ object Ids {
       parted.schema.fields.take(keyIdx) :+
         StructField(idCol, LongType, nullable = false))
     implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
-    // structural value equality: arrays (incl. Array[Byte] for binary
-    // columns) compare element-wise, everything else by ==
+    // structural value equality: binary columns (Array[Byte]) compare
+    // element-wise, ArrayType columns surface as Seq (WrappedArray) and
+    // recurse so nested binaries compare by value too, and NaN equals
+    // NaN (identical rows must never be rejected as 'differing')
     def valEq(a: Any, b: Any): Boolean = (a, b) match {
       case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
       case (x: Array[_], y: Array[_]) =>
         x.length == y.length && x.indices.forall(i => valEq(x(i), y(i)))
+      case (x: Seq[_], y: Seq[_]) =>
+        x.length == y.length && x.indices.forall(i => valEq(x(i), y(i)))
+      case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y
+      case (x: Float, y: Float) => (x.isNaN && y.isNaN) || x == y
       case _ => a == b
     }
     def restEq(a: Seq[Any], b: Seq[Any]): Boolean =

@@ -479,16 +479,18 @@ object ExtendedQueries {
   private val explodeOuter = GraftQuery(
     name = "lake_explode_outer",
     doc = "Outer explode null semantics: documents' tokens filtered to " +
-      "the rare 'zq'-prefixed subset (empty for most docs), exploded " +
-      "with explode_outer so EMPTY arrays keep their row with a NULL " +
-      "token - the left-join-shaped unnest a feature extraction needs " +
-      "when absence is signal. A plain explode silently drops those " +
-      "rows; the oracle models the outer semantics with a LEFT JOIN " +
-      "onto the unnested subset.",
+      "the 'qu'-prefixed subset (non-empty for ~80% of docs, empty for " +
+      "the rest - BOTH branches exercised), exploded with " +
+      "explode_outer so EMPTY arrays keep their row with a NULL token " +
+      "- the left-join-shaped unnest a feature extraction needs when " +
+      "absence is signal. A plain explode silently drops those rows; " +
+      "the oracle models the outer semantics with a LEFT JOIN onto " +
+      "the unnested subset. (NULL-vs-value ordering never ties: a doc " +
+      "emits either NULL or tokens, not both.)",
     oracle = Some("""
       WITH t AS (SELECT doc_id,
                    list_filter(string_split(text, ' '),
-                     w -> w LIKE 'zq%') AS zs
+                     w -> w LIKE 'qu%') AS zs
                  FROM documents),
       u AS (SELECT doc_id, unnest(zs) AS token FROM t WHERE len(zs) > 0)
       SELECT t.doc_id, u.token
@@ -496,7 +498,7 @@ object ExtendedQueries {
       ORDER BY t.doc_id, u.token"""),
     run = (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"),
-        filter(split(col("text"), " "), w => w.startsWith("zq")).as("zs"))
+        filter(split(col("text"), " "), w => w.startsWith("qu")).as("zs"))
       .select(col("doc_id"), explode_outer(col("zs")).as("token"))
       .orderBy("doc_id", "token"))
 

@@ -897,22 +897,25 @@ object PipelineQueries {
     name = "pipeline_chunk_windows",
     doc = "Sliding context-window chunking (the sequence-prep step " +
       "before packing a pretraining batch): each document's tokens " +
-      "split into windows of 64 with stride 48 (17-token overlap), " +
-      "final short window kept. Pure integer arithmetic end to end - " +
-      "window count 1 + (n-17) div 48 for n > 64 - so the oracle " +
-      "replays it exactly; per-row sequence+explode, no shuffle before " +
-      "the presentation sort.",
+      "split into windows of 64 with stride 48 (16-token overlap " +
+      "between consecutive windows); a window is emitted only while " +
+      "it adds at least one new token, and the last window may be " +
+      "short. Pure integer arithmetic end to end - window count " +
+      "1 + (n-17) div 48 for n > 64 - so the oracle replays it " +
+      "exactly via a per-row unnest(range(0, k)) with no window-count " +
+      "cap at all; per-row sequence+explode, no shuffle before the " +
+      "presentation sort.",
     oracle = Some("""
       WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
                  FROM documents),
       c AS (SELECT doc_id, n,
               CASE WHEN n <= 64 THEN 1
-                   ELSE 1 + (n - 17) // 48 END AS k FROM t)
-      SELECT c.doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
-             CAST(t.i * 48 AS BIGINT) AS tok_start,
-             CAST(LEAST(t.i * 48 + 64, c.n) AS BIGINT) AS tok_end
-      FROM c CROSS JOIN range(0, 64) t(i) WHERE t.i < c.k
-      ORDER BY c.doc_id, chunk_idx"""),
+                   ELSE 1 + (n - 17) // 48 END AS k FROM t),
+      w AS (SELECT doc_id, n, unnest(range(0, k)) AS i FROM c)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             CAST(i * 48 AS BIGINT) AS tok_start,
+             CAST(LEAST(i * 48 + 64, n) AS BIGINT) AS tok_end
+      FROM w ORDER BY doc_id, chunk_idx"""),
     run = (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast(LongType).as("n"))

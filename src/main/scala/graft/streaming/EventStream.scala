@@ -46,6 +46,11 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Session gap threshold shared by BOTH stateful session surfaces
+    * (and mirrored as a literal in their SQL oracles, which must stay
+    * self-contained): 30 minutes in microseconds. */
+  val SessionGapMicros = 1800000000L
+
   case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long)
   case class UserSessionState(nEvents: Long, lastTsMicros: Long, nSessions: Long)
   case class UserSessionCount(user_id: Long, n_events: Long, n_sessions: Long)
@@ -69,7 +74,7 @@ object EventStream {
           var st = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue, 0L))
           sorted.foreach { e =>
             val newSession = st.lastTsMicros == Long.MinValue ||
-              e.tsMicros - st.lastTsMicros > 1800000000L
+              e.tsMicros - st.lastTsMicros > SessionGapMicros
             st = UserSessionState(st.nEvents + 1, e.tsMicros,
               st.nSessions + (if (newSession) 1 else 0))
           }
@@ -114,7 +119,7 @@ object EventStream {
           val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
           sorted.foreach { e =>
             val newSession = st.lastTsMicros == Long.MinValue ||
-              e.tsMicros - st.lastTsMicros > 1800000000L
+              e.tsMicros - st.lastTsMicros > SessionGapMicros
             if (newSession) {
               if (st.curN > 0)
                 out += SessionRow(uid, st.sessionIdx, st.curN)
