@@ -137,6 +137,22 @@ class PlanSpec extends AnyFunSuite {
     assert(joinKeyed, s"sub-cell not part of any join's keys:\n$p")
   }
 
+  test("PII scrub stays a narrow codegen pipeline") {
+    val p = plan("pipeline_pii_scrub")
+    assert(!p.contains("Join"), s"scrub must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"scrub should shuffle at most once (final sort):\n$p")
+  }
+
+  test("decontamination broadcasts the benchmark set, never a cartesian") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark set should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination degenerated to all-pairs:\n$p")
+  }
+
   test("bucketed join runs with no exchange between the bucketed scans") {
     val p = plan("lake_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
