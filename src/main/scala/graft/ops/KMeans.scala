@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic, integer-exact Lloyd's k-means over int8-quantized
+  * embeddings — the missing "train the IVF index" step in front of
+  * `pipeline_knn_ivf` (which partitions by externally-given labels).
+  *
+  * Cross-engine exactness is the whole design: a float-mean centroid is
+  * NOT portable (parallel double summation is order-dependent), so
+  *   - points are quantized to integers first (floor(x·127) — one IEEE
+  *     multiply + floor, bit-identical in any engine);
+  *   - a centroid is represented EXACTLY as (n, Σq) — member count and
+  *     per-dimension integer sum — never as a rounded mean;
+  *   - squared distance to the rational centroid s/n is compared via the
+  *     scaled integer form  A = Σ_i (n·x_i − s_i)²,  dist = A / n²:
+  *     A is integer-exact in any summation order, and the single
+  *     double division of two exactly-representable integers is
+  *     correctly rounded, hence bit-identical in Spark and DuckDB.
+  *
+  * Magnitudes: |q| ≤ 127, so with n members A ≤ dims·(2·127·n)² —
+  * ~1e14 for n = 5 000 at dims = 64, comfortably inside both the 2⁵³
+  * double-exact window and Long. (A cluster of ~10⁹ members would need
+  * the DECIMAL(38,0) twin of this arithmetic; at that point you shard
+  * k-means per IVF cell anyway.)
+  *
+  * Scale posture: each iteration is one broadcast of k tiny (n, Σq)
+  * rows against the point set (map-side argmin via `min_by`, partial
+  * aggregation) plus one fixed-width shuffle of (cid, dim, Σ) pairs —
+  * dims·k rows out of the combine. No driver-side state, no collect;
+  * the iteration count is a compile-time constant, so the whole train
+  * is a single lazy Catalyst plan.
+  */
+object KMeans {
+
+  /** Quantized point set: (vec_id, q: array<long>) from an embedding
+    * column of float vectors. */
+  def quantize(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 127).cast(LongType)).as("q"))
+
+  /** Centroids after `iters` Lloyd rounds, k seeded from the first k
+    * vec_ids (deterministic farthest-point init would also work; first-k
+    * is the portable choice every engine replays trivially).
+    *
+    * Returns (cid, n, sv): member count and per-dim integer sums of the
+    * LAST assignment. A cluster that loses all members simply drops out
+    * (k shrinks) — the oracle's identical arithmetic drops it too.
+    */
+  def train(points: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = points.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), lit(1L).as("n"), col("q").as("sv"))
+    for (_ <- 1 to iters) cent = update(assign(points, cent))
+    cent
+  }
+
+  /** Argmin assignment of every point to its nearest centroid:
+    * dist = Σ(n·x − s)² / n² with ties broken by lowest cid. `min_by`
+    * over a (dist, cid) struct keeps the argmin partially-aggregable —
+    * no window sort, map-side combine does the k-way comparison. */
+  def assign(points: DataFrame, centroids: DataFrame): DataFrame =
+    points.crossJoin(broadcast(centroids))
+      .withColumn("a",
+        aggregate(
+          zip_with(col("q"), col("sv"),
+            (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("dist",
+        col("a").cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("q")),
+        struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.q").as("q"))
+
+  /** Update step: exact (n, Σq) per centroid. Explodes to (cid, dim, x)
+    * — fixed-width longs, dims·n rows pre-combine — sums per (cid, dim),
+    * then reassembles the sum vector ordered by dim. */
+  def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      .groupBy("cid")
+      .agg(max(col("cnt")).as("n"),
+        transform(array_sort(collect_list(struct(col("dim"), col("sx")))),
+          e => e.getField("sx")).as("sv"))
+}

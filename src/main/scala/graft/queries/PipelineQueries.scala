@@ -1470,6 +1470,254 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     })
 
+  private val kmeansTrain = GraftQuery(
+    name = "pipeline_kmeans_train",
+    doc = "IVF centroid TRAINING via integer-exact Lloyd's k-means (k=8, " +
+      "2 rounds, first-k seed) over int8-quantized embeddings - the " +
+      "step that produces the cells pipeline_knn_ivf partitions by. " +
+      "Centroids are exact (count, integer-sum) pairs, never rounded " +
+      "means; nearest-centroid uses the scaled form sum((n*x - s)^2)/n^2 " +
+      "whose numerator is order-independent integer math and whose " +
+      "single double division is correctly rounded - so DuckDB replays " +
+      "both assignment rounds bit for bit. Per round: one k-row " +
+      "broadcast + map-side min_by argmin + one fixed-width (cid, dim) " +
+      "shuffle; the whole train is one lazy plan, no driver state.",
+    oracle = Some("""
+      WITH pts AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+           FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, q AS sv
+             FROM pts WHERE vec_id < 8),
+      a1 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM pts p CROSS JOIN c0 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a1) WHERE rk = 1),
+      e1 AS (SELECT b.cid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+               COUNT(*) AS cnt
+             FROM b1 b JOIN pts p USING (vec_id)
+               CROSS JOIN range(0, 64) t(i)
+             GROUP BY b.cid, t.i),
+      c1 AS (SELECT cid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+             FROM e1 GROUP BY cid),
+      a2 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM pts p CROSS JOIN c1 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a2) WHERE rk = 1),
+      e2 AS (SELECT b.cid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+               COUNT(*) AS cnt
+             FROM b2 b JOIN pts p USING (vec_id)
+               CROSS JOIN range(0, 64) t(i)
+             GROUP BY b.cid, t.i)
+      SELECT cid, CAST(dim AS BIGINT) AS dim, CAST(sx AS BIGINT) AS s_sum,
+             CAST(cnt AS BIGINT) AS n_members
+      FROM e2 ORDER BY cid, dim"""),
+    run = (s, dir) => {
+      import graft.ops.KMeans
+      val cent = KMeans.train(
+        KMeans.quantize(table(s, dir, "embeddings")), k = 8, iters = 2)
+      cent.select(col("cid"), col("n"),
+          posexplode(col("sv")).as(Seq("dim", "s_sum")))
+        .select(col("cid"), col("dim").cast(LongType).as("dim"),
+          col("s_sum").cast(LongType).as("s_sum"),
+          col("n").cast(LongType).as("n_members"))
+        .orderBy("cid", "dim")
+    })
+
+  private val packSequences = GraftQuery(
+    name = "pipeline_pack_sequences",
+    doc = "Greedy sequence packing (the batch-assembly step before " +
+      "pretraining): docs fold in doc_id order into 64-token bins, 8 " +
+      "independent shards; a doc that does not fit opens a new bin, an " +
+      "oversize doc takes a bin alone with a truncation flag. Packing " +
+      "is a sequential fold - state threads through the order - so " +
+      "flatMapSortedGroups per shard is the honest Spark expression " +
+      "(SURVEY escalation path (d)); only (doc_id, n_tokens) longs " +
+      "enter the shuffle, never the text, and shards pack " +
+      "embarrassingly parallel at 100 TB. The oracle replays the exact " +
+      "fold with a DuckDB recursive CTE.",
+    oracle = Some("""
+      WITH RECURSIVE t AS (SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+      r AS (SELECT doc_id, shard, n,
+              row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM t),
+      p AS (SELECT doc_id, shard, n, rn,
+              CAST(0 AS BIGINT) AS bin_idx,
+              CAST(0 AS BIGINT) AS tok_offset,
+              LEAST(n, 64) AS fill
+            FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.doc_id, r.shard, r.n, r.rn,
+              CASE WHEN p.fill + r.n > 64 THEN p.bin_idx + 1
+                   ELSE p.bin_idx END,
+              CASE WHEN p.fill + r.n > 64 THEN 0 ELSE p.fill END,
+              CASE WHEN p.fill + r.n > 64 THEN LEAST(r.n, 64)
+                   ELSE p.fill + r.n END
+            FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+      SELECT doc_id, shard, bin_idx, tok_offset, n AS n_tokens,
+             CAST(n > 64 AS BIGINT) AS truncated
+      FROM p ORDER BY doc_id"""),
+    run = (s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      graft.ops.Packing.packGreedy(docs, capacity = 64).toDF()
+        .select(col("doc_id"), col("shard"), col("bin_idx"),
+          col("tok_offset"), col("n_tokens"),
+          col("truncated").cast(LongType).as("truncated"))
+        .orderBy("doc_id")
+    })
+
+  private val tfidfTopk = GraftQuery(
+    name = "pipeline_tfidf_topk",
+    doc = "TF-IDF term ranking: top-5 terms per document by tf*N/df " +
+      "(the keyword-extraction / relevance primitive). Exactness trick: " +
+      "the score is ONE double division of two exact integers (tf*N and " +
+      "df), so both engines round identically and the ranking - ties " +
+      "broken by token - is bit-determined. df is a token-level " +
+      "aggregate joined back broadcast (the vocabulary is always the " +
+      "tiny side at corpus scale); the doc-count scalar cross-joins " +
+      "broadcast. Exploded tokens are cut once and feed both branches.",
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+             GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (SELECT t.doc_id, t.token, t.tf, d.df,
+               CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)
+                 AS score
+             FROM tf t JOIN df d USING (token) CROSS JOIN nd n),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, token) AS rank FROM sc)
+      SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+             CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 5 ORDER BY doc_id, rank"""),
+    run = (s, dir) => {
+      // tf feeds both the df aggregate and the scoring join — cut once
+      // (shared-prefix convention, same as vocabCoverage)
+      val tf = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = table(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(df), "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast(DoubleType)
+            / col("df").cast(DoubleType))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("score"), col("rank").cast(LongType).as("rank"))
+        .orderBy("doc_id", "rank")
+    })
+
+  private val zipfSpectrum = GraftQuery(
+    name = "pipeline_zipf_spectrum",
+    doc = "Token frequency-of-frequencies (Zipf spectrum): how many " +
+      "distinct tokens occur exactly f times - the corpus-health " +
+      "profile tokenizer and mixing decisions read (a heavy singleton " +
+      "tail means noise; a truncated head means templating). Two " +
+      "partial-aggregable groupBys, all integers; the second input is " +
+      "already vocabulary-sized.",
+    oracle = Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+      SELECT n AS freq, COUNT(*) AS n_tokens,
+             MIN(token) AS first_token, MAX(token) AS last_token
+      FROM tc GROUP BY n ORDER BY freq"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("freq"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("token")).as("first_token"),
+        max(col("token")).as("last_token"))
+      .orderBy("freq"))
+
+  private val curriculumBins = GraftQuery(
+    name = "pipeline_curriculum_bins",
+    doc = "Curriculum binning: ntile(4) quality quartiles per language " +
+      "over (n_chars desc, doc_id) - the difficulty/quality staging " +
+      "step of a curriculum or mixing schedule. The unique-id " +
+      "tie-break makes the order total, so the standard ntile fill " +
+      "rule (first n mod k buckets take the extra row) lands " +
+      "identically in both engines. One window per language partition.",
+    oracle = Some("""
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(ntile(4) OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS bin
+      FROM documents ORDER BY doc_id"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ntile(4).over(Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id")))
+          .cast(LongType).as("bin"))
+      .orderBy("doc_id"))
+
+  private val incrementalIngest = GraftQuery(
+    name = "pipeline_incremental_ingest",
+    doc = "Incremental ingest dedup: an arriving batch (a re-crawl of " +
+      "every doc_id%3 doc - same bytes, new arrival id - plus genuinely " +
+      "new variants of every doc_id%5 doc) is anti-joined on content " +
+      "hash against the standing corpus; only never-seen content is " +
+      "admitted. The ingest-time twin of pipeline_dedup_exact: at " +
+      "100 TB the corpus side of the anti join is the 32-byte hash " +
+      "column only (or a bloom-filter prefilter), never the text, and " +
+      "the join shuffles on the hash. Re-crawled rows are provably all " +
+      "rejected, suffixed variants provably all admitted.",
+    oracle = Some("""
+      WITH incoming AS (
+        SELECT doc_id + 1000000 AS arrival_id, doc_id AS src_doc_id, text
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, doc_id, text || ' fresh ingest'
+        FROM documents WHERE doc_id % 5 = 0)
+      SELECT i.arrival_id, i.src_doc_id, md5(i.text) AS content_md5
+      FROM incoming i
+      WHERE md5(i.text) NOT IN (SELECT md5(text) FROM documents)
+      ORDER BY i.arrival_id"""),
+    run = (s, dir) => {
+      val corpus = table(s, dir, "documents")
+        .select(md5(col("text")).as("content_md5"))
+      val docs = table(s, dir, "documents")
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("arrival_id"),
+          col("doc_id").as("src_doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("arrival_id"),
+            col("doc_id").as("src_doc_id"),
+            concat(col("text"), lit(" fresh ingest")).as("text")))
+      incoming
+        .withColumn("content_md5", md5(col("text")))
+        .join(corpus, Seq("content_md5"), "left_anti")
+        .select(col("arrival_id"), col("src_doc_id"), col("content_md5"))
+        .orderBy("arrival_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupClusters,
@@ -1481,5 +1729,7 @@ object PipelineQueries {
     stratifiedSample, trainingExport, corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate,
     multimodalMeta,
-    multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo)
+    multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
+    kmeansTrain, packSequences, tfidfTopk, zipfSpectrum, curriculumBins,
+    incrementalIngest)
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Unit tests for the round-6 additions: the greedy packing fold and the
+  * integer-exact k-means building blocks (the full pipelines are
+  * oracle-checked end-to-end by pipeline_pack_sequences /
+  * pipeline_kmeans_train; these pin the edge semantics directly). */
+class PackingKMeansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pack(rows: Seq[(Long, Long, Long)], cap: Long) = {
+    implicit val s = spark
+    Packing.packGreedy(
+      rows.toDF("doc_id", "shard", "n_tokens"), cap)
+      .collect().sortBy(_.doc_id)
+  }
+
+  test("packing fold: fit, overflow, oversize-truncate, post-full reset") {
+    val out = pack(Seq(
+      (1L, 0L, 30L),  // opens bin 0 at offset 0
+      (2L, 0L, 30L),  // fits: offset 30
+      (3L, 0L, 10L),  // 60+10 > 64 → bin 1
+      (4L, 0L, 70L),  // oversize → bin 2 alone, truncated, fills to cap
+      (5L, 0L, 5L)    // bin after an exactly-full bin → bin 3
+    ), cap = 64)
+    assert(out.map(p => (p.doc_id, p.bin_idx, p.tok_offset, p.truncated))
+      .toSeq == Seq(
+        (1L, 0L, 0L, false), (2L, 0L, 30L, false), (3L, 1L, 0L, false),
+        (4L, 2L, 0L, true), (5L, 3L, 0L, false)))
+  }
+
+  test("packing: exact fit is not truncated but closes the bin") {
+    val out = pack(Seq((1L, 0L, 64L), (2L, 0L, 1L)), cap = 64)
+    assert(out.map(p => (p.bin_idx, p.tok_offset, p.truncated))
+      .toSeq == Seq((0L, 0L, false), (1L, 0L, false)))
+  }
+
+  test("packing: shards fold independently") {
+    val out = pack(Seq(
+      (1L, 0L, 40L), (3L, 0L, 40L),   // shard 0: two bins
+      (2L, 1L, 40L), (4L, 1L, 20L)    // shard 1: one bin
+    ), cap = 64)
+    assert(out.filter(_.shard == 0).map(_.bin_idx).toSeq == Seq(0L, 1L))
+    assert(out.filter(_.shard == 1).map(p => (p.bin_idx, p.tok_offset))
+      .toSeq == Seq((0L, 0L), (0L, 40L)))
+  }
+
+  test("kmeans quantize floors toward negative infinity") {
+    val q = KMeans.quantize(
+      Seq((0L, Seq(0.5f, -0.5f, 0.0f))).toDF("vec_id", "embedding"))
+      .select("q").as[Seq[Long]].head()
+    assert(q == Seq(63L, -64L, 0L)) // floor(63.5), floor(-63.5), floor(0)
+  }
+
+  test("kmeans assign: nearest centroid wins, ties go to lowest cid") {
+    val pts = Seq(
+      (0L, Seq(0L, 0L)),   // on centroid 0
+      (1L, Seq(10L, 0L)),  // nearer centroid 1 (at 8,0)
+      (2L, Seq(4L, 0L))    // EXACTLY between both → cid 0 by tie-break
+    ).toDF("vec_id", "q")
+    val cent = Seq(
+      (0L, 1L, Seq(0L, 0L)),
+      (1L, 1L, Seq(8L, 0L))).toDF("cid", "n", "sv")
+    val got = KMeans.assign(pts, cent)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("kmeans converges on two planted clusters with exact sums") {
+    // cluster A: q near (0,0); cluster B: q near (100,100); seeds are
+    // vec_id 0 (in A) and 1 (in B) → one round separates them exactly
+    val pts = Seq(
+      (0L, Seq(0L, 1L)), (2L, Seq(1L, 0L)), (4L, Seq(2L, 2L)),
+      (1L, Seq(100L, 99L)), (3L, Seq(99L, 100L)), (5L, Seq(101L, 101L))
+    ).toDF("vec_id", "q")
+    val cent = KMeans.train(pts, k = 2, iters = 2)
+      .select("cid", "n", "sv").as[(Long, Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    assert(cent.map(c => (c._1, c._2)).toSeq == Seq((0L, 3L), (1L, 3L)))
+    assert(cent(0)._3 == Seq(3L, 3L))     // exact Σq of cluster A
+    assert(cent(1)._3 == Seq(300L, 300L)) // exact Σq of cluster B
+  }
+}
