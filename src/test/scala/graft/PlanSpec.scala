@@ -202,4 +202,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"as-of degenerated to a quadratic join:\n$p")
   }
+
+  test("kmeans: centroids broadcast, argmin and sums aggregate partial") {
+    val p = scanPlan("pipeline_kmeans_train")
+    // both Lloyd rounds must broadcast the k-row centroid side — a
+    // shuffled cross join against the point set is the 100 TB killer
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r
+      .findAllIn(p).size == 2, s"centroids not broadcast per round:\n$p")
+    // argmin via min_by keeps map-side combine (vs a window sort)
+    assert(p.contains("partial_min_by"), s"argmin not partial:\n$p")
+    // (cid, dim) sums combine map-side before the fixed-width shuffle
+    assert(p.contains("partial_sum"), s"update sums not partial:\n$p")
+  }
+
+  test("tfidf: rank<=5 prunes inside the window, df broadcasts, " +
+    "count scan reads zero columns") {
+    val p = scanPlan("pipeline_tfidf_topk")
+    // Spark 3.5+ WindowGroupLimit: only each group's top 5 rows cross
+    // the final window sort instead of every (doc, token) pair
+    assert(p.contains("WindowGroupLimit"), s"top-k not window-pruned:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
+    assert(p.contains("ReadSchema: struct<>"),
+      s"doc-count scan reads columns it doesn't need:\n$p")
+  }
+
+  test("sequence packing tokenizes before the shuffle (text never moves)") {
+    val df = Registry.byName("pipeline_pack_sequences").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("MapGroups"), s"no per-shard fold:\n$p")
+    val ex = p.indexOf("Exchange hashpartitioning")
+    val tok = p.indexOf("split(text")
+    // plans print root-first: the tokenizing Project must sit UPSTREAM
+    // of (printed after) the exchange — only (doc_id, shard, n_tokens)
+    // longs cross the wire
+    assert(ex >= 0 && tok > ex, s"tokenization after the shuffle:\n$p")
+  }
 }
