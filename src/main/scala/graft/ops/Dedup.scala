@@ -334,4 +334,104 @@ object Dedup {
         TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Prefix-filtered exact CONTAINMENT self-join: ordered pairs (A, B)
+    * with C(A,B) = |A∩B| / |A| ≥ θ — "A is θ-contained in B". The dedup
+    * mode Jaccard misses: an excerpt quoted inside a larger document has
+    * C(excerpt, doc) = 1 while its Jaccard can be arbitrarily low, so
+    * symmetric near-dup never flags it.
+    *
+    * Asymmetric prefix principle: C(A,B) ≥ θ forces |A∩B| ≥ ⌈θ·|A|⌉, so
+    * A must collide with B inside A's first |A| − ⌈θ·|A|⌉ + 1 shingles
+    * under any shared total order (same pigeonhole as
+    * [[prefixFilteredJaccard]]) — but B gets NO prefix: containment puts
+    * no lower bound on |A∩B| relative to |B|, so the probe side indexes
+    * every shingle. The candidate join is therefore A-prefix × B-full;
+    * rarity order keeps it bounded (prefixes hold each document's RAREST
+    * shingles, so the full side's matching buckets are small — the hot
+    * shingles that blow up a full×full index never appear on the prefix
+    * side). No length-ratio prune: containment is exactly the case
+    * where sizes legitimately differ wildly.
+    *
+    * Same exactness contract as the Jaccard path: integer prefix math
+    * (`thrNum/thrDen`), candidates verified with the exact intersection
+    * over pre-hashed sorted sets, verify joins pinned to shuffle.
+    *
+    * EXACT-CLASS COLLAPSE (the scale move, probe-measured): containment
+    * against a full-side index is hypersensitive to duplication — on a
+    * 10× corpus of exact-copy 10-cliques the naive form ran 206 s vs
+    * 2.4 s at 1× (every clique multiplies BOTH join sides; candidates
+    * grow ×100 while true answers grow ×100 only in OUTPUT size). But
+    * containment is a function of the shingle SET alone, so documents
+    * with identical sets form equivalence classes: the quadratic work
+    * runs once per distinct content (class representatives), within-class
+    * ordered pairs are containment 1.0 by definition, and cross-class
+    * results expand back member×member — output-bound, exactly the rows
+    * the answer owes. Same 206 s probe: 5.6 s after the collapse. This
+    * is the standard "exact-dedup before near-dup" staging of a corpus
+    * pipeline, applied inside one operator. */
+  def prefixFilteredContainment(docs: DataFrame, docCol: String,
+      shinglesCol: String, thrNum: Int, thrDen: Int): DataFrame = {
+    val threshold = thrNum.toDouble / thrDen
+    // exact-content classes: key = hash of the sorted hashed shingle set
+    val classed = docs.select(col(docCol).as("doc"),
+        sort_array(transform(col(shinglesCol), s => xxhash64(s))).as("shh"))
+      .withColumn("ckey", xxhash64(col("shh")))
+      .localCheckpoint(true) // feeds classes, reps, and both expansions
+    val classes = classed.groupBy("ckey")
+      .agg(min(col("doc")).as("rep"), count(lit(1)).as("csize"))
+    val membersByRep = classed.join(classes.hint("merge"), Seq("ckey"))
+      .select(col("rep"), col("doc"), col("csize"))
+      .localCheckpoint(true)
+    // one row per distinct content — the set the quadratic stage sees
+    val base = membersByRep.filter(col("doc") === col("rep"))
+      .join(classed.hint("merge"), Seq("doc"))
+      .select(col("doc"), col("shh"))
+      .localCheckpoint(true) // feeds the index build AND both verify sides
+    val ex = base.select(col("doc"), size(col("shh")).as("nsh"),
+        explode(col("shh")).as("shash"))
+      .localCheckpoint(true) // feeds the prefix branch AND the full side
+    val byShash = org.apache.spark.sql.expressions.Window
+      .partitionBy("shash")
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("dfreq"), col("shash"))
+    val prefixLen = col("nsh") -
+      expr(s"(nsh * $thrNum + ${thrDen - 1}) div $thrDen") + 1
+    val prefix = ex.withColumn("dfreq", count(lit(1)).over(byShash))
+      .withColumn("rank_rarity", row_number().over(byRarity))
+      .filter(col("rank_rarity") <= prefixLen)
+      .select(col("doc").as("a"), col("shash"))
+    val full = ex.select(col("doc").as("b"), col("shash"))
+    val cands = prefix.join(full, Seq("shash"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val sa = base.select(col("doc").as("a"), col("shh").as("sha")).hint("merge")
+    val sb = base.select(col("doc").as("b"), col("shh").as("shb")).hint("merge")
+    val repPairs = cands.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
+          size(col("sha")).cast(DoubleType)).as("containment"))
+      .filter(col("containment") >= threshold)
+    // within-class: exact copies contain each other with score exactly
+    // 1.0 (|A∩A|/|A|); empty shingle sets excluded — 0/0 is NaN in both
+    // engines and a NaN never clears the threshold
+    val within = membersByRep.as("m1")
+      .join(membersByRep.as("m2").hint("merge"),
+        col("m1.rep") === col("m2.rep") && col("m1.doc") =!= col("m2.doc"))
+      .join(classed.select(col("doc").as("cdoc"), size(col("shh")).as("nsh"))
+          .hint("merge"),
+        col("m1.doc") === col("cdoc"))
+      .filter(col("nsh") > 0)
+      .select(col("m1.doc").as("doc_a"), col("m2.doc").as("doc_b"),
+        lit(1.0).as("containment"))
+    // cross-class: expand each representative pair to all member pairs —
+    // containment depends only on the shingle sets, so the score carries
+    val across = repPairs
+      .join(membersByRep.select(col("rep").as("a"), col("doc").as("doc_a"))
+        .hint("merge"), Seq("a"))
+      .join(membersByRep.select(col("rep").as("b"), col("doc").as("doc_b"))
+        .hint("merge"), Seq("b"))
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+    within.unionAll(across)
+  }
 }

@@ -174,6 +174,53 @@ object PipelineQueries {
       Dedup.prefixFilteredJaccard(docShingles(s, dir), "doc_id", "sh",
         ThresholdNum, ThresholdDen).orderBy("doc_a", "doc_b"))
 
+  private val dedupContainment = GraftQuery(
+    name = "pipeline_dedup_containment",
+    doc = "Asymmetric CONTAINMENT dedup: ordered pairs where |A∩B|/|A| " +
+      ">= 0.8 - the excerpt/quotation mode symmetric Jaccard cannot " +
+      "see (an excerpt inside a larger doc has containment 1.0 and " +
+      "Jaccard near |A|/|B|). The corpus is documents plus one planted " +
+      "half-length excerpt per doc_id%20 doc, so the one-way case is " +
+      "provably live: every excerpt flags against its source, never " +
+      "the reverse. Prefix filter applies on the contained side only " +
+      "(B gets no size bound - that asymmetry IS the semantics); " +
+      "candidates verify with the exact intersection; one double " +
+      "division of two ints keeps the score bit-identical in DuckDB.",
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                 (len(string_split(text, ' ')) + 1) // 2), ' ')
+        FROM documents WHERE doc_id % 20 = 0),
+      t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh)
+                AS containment
+            FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+      SELECT doc_a, doc_b, containment FROM p
+      WHERE containment >= $Threshold
+      ORDER BY doc_a, doc_b"""),
+    run = (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val excerpts = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            // (n+1) div 2 — double-divide then int-cast truncates like
+            // floor for non-negative n, matching the oracle's // 2
+            ((size(toks) + 1) / 2).cast(IntegerType)), " ").as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionAll(excerpts)
+        .select(col("doc_id"),
+          TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      Dedup.prefixFilteredContainment(corpus, "doc_id", "sh",
+        ThresholdNum, ThresholdDen).orderBy("doc_a", "doc_b")
+    })
+
   private val dedupClusters = GraftQuery(
     name = "pipeline_dedup_clusters",
     doc = "Dedup capstone: near-dup pairs (exact inverted-index Jaccard " +
@@ -1720,7 +1767,7 @@ object PipelineQueries {
 
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
-    dedupClusters,
+    dedupContainment, dedupClusters,
     dedupKeepBest, embedNearDup, embedNearDupGlobal, embedNormalize,
     knnBrute, knnIvf, annLsh, annLshTopk, textStats, textQuality, langId,
     fingerprint,

@@ -45,6 +45,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(pairs("pipeline_dedup_prefix") == exact)
   }
 
+  test("containment dedup is asymmetric: excerpts flag one-way") {
+    val rows = Registry.byName("pipeline_dedup_containment")
+      .run(spark, dir).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted half-length excerpt (id+10000) is contained in its
+    // source doc...
+    val planted = rows.filter { case (a, b) => a == b + 10000 }
+    assert(planted.nonEmpty)
+    // ...and no source is ever "contained" in its half-length excerpt
+    assert(planted.forall { case (a, b) => !rows.contains((b, a)) })
+  }
+
   test("golden counts on sf0.001") {
     assert(Registry.byName("parity_time_dim").run(spark, dir).count() == 1000)
     assert(Registry.byName("pipeline_dedup_exact").run(spark, dir)
