@@ -369,28 +369,35 @@ object Dedup {
     * results expand back member×member — output-bound, exactly the rows
     * the answer owes. Same 206 s probe: 5.6 s after the collapse. This
     * is the standard "exact-dedup before near-dup" staging of a corpus
-    * pipeline, applied inside one operator. */
+    * pipeline, applied inside one operator.
+    *
+    * Constant-factor discipline: the whole collapse hangs off ONE pinned
+    * table. Class key, set size, and representative (min doc over the
+    * class window) are fused into a single pass — a groupBy + join-back
+    * would pay the ckey shuffle twice and need separate pins for the
+    * member list and the representative sets (the first cut did exactly
+    * that: four localCheckpoints, 5.5 s at sf0.1; this shape runs the
+    * same answer in half the jobs). `base` and the expansion sides are
+    * cheap narrow filters re-read from the one pin. */
   def prefixFilteredContainment(docs: DataFrame, docCol: String,
       shinglesCol: String, thrNum: Int, thrDen: Int): DataFrame = {
     val threshold = thrNum.toDouble / thrDen
-    // exact-content classes: key = hash of the sorted hashed shingle set
-    val classed = docs.select(col(docCol).as("doc"),
+    // exact-content classes: key = hash of the sorted hashed shingle
+    // set; rep = min doc per class via window (one ckey shuffle)
+    val byClass = org.apache.spark.sql.expressions.Window
+      .partitionBy("ckey")
+    val members = docs.select(col(docCol).as("doc"),
         sort_array(transform(col(shinglesCol), s => xxhash64(s))).as("shh"))
       .withColumn("ckey", xxhash64(col("shh")))
-      .localCheckpoint(true) // feeds classes, reps, and both expansions
-    val classes = classed.groupBy("ckey")
-      .agg(min(col("doc")).as("rep"), count(lit(1)).as("csize"))
-    val membersByRep = classed.join(classes.hint("merge"), Seq("ckey"))
-      .select(col("rep"), col("doc"), col("csize"))
-      .localCheckpoint(true)
+      .withColumn("nsh", size(col("shh")))
+      .withColumn("rep", min(col("doc")).over(byClass))
+      .localCheckpoint(true) // the ONLY pin: feeds the index build, both
+                             // verify sides, and both output expansions
     // one row per distinct content — the set the quadratic stage sees
-    val base = membersByRep.filter(col("doc") === col("rep"))
-      .join(classed.hint("merge"), Seq("doc"))
-      .select(col("doc"), col("shh"))
-      .localCheckpoint(true) // feeds the index build AND both verify sides
-    val ex = base.select(col("doc"), size(col("shh")).as("nsh"),
-        explode(col("shh")).as("shash"))
-      .localCheckpoint(true) // feeds the prefix branch AND the full side
+    val base = members.filter(col("doc") === col("rep"))
+      .select(col("doc"), col("nsh"), col("shh"))
+    val ex = base.select(col("doc"), col("nsh"),
+      explode(col("shh")).as("shash"))
     val byShash = org.apache.spark.sql.expressions.Window
       .partitionBy("shash")
     val byRarity = org.apache.spark.sql.expressions.Window
@@ -415,21 +422,18 @@ object Dedup {
     // within-class: exact copies contain each other with score exactly
     // 1.0 (|A∩A|/|A|); empty shingle sets excluded — 0/0 is NaN in both
     // engines and a NaN never clears the threshold
-    val within = membersByRep.as("m1")
-      .join(membersByRep.as("m2").hint("merge"),
+    val within = members.as("m1")
+      .join(members.as("m2").hint("merge"),
         col("m1.rep") === col("m2.rep") && col("m1.doc") =!= col("m2.doc"))
-      .join(classed.select(col("doc").as("cdoc"), size(col("shh")).as("nsh"))
-          .hint("merge"),
-        col("m1.doc") === col("cdoc"))
-      .filter(col("nsh") > 0)
+      .filter(col("m1.nsh") > 0)
       .select(col("m1.doc").as("doc_a"), col("m2.doc").as("doc_b"),
         lit(1.0).as("containment"))
     // cross-class: expand each representative pair to all member pairs —
     // containment depends only on the shingle sets, so the score carries
     val across = repPairs
-      .join(membersByRep.select(col("rep").as("a"), col("doc").as("doc_a"))
+      .join(members.select(col("rep").as("a"), col("doc").as("doc_a"))
         .hint("merge"), Seq("a"))
-      .join(membersByRep.select(col("rep").as("b"), col("doc").as("doc_b"))
+      .join(members.select(col("rep").as("b"), col("doc").as("doc_b"))
         .hint("merge"), Seq("b"))
       .select(col("doc_a"), col("doc_b"), col("containment"))
     within.unionAll(across)

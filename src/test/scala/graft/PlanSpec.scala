@@ -226,6 +226,18 @@ class PlanSpec extends AnyFunSuite {
       s"doc-count scan reads columns it doesn't need:\n$p")
   }
 
+  test("containment verify and expansion joins stay shuffle joins") {
+    val p = plan("pipeline_dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic join shape:\n$p")
+    // five merge-hinted joins (two verify sides on the shingle arrays,
+    // the within-class self-join, both output expansions): the array
+    // side broadcasting is the measured driver-memory cliff (SURVEY
+    // §6.1) — if a hint is dropped this count falls
+    assert("SortMergeJoin".r.findAllIn(p).size >= 5,
+      s"expected >=5 pinned shuffle joins:\n$p")
+  }
+
   test("sequence packing tokenizes before the shuffle (text never moves)") {
     val df = Registry.byName("pipeline_pack_sequences").run(spark, dir)
     df.collect()
