@@ -1030,6 +1030,85 @@ object PipelineQueries {
         .orderBy("lang")
     })
 
+  private val qualityDupFrac = GraftQuery(
+    name = "pipeline_quality_dupfrac",
+    doc = "Duplicated-n-gram fraction (exact-substring-dedup signal, " +
+      "after Lee et al.'s 'Deduplicating Training Data Makes Language " +
+      "Models Better'): per document, the fraction of its distinct " +
+      "3-gram shingles that also occur in at least one other document. " +
+      "High-fraction docs are boilerplate/templated content that " +
+      "pairwise near-dup misses when no single partner crosses the " +
+      "Jaccard bar. One exploded pass: df via a window count over the " +
+      "8-byte shingle hash (the groupBy+join-back would pay that " +
+      "shuffle twice), then a per-doc agg; shuffles carry only longs. " +
+      "dup_frac is one double division of two ints - bit-identical in " +
+      "DuckDB. Docs with fewer than 3 tokens have no shingles and are " +
+      "absent from the output in both engines.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM t),
+      d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS df FROM s)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+             CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS dup_frac
+      FROM d GROUP BY doc_id ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val ex = docShingles(s, dir, materialize = false)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+      val byShash = Window.partitionBy("shash")
+      ex.withColumn("df", count(lit(1)).over(byShash))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_sh"), col("n_dup"),
+          (col("n_dup").cast(DoubleType) / col("n_sh").cast(DoubleType))
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    })
+
+  private val sourceMix = GraftQuery(
+    name = "pipeline_source_mix",
+    doc = "Temperature-based data mixing (tau = 0.5): per-language " +
+      "target counts proportional to sqrt(n_lang), capped at n_lang - " +
+      "the standard rebalance that downsamples dominant languages " +
+      "and keeps the tail intact. Targets derive FROM the corpus (one " +
+      "tiny agg, broadcast back), unlike pipeline_stratified_sample's " +
+      "fixed rates; selection is the multiplicative-hash threshold at " +
+      "exact integer rate ts/ns: keep iff hash32(doc_id)*ns < ts*2^32 " +
+      "- no window, no per-stratum sort, so no single-task stage when " +
+      "one language dominates the corpus. sqrt is IEEE-correctly-" +
+      "rounded in both engines, so floor(10*sqrt(n)) is bit-identical; " +
+      "everything after is int64 (exact while n_lang < 2^31 per " +
+      "stratum, noted at the predicate).",
+    oracle = Some("""
+      WITH t AS (SELECT lang, COUNT(*) AS ns,
+                   LEAST(COUNT(*), CAST(FLOOR(10 * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS ts
+                 FROM documents GROUP BY lang)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN t USING (lang)
+      WHERE ((((d.doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 4294967296) * ns
+            < ts * 4294967296
+      ORDER BY d.doc_id"""),
+    run = (s, dir) => {
+      val docs = table(s, dir, "documents")
+      // per-language totals and sqrt-temperature targets: one row per
+      // language, broadcast back to the corpus
+      val targets = docs.groupBy("lang").agg(count(lit(1)).as("ns"))
+        .select(col("lang"), col("ns"),
+          least(col("ns"), floor(lit(10) * sqrt(col("ns").cast(DoubleType)))
+            .cast(LongType)).as("ts"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(broadcast(targets), "lang")
+        // exact integer rate compare; hash32 < 2^32 and ts <= ns keep
+        // both products below 2^63 while ns < 2^31 per stratum
+        .filter(graft.ops.Sampling.hash32(col("doc_id")) * col("ns")
+          < col("ts") * lit(4294967296L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    })
+
   private val trainingExport = GraftQuery(
     name = "pipeline_training_export",
     doc = "The export stage of a training-data pipeline: length-gated, " +
@@ -1773,7 +1852,8 @@ object PipelineQueries {
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     vocabCoverage, lengthHistogram, chunkWindows, urlExtract,
-    stratifiedSample, trainingExport, corpusClean, embedQuantize,
+    stratifiedSample, sourceMix, qualityDupFrac, trainingExport,
+    corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate,
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,

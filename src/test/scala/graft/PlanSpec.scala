@@ -226,6 +226,24 @@ class PlanSpec extends AnyFunSuite {
       s"doc-count scan reads columns it doesn't need:\n$p")
   }
 
+  test("source mix broadcasts targets; no per-stratum sort or window") {
+    val p = plan("pipeline_source_mix")
+    // derived targets are one row per language: must broadcast back
+    assert(p.contains("BroadcastHashJoin"), s"targets not broadcast:\n$p")
+    // selection is a hash-threshold filter — a Window here would mean a
+    // single-task sort per language when one language dominates
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1 &&
+      !p.contains("SortMergeJoin"), s"unexpected shuffle:\n$p")
+  }
+
+  test("dupfrac aggregates partial+final after one df window") {
+    val p = plan("pipeline_quality_dupfrac")
+    assert(p.contains("Window"), s"df window missing:\n$p")
+    assert(p.contains("partial_count"), s"agg not partial+final:\n$p")
+    assert(!p.contains("Join"), s"dupfrac must not join:\n$p")
+  }
+
   test("containment verify and expansion joins stay shuffle joins") {
     val p = plan("pipeline_dedup_containment")
     assert(!p.contains("CartesianProduct") &&

@@ -57,6 +57,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(planted.forall { case (a, b) => !rows.contains((b, a)) })
   }
 
+  test("source mix downsamples the head language, keeps the tail") {
+    val totals = graft.sources.Readers.table(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Registry.byName("pipeline_source_mix").run(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en (218 docs) exceeds its sqrt target and is downsampled; every
+    // tail language (<=100 docs) caps at LEAST(ns,...) = ns and
+    // survives intact — the rebalance the operator exists for
+    assert(kept("en") < totals("en"))
+    for ((lang, n) <- totals if lang != "en") assert(kept(lang) == n, lang)
+  }
+
+  test("dupfrac is a valid fraction and flags the planted near-dups") {
+    val rows = Registry.byName("pipeline_quality_dupfrac").run(spark, dir)
+      .select("dup_frac").collect().map(_.getDouble(0))
+    assert(rows.forall(f => f >= 0.0 && f <= 1.0))
+    // planted near-dup pairs share most shingles — some doc must be
+    // mostly duplicated n-grams
+    assert(rows.exists(_ > 0.5))
+  }
+
   test("golden counts on sf0.001") {
     assert(Registry.byName("parity_time_dim").run(spark, dir).count() == 1000)
     assert(Registry.byName("pipeline_dedup_exact").run(spark, dir)
