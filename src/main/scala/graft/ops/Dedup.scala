@@ -335,6 +335,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Two-sided (ingest) variant of [[prefixFilteredJaccard]]: exact
+    * Jaccard ≥ θ pairs BETWEEN a standing corpus and a new batch — the
+    * near-dup gate an incremental ingest runs on every delivery. The
+    * scale point of a dedicated two-sided path: candidates come ONLY
+    * from corpus-prefix × batch-prefix bucket collisions, so the
+    * standing corpus is never self-joined again (re-running the
+    * self-join on corpus+batch redoes O(corpus²) candidate work to
+    * answer a question about the batch). Prefix math, rarity order,
+    * length-ratio prune, and shuffle-pinned verify joins are identical
+    * to the self-join path — the prefix principle is pair-symmetric and
+    * does not care that the pair spans two datasets. The shared total
+    * order both prefixes must agree on is document frequency over the
+    * UNION (one window count, same single shuffle as the self-join). */
+  def prefixFilteredJaccardCross(corpus: DataFrame, batch: DataFrame,
+      docCol: String, shinglesCol: String, thrNum: Int,
+      thrDen: Int): DataFrame = {
+    val threshold = thrNum.toDouble / thrDen
+    def prep(df: DataFrame, side: Int) = df.select(col(docCol).as("doc"),
+      sort_array(transform(col(shinglesCol), s => xxhash64(s))).as("shh"),
+      lit(side).as("side"))
+    val base = prep(corpus, 0).unionAll(prep(batch, 1))
+      .localCheckpoint(true) // feeds the shared-df index + both verify sides
+    val ex = base.select(col("side"), col("doc"), size(col("shh")).as("nsh"),
+      explode(col("shh")).as("shash"))
+    val byShash = org.apache.spark.sql.expressions.Window
+      .partitionBy("shash")
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("side", "doc").orderBy(col("dfreq"), col("shash"))
+    val prefixLen = col("nsh") -
+      expr(s"(nsh * $thrNum + ${thrDen - 1}) div $thrDen") + 1
+    val prefix = ex.withColumn("dfreq", count(lit(1)).over(byShash))
+      .withColumn("rank_rarity", row_number().over(byRarity))
+      .filter(col("rank_rarity") <= prefixLen)
+      .select("side", "doc", "nsh", "shash")
+      .localCheckpoint(true) // feeds both sides of the candidate join
+    val x = prefix.filter(col("side") === 0).as("x")
+    val y = prefix.filter(col("side") === 1).as("y")
+    val cands = x.join(y, col("x.shash") === col("y.shash") &&
+        greatest(col("x.nsh"), col("y.nsh")) * thrNum
+          <= least(col("x.nsh"), col("y.nsh")) * thrDen)
+      .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
+    val sa = base.filter(col("side") === 0)
+      .select(col("doc").as("a"), col("shh").as("sha")).hint("merge")
+    val sb = base.filter(col("side") === 1)
+      .select(col("doc").as("b"), col("shh").as("shb")).hint("merge")
+    cands.join(sa, "a").join(sb, "b")
+      .select(col("a").as("doc_corpus"), col("b").as("doc_batch"),
+        TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Prefix-filtered exact CONTAINMENT self-join: ordered pairs (A, B)
     * with C(A,B) = |A∩B| / |A| ≥ θ — "A is θ-contained in B". The dedup
     * mode Jaccard misses: an excerpt quoted inside a larger document has

@@ -1030,6 +1030,34 @@ object PipelineQueries {
         .orderBy("lang")
     })
 
+  private val ingestNearDup = GraftQuery(
+    name = "pipeline_ingest_neardup",
+    doc = "Incremental-ingest NEAR-dup gate: exact Jaccard >= 0.8 pairs " +
+      "between a standing corpus (doc_id % 10 != 7) and a new batch " +
+      "(doc_id % 10 = 7) - the check every delivery runs before " +
+      "appending, complementing pipeline_incremental_ingest's exact-" +
+      "hash anti join. Dedicated two-sided prefix path: candidates " +
+      "come only from corpus-prefix x batch-prefix collisions under " +
+      "the shared union-df rarity order, so the standing corpus is " +
+      "never self-joined again. Oracle = exact all-pairs cross " +
+      "Jaccard.",
+    oracle = Some(ShingleCte + s""",
+      p AS (SELECT a.doc_id AS doc_corpus, b.doc_id AS doc_batch,
+              len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM s a JOIN s b ON a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7)
+      SELECT doc_corpus, doc_batch, jaccard FROM p WHERE jaccard >= $Threshold
+      ORDER BY doc_corpus, doc_batch"""),
+    run = (s, dir) => {
+      val sh = docShingles(s, dir)
+      val corpus = sh.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("sh"))
+      val batch = sh.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("sh"))
+      Dedup.prefixFilteredJaccardCross(corpus, batch, "doc_id", "sh",
+        ThresholdNum, ThresholdDen).orderBy("doc_corpus", "doc_batch")
+    })
+
   private val qualityDupFrac = GraftQuery(
     name = "pipeline_quality_dupfrac",
     doc = "Duplicated-n-gram fraction (exact-substring-dedup signal, " +
@@ -1846,7 +1874,7 @@ object PipelineQueries {
 
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
-    dedupContainment, dedupClusters,
+    dedupContainment, ingestNearDup, dedupClusters,
     dedupKeepBest, embedNearDup, embedNearDupGlobal, embedNormalize,
     knnBrute, knnIvf, annLsh, annLshTopk, textStats, textQuality, langId,
     fingerprint,

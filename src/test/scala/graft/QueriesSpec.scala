@@ -45,6 +45,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(pairs("pipeline_dedup_prefix") == exact)
   }
 
+  test("ingest near-dup equals the exact answer restricted to the split") {
+    val exact = Registry.byName("pipeline_dedup_ngram").run(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = exact.collect {
+      case (a, b) if (a % 10 == 7) != (b % 10 == 7) =>
+        if (b % 10 == 7) (a, b) else (b, a) // (corpus, batch) orientation
+    }
+    val cross = Registry.byName("pipeline_ingest_neardup").run(spark, dir)
+      .select("doc_corpus", "doc_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    assert(cross == expected)
+  }
+
   test("containment dedup is asymmetric: excerpts flag one-way") {
     val rows = Registry.byName("pipeline_dedup_containment")
       .run(spark, dir).select("doc_a", "doc_b").collect()
