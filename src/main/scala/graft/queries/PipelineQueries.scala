@@ -1872,6 +1872,253 @@ object PipelineQueries {
         .orderBy("arrival_id")
     })
 
+  private val qualityFamiliarity = GraftQuery(
+    name = "pipeline_quality_familiarity",
+    doc = "Unigram-LM familiarity score: the mean corpus frequency of a " +
+      "document's tokens (with multiplicity) - the cheapest 'does this " +
+      "text look like the rest of the corpus' quality signal (rare-" +
+      "token-heavy docs score low: boilerplate, noise, wrong-language " +
+      "shards). Exactness: the numerator is a sum of exact integer " +
+      "counts and the score is ONE double division of two exact " +
+      "integers, so both engines round identically (tfidf trick). The " +
+      "exploded token prefix is cut once and feeds both the corpus " +
+      "count and the scoring join; the count side is vocabulary-sized " +
+      "and broadcasts.",
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      d AS (SELECT t.doc_id, SUM(c.cnt) AS fam_sum, COUNT(*) AS n_tokens
+            FROM tok t JOIN tc c USING (token) GROUP BY t.doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(fam_sum AS BIGINT) AS fam_sum,
+             CAST(fam_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS familiarity
+      FROM d ORDER BY doc_id"""),
+    run = (s, dir) => {
+      // exploded tokens feed the corpus count AND the scoring join —
+      // cut once (shared-prefix convention, same as tfidfTopk)
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .localCheckpoint(true)
+      val tc = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      tok.join(broadcast(tc), "token")
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("fam_sum"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("fam_sum"),
+          (col("fam_sum").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("familiarity"))
+        .orderBy("doc_id")
+    })
+
+  /** Per-language token budget for `pipeline_token_budget` — sized so
+    * the dominant language overflows well before its last doc at
+    * sf0.01 (en carries ~6.5k tokens there). */
+  private val TokenBudget = 2000L
+
+  private val tokenBudget = GraftQuery(
+    name = "pipeline_token_budget",
+    doc = "Token-budget selection: docs admitted per language in " +
+      s"doc_id order until a $TokenBudget-token budget is exhausted - " +
+      "the mixture-assembly step when a training recipe fixes a token " +
+      "quota per source/language. Running sum over a total order " +
+      "(unique doc_id tie-break), all integers. One window per " +
+      "language partition; under a single dominant language the " +
+      "two-phase per-shard offset scheme of graft.ops.Ids.orderedId " +
+      "is the documented scale-out (partial sums per (lang, shard), " +
+      "offsets broadcast back) - same answer, no single-task stage.",
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+      c AS (SELECT doc_id, lang, n_tokens,
+              SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum_tokens
+            FROM t)
+      SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= TokenBudget)
+        .orderBy("doc_id")
+    })
+
+  private val knnFiltered = GraftQuery(
+    name = "pipeline_knn_filtered",
+    doc = "Metadata-filtered vector search: exact cosine top-3 for the " +
+      "query set (vec_id < 20), with the CANDIDATE corpus restricted " +
+      "to vectors whose paired document is lang='en' (the filtered-" +
+      "search mode every production vector store exposes: filter " +
+      "first, then rank - never rank-then-filter, which under-fills " +
+      "k). The predicate is applied via a semi join on the id BEFORE " +
+      "any dot product is computed; at 100 TB that join co-partitions " +
+      "on the id and the filter prunes the expensive arithmetic, not " +
+      "just the output. Query side broadcast as in pipeline_knn_brute.",
+    oracle = Some("""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      en AS (SELECT n.* FROM n JOIN documents d ON d.doc_id = n.vec_id
+             WHERE d.lang = 'en'),
+      p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+            FROM n q JOIN en c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      r AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM p)
+      SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+      ORDER BY query_id, rank"""),
+    run = (s, dir) => {
+      val pv = VectorOps.prepared(table(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      val enIds = table(s, dir, "documents")
+        .filter(col("lang") === "en").select(col("doc_id"))
+      val q = pv.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val c = pv.join(enIds, pv("vec_id") === enIds("doc_id"), "left_semi")
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos",
+          VectorOps.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    })
+
+  /** Cosine threshold for semantic (embedding-space) duplicates —
+    * looser than textual near-dup because paraphrases land here. */
+  private val SemThreshold = 0.4
+
+  private val semanticDedup = GraftQuery(
+    name = "pipeline_semantic_dedup",
+    doc = "Semantic dedup (SemDeDup shape): k-means-trained cells + " +
+      "in-cell exact cosine. The trained centroids (integer-exact " +
+      "Lloyd, k=8, 2 rounds - same arithmetic as " +
+      "pipeline_kmeans_train) assign every vector to a cell; a vector " +
+      s"is a semantic duplicate if a SMALLER-id vector in ITS CELL has " +
+      s"cosine >= $SemThreshold, and dup_of records the smallest such " +
+      "neighbor (the canonical keeper). Oversized cells are split by " +
+      s"the deterministic id hash at $IvfCellCap (knn_ivf's cap) so " +
+      "pair work is cap*n linear, never sigma cell^2; the cap changes " +
+      "candidates, so the oracle replays the IDENTICAL split - " +
+      "training, assignment, capping, and pair search are all " +
+      "differential-tested bit for bit. At 100 TB: train on a sample, " +
+      "k grows with n, and the same capped in-cell self-join is the " +
+      "whole pair stage - nothing quadratic in the corpus.",
+    oracle = Some(s"""
+      WITH pts AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+           FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, q AS sv
+             FROM pts WHERE vec_id < 8),
+      a1 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM pts p CROSS JOIN c0 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a1) WHERE rk = 1),
+      e1 AS (SELECT b.cid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+               COUNT(*) AS cnt
+             FROM b1 b JOIN pts p USING (vec_id)
+               CROSS JOIN range(0, 64) t(i)
+             GROUP BY b.cid, t.i),
+      c1 AS (SELECT cid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+             FROM e1 GROUP BY cid),
+      a2 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM pts p CROSS JOIN c1 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a2) WHERE rk = 1),
+      e2 AS (SELECT b.cid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+               COUNT(*) AS cnt
+             FROM b2 b JOIN pts p USING (vec_id)
+               CROSS JOIN range(0, 64) t(i)
+             GROUP BY b.cid, t.i),
+      c2 AS (SELECT cid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+             FROM e2 GROUP BY cid),
+      a3 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM pts p CROSS JOIN c2 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b3 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a3) WHERE rk = 1),
+      cs AS (SELECT cid, COUNT(*) AS cell_n FROM b3 GROUP BY cid),
+      h AS (SELECT b3.vec_id, b3.cid,
+              (((b3.vec_id % 1000000007 + 1000000007) % 1000000007)
+                 * 2654435761) % 4294967296
+                 % ((cs.cell_n + ${IvfCellCap - 1}) // $IvfCellCap) AS sub
+            FROM b3 JOIN cs USING (cid)),
+      e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM h a JOIN h b
+              ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
+            JOIN nn na ON na.vec_id = a.vec_id
+            JOIN nn nb ON nb.vec_id = b.vec_id
+            WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)
+              >= $SemThreshold),
+      d AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM p GROUP BY id_b)
+      SELECT b3.vec_id, b3.cid, d.dup_of,
+             CAST(d.dup_of IS NULL AS BIGINT) AS kept
+      FROM b3 LEFT JOIN d USING (vec_id) ORDER BY b3.vec_id"""),
+    run = (s, dir) => {
+      import graft.ops.KMeans
+      val emb = table(s, dir, "embeddings")
+      val pts = KMeans.quantize(emb)
+      val cent = KMeans.train(pts, k = 8, iters = 2)
+      val cells = KMeans.assign(pts, cent).select("vec_id", "cid")
+      val sizes = cells.groupBy("cid").agg(count(lit(1)).as("cell_n"))
+      val sub = graft.ops.Sampling.hash32(col("vec_id")) %
+        expr(s"(cell_n + ${IvfCellCap - 1}) div $IvfCellCap")
+      val capped = cells.join(broadcast(sizes), "cid").withColumn("sub", sub)
+      val pv = VectorOps.prepared(emb, "vec_id", "embedding")
+        .join(capped, "vec_id")
+      val a = pv.select(col("vec_id").as("id_a"), col("cid"), col("sub"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = pv.select(col("vec_id").as("id_b"), col("cid").as("cb"),
+        col("sub").as("sb"), col("v").as("vb"), col("nrm").as("nb"))
+      val dups = a.join(b, col("cid") === col("cb") &&
+          col("sub") === col("sb") && col("id_a") < col("id_b"))
+        .filter(VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb"))
+          >= SemThreshold)
+        .groupBy(col("id_b").as("vec_id")).agg(min(col("id_a")).as("dup_of"))
+      cells.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("dup_of"),
+          isnull(col("dup_of")).cast(LongType).as("kept"))
+        .orderBy("vec_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
@@ -1886,5 +2133,6 @@ object PipelineQueries {
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
     kmeansTrain, packSequences, tfidfTopk, zipfSpectrum, curriculumBins,
-    incrementalIngest)
+    incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
+    semanticDedup)
 }

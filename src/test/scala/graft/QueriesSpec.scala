@@ -95,6 +95,55 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.exists(_ > 0.5))
   }
 
+  test("semantic dedup: dup_of is a smaller-id same-cell neighbor") {
+    val rows = Registry.byName("pipeline_semantic_dedup").run(spark, dir)
+      .collect()
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dups = rows.filter(!_.isNullAt(2))
+    assert(dups.nonEmpty) // the planted embedding near-dups must surface
+    dups.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0)) // canonical keeper has smaller id
+      assert(cellOf(r.getLong(2)) == r.getLong(1)) // keeper shares the cell
+      assert(r.getLong(3) == 0L) // flagged row is not kept
+    }
+  }
+
+  test("filtered knn: every neighbor passes the metadata filter") {
+    val en = graft.sources.Readers.table(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = Registry.byName("pipeline_knn_filtered").run(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(en(r.getLong(2))))
+    // filter-then-rank fills k for every query (en corpus >> 3)
+    val perQuery = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQuery.forall(_ == 3))
+  }
+
+  test("token budget: maximal prefix per language, never over budget") {
+    val rows = Registry.byName("pipeline_token_budget").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 <= 2000L))
+    // per language the admitted set is a doc_id-ordered prefix: each
+    // cum is the previous cum plus this doc's tokens
+    rows.groupBy(_._2).values.foreach { g =>
+      val s = g.sortBy(_._1)
+      s.zip(0L +: s.map(_._4)).foreach { case ((_, _, n, cum), prev) =>
+        assert(cum == prev + n)
+      }
+    }
+  }
+
+  test("familiarity is >= 1 (every token contains its own occurrence)") {
+    val rows = Registry.byName("pipeline_quality_familiarity")
+      .run(spark, dir).select("familiarity").collect().map(_.getDouble(0))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_ >= 1.0))
+  }
+
   test("golden counts on sf0.001") {
     assert(Registry.byName("parity_time_dim").run(spark, dir).count() == 1000)
     assert(Registry.byName("pipeline_dedup_exact").run(spark, dir)
