@@ -476,6 +476,57 @@ object ExtendedQueries {
           .otherwise(0L).as("sketch_within_5pct"))
       .orderBy("o_orderstatus"))
 
+  private val approxPercentile = GraftQuery(
+    name = "lake_approx_percentile",
+    doc = "approx_percentile (Greenwald-Khanna sketch, accuracy 1000) " +
+      "of l_quantity per return flag - the quantile sketch that " +
+      "replaces an exact sort at 100 TB (bounded state per group vs a " +
+      "full shuffle-sort). Sketch internals are engine-specific, so as " +
+      "with lake_approx_distinct the oracle checks the CONTRACT, not " +
+      "the value: GK guarantees the returned element's rank is within " +
+      "eps*n of the target for ANY partition/merge order (eps = " +
+      "1/accuracy); the query recounts the returned values' actual " +
+      "rank interval against the p50/p95 targets (2*eps slack absorbs " +
+      "rank-interval ulp at the bound) and emits the two flags the " +
+      "oracle expects to be 1. The rank recount joins the tiny " +
+      "per-group sketch row back broadcast - one extra scan, no sort " +
+      "anywhere.",
+    oracle = Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(1 AS BIGINT) AS p50_within_rank_bound,
+             CAST(1 AS BIGINT) AS p95_within_rank_bound
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    run = (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+      val sk = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.5D, 0.95D), 1000)")
+          .as("ap"))
+        .select(col("l_returnflag"), col("ap")(0).as("a50"),
+          col("ap")(1).as("a95"))
+      def flag(lt: Column, le: Column, p: Double): Column = {
+        val n = col("n").cast(DoubleType)
+        val slack = n * 0.002 // 2*eps at accuracy 1000
+        (((lt + 1).cast(DoubleType) <= n * p + slack) &&
+          (le.cast(DoubleType) >= n * p - slack)).cast(LongType)
+      }
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("a50"), 1L).otherwise(0L))
+            .as("lt50"),
+          sum(when(col("l_quantity") <= col("a50"), 1L).otherwise(0L))
+            .as("le50"),
+          sum(when(col("l_quantity") < col("a95"), 1L).otherwise(0L))
+            .as("lt95"),
+          sum(when(col("l_quantity") <= col("a95"), 1L).otherwise(0L))
+            .as("le95"))
+        .select(col("l_returnflag"), col("n"),
+          flag(col("lt50"), col("le50"), 0.5).as("p50_within_rank_bound"),
+          flag(col("lt95"), col("le95"), 0.95).as("p95_within_rank_bound"))
+        .orderBy("l_returnflag")
+    })
+
   private val explodeOuter = GraftQuery(
     name = "lake_explode_outer",
     doc = "Outer explode null semantics: documents' tokens filtered to " +
@@ -549,6 +600,6 @@ object ExtendedQueries {
   val all: Seq[GraftQuery] = Seq(
     asofJoin, bucketedJoin, saltedJoin, bigBigJoin, intervalJoin,
     windowRange, windowRanks, pivotEvents, explodeUnnest, jsonScan,
-    csvScan, textScan, orcRoundtrip, approxDistinct, resampleGapfill,
-    explodeOuter)
+    csvScan, textScan, orcRoundtrip, approxDistinct, approxPercentile,
+    resampleGapfill, explodeOuter)
 }

@@ -204,7 +204,35 @@ object StreamingQueries {
       EventStream.streamStreamJoinDrained(s, s"$dir/events.parquet")
         .orderBy("user_id", "signup_id", "purchase_id"))
 
+  private val streamForeachBatchUpsert = GraftQuery(
+    name = "stream_foreachbatch_upsert",
+    doc = "Drained foreachBatch UPSERT sink: the event stream, split " +
+      "into 4 landing files and read with maxFilesPerTrigger=1 so " +
+      "Trigger.AvailableNow runs 4 real micro-batches, each SCD1-" +
+      "merged into a parquet target (latest event per user + running " +
+      "count) — the streaming SINK surface memory sinks can't show " +
+      "(production pipelines merge, not append). The merge combinator " +
+      "(max latest-struct, sum count) is associative+commutative, so " +
+      "the final target is independent of the batch split and equals " +
+      "the batch latest-per-user answer, which is what the oracle " +
+      "checks. State lives in the target table itself — restart-safe.",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        value
+                 FROM events),
+      r AS (SELECT user_id, ts_us, event_id, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts_us DESC, event_id DESC) AS rk,
+              COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM e)
+      SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+             value AS last_value, CAST(n_events AS BIGINT) AS n_events
+      FROM r WHERE rk = 1 ORDER BY user_id"""),
+    run = (s, dir) =>
+      EventStream.foreachBatchUpsertDrained(s, dir)
+        .orderBy("user_id"))
+
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
-    streamDedupWatermarked, streamSessionRows)
+    streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert)
 }

@@ -266,6 +266,97 @@ object EventStream {
   private val symlinkDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Micro-batches the last `foreachBatchUpsertDrained` run processed —
+    * exposed so the spec can prove the merge really ran incrementally
+    * (>1 batch), not as one degenerate batch. */
+  val lastUpsertBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** One multi-file landing dir per source events file per JVM (the
+    * split is what gives AvailableNow multiple micro-batches). */
+  private val upsertLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drained foreachBatch UPSERT sink — the missing streaming SINK
+    * surface (memory sinks only append; production pipelines merge).
+    * The event stream arrives as 4 landing files read with
+    * maxFilesPerTrigger=1, so Trigger.AvailableNow processes them as
+    * SEPARATE micro-batches; each batch is SCD1-merged into a parquet
+    * target: per user keep the latest (ts_us, event_id, value) event
+    * and the running event count. The merge combinator —
+    * max(latest-struct) + sum(n) — is associative and commutative, so
+    * the final table is independent of how rows fall into batches
+    * (which is also why the racy 4-way split is safe to oracle). The
+    * existing target is eagerly materialized (localCheckpoint) before
+    * the overwrite so the job never reads the files it is replacing;
+    * at scale the same shape lands on any transactional table format.
+    * State lives in the TARGET, not the stream — restart-safe by
+    * construction. */
+  def foreachBatchUpsertDrained(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val landing = upsertLandings.computeIfAbsent(
+      java.nio.file.Paths.get(sfDir).toAbsolutePath.toString, { _ =>
+        val d = deleteOnExit(
+          java.nio.file.Files.createTempDirectory("graft_upsert_src"))
+        graft.sources.Readers
+          .table(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .repartition(4)
+          .write.mode(SaveMode.Overwrite).parquet(d.toString + "/in")
+        d.toString + "/in"
+      })
+    val target = deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_upsert_tgt"))
+      .toString + "/t"
+    val landingSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_id", LongType),
+      StructField("ts_us", LongType),
+      StructField("value", DoubleType)))
+    val mergedSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("latest", StructType(Seq(
+        StructField("ts_us", LongType),
+        StructField("event_id", LongType),
+        StructField("value", DoubleType)))),
+      StructField("n_events", LongType)))
+    lastUpsertBatches.set(0)
+    val q = spark.readStream.schema(landingSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lastUpsertBatches.incrementAndGet()
+        val agg = batch.groupBy("user_id").agg(
+          max(struct(col("ts_us"), col("event_id"), col("value")))
+            .as("latest"),
+          count(lit(1)).as("n_events"))
+        val existing =
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(target, "_SUCCESS")))
+            spark.read.parquet(target)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            mergedSchema)
+        // eager cut: the merge must finish READING the old target
+        // before the overwrite job starts replacing its files
+        val merged = existing.unionByName(agg)
+          .groupBy("user_id")
+          .agg(max(col("latest")).as("latest"),
+            sum(col("n_events")).as("n_events"))
+          .localCheckpoint(true)
+        merged.write.mode(SaveMode.Overwrite).parquet(target)
+        merged.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(target)
+      .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
+        col("latest.event_id").as("last_event_id"),
+        col("latest.value").as("last_value"), col("n_events"))
+  }
+
   /** Best-effort recursive delete at JVM exit (temp fixture/symlink
     * dirs are small: a symlink, or one parquet split per batch). */
   private def deleteOnExit(dir: java.nio.file.Path): java.nio.file.Path = {

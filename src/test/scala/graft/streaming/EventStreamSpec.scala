@@ -79,6 +79,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(batches.get() >= 1)
   }
 
+  test("foreachBatch upsert: incremental merge over >1 micro-batch " +
+      "equals batch latest-per-user") {
+    val got = EventStream
+      .foreachBatchUpsertDrained(spark, "/root/testdata/sf0.001")
+      .orderBy("user_id").collect()
+    // the landing split + maxFilesPerTrigger=1 must yield REAL
+    // incremental merges, not one degenerate batch
+    assert(EventStream.lastUpsertBatches.get() >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val expected = Readers.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_events",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("ts_us").as("last_ts_us"),
+        col("event_id").as("last_event_id"),
+        col("value").as("last_value"), col("n_events"))
+      .orderBy("user_id").collect()
+    assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+  }
+
   test("stateful session counts: totals match batch sessionization") {
     val out = EventStream.drainToMemory(spark,
       EventStream.sessionCounts(spark, inputDir).toDF(),
