@@ -2097,7 +2097,14 @@ object PipelineQueries {
       val emb = table(s, dir, "embeddings")
       val pts = KMeans.quantize(emb)
       val cent = KMeans.train(pts, k = 8, iters = 2)
+      // the assignment feeds FIVE plan branches (sizes, both pair
+      // sides via capped, the final left join) — without this cut the
+      // whole Lloyd train re-expands per branch (measured: 15 centroid
+      // broadcasts instead of 3). Same shared-prefix convention as
+      // docShingles; the train's plan shape itself is asserted on the
+      // lazy KMeans stage in PlanSpec.
       val cells = KMeans.assign(pts, cent).select("vec_id", "cid")
+        .localCheckpoint(true)
       val sizes = cells.groupBy("cid").agg(count(lit(1)).as("cell_n"))
       val sub = graft.ops.Sampling.hash32(col("vec_id")) %
         expr(s"(cell_n + ${IvfCellCap - 1}) div $IvfCellCap")

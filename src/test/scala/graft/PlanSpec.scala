@@ -256,6 +256,68 @@ class PlanSpec extends AnyFunSuite {
       s"expected >=5 pinned shuffle joins:\n$p")
   }
 
+  test("semantic dedup: trained centroids broadcast, in-cell pair join " +
+      "keyed by sub-cell, never a cartesian pair stage") {
+    // the full query checkpoints the assignment (it feeds 5 branches),
+    // so the Lloyd rounds are asserted on the LAZY stage: 2 train + 1
+    // final assignment = 3 centroid broadcasts, exactly
+    import graft.ops.KMeans
+    val pts = KMeans.quantize(graft.sources.Readers
+      .table(spark, dir, "embeddings"))
+    val lazyAssign = KMeans.assign(pts, KMeans.train(pts, 8, 2))
+    val tp = lazyAssign.queryExecution.sparkPlan.toString
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r
+      .findAllIn(tp).size == 3, s"centroids not broadcast per round:\n$tp")
+    val p = scanPlan("pipeline_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs stage:\n$p")
+    // the pair self-join must carry the cap's sub-cell in its keys
+    val joinKeyed = p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) &&
+        l.contains("sub#") && l.contains("sb#"))
+    assert(joinKeyed, s"sub-cell not part of any join's keys:\n$p")
+  }
+
+  test("filtered knn: metadata semi join prunes before the dot product") {
+    val p = scanPlan("pipeline_knn_filtered")
+    assert(p.contains("LeftSemi"), s"metadata filter not a semi join:\n$p")
+    // plans print root-first: the cosine projection must sit DOWNSTREAM
+    // of (printed before) the semi join — score only surviving rows
+    val semi = p.indexOf("LeftSemi")
+    val dot = p.indexOf("graft_dot")
+    assert(dot >= 0 && dot < semi,
+      s"dot product computed before the metadata filter:\n$p")
+    // lang predicate reaches the documents scan
+    assert(p.contains("EqualTo(lang,en)"), s"lang not pushed to scan:\n$p")
+  }
+
+  test("familiarity: vocabulary side broadcasts, aggs stay partial") {
+    val p = plan("pipeline_quality_familiarity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary count not broadcast:\n$p")
+    assert(p.contains("partial_count"), s"agg not partial+final:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"scoring join shuffled:\n$p")
+  }
+
+  test("token budget: one running-sum window, no join") {
+    val p = plan("pipeline_token_budget")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"running sum not a window:\n$p")
+    assert(!p.contains("Join"), s"token budget must not join:\n$p")
+  }
+
+  test("approx percentile: sketch row broadcasts back, no sort " +
+      "anywhere before the final order") {
+    val p = plan("lake_approx_percentile")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group sketch row should broadcast:\n$p")
+    assert(p.contains("approx_percentile"), s"sketch agg missing:\n$p")
+    // the whole point of the sketch: no full sort of l_quantity — the
+    // only Sort allowed is the 3-row final ORDER BY (and merge-join
+    // sorts are excluded by the broadcast assertion above)
+    assert("Sort ".r.findAllIn(p).size <= 1, s"unexpected sort:\n$p")
+  }
+
   test("sequence packing tokenizes before the shuffle (text never moves)") {
     val df = Registry.byName("pipeline_pack_sequences").run(spark, dir)
     df.collect()

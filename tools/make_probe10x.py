@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Build the adversarial 10x probe corpus (SURVEY.md 6.1/6.2).
+
+Usage: python3 tools/make_probe10x.py [srcSfDir] [dstDir]
+
+documents/embeddings/events are replicated 10x with shifted ids — every
+source row becomes a 10-clique of exact duplicates, the duplication-heavy
+shape corpus dedup exists for. All other tables are symlinked unchanged
+(the TPC-H-ish side is not what the pipeline probes stress).
+
+events.parquet is copied via pyarrow, not DuckDB, to preserve the
+physical TIMESTAMP(NANOS) column the nanos-scan path must keep seeing.
+"""
+import glob
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SHIFT = 10_000_000
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/probe10x"
+os.makedirs(dst, exist_ok=True)
+
+con = duckdb.connect()
+for table, idcol in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    con.execute(f"""
+      COPY (SELECT * REPLACE ({idcol} + i*{SHIFT} AS {idcol})
+            FROM read_parquet('{src}/{table}.parquet'), range(0,10) t(i))
+      TO '{dst}/{table}.parquet' (FORMAT PARQUET)""")
+    print(f"{table}: x10 written")
+
+t = pq.read_table(f"{src}/events.parquet")
+shifted = []
+for i in range(10):
+    ids = pa.compute.add(t.column("event_id"), i * SHIFT)
+    shifted.append(t.set_column(t.schema.get_field_index("event_id"),
+                                t.schema.field("event_id"), ids))
+pq.write_table(pa.concat_tables(shifted), f"{dst}/events.parquet")
+print("events: x10 written (nanos preserved:",
+      pq.read_schema(f"{dst}/events.parquet").field("ts").type, ")")
+
+for p in glob.glob(f"{src}/*.parquet"):
+    name = os.path.basename(p)
+    if name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
+        continue
+    tgt = os.path.join(dst, name)
+    if not os.path.exists(tgt):
+        os.symlink(p, tgt)
+print("done:", dst)
