@@ -170,6 +170,38 @@ object MultiModal {
     }
   }
 
+  /** One on-disk PNG landing directory per sfDir per JVM: the
+    * synthetic per-doc PNGs written as individual `doc_<id>.png` FILES
+    * (executor-side, foreachPartition — no driver collect), so the
+    * `binaryFile` SOURCE can ingest them like a real media crawl
+    * landing. Single-node this is the local FS; at 100 TB the same
+    * layout sits on object storage and the path-injectable read is
+    * unchanged. Dirs are removed at JVM exit. */
+  def pngLandingDir(spark: SparkSession, sfDir: String,
+      ids: Dataset[Long]): String =
+    pngLandings.computeIfAbsent(
+      java.nio.file.Paths.get(sfDir).toAbsolutePath.toString, { _ =>
+        val d = java.nio.file.Files.createTempDirectory("graft_media_landing")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }))
+        val assets = syntheticPngAssets(ids)(spark)
+        val dir = d.toString
+        assets.foreachPartition { (it: Iterator[ImageAsset]) =>
+          it.foreach { a =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"doc_${a.doc_id}%09d.png"),
+              a.content)
+          }
+        }
+        dir
+      })
+  private val pngLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** REAL decode stage: per-partition batch map over binary image
     * content — same shape as `extractFeatures`, but the decoder is
     * javax.imageio, not a stub. Undecodable rows are dropped (at corpus

@@ -2126,6 +2126,166 @@ object PipelineQueries {
         .orderBy("vec_id")
     })
 
+  private val multimodalIngest = GraftQuery(
+    name = "pipeline_multimodal_ingest",
+    doc = "Binary-FILE ingestion source: the per-doc PNGs land as " +
+      "individual files (written executor-side, one real file per " +
+      "doc) and are ingested with Spark's binaryFile source + " +
+      "pathGlobFilter — how blobs actually ENTER a lakehouse from a " +
+      "media crawl, vs the in-table binary columns the other " +
+      "multimodal queries use. doc_id is recovered from the file NAME " +
+      "(regexp on path — the id-in-key layout every object-store " +
+      "crawl uses), then the standard decode stage runs; the oracle " +
+      "predicts the decoded metadata from the doc_id formulas, so a " +
+      "green row proves file write -> binaryFile scan -> path parse " +
+      "-> PNG decode end-to-end.",
+    oracle = Some("""
+      SELECT doc_id,
+             CAST(8 + doc_id % 13 AS BIGINT) AS width,
+             CAST(8 + doc_id % 7 AS BIGINT) AS height,
+             CAST(doc_id % 256 AS BIGINT) AS mean_r,
+             CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+             CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+      FROM documents ORDER BY doc_id"""),
+    run = (s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      val landing = graft.multimodal.MultiModal.pngLandingDir(s, dir, ids)
+      val assets = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(landing)
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+          .cast(LongType).as("doc_id"), col("content"))
+        .as[graft.multimodal.MultiModal.ImageAsset]
+      graft.multimodal.MultiModal.decodeImages(assets).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r")).cast(LongType).as("mean_r"),
+          round(col("mean_g")).cast(LongType).as("mean_g"),
+          round(col("mean_b")).cast(LongType).as("mean_b"))
+        .orderBy("doc_id")
+    })
+
+  private val embedOutliers = GraftQuery(
+    name = "pipeline_embed_outliers",
+    doc = "Embedding outlier / mislabel detection: each vector's " +
+      "distance to its LANGUAGE centroid, top-3 farthest per language " +
+      "flagged - the cheap geometric screen for mislabeled or " +
+      "corrupted rows before training. Same integer-exact arithmetic " +
+      "as k-means (graft.ops.KMeans): int8-quantized vectors, " +
+      "centroid kept as exact (n, sum q), distance compared via " +
+      "sum((n*x - s)^2)/n^2 - order-independent integer numerator, " +
+      "ONE double division - so DuckDB replays it bit for bit. " +
+      "Magnitudes: A <= dims*(2*127*n)^2, inside 2^53 up to n ~ 3e5 " +
+      "per language; beyond that the DECIMAL(38,0) twin applies. One " +
+      "narrow (lang,dim) shuffle for the centroids, broadcast back, " +
+      "one window for the top-3.",
+    oracle = Some("""
+      WITH pts AS (SELECT d.lang, e.vec_id,
+             list_transform(e.embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      cg AS (SELECT lang, t.i AS dim, SUM(q[t.i+1]) AS sx, COUNT(*) AS cnt
+             FROM pts CROSS JOIN range(0, 64) t(i)
+             GROUP BY lang, t.i),
+      c AS (SELECT lang, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+            FROM cg GROUP BY lang),
+      a AS (SELECT p.vec_id, p.lang,
+              SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS num,
+              MAX(c.n) AS n
+            FROM pts p JOIN c USING (lang) CROSS JOIN range(0, 64) t(i)
+            GROUP BY p.vec_id, p.lang),
+      r AS (SELECT vec_id, lang,
+              CAST(num AS DOUBLE) / CAST(n*n AS DOUBLE) AS dist,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY CAST(num AS DOUBLE) / CAST(n*n AS DOUBLE) DESC,
+                  vec_id) AS rank
+            FROM a)
+      SELECT lang, rank, vec_id, dist FROM r WHERE rank <= 3
+      ORDER BY lang, rank"""),
+    run = (s, dir) => {
+      import graft.ops.KMeans
+      val pts = KMeans.quantize(table(s, dir, "embeddings"))
+        .join(table(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+      val cent = pts
+        .select(col("lang"), posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("lang", "dim")
+        .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .groupBy("lang")
+        .agg(max(col("cnt")).as("n"),
+          transform(array_sort(collect_list(struct(col("dim"), col("sx")))),
+            e => e.getField("sx")).as("sv"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("dist").desc, col("vec_id"))
+      pts.join(broadcast(cent), "lang")
+        .withColumn("num",
+          aggregate(
+            zip_with(col("q"), col("sv"),
+              (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
+            lit(0L), (acc, v) => acc + v))
+        .withColumn("dist",
+          col("num").cast(DoubleType) / (col("n") * col("n"))
+            .cast(DoubleType))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select("lang", "rank", "vec_id", "dist")
+        .orderBy("lang", "rank")
+    })
+
+  private val dupSpan = GraftQuery(
+    name = "pipeline_dup_span",
+    doc = "Longest duplicated-shingle RUN per document (the exact-" +
+      "substring dedup signal of Lee et al., localized): a shingle " +
+      "position is 'duplicated' if its 3-gram occurs more than once in " +
+      "the corpus (any doc, or twice in this one), and the score is " +
+      "the longest CONSECUTIVE run of duplicated positions - long runs " +
+      "mean a verbatim copied span, not scattered common phrases. All " +
+      "integers: positional shingles via one explode, occurrence " +
+      "counts via one window over the shingle, runs via the gaps-and-" +
+      "islands trick (pos - row_number), one max per doc. Docs shorter " +
+      "than one shingle score 0 via the left join.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      u AS (SELECT doc_id, w,
+              unnest(range(0, greatest(len(w) - 2, 0))) AS i FROM t),
+      p AS (SELECT doc_id, i,
+              w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+            FROM u),
+      c AS (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY sh) AS occ FROM p),
+      d AS (SELECT doc_id, i,
+              i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+            FROM c WHERE occ > 1),
+      g AS (SELECT doc_id, grp, COUNT(*) AS run FROM d GROUP BY doc_id, grp),
+      m AS (SELECT doc_id, MAX(run) AS mx FROM g GROUP BY doc_id)
+      SELECT t.doc_id, CAST(COALESCE(m.mx, 0) AS BIGINT) AS longest_dup_span
+      FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id"""),
+    run = (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val pos = docs.filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("w")) - 3)).as("i"),
+          col("w"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ", element_at(col("w"), col("i") + 1),
+            element_at(col("w"), col("i") + 2),
+            element_at(col("w"), col("i") + 3)).as("sh"))
+      val occ = pos.withColumn("occ",
+        count(lit(1)).over(Window.partitionBy("sh")))
+      val runs = occ.filter(col("occ") > 1)
+        .withColumn("grp", col("i") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id").agg(max(col("run")).as("mx"))
+      docs.select(col("doc_id"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("mx"), lit(0L)).cast(LongType)
+            .as("longest_dup_span"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
@@ -2141,5 +2301,5 @@ object PipelineQueries {
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
     kmeansTrain, packSequences, tfidfTopk, zipfSpectrum, curriculumBins,
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
-    semanticDedup)
+    semanticDedup, multimodalIngest, embedOutliers, dupSpan)
 }

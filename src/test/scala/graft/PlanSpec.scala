@@ -318,6 +318,32 @@ class PlanSpec extends AnyFunSuite {
     assert("Sort ".r.findAllIn(p).size <= 1, s"unexpected sort:\n$p")
   }
 
+  test("binaryFile ingest: decode stays narrow after the file scan") {
+    val p = plan("pipeline_multimodal_ingest")
+    assert(p.contains("binaryFile"), s"not a binaryFile scan:\n$p")
+    assert(!p.contains("Join"), s"ingest+decode must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"ingest should shuffle at most once (final sort):\n$p")
+  }
+
+  test("embed outliers: language centroids broadcast back") {
+    val p = plan("pipeline_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"outlier scoring degenerated to all-pairs:\n$p")
+    assert(p.contains("partial_sum"), s"centroid agg not partial:\n$p")
+  }
+
+  test("dup span: occurrence counting is a window, not a self-join") {
+    val p = plan("pipeline_dup_span")
+    assert(p.contains("Window"), s"occ count not a window:\n$p")
+    // exactly one join is allowed: the final left join back to docs
+    assert("Join".r.findAllIn(p).size <= 2, s"unexpected self-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs stage:\n$p")
+  }
+
   test("sequence packing tokenizes before the shuffle (text never moves)") {
     val df = Registry.byName("pipeline_pack_sequences").run(spark, dir)
     df.collect()

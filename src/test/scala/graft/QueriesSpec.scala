@@ -144,6 +144,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.forall(_ >= 1.0))
   }
 
+  test("binaryFile ingest equals the in-table decode (two sources, " +
+      "same pixels)") {
+    def rows(name: String) = Registry.byName(name).run(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(rows("pipeline_multimodal_ingest") ==
+      rows("pipeline_multimodal_decode"))
+  }
+
+  test("embedding outliers: 3 per language, ranked, nonnegative distance") {
+    val rows = Registry.byName("pipeline_embed_outliers").run(spark, dir)
+      .collect()
+    val perLang = rows.groupBy(_.getString(0))
+    assert(perLang.size == 5)
+    perLang.values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+  }
+
+  test("dup spans: planted near-dup docs carry long verbatim runs") {
+    val spans = Registry.byName("pipeline_dup_span").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spans.values.forall(_ >= 0L))
+    // the planted near-dup pairs copy whole stretches of text — every
+    // such doc must carry a multi-shingle verbatim run (edits land
+    // every handful of tokens, so runs of >=5 shingles survive)
+    val dupDocs = Registry.byName("pipeline_dedup_ngram").run(spark, dir)
+      .select("doc_a").collect().map(_.getLong(0))
+    assert(dupDocs.nonEmpty)
+    dupDocs.foreach(d => assert(spans(d) >= 5L, s"doc $d span ${spans(d)}"))
+  }
+
   test("golden counts on sf0.001") {
     assert(Registry.byName("parity_time_dim").run(spark, dir).count() == 1000)
     assert(Registry.byName("pipeline_dedup_exact").run(spark, dir)
