@@ -43,11 +43,22 @@ object Bench {
       val names = Registry.all.map(_.name).sorted
       only.fold(names)(pats => names.filter(n => pats.exists(n.contains)))
     }
+    // Timing executes the query's OWN physical plan via toRdd.count():
+    // a df.count() would re-optimize with count-specific pruning, and
+    // Spark eliminates a final left join onto an aggregated (provably
+    // unique) side under count — several scoring queries (dup_span,
+    // lm_fluency, semantic_dedup's pair stage) timed as bare scans
+    // until this was caught. toRdd materializes every row with all
+    // columns — the same work Verify's parquet dump pays.
     def pass(): Seq[(String, Double)] =
       selected.map { name =>
         val t0 = System.nanoTime()
         val ok =
-          try { Registry.byName(name).run(spark, sfDir).count(); true }
+          try {
+            Registry.byName(name).run(spark, sfDir)
+              .queryExecution.toRdd.count()
+            true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false

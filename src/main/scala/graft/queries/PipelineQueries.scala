@@ -2286,6 +2286,95 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val classBalance = GraftQuery(
+    name = "pipeline_class_balance",
+    doc = "Class-balanced subsample: every language reduced to exactly " +
+      "the MINORITY language's count, members picked in deterministic " +
+      "hash order (the multiplicative id hash all the samplers here " +
+      "share) - the no-RNG equivalent of 'sample n per class' that " +
+      "re-runs identically on any cluster. The per-language count " +
+      "aggregate is tiny and broadcasts; selection is one row_number " +
+      "window per language over a total order (hash, then id). " +
+      "Dominant-language skew note as pipeline_token_budget: the " +
+      "two-phase Ids.orderedId offset scheme is the documented " +
+      "single-task-free scale-out.",
+    oracle = Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      m AS (SELECT MIN(cnt) AS m FROM c),
+      r AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang ORDER BY
+                (((doc_id % 1000000007 + 1000000007) % 1000000007)
+                  * 2654435761) % 4294967296, doc_id) AS pick_rank
+            FROM documents)
+      SELECT doc_id, lang, pick_rank FROM r, m WHERE pick_rank <= m.m
+      ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val minCnt = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .agg(min(col("cnt")).as("m"))
+      val w = Window.partitionBy("lang")
+        .orderBy(graft.ops.Sampling.hash32(col("doc_id")), col("doc_id"))
+      docs.withColumn("pick_rank", row_number().over(w).cast(LongType))
+        .crossJoin(broadcast(minCnt))
+        .filter(col("pick_rank") <= col("m"))
+        .select("doc_id", "lang", "pick_rank")
+        .orderBy("doc_id")
+    })
+
+  private val lmFluency = GraftQuery(
+    name = "pipeline_lm_fluency",
+    doc = "Weakest-bigram LM fluency score: per document, the MINIMUM " +
+      "corpus conditional probability p(w2|w1) = cnt(w1 w2)/cnt(w1 *) " +
+      "over its bigrams - a doc whose every transition is common reads " +
+      "fluently; one never-seen-elsewhere transition tanks the MIN " +
+      "(unlike familiarity's mean, which it complements). Exactness: " +
+      "each probability is ONE correctly-rounded double division of " +
+      "two exact integer counts, and MIN over identical value sets is " +
+      "order-independent - no floating sum anywhere. One bigram-count " +
+      "groupBy, one prefix-total window over it (vocabulary-sized " +
+      "input), one join back to the exploded bigrams.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      u AS (SELECT doc_id, w,
+              unnest(range(0, greatest(len(w) - 1, 0))) AS i FROM t),
+      b AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2 FROM u),
+      c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM b GROUP BY w1, w2),
+      p AS (SELECT w1, w2,
+              CAST(cnt2 AS DOUBLE) /
+                CAST(SUM(cnt2) OVER (PARTITION BY w1) AS DOUBLE) AS pr
+            FROM c2),
+      d AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, MIN(p.pr) AS min_p
+            FROM b JOIN p USING (w1, w2) GROUP BY b.doc_id)
+      SELECT t.doc_id, CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             COALESCE(d.min_p, 1.0) AS min_p
+      FROM t LEFT JOIN d USING (doc_id) ORDER BY t.doc_id"""),
+    run = (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val bigrams = docs.filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("w")) - 2)).as("i"),
+          col("w"))
+        .select(col("doc_id"),
+          element_at(col("w"), col("i") + 1).as("w1"),
+          element_at(col("w"), col("i") + 2).as("w2"))
+      val probs = bigrams.groupBy("w1", "w2")
+        .agg(count(lit(1)).as("cnt2"))
+        .withColumn("pr", col("cnt2").cast(DoubleType) /
+          sum(col("cnt2")).over(Window.partitionBy("w1"))
+            .cast(DoubleType))
+        .select("w1", "w2", "pr")
+      val scored = bigrams.join(probs, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), min(col("pr")).as("min_p"))
+      docs.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("min_p"), lit(1.0)).as("min_p"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
@@ -2301,5 +2390,6 @@ object PipelineQueries {
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
     kmeansTrain, packSequences, tfidfTopk, zipfSpectrum, curriculumBins,
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
-    semanticDedup, multimodalIngest, embedOutliers, dupSpan)
+    semanticDedup, multimodalIngest, embedOutliers, dupSpan,
+    classBalance, lmFluency)
 }

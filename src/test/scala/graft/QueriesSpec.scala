@@ -176,6 +176,29 @@ class QueriesSpec extends AnyFunSuite {
     dupDocs.foreach(d => assert(spans(d) >= 5L, s"doc $d span ${spans(d)}"))
   }
 
+  test("class balance: every language lands exactly the minority count") {
+    val rows = Registry.byName("pipeline_class_balance").run(spark, dir)
+      .collect()
+    val perLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perLang.size == 5)
+    assert(perLang.values.toSet.size == 1) // all equal
+    val totals = graft.sources.Readers.table(spark, dir, "documents")
+      .groupBy("lang").count().collect().map(_.getLong(1))
+    assert(perLang.values.head.toLong == totals.min)
+  }
+
+  test("lm fluency: min_p is a probability; short docs score 1.0") {
+    val rows = Registry.byName("pipeline_lm_fluency").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, n, p) =>
+      assert(p > 0.0 && p <= 1.0, s"doc $d min_p $p")
+      if (n == 0) assert(p == 1.0)
+    }
+    // a corpus with shared phrasing must produce a spread of scores
+    assert(rows.map(_._3).distinct.length > 10)
+  }
+
   test("golden counts on sf0.001") {
     assert(Registry.byName("parity_time_dim").run(spark, dir).count() == 1000)
     assert(Registry.byName("pipeline_dedup_exact").run(spark, dir)
