@@ -2375,6 +2375,80 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  /** One BPE training round as chained DuckDB CTEs (mirrors
+    * graft.ops.Bpe.mergeRound stage for stage: pair stats → top-1 rule
+    * → greedy L-to-R merge via islands + offset parity). `prev` is the
+    * vocab CTE the round consumes; emits CTEs suffixed $r with the new
+    * vocab in v$r and the learned rule in b$r. */
+  private def bpeRoundSql(r: Int, prev: String): String = s"""
+      u$r AS (SELECT word, wc, syms,
+               unnest(range(0, len(syms))) AS i FROM $prev),
+      e$r AS (SELECT word, wc, i, syms[i+1] AS s, syms[i+2] AS s2
+              FROM u$r),
+      c$r AS (SELECT s AS p1, s2 AS p2, SUM(wc) AS cnt FROM e$r
+              WHERE s2 IS NOT NULL GROUP BY s, s2),
+      b$r AS (SELECT p1, p2, cnt FROM c$r
+              ORDER BY cnt DESC, p1, p2 LIMIT 1),
+      x$r AS (SELECT e.word, e.wc, e.i, e.s, b.p1, b.p2,
+                (e.s = b.p1 AND e.s2 = b.p2) AS m
+              FROM e$r e CROSS JOIN b$r b),
+      y$r AS (SELECT word, i,
+                i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+              FROM x$r WHERE m),
+      z$r AS (SELECT word, i,
+                row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+              FROM y$r),
+      t$r AS (SELECT word, i FROM z$r WHERE (rn - 1) % 2 = 0),
+      v$r AS (SELECT x.word, x.wc,
+                list(CASE WHEN t.i IS NOT NULL THEN x.p1 || x.p2
+                          ELSE x.s END ORDER BY x.i)
+                  FILTER (WHERE p.i IS NULL) AS syms
+              FROM x$r x
+                LEFT JOIN t$r t ON t.word = x.word AND t.i = x.i
+                LEFT JOIN t$r p ON p.word = x.word AND p.i = x.i - 1
+              GROUP BY x.word, x.wc)"""
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds)
+      .map(r => bpeRoundSql(r, if (r == 1) "v0" else s"v${r - 1}"))
+      .mkString(",")
+    val union = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, p1, p2, " +
+        s"CAST(cnt AS BIGINT) AS cnt FROM b$r")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH w0 AS (SELECT word, COUNT(*) AS wc FROM (
+               SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents) GROUP BY word),
+      v0 AS (SELECT word, wc,
+               list_filter(string_split(
+                 regexp_replace(word, '(.)', '\\1 ', 'g'), ' '),
+                 x -> x <> '') AS syms
+             FROM w0),$chain
+      SELECT * FROM ($union) ORDER BY round"""
+  }
+
+  private val bpeTrain = GraftQuery(
+    name = "pipeline_bpe_train",
+    doc = "BPE tokenizer TRAINING (graft.ops.Bpe): 3 Sennrich merge " +
+      "rounds over the word vocabulary - count adjacent symbol pairs " +
+      "weighted by word frequency, learn the top pair (cnt DESC, pair " +
+      "ASC - a total order), merge it GREEDY LEFT-TO-RIGHT in every " +
+      "word, repeat. The greedy rule is pure window arithmetic " +
+      "(islands of consecutive matches, even offsets merge: 'a a a a' " +
+      "under (a,a) -> 'aa aa'), so the whole train is engine-portable " +
+      "integer/string logic and DuckDB replays all 3 rounds bit for " +
+      "bit. State is vocabulary-sized; the corpus is scanned once for " +
+      "word counts. Each round's vocab is checkpointed (two consuming " +
+      "branches per round - the chain would re-expand 2^rounds).",
+    oracle = Some(bpeOracleSql(3)),
+    run = (s, dir) => {
+      val words = table(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .withColumn("wc", lit(1L))
+      graft.ops.Bpe.train(words, rounds = 3).orderBy("round")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
@@ -2391,5 +2465,5 @@ object PipelineQueries {
     kmeansTrain, packSequences, tfidfTopk, zipfSpectrum, curriculumBins,
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
     semanticDedup, multimodalIngest, embedOutliers, dupSpan,
-    classBalance, lmFluency)
+    classBalance, lmFluency, bpeTrain)
 }

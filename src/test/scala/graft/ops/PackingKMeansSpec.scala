@@ -71,6 +71,34 @@ class PackingKMeansSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
   }
 
+  test("bpe merge is greedy left-to-right: 'aaaa' under (a,a) -> [aa,aa]") {
+    import graft.ops.Bpe
+    // 'aaaa' dominates so (a,a) is the first rule; greedy L-to-R must
+    // pair positions (0,1) and (2,3) — the replace-style semantics that
+    // consume the shared delimiter would give [aa,a,a] instead
+    val words = Seq(("aaaa", 5L), ("aaa", 1L), ("xy", 1L))
+      .toDF("word", "wc")
+    val (v1, best) = Bpe.mergeRound(Bpe.initVocab(words))
+    assert(best.select("p1", "p2", "cnt").as[(String, String, Long)]
+      .collect().toSeq == Seq(("a", "a", 17L))) // 3*5 + 2*1
+    val syms = v1.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(syms("aaaa") == Seq("aa", "aa"))
+    assert(syms("aaa") == Seq("aa", "a")) // odd run: last symbol survives
+    assert(syms("xy") == Seq("x", "y"))   // untouched word intact
+  }
+
+  test("bpe learns merged-symbol rules in later rounds") {
+    import graft.ops.Bpe
+    // round 1 learns (a,b); round 2 must see the MERGED symbol 'ab'
+    // and learn (ab,c) — proves rounds feed each other
+    val words = Seq(("abc", 10L), ("abd", 3L)).toDF("word", "wc")
+    val rules = Bpe.train(words, rounds = 2)
+      .select("round", "p1", "p2", "cnt").as[(Long, String, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rules == Seq((1L, "a", "b", 13L), (2L, "ab", "c", 10L)))
+  }
+
   test("kmeans converges on two planted clusters with exact sums") {
     // cluster A: q near (0,0); cluster B: q near (100,100); seeds are
     // vec_id 0 (in A) and 1 (in B) → one round separates them exactly
