@@ -96,9 +96,11 @@ object Bpe {
     (rebuilt.localCheckpoint(true), best)
   }
 
-  /** `rounds` merge rules learned from a (word, wc) frame:
-    * (round, p1, p2, cnt). */
-  def train(wordCounts: DataFrame, rounds: Int): DataFrame = {
+  /** Full train: the per-round merge rules and the final segmented
+    * vocabulary — (rules: (round, p1, p2, cnt), vocab: (word, wc,
+    * syms)). */
+  def trainFull(wordCounts: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     var vocab = initVocab(wordCounts).localCheckpoint(true)
     var out: Seq[DataFrame] = Nil
     for (r <- 1 to rounds) {
@@ -107,6 +109,11 @@ object Bpe {
       out = out :+ best.select(lit(r.toLong).as("round"), col("p1"),
         col("p2"), col("cnt"))
     }
-    out.reduce(_ unionAll _)
+    (out.reduce(_ unionAll _), vocab)
   }
+
+  /** `rounds` merge rules learned from a (word, wc) frame:
+    * (round, p1, p2, cnt). */
+  def train(wordCounts: DataFrame, rounds: Int): DataFrame =
+    trainFull(wordCounts, rounds)._1
 }

@@ -2408,14 +2408,28 @@ object PipelineQueries {
                 LEFT JOIN t$r p ON p.word = x.word AND p.i = x.i - 1
               GROUP BY x.word, x.wc)"""
 
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeOracleSql(rounds: Int, segment: Boolean = false): String = {
     val chain = (1 to rounds)
       .map(r => bpeRoundSql(r, if (r == 1) "v0" else s"v${r - 1}"))
       .mkString(",")
-    val union = (1 to rounds)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS round, p1, p2, " +
-        s"CAST(cnt AS BIGINT) AS cnt FROM b$r")
-      .mkString("\n      UNION ALL ")
+    val finalSelect =
+      if (segment) s""",
+      dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents)
+      SELECT dw.doc_id,
+             CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+             COUNT(*) AS n_words
+      FROM dw JOIN v$rounds v USING (word)
+      GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+      else {
+        val union = (1 to rounds)
+          .map(r => s"SELECT CAST($r AS BIGINT) AS round, p1, p2, " +
+            s"CAST(cnt AS BIGINT) AS cnt FROM b$r")
+          .mkString("\n      UNION ALL ")
+        s"""
+      SELECT * FROM ($union) ORDER BY round"""
+      }
     s"""
       WITH w0 AS (SELECT word, COUNT(*) AS wc FROM (
                SELECT unnest(string_split(text, ' ')) AS word
@@ -2424,8 +2438,7 @@ object PipelineQueries {
                list_filter(string_split(
                  regexp_replace(word, '(.)', '\\1 ', 'g'), ' '),
                  x -> x <> '') AS syms
-             FROM w0),$chain
-      SELECT * FROM ($union) ORDER BY round"""
+             FROM w0),$chain$finalSelect"""
   }
 
   private val bpeTrain = GraftQuery(
@@ -2449,6 +2462,78 @@ object PipelineQueries {
       graft.ops.Bpe.train(words, rounds = 3).orderBy("round")
     })
 
+  private val bpeSegment = GraftQuery(
+    name = "pipeline_bpe_segment",
+    doc = "BPE tokenizer APPLICATION: every document re-tokenized under " +
+      "the 3 merge rules pipeline_bpe_train learns, emitting the " +
+      "per-doc BPE token count and char count - the train->apply " +
+      "composite that prices a corpus in learned-tokenizer tokens " +
+      "(what a context budget actually meters). The segmentation is " +
+      "computed ONCE on the vocabulary and joined back to the doc's " +
+      "words (with multiplicity) - the corpus never re-segments " +
+      "per-occurrence; at 100 TB the vocab side broadcasts. All " +
+      "integer counts; the oracle replays the train chain and the " +
+      "join.",
+    oracle = Some(bpeOracleSql(3, segment = true)),
+    run = (s, dir) => {
+      val docWords = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+      val vocab = graft.ops.Bpe.trainFull(
+        docWords.withColumn("wc", lit(1L)), rounds = 3)._2
+      val sizes = vocab.select(col("word"),
+        size(col("syms")).cast(LongType).as("n_syms"),
+        length(col("word")).cast(LongType).as("n_chars"))
+      docWords.join(broadcast(sizes), "word")
+        .groupBy("doc_id")
+        .agg(sum(col("n_syms")).as("n_bpe_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          count(lit(1)).as("n_words"))
+        .orderBy("doc_id")
+    })
+
+  private val ngramNovelty = GraftQuery(
+    name = "pipeline_ngram_novelty",
+    doc = "N-gram novelty attribution: the fraction of a document's " +
+      "DISTINCT 3-gram shingles whose FIRST corpus occurrence (lowest " +
+      "doc_id holding the shingle) is this document - in an id-ordered " +
+      "ingest, late re-crawls of old content score near 0 while " +
+      "genuinely new material scores near 1 (the per-doc view of what " +
+      "incremental_ingest gates). One shingle-level min aggregate " +
+      "joined back on the shingle (the join shuffles on the shingle " +
+      "key at scale), exact integer counts, ONE double division.",
+    oracle = Some(ShingleCte + """,
+      u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      f AS (SELECT g, MIN(doc_id) AS first_doc FROM u GROUP BY g),
+      d AS (SELECT u.doc_id, COUNT(*) AS n_shingles,
+              CAST(SUM(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+            FROM u JOIN f USING (g) GROUP BY u.doc_id)
+      SELECT s.doc_id,
+             CAST(COALESCE(d.n_shingles, 0) AS BIGINT) AS n_shingles,
+             COALESCE(d.n_novel, 0) AS n_novel,
+             COALESCE(CAST(d.n_novel AS DOUBLE)
+               / CAST(d.n_shingles AS DOUBLE), 1.0) AS novelty
+      FROM s LEFT JOIN d USING (doc_id) ORDER BY s.doc_id"""),
+    run = (s, dir) => {
+      val sh = docShingles(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      val first = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      val scored = sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      table(s, dir, "documents").select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          coalesce(col("n_novel").cast(DoubleType) /
+            col("n_shingles").cast(DoubleType), lit(1.0)).as("novelty"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
@@ -2465,5 +2550,5 @@ object PipelineQueries {
     kmeansTrain, packSequences, tfidfTopk, zipfSpectrum, curriculumBins,
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
     semanticDedup, multimodalIngest, embedOutliers, dupSpan,
-    classBalance, lmFluency, bpeTrain)
+    classBalance, lmFluency, bpeTrain, bpeSegment, ngramNovelty)
 }

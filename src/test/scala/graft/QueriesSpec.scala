@@ -199,6 +199,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._3).distinct.length > 10)
   }
 
+  test("ngram novelty: later near-dup partner scores low, spread is real") {
+    val nov = Registry.byName("pipeline_ngram_novelty").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov.values.forall(v => v >= 0.0 && v <= 1.0))
+    // in each planted near-dup pair the HIGHER id re-crawls the lower's
+    // content — most of its shingles first occurred in the partner
+    val pairs = Registry.byName("pipeline_dedup_ngram").run(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val late = math.max(a, b)
+      assert(nov(late) < 0.5, s"doc $late novelty ${nov(late)}")
+    }
+  }
+
+  test("bpe segment: token count between word count and char count") {
+    val rows = Registry.byName("pipeline_bpe_segment").run(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bpe, chars, words) =>
+      assert(bpe <= chars) // merges only shrink the char segmentation
+      assert(bpe >= words) // a word never segments below one token
+    }
+    // the 3 learned merges must actually fire somewhere
+    assert(rows.map(_._1).sum < rows.map(_._2).sum)
+  }
+
   test("golden counts on sf0.001") {
     assert(Registry.byName("parity_time_dim").run(spark, dir).count() == 1000)
     assert(Registry.byName("pipeline_dedup_exact").run(spark, dir)
