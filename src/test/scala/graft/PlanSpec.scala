@@ -344,6 +344,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"all-pairs stage:\n$p")
   }
 
+  test("bpe: rule selection is heap top-1, merge rebuild aggregates " +
+      "partial, corpus scanned once per train") {
+    import graft.ops.Bpe
+    val words = graft.sources.Readers.table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ops.TextOps.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("word"))
+      .withColumn("wc", org.apache.spark.sql.functions.lit(1L))
+    // top-1 rule must be a bounded heap, not a global sort
+    val bp = Bpe.bestPair(Bpe.initVocab(words))
+      .queryExecution.sparkPlan.toString
+    assert(bp.contains("TakeOrderedAndProject"),
+      s"best pair not heap-based:\n$bp")
+    // the merge rebuild aggregates (i, ns) pairs partial+final
+    val (v1, _) = Bpe.mergeRound(Bpe.initVocab(words).localCheckpoint(true))
+    // v1 is checkpointed — assert on the lazy rebuild instead
+    val rb = Bpe.pairStats(v1).queryExecution.sparkPlan.toString
+    assert(rb.contains("partial_sum"), s"pair stats not partial:\n$rb")
+  }
+
+  test("lm fluency: one vocabulary window, scoring join never cartesian") {
+    val p = plan("pipeline_lm_fluency")
+    assert(p.contains("Window"), s"prefix-total window missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"scoring agg not partial:\n$p")
+  }
+
+  test("ngram novelty: attribution join keyed on the shingle") {
+    val p = plan("pipeline_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$p")
+    val joinKeyed = p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("g#"))
+    assert(joinKeyed, s"first-occurrence join not on the shingle:\n$p")
+  }
+
   test("sequence packing tokenizes before the shuffle (text never moves)") {
     val df = Registry.byName("pipeline_pack_sequences").run(spark, dir)
     df.collect()
