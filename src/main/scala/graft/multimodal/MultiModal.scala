@@ -171,14 +171,15 @@ object MultiModal {
   }
 
   /** One on-disk PNG landing directory per sfDir per JVM: the
-    * synthetic per-doc PNGs written as individual `doc_<id>.png` FILES
-    * (executor-side, foreachPartition — no driver collect), so the
-    * `binaryFile` SOURCE can ingest them like a real media crawl
-    * landing. Single-node this is the local FS; at 100 TB the same
-    * layout sits on object storage and the path-injectable read is
-    * unchanged. Dirs are removed at JVM exit. */
-  def pngLandingDir(spark: SparkSession, sfDir: String,
-      ids: Dataset[Long]): String =
+    * synthetic per-doc PNGs (one per `documents.doc_id` of that sfDir —
+    * derived HERE, so the cache key fully determines the contents)
+    * written as individual `doc_<id>.png` FILES (executor-side,
+    * foreachPartition — no driver collect), so the `binaryFile` SOURCE
+    * can ingest them like a real media crawl landing. Single-node this
+    * is the local FS; at 100 TB the same layout sits on object storage
+    * and the path-injectable read is unchanged. Dirs are removed at
+    * JVM exit. */
+  def pngLandingDir(spark: SparkSession, sfDir: String): String =
     pngLandings.computeIfAbsent(
       java.nio.file.Paths.get(sfDir).toAbsolutePath.toString, { _ =>
         val d = java.nio.file.Files.createTempDirectory("graft_media_landing")
@@ -188,6 +189,11 @@ object MultiModal {
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
           catch { case scala.util.control.NonFatal(_) => () }
         }))
+        val ids = {
+          import spark.implicits._
+          graft.sources.Readers.table(spark, sfDir, "documents")
+            .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+        }
         val assets = syntheticPngAssets(ids)(spark)
         val dir = d.toString
         assets.foreachPartition { (it: Iterator[ImageAsset]) =>

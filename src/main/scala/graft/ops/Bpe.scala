@@ -60,9 +60,13 @@ object Bpe {
     pairStats(vocab).orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1)
 
   /** One training round: learn the best pair, merge it greedily
-    * left-to-right in every word, return (newVocab, mergeRow). */
+    * left-to-right in every word, return (newVocab, mergeRow). When no
+    * pair exists (every word already a single symbol) the round is a
+    * NO-OP — without the guard the crossJoin against a 0-row rule
+    * would silently annihilate the vocabulary. */
   def mergeRound(vocab: DataFrame): (DataFrame, DataFrame) = {
     val best = bestPair(vocab).localCheckpoint(true)
+    if (best.isEmpty) return (vocab, best)
     val w = Window.partitionBy("word").orderBy("i")
     val pos = vocab.crossJoin(broadcast(best))
       .select(col("word"), col("wc"), col("p1"), col("p2"),
@@ -113,7 +117,8 @@ object Bpe {
   }
 
   /** `rounds` merge rules learned from a (word, wc) frame:
-    * (round, p1, p2, cnt). */
+    * (round, p1, p2, cnt). Rounds past the last learnable merge
+    * contribute no rule row (see the mergeRound no-op guard). */
   def train(wordCounts: DataFrame, rounds: Int): DataFrame =
     trainFull(wordCounts, rounds)._1
 }

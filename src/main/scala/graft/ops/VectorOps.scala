@@ -17,6 +17,22 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
+  /** Deterministic sub-cell split for cell-size capping (shared by
+    * pipeline_knn_ivf and pipeline_semantic_dedup): an oversized cell
+    * of `cellN` members is cut into ⌈cellN/cap⌉ sub-cells by the
+    * multiplicative id hash, bounding pair work at ~cap·n. ONE
+    * definition with its SQL twin below — the Spark and oracle sides
+    * must stay bit-identical for the differential test to mean
+    * anything. */
+  def subCell(id: Column, cellNName: String, cap: Int): Column =
+    Sampling.hash32(id) % expr(s"($cellNName + ${cap - 1}) div $cap")
+
+  /** DuckDB twin of [[subCell]] — interpolate into oracle SQL. */
+  def subCellSql(idExpr: String, cellNExpr: String, cap: Int): String =
+    s"((($idExpr % 1000000007 + 1000000007) % 1000000007)\n" +
+      s"                 * 2654435761) % 4294967296\n" +
+      s"                 % (($cellNExpr + ${cap - 1}) // $cap)"
+
   /** Cast a float vector to double for drift-free arithmetic. */
   def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
 

@@ -408,9 +408,7 @@ object PipelineQueries {
       n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
       c AS (SELECT label, COUNT(*) AS cell_n FROM n GROUP BY label),
       h AS (SELECT n.*,
-              (((vec_id % 1000000007 + 1000000007) % 1000000007)
-                 * 2654435761) % 4294967296
-                 % ((cell_n + ${IvfCellCap - 1}) // $IvfCellCap) AS sub
+              ${VectorOps.subCellSql("vec_id", "cell_n", IvfCellCap)} AS sub
             FROM n JOIN c USING (label)),
       p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
@@ -431,10 +429,9 @@ object PipelineQueries {
       // cell sizes: one row per label — broadcast, never a shuffle
       val sizes = pv.groupBy("label")
         .agg(count(lit(1)).as("cell_n"))
-      val sub = graft.ops.Sampling.hash32(col("vec_id")) %
-        expr(s"(cell_n + ${IvfCellCap - 1}) div $IvfCellCap")
       val capped = pv.join(broadcast(sizes), "label")
-        .withColumn("sub", sub)
+        .withColumn("sub",
+          VectorOps.subCell(col("vec_id"), "cell_n", IvfCellCap))
       val a = capped.select(col("vec_id"), col("label"), col("sub"),
         col("v").as("va"), col("nrm").as("na"))
       val b = capped.select(col("vec_id").as("neighbor_id"),
@@ -2073,9 +2070,8 @@ object PipelineQueries {
                  AS rk FROM a3) WHERE rk = 1),
       cs AS (SELECT cid, COUNT(*) AS cell_n FROM b3 GROUP BY cid),
       h AS (SELECT b3.vec_id, b3.cid,
-              (((b3.vec_id % 1000000007 + 1000000007) % 1000000007)
-                 * 2654435761) % 4294967296
-                 % ((cs.cell_n + ${IvfCellCap - 1}) // $IvfCellCap) AS sub
+              ${VectorOps.subCellSql("b3.vec_id", "cs.cell_n", IvfCellCap)}
+                AS sub
             FROM b3 JOIN cs USING (cid)),
       e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2106,9 +2102,9 @@ object PipelineQueries {
       val cells = KMeans.assign(pts, cent).select("vec_id", "cid")
         .localCheckpoint(true)
       val sizes = cells.groupBy("cid").agg(count(lit(1)).as("cell_n"))
-      val sub = graft.ops.Sampling.hash32(col("vec_id")) %
-        expr(s"(cell_n + ${IvfCellCap - 1}) div $IvfCellCap")
-      val capped = cells.join(broadcast(sizes), "cid").withColumn("sub", sub)
+      val capped = cells.join(broadcast(sizes), "cid")
+        .withColumn("sub",
+          VectorOps.subCell(col("vec_id"), "cell_n", IvfCellCap))
       val pv = VectorOps.prepared(emb, "vec_id", "embedding")
         .join(capped, "vec_id")
       val a = pv.select(col("vec_id").as("id_a"), col("cid"), col("sub"),
@@ -2150,8 +2146,7 @@ object PipelineQueries {
     run = (s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
-      val landing = graft.multimodal.MultiModal.pngLandingDir(s, dir, ids)
+      val landing = graft.multimodal.MultiModal.pngLandingDir(s, dir)
       val assets = s.read.format("binaryFile")
         .option("pathGlobFilter", "*.png").load(landing)
         .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
@@ -2205,9 +2200,13 @@ object PipelineQueries {
       ORDER BY lang, rank"""),
     run = (s, dir) => {
       import graft.ops.KMeans
+      // pts feeds the centroid aggregate AND the scoring join — cut
+      // once (shared-prefix convention) or the scan+quantize+join
+      // chain executes twice
       val pts = KMeans.quantize(table(s, dir, "embeddings"))
         .join(table(s, dir, "documents")
           .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+        .localCheckpoint(true)
       val cent = pts
         .select(col("lang"), posexplode(col("q")).as(Seq("dim", "x")))
         .groupBy("lang", "dim")

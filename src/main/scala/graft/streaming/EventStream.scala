@@ -285,12 +285,15 @@ object EventStream {
     * and the running event count. The merge combinator —
     * max(latest-struct) + sum(n) — is associative and commutative, so
     * the final table is independent of how rows fall into batches
-    * (which is also why the racy 4-way split is safe to oracle). The
-    * existing target is eagerly materialized (localCheckpoint) before
-    * the overwrite so the job never reads the files it is replacing;
-    * at scale the same shape lands on any transactional table format.
-    * State lives in the TARGET, not the stream — restart-safe by
-    * construction. */
+    * (which is also why the racy 4-way split is safe to oracle).
+    * IDEMPOTENCE is what makes foreachBatch a real sink: Spark may
+    * RE-EXECUTE a micro-batch after a crash between the sink write and
+    * the checkpoint commit, so batch b writes version dir v{b} derived
+    * from v{b-1} + batch — a replay of b deterministically rewrites
+    * v{b} from the same inputs instead of double-merging into shared
+    * state (the batchId-keyed pattern every transactional format
+    * implements natively). Reading v{b-1} while writing v{b} also
+    * means the job never overwrites files it is reading. */
   def foreachBatchUpsertDrained(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import org.apache.spark.sql.SaveMode
@@ -322,36 +325,40 @@ object EventStream {
         StructField("value", DoubleType)))),
       StructField("n_events", LongType)))
     lastUpsertBatches.set(0)
+    def versionDir(b: Long) = s"$target/v$b"
     val q = spark.readStream.schema(landingSchema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         lastUpsertBatches.incrementAndGet()
         val agg = batch.groupBy("user_id").agg(
           max(struct(col("ts_us"), col("event_id"), col("value")))
             .as("latest"),
           count(lit(1)).as("n_events"))
         val existing =
-          if (java.nio.file.Files.exists(
-              java.nio.file.Paths.get(target, "_SUCCESS")))
-            spark.read.parquet(target)
+          if (batchId > 0 && java.nio.file.Files.exists(
+              java.nio.file.Paths.get(versionDir(batchId - 1), "_SUCCESS")))
+            spark.read.parquet(versionDir(batchId - 1))
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             mergedSchema)
-        // eager cut: the merge must finish READING the old target
-        // before the overwrite job starts replacing its files
-        val merged = existing.unionByName(agg)
+        existing.unionByName(agg)
           .groupBy("user_id")
           .agg(max(col("latest")).as("latest"),
             sum(col("n_events")).as("n_events"))
-          .localCheckpoint(true)
-        merged.write.mode(SaveMode.Overwrite).parquet(target)
-        merged.unpersist()
+          .write.mode(SaveMode.Overwrite).parquet(versionDir(batchId))
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(target)
+    val last = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(target))
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong).max
+      finally s.close()
+    }
+    spark.read.parquet(versionDir(last))
       .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
         col("latest.event_id").as("last_event_id"),
         col("latest.value").as("last_value"), col("n_events"))

@@ -88,6 +88,20 @@ class PackingKMeansSpec extends AnyFunSuite {
     assert(syms("xy") == Seq("x", "y"))   // untouched word intact
   }
 
+  test("bpe rounds past the last learnable merge are no-ops, not wipes") {
+    import graft.ops.Bpe
+    // 'ab' exhausts after 1 merge; rounds 2-3 must keep the vocab
+    // intact and contribute no rule rows
+    val words = Seq(("ab", 4L), ("c", 2L)).toDF("word", "wc")
+    val (rules, vocab) = Bpe.trainFull(words, rounds = 3)
+    assert(rules.select("round", "p1", "p2")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "a", "b")))
+    val syms = vocab.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(syms == Map("ab" -> Seq("ab"), "c" -> Seq("c")))
+  }
+
   test("bpe learns merged-symbol rules in later rounds") {
     import graft.ops.Bpe
     // round 1 learns (a,b); round 2 must see the MERGED symbol 'ab'

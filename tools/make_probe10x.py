@@ -27,9 +27,17 @@ os.makedirs(dst, exist_ok=True)
 
 con = duckdb.connect()
 for table, idcol in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    # ids must stay unique and order-meaningful after shifting: every
+    # query treats the id as a total-order tie-break
+    mx = con.execute(
+        f"SELECT MAX({idcol}) FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchone()[0]
+    assert mx < SHIFT, f"{table}: max {idcol} {mx} >= shift {SHIFT}"
+    # d.* REPLACE — a bare * would leak the replication counter i as an
+    # extra column into the probe corpus (schema drift vs production)
     con.execute(f"""
-      COPY (SELECT * REPLACE ({idcol} + i*{SHIFT} AS {idcol})
-            FROM read_parquet('{src}/{table}.parquet'), range(0,10) t(i))
+      COPY (SELECT d.* REPLACE (d.{idcol} + t.i*{SHIFT} AS {idcol})
+            FROM read_parquet('{src}/{table}.parquet') d, range(0,10) t(i))
       TO '{dst}/{table}.parquet' (FORMAT PARQUET)""")
     print(f"{table}: x10 written")
 
