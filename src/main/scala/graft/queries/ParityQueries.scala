@@ -256,7 +256,52 @@ object ParityQueries {
         .orderBy("ship_year")
     })
 
+  private val profileSummary = GraftQuery(
+    name = "parity_profile_summary",
+    doc = "Column profiling summary (the reference's " +
+      "data_profiling.ipynb workflow as one query): per profiled " +
+      "events column - row count, null count, exact distinct count, " +
+      "min/max - the schema-on-read sanity pass every lake ingestion " +
+      "runs first. One UNION of per-column aggregate rows; min/max " +
+      "surfaced as strings (integer and varchar columns only - " +
+      "double formatting is not cross-engine portable). Each aggregate " +
+      "is partial+final; nothing shuffles more than the group-less agg.",
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT 'event_id' AS col, COUNT(*) AS n,
+               COUNT(*) - COUNT(event_id) AS n_null,
+               COUNT(DISTINCT event_id) AS n_distinct,
+               CAST(MIN(event_id) AS VARCHAR) AS min_v,
+               CAST(MAX(event_id) AS VARCHAR) AS max_v
+        FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+               COUNT(DISTINCT event_type),
+               MIN(event_type), MAX(event_type)
+        FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+               COUNT(DISTINCT user_id),
+               CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        FROM events)
+      ORDER BY col"""),
+    run = (s, dir) => {
+      val ev = table(s, dir, "events")
+      def prof(c: String, asString: Column => Column): DataFrame =
+        ev.agg(count(lit(1)).as("n"),
+            (count(lit(1)) - count(col(c))).as("n_null"),
+            count_distinct(col(c)).as("n_distinct"),
+            asString(min(col(c))).as("min_v"),
+            asString(max(col(c))).as("max_v"))
+          .select(lit(c).as("col"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+      prof("event_id", _.cast(StringType))
+        .unionAll(prof("event_type", identity))
+        .unionAll(prof("user_id", _.cast(StringType)))
+        .orderBy("col")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     filterProject, dedupFullRow, timeDim, usersNondedup, joinTwoKey,
-    songplaysStar, jsonExtract, partitionedWrite)
+    songplaysStar, jsonExtract, partitionedWrite, profileSummary)
 }

@@ -2533,6 +2533,52 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val datasetCard = GraftQuery(
+    name = "pipeline_dataset_card",
+    doc = "Dataset card: the one-row corpus summary a training run " +
+      "records next to its data - doc/token/char totals, language and " +
+      "source cardinalities, exact-duplicate rate, mean doc length. " +
+      "All counts are exact integers aggregated partial+final in one " +
+      "pass over the corpus (plus the distinct-content count on the " +
+      "md5); the two ratios are single double divisions of exact " +
+      "integers (cross-engine bit-identical). The capstone shape: at " +
+      "100 TB this is ONE group-less aggregate, no shuffle wider than " +
+      "32 partial rows.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, text, lang, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   CAST(length(text) AS BIGINT) AS n_ch,
+                   md5(text) AS h
+                 FROM documents)
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
+             CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+             CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_doc_tokens
+      FROM t"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tok"),
+        length(col("text")).cast(LongType).as("n_ch"),
+        md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_ch")).as("n_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        (count(lit(1)) - count_distinct(col("h"))).as("n_exact_dups"))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"), col("n_exact_dups"),
+        (col("n_exact_dups").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("dup_rate"),
+        (col("n_tokens").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("mean_doc_tokens")))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
@@ -2549,5 +2595,6 @@ object PipelineQueries {
     kmeansTrain, packSequences, tfidfTopk, zipfSpectrum, curriculumBins,
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
     semanticDedup, multimodalIngest, embedOutliers, dupSpan,
-    classBalance, lmFluency, bpeTrain, bpeSegment, ngramNovelty)
+    classBalance, lmFluency, bpeTrain, bpeSegment, ngramNovelty,
+    datasetCard)
 }
