@@ -107,13 +107,24 @@ object Bpe {
       : (DataFrame, DataFrame) = {
     var vocab = initVocab(wordCounts).localCheckpoint(true)
     var out: Seq[DataFrame] = Nil
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val (v, best) = mergeRound(vocab)
       vocab = v
-      out = out :+ best.select(lit(r.toLong).as("round"), col("p1"),
-        col("p2"), col("cnt"))
+      // exhausted vocab: stop instead of re-running pair stats on an
+      // unchanged vocab every remaining round (0-row rule = no-op)
+      exhausted = best.isEmpty
+      if (!exhausted)
+        out = out :+ best.select(lit(r.toLong).as("round"), col("p1"),
+          col("p2"), col("cnt"))
+      r += 1
     }
-    (out.reduce(_ unionAll _), vocab)
+    (out.reduceOption(_ unionAll _)
+      .getOrElse(bestPair(vocab)
+        .select(lit(0L).as("round"), col("p1"), col("p2"), col("cnt"))
+        .limit(0)),
+      vocab)
   }
 
   /** `rounds` merge rules learned from a (word, wc) frame:

@@ -32,7 +32,8 @@ for table, idcol in (("documents", "doc_id"), ("embeddings", "vec_id")):
     mx = con.execute(
         f"SELECT MAX({idcol}) FROM read_parquet('{src}/{table}.parquet')"
     ).fetchone()[0]
-    assert mx < SHIFT, f"{table}: max {idcol} {mx} >= shift {SHIFT}"
+    assert mx is not None and mx < SHIFT, \
+        f"{table}: max {idcol} {mx} not in [0, {SHIFT})"
     # d.* REPLACE — a bare * would leak the replication counter i as an
     # extra column into the probe corpus (schema drift vs production)
     con.execute(f"""
@@ -42,6 +43,9 @@ for table, idcol in (("documents", "doc_id"), ("embeddings", "vec_id")):
     print(f"{table}: x10 written")
 
 t = pq.read_table(f"{src}/events.parquet")
+mx_ev = pa.compute.max(t.column("event_id")).as_py()
+assert mx_ev is not None and mx_ev < SHIFT, \
+    f"events: max event_id {mx_ev} not in [0, {SHIFT})"
 shifted = []
 for i in range(10):
     ids = pa.compute.add(t.column("event_id"), i * SHIFT)
