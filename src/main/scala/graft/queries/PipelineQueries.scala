@@ -2579,6 +2579,40 @@ object PipelineQueries {
         (col("n_tokens").cast(DoubleType) /
           col("n_docs").cast(DoubleType)).as("mean_doc_tokens")))
 
+  /** Weighted-sampling resolution: per-doc keep probability is
+    * min(n_chars, D)/D — longer docs kept proportionally more often,
+    * capped at 1. */
+  private val WeightScale = 400L
+
+  private val weightedSample = GraftQuery(
+    name = "pipeline_weighted_sample",
+    doc = "Quality-weighted deterministic sampling: each doc is kept " +
+      s"with probability min(n_chars, $WeightScale)/$WeightScale - " +
+      "the weighted-mixture primitive (upweight long/high-quality " +
+      "docs) done RNG-free: keep iff hash(doc_id) mod " +
+      s"$WeightScale < min(n_chars, $WeightScale). Pure integer " +
+      "arithmetic on the shared multiplicative id hash, so the draw " +
+      "replays identically on any cluster, any partitioning, any " +
+      "engine - same posture as train_test_split and " +
+      "stratified_sample, but with a PER-ROW weight instead of a " +
+      "per-stratum rate. Narrow map + filter; nothing shuffles but " +
+      "the final sort.",
+    oracle = Some(s"""
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             (((doc_id % 1000000007 + 1000000007) % 1000000007)
+                * 2654435761) % 4294967296 % $WeightScale AS draw
+      FROM documents
+      WHERE (((doc_id % 1000000007 + 1000000007) % 1000000007)
+                * 2654435761) % 4294967296 % $WeightScale
+            < LEAST(n_chars, $WeightScale)
+      ORDER BY doc_id"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .withColumn("draw",
+        graft.ops.Sampling.hash32(col("doc_id")) % WeightScale)
+      .filter(col("draw") < least(col("n_chars"), lit(WeightScale)))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("draw"))
+      .orderBy("doc_id"))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
@@ -2596,5 +2630,5 @@ object PipelineQueries {
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
     semanticDedup, multimodalIngest, embedOutliers, dupSpan,
     classBalance, lmFluency, bpeTrain, bpeSegment, ngramNovelty,
-    datasetCard)
+    datasetCard, weightedSample)
 }
