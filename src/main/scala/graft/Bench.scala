@@ -17,9 +17,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config(graft.sources.Readers.NanosAsLongKey, "true")
+      .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Caches.quietNoisyLogs()
 
     // warmup: touch every table + exercise agg/join/window codegen paths
     graft.sources.Readers.tableNames.foreach { t =>

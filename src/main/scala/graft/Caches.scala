@@ -18,4 +18,21 @@ object Caches {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
   }
+
+  /** Silence per-query WARN spam that buries the one JSON line the
+    * driver parses from the bench/verify tail: the localCheckpoint
+    * lineage-truncation warning (every unpersist of a pinned block),
+    * and the streaming planner's AQE-disabled / temp-checkpoint
+    * notices (every drained stream). Expected-by-design messages, not
+    * signals; real errors still surface at ERROR. */
+  def quietNoisyLogs(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Seq(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      "org.apache.spark.rdd.ParallelCollectionRDD",
+      "org.apache.spark.sql.execution.streaming",
+      "org.apache.spark.sql.classic.streaming"
+    ).foreach(Configurator.setLevel(_, Level.ERROR))
+  }
 }

@@ -12,9 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Readers.NanosAsLongKey, "true")
+      .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Caches.quietNoisyLogs()
     new java.io.File(outDir).mkdirs()
     // Dev loop: SPARK_GRAFT_VERIFY_ONLY=name1,name2 restricts the dump
     // (same contract as Bench's SPARK_GRAFT_BENCH_ONLY). Unset = all.

@@ -178,8 +178,17 @@ object MultiModal {
     * can ingest them like a real media crawl landing. Single-node this
     * is the local FS; at 100 TB the same layout sits on object storage
     * and the path-injectable read is unchanged. Dirs are removed at
-    * JVM exit. */
-  def pngLandingDir(spark: SparkSession, sfDir: String): String =
+    * JVM exit. ENFORCED local-only (not just documented): executors
+    * write through java.nio into a driver-created temp dir, which is
+    * only the same filesystem when executors share the driver's — on a
+    * cluster the binaryFile scan would silently see an empty dir, so a
+    * non-local master fails fast with the object-storage pointer. */
+  def pngLandingDir(spark: SparkSession, sfDir: String): String = {
+    require(spark.sparkContext.isLocal,
+      "pngLandingDir builds its synthetic landing dir on the driver's " +
+        "local filesystem (executor-side java.nio writes) — local " +
+        "masters only; on a cluster, land media files on shared/object " +
+        "storage and point the binaryFile read at that path instead")
     pngLandings.computeIfAbsent(
       java.nio.file.Paths.get(sfDir).toAbsolutePath.toString, { _ =>
         val d = java.nio.file.Files.createTempDirectory("graft_media_landing")
@@ -205,6 +214,7 @@ object MultiModal {
         }
         dir
       })
+  }
   private val pngLandings =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -61,15 +61,30 @@ object Ids {
     *
     * EAGER: phases 1-2 execute Spark jobs at call time (the layout must
     * be pinned before offsets are read), so this is not a lazy plan
-    * builder — see the laziness note on GraftQuery. The pinned blocks
-    * are MEMORY_AND_DISK persist (on a multi-node cluster: durable
-    * `checkpoint`), materialized BY the phase-2 counts job itself — one
-    * pass over the input, not checkpoint-then-count twice. They live
-    * until the session drops them; Bench/Verify clear caches between
-    * queries (graft.Caches). */
+    * builder — see the laziness note on GraftQuery. Locally the pinned
+    * blocks are MEMORY_AND_DISK persist, materialized BY the phase-2
+    * counts job itself — one pass over the input, not
+    * checkpoint-then-count twice. On a NON-local master the default is
+    * a durable `checkpoint` instead (one extra pass, but a lost
+    * persisted block there would lineage-recompute the range shuffle
+    * between phase 2 and phase 3, and the uniqueness assertion is the
+    * only remaining guard); falls back to persist, with a stderr
+    * warning, if no checkpoint dir is configured. Blocks live until
+    * the session drops them; Bench/Verify clear caches between queries
+    * (graft.Caches). */
   def orderedId(df: DataFrame, keys: Seq[Column], idCol: String): DataFrame = {
-    val parted = phase1(df.withColumn("__key", struct(keys: _*)), keys)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = df.sparkSession.sparkContext
+    val keyed = phase1(df.withColumn("__key", struct(keys: _*)), keys)
+    val parted =
+      if (!sc.master.startsWith("local") && sc.getCheckpointDir.isDefined)
+        keyed.checkpoint() // eager + durable: survives executor loss
+      else {
+        if (!sc.master.startsWith("local"))
+          System.err.println("[graft.Ids] non-local master without a " +
+            "checkpoint dir: falling back to MEMORY_AND_DISK persist; " +
+            "set spark.sparkContext.setCheckpointDir for durable ids")
+        keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     // phase 2: one row per partition — bounded driver-side work; this
     // action also fills the persisted blocks phase 3 reads
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))

@@ -589,7 +589,11 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
       val grid = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(explode(sequence(col("h0"), col("h1"))).as("h"))
-        .crossJoin(ev.select("event_type").distinct())
+        // explicit broadcast: the distinct event_type side is tiny at any
+        // scale, but plan stats under-estimate a post-aggregate side and
+        // AQE's runtime choice should not be load-bearing — pin it like
+        // the other grid builders do
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
       grid.join(agg, Seq("h", "event_type"), "left")
         .select(col("h"), col("event_type"),
           coalesce(col("n"), lit(0L)).as("n"),

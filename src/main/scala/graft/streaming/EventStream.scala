@@ -266,10 +266,6 @@ object EventStream {
   private val symlinkDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Micro-batches the last `foreachBatchUpsertDrained` run processed —
-    * exposed so the spec can prove the merge really ran incrementally
-    * (>1 batch), not as one degenerate batch. */
-  val lastUpsertBatches = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** One multi-file landing dir per source events file per JVM (the
     * split is what gives AvailableNow multiple micro-batches). */
@@ -295,7 +291,18 @@ object EventStream {
     * implements natively). Reading v{b-1} while writing v{b} also
     * means the job never overwrites files it is reading. */
   def foreachBatchUpsertDrained(spark: SparkSession, sfDir: String)
-      : DataFrame = {
+      : DataFrame = foreachBatchUpsertRun(spark, sfDir).result
+
+  /** One drained upsert run's observable state: the final merged frame,
+    * how many REAL micro-batches the drain processed (per-run value,
+    * not shared JVM state — concurrent runs can't interleave counts),
+    * and the version-dir root holding v0..v{n-1} — the change-log the
+    * snapshot/time-travel read path addresses. */
+  final case class UpsertRun(result: DataFrame, nBatches: Int,
+      versionRoot: String)
+
+  def foreachBatchUpsertRun(spark: SparkSession, sfDir: String)
+      : UpsertRun = {
     import org.apache.spark.sql.SaveMode
     val landing = upsertLandings.computeIfAbsent(
       java.nio.file.Paths.get(sfDir).toAbsolutePath.toString, { _ =>
@@ -324,13 +331,13 @@ object EventStream {
         StructField("event_id", LongType),
         StructField("value", DoubleType)))),
       StructField("n_events", LongType)))
-    lastUpsertBatches.set(0)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     def versionDir(b: Long) = s"$target/v$b"
     val q = spark.readStream.schema(landingSchema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        lastUpsertBatches.incrementAndGet()
+        nBatches.incrementAndGet()
         val agg = batch.groupBy("user_id").agg(
           max(struct(col("ts_us"), col("event_id"), col("value")))
             .as("latest"),
@@ -358,10 +365,11 @@ object EventStream {
         .filter(_.startsWith("v")).map(_.drop(1).toLong).max
       finally s.close()
     }
-    spark.read.parquet(versionDir(last))
+    val result = spark.read.parquet(versionDir(last))
       .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
         col("latest.event_id").as("last_event_id"),
         col("latest.value").as("last_value"), col("n_events"))
+    UpsertRun(result, nBatches.get(), target)
   }
 
   /** Best-effort recursive delete at JVM exit (temp fixture/symlink

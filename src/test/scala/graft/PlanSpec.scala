@@ -153,6 +153,19 @@ class PlanSpec extends AnyFunSuite {
       s"decontamination degenerated to all-pairs:\n$p")
   }
 
+  test("gap-fill grid pins its tiny event-type side as broadcast") {
+    val p = plan("lake_resample_gapfill")
+    // the hour×event_type grid is a genuine cross product; the distinct
+    // event_type side is explicitly broadcast (plan stats under-estimate
+    // a post-aggregate side, so AQE's runtime pick must not be
+    // load-bearing) — it must plan as a broadcast nested-loop over the
+    // tiny build side, never a shuffled CartesianProduct
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"grid cross side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"grid degenerated to a shuffled cartesian:\n$p")
+  }
+
   test("bucketed join runs with no exchange between the bucketed scans") {
     val p = plan("lake_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")

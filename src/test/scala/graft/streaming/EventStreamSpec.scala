@@ -81,12 +81,12 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("foreachBatch upsert: incremental merge over >1 micro-batch " +
       "equals batch latest-per-user") {
-    val got = EventStream
-      .foreachBatchUpsertDrained(spark, "/root/testdata/sf0.001")
-      .orderBy("user_id").collect()
+    val run = EventStream
+      .foreachBatchUpsertRun(spark, "/root/testdata/sf0.001")
+    val got = run.result.orderBy("user_id").collect()
     // the landing split + maxFilesPerTrigger=1 must yield REAL
     // incremental merges, not one degenerate batch
-    assert(EventStream.lastUpsertBatches.get() >= 2)
+    assert(run.nBatches >= 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")
       .orderBy(col("ts_us").desc, col("event_id").desc)
