@@ -2360,6 +2360,97 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  /** Minimum duplicated-span length (tokens) the substring-dedup
+    * TRANSFORM removes — Lee et al.'s "Deduplicating Training Data
+    * Makes Language Models Better" uses 50-token spans; the corpus
+    * plants verbatim near-copies long enough that the threshold fires
+    * at every tracked sf (21 affected docs at sf0.01, 2,733 at sf0.1). */
+  private val SubstringMinSpan = 50
+
+  private val dedupSubstring = GraftQuery(
+    name = "pipeline_dedup_substring",
+    doc = "EXACT-SUBSTRING dedup TRANSFORM (Lee et al. ESD): remove " +
+      "from every document the verbatim spans of >= 50 tokens that " +
+      "occur elsewhere in the corpus, emitting the cleaned text — the " +
+      "actual rewrite, not just pipeline_dup_span's score. Duplicated " +
+      "positions come from the same positional 3-shingle machinery as " +
+      "dup_span, but occurrence counts use a partial-agg groupBy " +
+      "joined back on the shingle instead of a count-over-window: a " +
+      "ubiquitous shingle would make one window partition hold its " +
+      "entire corpus-wide df (a skew hotspot at 100 TB) while the " +
+      "groupBy pre-aggregates map-side and AQE splits any skewed join " +
+      "key. Maximal runs via gaps-and-islands, runs covering >= 50 " +
+      "tokens become [st, en] token intervals (a run of R shingle " +
+      "positions covers R+2 tokens; adjacent qualifying spans may " +
+      "OVERLAP by up to 2 tokens, which the per-token interval test " +
+      "unions away). Reconstruction is a per-row array lambda — " +
+      "filter(w, (x,i) -> no span contains i) — pure codegen, no " +
+      "second shuffle; span lists are bounded by doc length. The " +
+      "cleaned TEXT is hash-compared against DuckDB replaying the " +
+      "identical span arithmetic via anti-join + ordered re-list.",
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      u AS (SELECT doc_id, unnest(range(0, greatest(len(w) - 2, 0))) AS i,
+              w FROM t),
+      p AS (SELECT doc_id, i,
+              w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh FROM u),
+      f AS (SELECT sh, COUNT(*) AS occ FROM p GROUP BY sh),
+      d AS (SELECT p.doc_id, p.i,
+              p.i - row_number() OVER (PARTITION BY p.doc_id ORDER BY p.i)
+                AS grp
+            FROM p JOIN f USING (sh) WHERE f.occ > 1),
+      g AS (SELECT doc_id, MIN(i) AS st, MAX(i) + 2 AS en
+            FROM d GROUP BY doc_id, grp
+            HAVING MAX(i) + 2 - MIN(i) + 1 >= $SubstringMinSpan),
+      rm AS (SELECT DISTINCT doc_id, unnest(range(st, en + 1)) AS i FROM g),
+      tok AS (SELECT doc_id, unnest(range(0, len(w))) AS i, w FROM t),
+      keep AS (SELECT tok.doc_id, tok.i, tok.w[tok.i+1] AS word
+               FROM tok ANTI JOIN rm USING (doc_id, i)),
+      o AS (SELECT doc_id,
+              array_to_string(list(word ORDER BY i), ' ') AS clean_text,
+              COUNT(*) AS n_kept
+            FROM keep GROUP BY doc_id)
+      SELECT t.doc_id,
+             COALESCE(o.clean_text, '') AS clean_text,
+             CAST(COALESCE(o.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+             CAST(len(t.w) - COALESCE(o.n_kept, 0) AS BIGINT)
+               AS n_tokens_removed
+      FROM t LEFT JOIN o USING (doc_id) ORDER BY t.doc_id"""),
+    run = (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val pos = docs.filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("w")) - 3)).as("i"),
+          col("w"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ", element_at(col("w"), col("i") + 1),
+            element_at(col("w"), col("i") + 2),
+            element_at(col("w"), col("i") + 3)).as("sh"))
+      val freq = pos.groupBy("sh").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > 1)
+      val spans = pos.join(freq, "sh")
+        .withColumn("grp", col("i") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("i")).as("st"), (max(col("i")) + 2).as("en"))
+        .filter(col("en") - col("st") + 1 >= SubstringMinSpan)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("st"), col("en"))).as("spans"))
+      docs.join(spans, Seq("doc_id"), "left")
+        .withColumn("kept",
+          when(col("spans").isNull, col("w"))
+            .otherwise(filter(col("w"), (_, i) =>
+              !exists(col("spans"), sp =>
+                i >= sp.getField("st") && i <= sp.getField("en")))))
+        .select(col("doc_id"),
+          array_join(col("kept"), " ").as("clean_text"),
+          size(col("kept")).cast(LongType).as("n_tokens_kept"),
+          (size(col("w")) - size(col("kept"))).cast(LongType)
+            .as("n_tokens_removed"))
+        .orderBy("doc_id")
+    })
+
   private val classBalance = GraftQuery(
     name = "pipeline_class_balance",
     doc = "Class-balanced subsample: every language reduced to exactly " +
@@ -2709,6 +2800,7 @@ object PipelineQueries {
     kmeansTrain, packSequences, tfidfTopk, zipfSpectrum, curriculumBins,
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
     semanticDedup, multimodalIngest, embedOutliers, dupSpan,
+    dedupSubstring,
     classBalance, lmFluency, bpeTrain, bpeSegment, ngramNovelty,
     datasetCard, weightedSample)
 }

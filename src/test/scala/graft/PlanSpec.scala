@@ -153,6 +153,22 @@ class PlanSpec extends AnyFunSuite {
       s"decontamination degenerated to all-pairs:\n$p")
   }
 
+  test("substring dedup counts shingles via partial agg, windows only per doc") {
+    val p = plan("pipeline_dedup_substring")
+    // occurrence counts must be a groupBy (map-side partial agg; AQE can
+    // split a skewed shingle join key) — a count-over-window on the
+    // shingle would put a ubiquitous shingle's whole corpus-wide df in
+    // ONE window partition at 100 TB
+    assert("partial_count".r.findAllIn(p.toLowerCase).nonEmpty,
+      s"shingle counting lost its partial aggregate:\n$p")
+    // the only window is the doc-partitioned gaps-and-islands row_number
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly 1 window op, got $windows:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup degenerated to all-pairs:\n$p")
+  }
+
   test("gap-fill grid pins its tiny event-type side as broadcast") {
     val p = plan("lake_resample_gapfill")
     // the hour×event_type grid is a genuine cross product; the distinct
