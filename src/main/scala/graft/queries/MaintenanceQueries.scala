@@ -150,6 +150,68 @@ object MaintenanceQueries {
         .orderBy("y")
     })
 
+  // -------------------------------------------------------------------
+  // Snapshot / time-travel read over a versioned copy-on-write table.
+  // -------------------------------------------------------------------
+  private val snapshotRead = GraftQuery(
+    name = "lake_snapshot_read",
+    doc = "Snapshot / TIME-TRAVEL read: four deterministic change " +
+      "batches (events bucketed by event_id % 4 — the streaming " +
+      "upsert's racy file split can only oracle its FINAL state, so " +
+      "the versioned table is built from a deterministic log) merged " +
+      "into copy-on-write version dirs v0..v3, v{b} = SCD1-merge" +
+      "(v{b-1}, batch b) — the same batchId-keyed idempotent pattern " +
+      "stream_foreachbatch_upsert writes. The table is then read AS " +
+      "OF v2: version addressing is path addressing, no log replay on " +
+      "the read side, exactly how snapshot isolation works in every " +
+      "copy-on-write table format (reads pin a version while writers " +
+      "produce v3+). Oracle reconstructs v2 from the change log: " +
+      "latest-per-user over batches 0..2 only. The merge combinator " +
+      "(max latest-struct, sum count) is associative+commutative, so " +
+      "the incremental merges provably equal the one-shot batch " +
+      "answer the oracle computes.",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        value
+                 FROM events WHERE event_id % 4 <= 2),
+      r AS (SELECT user_id, ts_us, event_id, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts_us DESC, event_id DESC) AS rk,
+              COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM e)
+      SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+             value AS last_value, CAST(n_events AS BIGINT) AS n_events
+      FROM r WHERE rk = 1 ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapshot").toString
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      def versionDir(b: Int) = s"$root/v$b"
+      (0 to 3).foreach { b =>
+        val batch = ev.filter(col("event_id") % 4 === b)
+          .groupBy("user_id")
+          .agg(max(struct(col("ts_us"), col("event_id"), col("value")))
+            .as("latest"),
+            count(lit(1)).as("n_events"))
+        val merged =
+          if (b == 0) batch
+          else s.read.parquet(versionDir(b - 1)).unionByName(batch)
+            .groupBy("user_id")
+            .agg(max(col("latest")).as("latest"),
+              sum(col("n_events")).as("n_events"))
+        merged.write.mode("overwrite").parquet(versionDir(b))
+      }
+      // TIME TRAVEL: the read pins version 2 while v3 already exists —
+      // nothing but the path changes between "latest" and "as of"
+      s.read.parquet(versionDir(2))
+        .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
+          col("latest.event_id").as("last_event_id"),
+          col("latest.value").as("last_value"), col("n_events"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
-    rangeLayout)
+    rangeLayout, snapshotRead)
 }
