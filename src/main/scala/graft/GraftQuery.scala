@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Laziness: `run` normally returns an unexecuted plan, but it MAY
   * execute jobs at call time when the operator requires materialization
   * (two-phase id assignment in graft.ops.Ids, drained streaming runs in
-  * StreamingQueries). Explain-only callers should use the plan-stage
+  * StreamingQueries, bloom-filter builds in graft.ops.RuntimeFilters). Explain-only callers should use the plan-stage
   * accessors those modules expose instead of `run`.
   */
 final case class GraftQuery(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.GraftQuery
-import graft.ops.AsofJoin
+import graft.ops.{AsofJoin, RuntimeFilters}
 import graft.sources.Readers.table
 
 /** Second wave of beyond-reference operators: as-of join, physical-join
@@ -178,6 +178,42 @@ object ExtendedQueries {
           sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
             .cast(DoubleType).as("revenue"))
+        .orderBy("order_year")
+    })
+
+  // -------------------------------------------------------------------
+  // Runtime bloom-filter join pruning (big ⋈ big with a selective side).
+  // -------------------------------------------------------------------
+  private val bloomJoin = GraftQuery(
+    name = "lake_join_bloom",
+    doc = "lake_join_bigbig's 100 TB mitigation: the orders side carries " +
+      "a ~1% selective predicate, so a bloom filter of its join keys " +
+      "(graft.ops.RuntimeFilters — partial-aggregable " +
+      "BloomFilterAggregate build, codegen'd might_contain probe) drops " +
+      "non-matching lineitem rows AT THE SCAN, before the sort-merge " +
+      "join's shuffle — the probe side shuffles ~selectivity× the rows " +
+      "the plain SMJ shuffles. Bloom false positives are removed by the " +
+      "join itself, so the result is provably identical to the " +
+      "unfiltered plan and the oracle is the plain SQL join. " +
+      "PlanSpec asserts might_contain sits between the lineitem scan " +
+      "and the first exchange.",
+    oracle = Some("""
+      SELECT year(o.o_orderdate) AS order_year,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey % 97 = 0
+      GROUP BY 1 ORDER BY order_year"""),
+    run = (s, dir) => {
+      val sel = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+      val li = RuntimeFilters.bloomPruned(
+        table(s, dir, "lineitem"), col("l_orderkey"),
+        sel.select("o_orderkey"), col("o_orderkey"))
+      li.join(sel.hint("merge"), li("l_orderkey") === sel("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("order_year"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("order_year")
     })
 
@@ -602,7 +638,8 @@ object ExtendedQueries {
     })
 
   val all: Seq[GraftQuery] = Seq(
-    asofJoin, bucketedJoin, saltedJoin, bigBigJoin, intervalJoin,
+    asofJoin, bucketedJoin, saltedJoin, bigBigJoin, bloomJoin,
+    intervalJoin,
     windowRange, windowRanks, pivotEvents, explodeUnnest, jsonScan,
     csvScan, textScan, orcRoundtrip, approxDistinct, approxPercentile,
     resampleGapfill, explodeOuter)
