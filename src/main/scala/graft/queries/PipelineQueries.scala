@@ -619,6 +619,49 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     })
 
+  /** Corpus-level ANN quality audit — recall@3 of the banded-LSH search
+    * against the exact brute force, as a REGISTERED query (not just the
+    * one-off OpsSpec pin): the approximate-search trade becomes a number
+    * measured per dataset, re-checked differentially every round. Both
+    * sides are deterministic (integer-recurrence planes, id-tiebroken
+    * ranks), so the oracle replays the identical audit: DuckDB recomputes
+    * both top-k tables from scratch and must land on the same integer hit
+    * count. The recall value is ONE division of exact integers →
+    * bit-identical across engines. At 100 TB the audit joins two k·|Q|-row
+    * top-k tables — negligible next to the searches themselves. */
+  private val annRecall = GraftQuery(
+    name = "pipeline_ann_recall",
+    doc = "ANN recall audit: recall@3 of pipeline_ann_lsh_topk vs the " +
+      "exact pipeline_knn_brute top-3 over the same query set, one " +
+      "summary row (n_queries, k, n_hits, recall). Exact-integer hit " +
+      "count, single division — the approximation quality is itself a " +
+      "differentially-tested, per-dataset measurement.",
+    oracle = Some(s"""
+      WITH brute AS (${knnBrute.oracle.get}),
+      ann AS (${annLshTopk.oracle.get}),
+      hits AS (SELECT a.query_id, COUNT(*) AS n_hit
+               FROM ann a JOIN brute b
+                 ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id AND b.rank <= 3
+               GROUP BY 1)
+      SELECT n_queries, k, n_hits,
+             CAST(n_hits AS DOUBLE) / CAST(n_queries * k AS DOUBLE) AS recall
+      FROM (SELECT (SELECT COUNT(DISTINCT query_id) FROM brute) AS n_queries,
+                   CAST(3 AS BIGINT) AS k,
+                   CAST((SELECT COALESCE(SUM(n_hit), 0) FROM hits)
+                     AS BIGINT) AS n_hits)"""),
+    run = (s, dir) => {
+      val brute = knnBrute.run(s, dir).filter(col("rank") <= 3)
+      val ann = annLshTopk.run(s, dir)
+      val hits = ann.join(brute.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      brute.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_queries"), lit(3L).as("k"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) /
+            (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
+    })
+
   private val embedNearDupGlobal = GraftQuery(
     name = "pipeline_embed_neardup_global",
     doc = "Global (unpartitioned) embedding near-dup: ALL vector pairs " +
@@ -2788,7 +2831,8 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
     dedupKeepBest, embedNearDup, embedNearDupGlobal, embedNormalize,
-    knnBrute, knnIvf, annLsh, annLshTopk, textStats, textQuality, langId,
+    knnBrute, knnIvf, annLsh, annLshTopk, annRecall, textStats,
+    textQuality, langId,
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     vocabCoverage, lengthHistogram, chunkWindows, urlExtract,
