@@ -218,6 +218,63 @@ object ExtendedQueries {
     })
 
   // -------------------------------------------------------------------
+  // Dynamic partition pruning (runtime partition-level join pruning).
+  // -------------------------------------------------------------------
+  private val dppJoin = GraftQuery(
+    name = "lake_join_dpp",
+    doc = "DYNAMIC partition pruning — the partition-level sibling of " +
+      "lake_join_bloom's row-level runtime filter: lineitem is laid out " +
+      "hive-partitioned by ship_year, the orders dim is filtered by a " +
+      "predicate whose matching YEARS are only known at runtime, and " +
+      "Catalyst turns the broadcast dim into a partition filter on the " +
+      "fact scan (PlanSpec asserts dynamicpruningexpression in " +
+      "PartitionFilters), so non-matching partition DIRECTORIES are " +
+      "never listed or read. At 100 TB this is the first-line defense " +
+      "for fact⋈dim on a partition key; the bloom filter covers the " +
+      "complementary case where the join key is NOT the layout key. " +
+      "Oracle: same join semantics over the unpartitioned source.",
+    oracle = Some("""
+      WITH y AS (SELECT DISTINCT year(o_orderdate) AS ship_year
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+                   AND o_orderpriority = '1-URGENT')
+      SELECT l.ship_year AS ship_year, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM (SELECT year(l_shipdate) AS ship_year, l_extendedprice
+            FROM lineitem) l
+      JOIN y ON l.ship_year = y.ship_year
+      GROUP BY 1 ORDER BY l.ship_year"""),
+    run = (s, dir) => {
+      val fdir = partitionedLineitemDir(s, dir)
+      val fact = s.read.parquet(fdir)
+      val dim = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-06-01").cast(TimestampType)
+          && col("o_orderpriority") === "1-URGENT")
+        .select(year(col("o_orderdate")).as("ship_year")).distinct()
+      fact.join(broadcast(dim), "ship_year")
+        .groupBy(col("ship_year").cast(LongType).as("ship_year"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("ship_year")
+    })
+
+  /** Hive-partitioned lineitem layout (dir per ship_year) — the fact
+    * side of the DPP demo; cached per (sfDir, session) since the write
+    * is layout-only setup, not the measured operator. */
+  private val partitionedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def partitionedLineitemDir(s: SparkSession, dir: String): String =
+    partitionedDirs.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_dpp").toString
+      table(s, dir, "lineitem")
+        .select(col("l_extendedprice"),
+          year(col("l_shipdate")).as("ship_year"))
+        .write.mode("overwrite").partitionBy("ship_year").parquet(out)
+      out
+    })
+
+  // -------------------------------------------------------------------
   // Range-frame window: trailing-30-day running total per customer.
   // -------------------------------------------------------------------
   private val windowRange = GraftQuery(
@@ -638,7 +695,7 @@ object ExtendedQueries {
     })
 
   val all: Seq[GraftQuery] = Seq(
-    asofJoin, bucketedJoin, saltedJoin, bigBigJoin, bloomJoin,
+    asofJoin, bucketedJoin, saltedJoin, bigBigJoin, bloomJoin, dppJoin,
     intervalJoin,
     windowRange, windowRanks, pivotEvents, explodeUnnest, jsonScan,
     csvScan, textScan, orcRoundtrip, approxDistinct, approxPercentile,

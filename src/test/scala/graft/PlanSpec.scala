@@ -254,6 +254,14 @@ class PlanSpec extends AnyFunSuite {
       s"ship_year leaked into data filters:\n$p")
   }
 
+  test("dpp join prunes fact partitions from the runtime dim filter") {
+    val p = plan("lake_join_dpp")
+    // the partition filter on the fact scan must be DYNAMIC — produced
+    // by the broadcast dim at runtime, not a static literal list
+    assert(p.contains("dynamicpruning"), s"no runtime partition filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim side not broadcast:\n$p")
+  }
+
   test("zorder layout prunes row groups on each predicate independently") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DateType
