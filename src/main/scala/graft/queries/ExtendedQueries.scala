@@ -620,6 +620,55 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     })
 
+  private val cmsHeavyHitters = GraftQuery(
+    name = "lake_cms_heavyhitters",
+    doc = "count_min_sketch heavy-hitter audit (completes the sketch " +
+      "family: HLL distinct counts, GK quantiles, CMS frequencies): " +
+      "per-user event frequencies estimated from one fixed-seed CMS " +
+      "(eps 0.001, confidence 0.999 - a ~160 KB partial-aggregable " +
+      "sketch vs a full groupBy shuffle at 100 TB), probed for the " +
+      "exact top-10 users. As with the other sketches the oracle " +
+      "checks the CONTRACT, not engine internals: CMS NEVER " +
+      "underestimates (hash collisions only add), and overestimates " +
+      "by at most eps*N with the configured confidence - both flags " +
+      "recomputed against exact counts and pinned to 1. Deterministic: " +
+      "fixed seed, and CMS merge is cell-wise addition - commutative " +
+      "and associative, partition-order-invariant. The probe " +
+      "deserializes the ONE sketch row and queries 10 keys " +
+      "driver-side - sketch-sized work, same contract-audit shape as " +
+      "the GK rank recount.",
+    oracle = Some("""
+      WITH c AS (SELECT user_id, COUNT(*) AS exact_n
+                 FROM events GROUP BY 1),
+      t AS (SELECT user_id, exact_n FROM c
+            ORDER BY exact_n DESC, user_id LIMIT 10)
+      SELECT user_id, exact_n,
+             CAST(1 AS BIGINT) AS no_underestimate,
+             CAST(1 AS BIGINT) AS within_eps_bound
+      FROM t ORDER BY exact_n DESC, user_id"""),
+    run = (s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"))
+      val skRow = ev.agg(
+        expr("count_min_sketch(user_id, 0.001d, 0.999d, 42)").as("sk"),
+        count(lit(1)).as("n")).head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+      val epsBound = 0.001 * skRow.getAs[Long]("n")
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+        .collect() // 10 rows - the heavy-hitter list itself
+      import s.implicits._
+      top.toSeq.map { r =>
+        val uid = r.getAs[Long]("user_id")
+        val exact = r.getAs[Long]("exact_n")
+        val est = cms.estimateCount(uid)
+        (uid, exact,
+          if (est >= exact) 1L else 0L,
+          if (est.toDouble <= exact.toDouble + epsBound) 1L else 0L)
+      }.toDF("user_id", "exact_n", "no_underestimate", "within_eps_bound")
+        .orderBy(col("exact_n").desc, col("user_id"))
+    })
+
   private val explodeOuter = GraftQuery(
     name = "lake_explode_outer",
     doc = "Outer explode null semantics: documents' tokens filtered to " +
@@ -699,5 +748,5 @@ object ExtendedQueries {
     intervalJoin,
     windowRange, windowRanks, pivotEvents, explodeUnnest, jsonScan,
     csvScan, textScan, orcRoundtrip, approxDistinct, approxPercentile,
-    resampleGapfill, explodeOuter)
+    cmsHeavyHitters, resampleGapfill, explodeOuter)
 }
