@@ -75,11 +75,14 @@ object Ids {
   def orderedId(df: DataFrame, keys: Seq[Column], idCol: String): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val keyed = phase1(df.withColumn("__key", struct(keys: _*)), keys)
+    // isLocal, not master.startsWith("local"): a local-cluster[...]
+    // master HAS separate executor JVMs that can die independently —
+    // it must take the durable branch like any real cluster
     val parted =
-      if (!sc.master.startsWith("local") && sc.getCheckpointDir.isDefined)
+      if (!sc.isLocal && sc.getCheckpointDir.isDefined)
         keyed.checkpoint() // eager + durable: survives executor loss
       else {
-        if (!sc.master.startsWith("local"))
+        if (!sc.isLocal)
           System.err.println("[graft.Ids] non-local master without a " +
             "checkpoint dir: falling back to MEMORY_AND_DISK persist; " +
             "set spark.sparkContext.setCheckpointDir for durable ids")

@@ -27,10 +27,12 @@ object Sampling {
   def hash32Sql(id: String): String =
     s"((($id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 4294967296"
 
-  /** Order-free pair hash into [0, 2³²): combines the two id hashes with
-    * a small multiplier. hash32 < 2³² so the multiply stays < 2³⁷ —
-    * no int64 overflow for any ids. Used to cap-sample PAIR sets
-    * (audit slices of quadratic verification stages). */
+  /** ORDER-SENSITIVE pair hash into [0, 2³²): hashPair32(a, b) ≠
+    * hashPair32(b, a) — callers must pass canonically ordered pairs
+    * (every pair set here is emitted with doc_a < doc_b). hash32 < 2³²
+    * so the multiply stays < 2³⁷ — no int64 overflow for any ids. Used
+    * to cap-sample PAIR sets (audit slices of quadratic verification
+    * stages). */
   def hashPair32(a: Column, b: Column): Column =
     (hash32(a) * lit(31L) + hash32(b)) % lit(4294967296L)
 

@@ -259,20 +259,16 @@ object ExtendedQueries {
     })
 
   /** Hive-partitioned lineitem layout (dir per ship_year) — the fact
-    * side of the DPP demo; cached per (sfDir, session) since the write
-    * is layout-only setup, not the measured operator. */
-  private val partitionedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * side of the DPP demo; cached per sfDir (graft.TempDirs, deleted at
+    * JVM exit) since the write is layout-only setup, not the measured
+    * operator. */
   def partitionedLineitemDir(s: SparkSession, dir: String): String =
-    partitionedDirs.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_dpp").toString
+    graft.TempDirs.cachedDir("graft_dpp", dir) { out =>
       table(s, dir, "lineitem")
         .select(col("l_extendedprice"),
           year(col("l_shipdate")).as("ship_year"))
         .write.mode("overwrite").partitionBy("ship_year").parquet(out)
-      out
-    })
+    }
 
   // -------------------------------------------------------------------
   // Range-frame window: trailing-30-day running total per customer.

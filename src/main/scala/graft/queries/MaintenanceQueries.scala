@@ -176,9 +176,8 @@ object MaintenanceQueries {
     * identical layout as DATE scanned 63%) — so a layout whose cluster
     * key is day-granular MUST land it as a date column or the whole
     * point of the clustering is silently lost. */
-  def zorderedOrdersDir(s: SparkSession, dir: String): String = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_zorder").toString
+  def zorderedOrdersDir(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_zorder", dir) { out =>
     val orders = table(s, dir, "orders")
     val day = datediff(col("o_orderdate"),
       lit("1970-01-01").cast(DateType)).cast(LongType)
@@ -204,7 +203,6 @@ object MaintenanceQueries {
       .withColumn("o_orderdate", col("o_orderdate").cast(DateType))
       .select(orders.columns.map(col): _*)
       .write.mode("overwrite").parquet(out)
-    out
   }
 
   private val zorderLayout = GraftQuery(

@@ -50,21 +50,31 @@ object PipelineQueries {
     if (materialize) df.localCheckpoint(true) else df
   }
 
-  /** DuckDB twin of docShingles. */
-  private val ShingleCte = """
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** Shingle-derivation CTE bodies over a parameterized source relation —
+    * ONE copy of the load-bearing 3-gram arithmetic, shared by the full
+    * oracle (src = documents) and the cap-gated twin (src = samp); a fix
+    * applied here reaches both ground truths. */
+  private def shingleCtesFrom(src: String): String = s"""
+      t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
       s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t)"""
 
-  /** The one true near-dup answer: all pairs with exact shingle Jaccard ≥
-    * 0.8 (25 planted pairs at sf0.01, clean margin — next pair is at 0.1). */
-  private val AllPairsJaccardOracle = ShingleCte + s""",
+  /** DuckDB twin of docShingles. */
+  private val ShingleCte = "\n      WITH" + shingleCtesFrom("documents")
+
+  /** Exact all-pairs Jaccard pair join + final projection — the shared
+    * tail of the full and cap-gated oracles. */
+  private val JaccardPairSelect = s""",
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               len(list_intersect(a.sh, b.sh)) * 1.0 /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
             FROM s a JOIN s b ON a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $Threshold
       ORDER BY doc_a, doc_b"""
+
+  /** The one true near-dup answer: all pairs with exact shingle Jaccard ≥
+    * 0.8 (25 planted pairs at sf0.01, clean margin — next pair is at 0.1). */
+  private val AllPairsJaccardOracle = ShingleCte + JaccardPairSelect
 
   /** Caps for the three exact ground-truth BASELINES whose plans are
     * deliberately superlinear (flat inverted index Σdf², brute O(n²)
@@ -100,10 +110,8 @@ object PipelineQueries {
   private def cappedShingleCte(cap: Long): String = s"""
       WITH samp AS (SELECT doc_id, text FROM documents
         WHERE ${Sampling.hash32Sql("doc_id")} <
-          ${Sampling.capThresholdSql(cap, "SELECT COUNT(*) FROM documents")}),
-      t AS (SELECT doc_id, string_split(text, ' ') AS w FROM samp),
-      s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t)"""
+          ${Sampling.capThresholdSql(cap, "SELECT COUNT(*) FROM documents")}),""" +
+    shingleCtesFrom("samp")
 
   /** Exact Jaccard verification of candidate (a, b) pairs → oracle shape.
     * The shingle-array side carries ~kB rows: its byte size is grossly
@@ -192,13 +200,7 @@ object PipelineQueries {
       "cap²-cost audit sample beyond; oracle replays the identical " +
       "threshold). The composite pipelines run on the prefix path. " +
       "Third algorithm, same oracle at every tracked sf.",
-    oracle = Some(cappedShingleCte(BaselineDocCap) + s""",
-      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              len(list_intersect(a.sh, b.sh)) * 1.0 /
-                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-            FROM s a JOIN s b ON a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $Threshold
-      ORDER BY doc_a, doc_b"""),
+    oracle = Some(cappedShingleCte(BaselineDocCap) + JaccardPairSelect),
     run = (s, dir) =>
       Dedup.invertedIndexJaccard(cappedShingles(s, dir, BaselineDocCap),
         "doc_id", "sh", Threshold).orderBy("doc_a", "doc_b"))
@@ -651,7 +653,11 @@ object PipelineQueries {
                    CAST((SELECT COALESCE(SUM(n_hit), 0) FROM hits)
                      AS BIGINT) AS n_hits)"""),
     run = (s, dir) => {
+      // brute feeds TWO branches (the hit semi-join and the n_queries
+      // aggregate): pin it once or the O(n·|Q|) cosine scan re-expands
+      // per branch (docShingles convention)
       val brute = knnBrute.run(s, dir).filter(col("rank") <= 3)
+        .localCheckpoint(true)
       val ann = annLshTopk.run(s, dir)
       val hits = ann.join(brute.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_semi")

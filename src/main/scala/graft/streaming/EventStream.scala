@@ -293,13 +293,15 @@ object EventStream {
   def foreachBatchUpsertDrained(spark: SparkSession, sfDir: String)
       : DataFrame = foreachBatchUpsertRun(spark, sfDir).result
 
-  /** One drained upsert run's observable state: the final merged frame,
-    * how many REAL micro-batches the drain processed (per-run value,
-    * not shared JVM state — concurrent runs can't interleave counts),
-    * and the version-dir root holding v0..v{n-1} — the change-log the
-    * snapshot/time-travel read path addresses. */
-  final case class UpsertRun(result: DataFrame, nBatches: Int,
-      versionRoot: String)
+  /** One drained upsert run's observable state: the final merged frame
+    * and how many REAL micro-batches the drain processed (per-run
+    * value, not shared JVM state — concurrent runs can't interleave
+    * counts). The run's version dirs are an implementation detail of
+    * the idempotent sink — the snapshot/time-travel READ surface is
+    * `lake_snapshot_read`, which builds its own DETERMINISTIC version
+    * log precisely because this run's landing-file split is racy and
+    * can only be oracle'd on its final state. */
+  final case class UpsertRun(result: DataFrame, nBatches: Int)
 
   def foreachBatchUpsertRun(spark: SparkSession, sfDir: String)
       : UpsertRun = {
@@ -369,7 +371,7 @@ object EventStream {
       .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
         col("latest.event_id").as("last_event_id"),
         col("latest.value").as("last_value"), col("n_events"))
-    UpsertRun(result, nBatches.get(), target)
+    UpsertRun(result, nBatches.get())
   }
 
   /** Best-effort recursive delete at JVM exit (temp fixture/symlink
