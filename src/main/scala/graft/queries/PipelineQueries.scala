@@ -1061,6 +1061,60 @@ object PipelineQueries {
         parse_url(col("url"), lit("QUERY")).as("query"))
       .orderBy("doc_id"))
 
+  private val urlCanonical = GraftQuery(
+    name = "pipeline_url_canonical",
+    doc = "URL CANONICALIZATION dedup (the crawl-side step before " +
+      "content dedup: the same page arrives as scheme/host case " +
+      "variants, trailing slashes, tracking params, fragments): each " +
+      "doc gets a deterministically MESSY url (five doc_id-formula " +
+      "variant axes - HTTPS/https, HOST case, trailing /, utm_ " +
+      "params, #fragment), canonicalized with native parse_url + " +
+      "lower + regexp_replace (lowercase scheme+host, strip trailing " +
+      "slash, keep only the real q param, drop fragment), then " +
+      "grouped. The oracle PREDICTS every canonical group from the " +
+      "same formulas - a green row proves the canonicalizer collapses " +
+      "all five messy axes to known ground truth rather than " +
+      "comparing two parsers' quirks. Narrow per-row map into one " +
+      "groupBy; at 100 TB the canonical url is the dedup/shard key.",
+    oracle = Some("""
+      WITH c AS (SELECT doc_id,
+          'https://host' || (doc_id % 50) || '.example.com/docs/' ||
+            (doc_id % 200) || '?q=' || (doc_id % 7) AS curl
+        FROM documents)
+      SELECT curl, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      FROM c GROUP BY 1 ORDER BY curl"""),
+    run = (s, dir) => {
+      val messy = table(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS"),
+          lit("://"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("HOST"), col("doc_id") % 50, lit(".EXAMPLE.COM")))
+            .otherwise(
+              concat(lit("host"), col("doc_id") % 50, lit(".example.com"))),
+          lit("/docs/"), col("doc_id") % 200,
+          when(col("doc_id") % 4 === 0, "/").otherwise(""),
+          lit("?"),
+          when(col("doc_id") % 2 === 1,
+            concat(lit("utm_source=feed&utm_campaign=x&q="),
+              col("doc_id") % 7))
+            .otherwise(concat(lit("q="), col("doc_id") % 7)),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("#sec"), col("doc_id") % 3)).otherwise(""))
+          .as("url"))
+      messy.select(col("doc_id"),
+          concat(
+            lower(parse_url(col("url"), lit("PROTOCOL"))), lit("://"),
+            lower(parse_url(col("url"), lit("HOST"))),
+            regexp_replace(parse_url(col("url"), lit("PATH")),
+              "/$", ""),
+            lit("?q="), parse_url(col("url"), lit("QUERY"), lit("q")))
+            .as("curl"))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy("curl")
+    })
+
   private val chunkWindows = GraftQuery(
     name = "pipeline_chunk_windows",
     doc = "Sliding context-window chunking (the sequence-prep step " +
@@ -2842,6 +2896,7 @@ object PipelineQueries {
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     vocabCoverage, lengthHistogram, chunkWindows, urlExtract,
+    urlCanonical,
     stratifiedSample, sourceMix, qualityDupFrac, trainingExport,
     corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate,
