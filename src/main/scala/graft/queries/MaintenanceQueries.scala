@@ -268,8 +268,21 @@ object MaintenanceQueries {
              value AS last_value, CAST(n_events AS BIGINT) AS n_events
       FROM r WHERE rk = 1 ORDER BY user_id"""),
     run = (s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_snapshot").toString
+      // TIME TRAVEL: the read pins version 2 while v3 already exists —
+      // nothing but the path changes between "latest" and "as of"
+      s.read.parquet(versionedEventsRoot(s, dir) + "/v2")
+        .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
+          col("latest.event_id").as("last_event_id"),
+          col("latest.value").as("last_value"), col("n_events"))
+        .orderBy("user_id")
+    })
+
+  /** Copy-on-write versioned table v0..v3 from the deterministic event
+    * change batches (event_id % 4), v{b} = SCD1-merge(v{b-1}, batch b);
+    * cached per sfDir (graft.TempDirs — the version log is table state
+    * the snapshot/diff READS address, not the measured operator). */
+  def versionedEventsRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_snapshot", dir) { root =>
       val ev = table(s, dir, "events")
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"), col("value"))
@@ -288,15 +301,60 @@ object MaintenanceQueries {
               sum(col("n_events")).as("n_events"))
         merged.write.mode("overwrite").parquet(versionDir(b))
       }
-      // TIME TRAVEL: the read pins version 2 while v3 already exists —
-      // nothing but the path changes between "latest" and "as of"
-      s.read.parquet(versionDir(2))
-        .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
-          col("latest.event_id").as("last_event_id"),
-          col("latest.value").as("last_value"), col("n_events"))
+    }
+
+  // -------------------------------------------------------------------
+  // Snapshot DIFF (CDC between two pinned versions).
+  // -------------------------------------------------------------------
+  private val snapshotDiff = GraftQuery(
+    name = "lake_snapshot_diff",
+    doc = "Snapshot DIFF - the change-data-capture read between two " +
+      "pinned versions of the same copy-on-write table " +
+      "lake_snapshot_read time-travels over: v1 ⟕⟖ v3 full-outer on " +
+      "the key, classifying every user as added (new in v3), updated " +
+      "(latest-event struct changed), or unchanged - the incremental " +
+      "refresh a downstream consumer runs instead of re-reading the " +
+      "whole table. Version addressing is path addressing, so the " +
+      "diff reads exactly two version dirs and shuffles only the keys " +
+      "once. Oracle reconstructs both versions from the change log " +
+      "(batches 0..1 vs 0..3) and replays the same classification. " +
+      "No 'deleted' class by construction: versions only ever merge " +
+      "rows in (an SCD1 table never loses a key).",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        value, event_id % 4 AS b FROM events),
+      st AS (SELECT b_max, user_id,
+               MAX(struct_pack(ts_us := ts_us, event_id := event_id,
+                               value := value)) AS latest,
+               COUNT(*) AS n_events
+             FROM e CROSS JOIN (VALUES (1), (3)) v(b_max)
+             WHERE e.b <= v.b_max
+             GROUP BY 1, 2),
+      v1 AS (SELECT * FROM st WHERE b_max = 1),
+      v3 AS (SELECT * FROM st WHERE b_max = 3)
+      SELECT v3.user_id,
+             CASE WHEN v1.user_id IS NULL THEN 'added'
+                  WHEN v1.latest <> v3.latest OR
+                       v1.n_events <> v3.n_events THEN 'updated'
+                  ELSE 'unchanged' END AS change,
+             v3.n_events AS n_events_now
+      FROM v3 LEFT JOIN v1 USING (user_id)
+      ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = versionedEventsRoot(s, dir)
+      val v1 = s.read.parquet(s"$root/v1")
+      val v3 = s.read.parquet(s"$root/v3")
+      v3.alias("n").join(v1.alias("o"),
+          col("n.user_id") === col("o.user_id"), "left")
+        .select(col("n.user_id").as("user_id"),
+          when(col("o.user_id").isNull, "added")
+            .when(col("o.latest") =!= col("n.latest") ||
+              col("o.n_events") =!= col("n.n_events"), "updated")
+            .otherwise("unchanged").as("change"),
+          col("n.n_events").as("n_events_now"))
         .orderBy("user_id")
     })
 
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
-    rangeLayout, zorderLayout, snapshotRead)
+    rangeLayout, zorderLayout, snapshotRead, snapshotDiff)
 }

@@ -1061,6 +1061,55 @@ object PipelineQueries {
         parse_url(col("url"), lit("QUERY")).as("query"))
       .orderBy("doc_id"))
 
+  private val langRebalance = GraftQuery(
+    name = "pipeline_lang_rebalance",
+    doc = "Inverse-frequency language REBALANCING by replication (the " +
+      "upsampling half of multilingual pretraining's temperature " +
+      "sampling; the downsampling half is pipeline_source_mix's " +
+      "hash-threshold admission): every language is replicated toward " +
+      "the majority count - base = n_max div n_lang integer copies " +
+      "(capped at 4) per doc, plus ONE extra copy admitted by the " +
+      "exact integer threshold hash32(doc_id)*n_lang < " +
+      "(n_max mod n_lang)*2^32, so the EFFECTIVE rate is n_max/n_lang " +
+      "exactly without a single floating-point op, RNG-free and " +
+      "reproducible row-by-row. The language-stats side is " +
+      "languages-sized and broadcasts; the explode is narrow - at " +
+      "100 TB the only shuffle is the partial-agg language count.",
+    oracle = Some(s"""
+      WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+      m AS (SELECT MAX(n_lang) AS n_max FROM c),
+      f AS (SELECT lang, n_lang, n_max,
+              CAST(LEAST(n_max // n_lang, 4) AS BIGINT) AS base
+            FROM c CROSS JOIN m),
+      d AS (SELECT doc_id, d.lang,
+              base + CASE WHEN base < 4 AND
+                  ${Sampling.hash32Sql("doc_id")} * n_lang <
+                    (n_max % n_lang) * 4294967296 THEN 1 ELSE 0 END
+                AS n_copies
+            FROM documents d JOIN f USING (lang))
+      SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS BIGINT)
+               AS copy_idx
+      FROM d WHERE n_copies > 0
+      ORDER BY doc_id, copy_idx"""),
+    run = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val stats = counts.crossJoin(
+        broadcast(counts.agg(max(col("n_lang")).as("n_max"))))
+        .withColumn("base",
+          least(expr("n_max div n_lang"), lit(4L)).cast(LongType))
+      docs.join(broadcast(stats), "lang")
+        .withColumn("n_copies", col("base") +
+          when(col("base") < 4 &&
+            Sampling.hash32(col("doc_id")) * col("n_lang") <
+              (col("n_max") % col("n_lang")) * lit(4294967296L), 1L)
+            .otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    })
+
   private val urlCanonical = GraftQuery(
     name = "pipeline_url_canonical",
     doc = "URL CANONICALIZATION dedup (the crawl-side step before " +
@@ -2896,7 +2945,7 @@ object PipelineQueries {
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     vocabCoverage, lengthHistogram, chunkWindows, urlExtract,
-    urlCanonical,
+    urlCanonical, langRebalance,
     stratifiedSample, sourceMix, qualityDupFrac, trainingExport,
     corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate,
