@@ -1690,27 +1690,67 @@ object PipelineQueries {
       FROM documents d LEFT JOIN cont c USING (doc_id)
       WHERE d.doc_id >= 20 ORDER BY d.doc_id"""),
     run = (s, dir) => {
-      val w = TextOps.tokens(col("text"))
-      // hashed exploded shingles feed BOTH the benchmark set and the
-      // training side — cut once (shared-prefix convention)
-      val ex = table(s, dir, "documents")
-        .select(col("doc_id"), w.as("w"))
-        .filter(size(col("w")) >= 5)
-        .select(col("doc_id"),
-          explode(TextOps.shingles(col("w"), 5)).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-        .localCheckpoint(true)
+      val ex = decontamShingles(s, dir)
       val bench = ex.filter(col("doc_id") < 20).select("gh").distinct()
       val cont = ex.filter(col("doc_id") >= 20)
         .join(broadcast(bench), "gh")
         .select("doc_id").distinct()
         .withColumn("c", lit(1L))
-      table(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") >= 20)
-        .join(cont, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("c"), lit(0L)).as("contaminated"))
-        .orderBy("doc_id")
+      decontamVerdict(s, dir, cont)
+    })
+
+  /** Hashed exploded 5-gram shingles feeding BOTH the benchmark set and
+    * the training side — cut once (shared-prefix convention); shared by
+    * the broadcast and bloom-gated decontamination variants. */
+  private def decontamShingles(s: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.tokens(col("text"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"),
+        explode(TextOps.shingles(col("w"), 5)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .localCheckpoint(true)
+  }
+
+  /** Left-join the contaminated-id set back onto the training docs →
+    * the (doc_id, contaminated) verdict both variants emit. */
+  private def decontamVerdict(s: SparkSession, dir: String,
+      cont: DataFrame): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") >= 20)
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c"), lit(0L)).as("contaminated"))
+      .orderBy("doc_id")
+
+  private val decontamBloom = GraftQuery(
+    name = "pipeline_decontam_bloom",
+    doc = "pipeline_decontaminate's posture when the BENCHMARK side is " +
+      "itself too large to broadcast (contamination registries reach " +
+      "hundreds of millions of n-grams): a bloom filter of the " +
+      "benchmark shingle hashes (graft.ops.RuntimeFilters - the bitmap " +
+      "stays ~1 MB regardless of set size) prefilters the training " +
+      "side's exploded shingles BEFORE the exact verify join, which " +
+      "runs as a shuffle join of survivors only - the join's input " +
+      "shrinks to the contamination rate instead of the corpus size. " +
+      "Bloom false positives are removed by the exact join, so output " +
+      "and ORACLE are identical to pipeline_decontaminate - the " +
+      "pruned and broadcast variants are differentially proven " +
+      "equivalent every round.",
+    oracle = decontaminate.oracle,
+    run = (s, dir) => {
+      val ex = decontamShingles(s, dir)
+      val bench = ex.filter(col("doc_id") < 20).select("gh").distinct()
+      val train = ex.filter(col("doc_id") >= 20)
+      val pruned = graft.ops.RuntimeFilters.bloomPruned(
+        train, col("gh"), bench, col("gh"))
+      // shuffle_hash, not broadcast: models the big-bench case the
+      // bloom exists for (only pruned survivors shuffle)
+      val cont = pruned.join(bench.hint("shuffle_hash"), "gh")
+        .select("doc_id").distinct()
+        .withColumn("c", lit(1L))
+      decontamVerdict(s, dir, cont)
     })
 
   private val piiScrub = GraftQuery(
@@ -2948,7 +2988,7 @@ object PipelineQueries {
     urlCanonical, langRebalance,
     stratifiedSample, sourceMix, qualityDupFrac, trainingExport,
     corpusClean, embedQuantize,
-    piiScrub, qualityRepetition, decontaminate,
+    piiScrub, qualityRepetition, decontaminate, decontamBloom,
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
     kmeansTrain, packSequences, tfidfTopk, zipfSpectrum, curriculumBins,

@@ -153,6 +153,18 @@ class PlanSpec extends AnyFunSuite {
       s"decontamination degenerated to all-pairs:\n$p")
   }
 
+  test("bloom decontamination probes before a shuffle verify join") {
+    val p = plan("pipeline_decontam_bloom")
+    // the bloom probe must gate the training shingles BEFORE the exact
+    // verify join, and that join must be a shuffle join (the big-bench
+    // shape the variant exists for), not a broadcast
+    assert(p.contains("might_contain"), s"no bloom probe:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"verify join not a shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"degenerated to all-pairs:\n$p")
+  }
+
   test("substring dedup counts shingles via partial agg, windows only per doc") {
     val p = plan("pipeline_dedup_substring")
     // occurrence counts must be a groupBy (map-side partial agg; AQE can
