@@ -1093,7 +1093,11 @@ object PipelineQueries {
       ORDER BY doc_id, copy_idx"""),
     run = (s, dir) => {
       val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      // counts feeds two branches (the stats row and its own max agg):
+      // pin the languages-sized frame once or the corpus count scan
+      // re-expands per branch (docShingles convention)
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        .localCheckpoint(true)
       val stats = counts.crossJoin(
         broadcast(counts.agg(max(col("n_lang")).as("n_max"))))
         .withColumn("base",

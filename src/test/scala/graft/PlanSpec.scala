@@ -153,6 +153,20 @@ class PlanSpec extends AnyFunSuite {
       s"decontamination degenerated to all-pairs:\n$p")
   }
 
+  test("lang rebalance broadcasts the language stats, one corpus scan " +
+      "in the replicate stage") {
+    val p = plan("pipeline_lang_rebalance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"language stats not broadcast:\n$p")
+    // the languages-sized counts frame is pinned: the replicate stage
+    // must scan the corpus exactly once
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      s"corpus scanned more than once in the final stage:\n$p")
+    // (the one-row n_max side legitimately joins as a broadcast
+    // nested-loop cross — languages-sized, not a degenerate shape)
+    assert(!p.contains("CartesianProduct"), s"stats join degenerated:\n$p")
+  }
+
   test("bloom decontamination probes before a shuffle verify join") {
     val p = plan("pipeline_decontam_bloom")
     // the bloom probe must gate the training shingles BEFORE the exact
