@@ -310,16 +310,18 @@ object MaintenanceQueries {
     name = "lake_snapshot_diff",
     doc = "Snapshot DIFF - the change-data-capture read between two " +
       "pinned versions of the same copy-on-write table " +
-      "lake_snapshot_read time-travels over: v1 ⟕⟖ v3 full-outer on " +
-      "the key, classifying every user as added (new in v3), updated " +
-      "(latest-event struct changed), or unchanged - the incremental " +
-      "refresh a downstream consumer runs instead of re-reading the " +
-      "whole table. Version addressing is path addressing, so the " +
-      "diff reads exactly two version dirs and shuffles only the keys " +
-      "once. Oracle reconstructs both versions from the change log " +
-      "(batches 0..1 vs 0..3) and replays the same classification. " +
-      "No 'deleted' class by construction: versions only ever merge " +
-      "rows in (an SCD1 table never loses a key).",
+      "lake_snapshot_read time-travels over: v3 LEFT JOIN v1 on the " +
+      "key, classifying every user as added (new in v3), updated " +
+      "(latest-event struct or count changed), or unchanged - the " +
+      "incremental refresh a downstream consumer runs instead of " +
+      "re-reading the whole table. A LEFT join suffices (not the " +
+      "full-outer a general CDC diff needs) ONLY because this SCD1 " +
+      "merge never loses a key - a table format with deletes must " +
+      "full-outer and add a 'deleted' class. Version addressing is " +
+      "path addressing, so the diff reads exactly two version dirs " +
+      "and shuffles only the keys once. Oracle reconstructs both " +
+      "versions from the change log (batches 0..1 vs 0..3) and " +
+      "replays the same classification.",
     oracle = Some("""
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
                         value, event_id % 4 AS b FROM events),

@@ -1068,24 +1068,29 @@ object PipelineQueries {
       "sampling; the downsampling half is pipeline_source_mix's " +
       "hash-threshold admission): every language is replicated toward " +
       "the majority count - base = n_max div n_lang integer copies " +
-      "(capped at 4) per doc, plus ONE extra copy admitted by the " +
-      "exact integer threshold hash32(doc_id)*n_lang < " +
-      "(n_max mod n_lang)*2^32, so the EFFECTIVE rate is n_max/n_lang " +
-      "exactly without a single floating-point op, RNG-free and " +
-      "reproducible row-by-row. The language-stats side is " +
-      "languages-sized and broadcasts; the explode is narrow - at " +
-      "100 TB the only shuffle is the partial-agg language count.",
+      "(capped at 4) per doc, plus ONE extra copy admitted when the " +
+      "top 16 bits of hash32(doc_id) fall under the per-LANGUAGE " +
+      "threshold (n_max mod n_lang)*2^16 div n_lang - the fractional " +
+      "part of n_max/n_lang quantized at 2^-16 (within 0.002% of " +
+      "exact), computed ONCE per language on the stats side so the " +
+      "per-row test is a shift and a compare with no multiply: " +
+      "integer-only, RNG-free, reproducible row-by-row, and " +
+      "overflow-safe to n_lang < 2^47 (a per-row hash32*n_lang " +
+      "product would overflow int64 at n_lang >= 2^31, inside the " +
+      "100 TB posture). The language-stats side is languages-sized " +
+      "and broadcasts; the explode is narrow - at 100 TB the only " +
+      "shuffle is the partial-agg language count.",
     oracle = Some(s"""
       WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
       m AS (SELECT MAX(n_lang) AS n_max FROM c),
-      f AS (SELECT lang, n_lang, n_max,
-              CAST(LEAST(n_max // n_lang, 4) AS BIGINT) AS base
+      f AS (SELECT lang,
+              CAST(LEAST(n_max // n_lang, 4) AS BIGINT) AS base,
+              (n_max % n_lang) * 65536 // n_lang AS thr
             FROM c CROSS JOIN m),
       d AS (SELECT doc_id, d.lang,
               base + CASE WHEN base < 4 AND
-                  ${Sampling.hash32Sql("doc_id")} * n_lang <
-                    (n_max % n_lang) * 4294967296 THEN 1 ELSE 0 END
-                AS n_copies
+                  ${Sampling.hash32Sql("doc_id")} // 65536 < thr
+                THEN 1 ELSE 0 END AS n_copies
             FROM documents d JOIN f USING (lang))
       SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS BIGINT)
                AS copy_idx
@@ -1102,11 +1107,16 @@ object PipelineQueries {
         broadcast(counts.agg(max(col("n_lang")).as("n_max"))))
         .withColumn("base",
           least(expr("n_max div n_lang"), lit(4L)).cast(LongType))
+        // fractional-admission threshold, computed once per language:
+        // (n_max mod n_lang) <= 2^47 here keeps the *65536 in int64
+        .withColumn("thr",
+          expr("(n_max % n_lang) * 65536 div n_lang"))
       docs.join(broadcast(stats), "lang")
+        // per-row test: top 16 bits of the 32-bit hash vs the
+        // per-language threshold — a shift and a compare, no multiply
         .withColumn("n_copies", col("base") +
           when(col("base") < 4 &&
-            Sampling.hash32(col("doc_id")) * col("n_lang") <
-              (col("n_max") % col("n_lang")) * lit(4294967296L), 1L)
+            shiftright(Sampling.hash32(col("doc_id")), 16) < col("thr"), 1L)
             .otherwise(0L))
         .filter(col("n_copies") > 0)
         .select(col("doc_id"), col("lang"),
@@ -1745,7 +1755,11 @@ object PipelineQueries {
     oracle = decontaminate.oracle,
     run = (s, dir) => {
       val ex = decontamShingles(s, dir)
+      // bench feeds two consumers (the eager bloom build and the verify
+      // join): pin the distinct set once or the filter+distinct shuffle
+      // re-runs per consumer (docShingles convention)
       val bench = ex.filter(col("doc_id") < 20).select("gh").distinct()
+        .localCheckpoint(true)
       val train = ex.filter(col("doc_id") >= 20)
       val pruned = graft.ops.RuntimeFilters.bloomPruned(
         train, col("gh"), bench, col("gh"))
