@@ -357,6 +357,55 @@ object MaintenanceQueries {
         .orderBy("user_id")
     })
 
+  // -------------------------------------------------------------------
+  // Incremental materialized-view maintenance (additive refresh).
+  // -------------------------------------------------------------------
+  private val incrementalAgg = GraftQuery(
+    name = "lake_incremental_agg",
+    doc = "Incremental MATERIALIZED-VIEW maintenance - the additive " +
+      "sibling of the SCD1 merge lake_snapshot_read versions: a daily " +
+      "order-revenue aggregate refreshed across 4 deterministic " +
+      "batches (o_orderkey % 4), v_b = combine(v_{b-1}, " +
+      "partial-agg(batch_b)). COUNT and exact-decimal SUM are " +
+      "associative+commutative, so four incremental merges provably " +
+      "equal the one-shot aggregate the oracle computes over the raw " +
+      "table - the invariant that makes MV refresh correct without " +
+      "ever re-reading history. Each refresh shuffles only the " +
+      "batch's days-sized partial aggregate; at 100 TB the view " +
+      "stays days-sized while the fact table grows unbounded.",
+    oracle = Some("""
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1 ORDER BY day"""),
+    run = (s, dir) => {
+      val root = graft.TempDirs.cachedDir("graft_incragg", dir) { root =>
+        val src = table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast(DateType).as("day"),
+            col("o_totalprice"))
+        (0 to 3).foreach { b =>
+          val part = src.filter(col("o_orderkey") % 4 === b)
+            .groupBy("day")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+          val merged =
+            if (b == 0) part
+            else s.read.parquet(s"$root/v${b - 1}").unionByName(part)
+              .groupBy("day")
+              .agg(sum(col("n_orders")).as("n_orders"),
+                sum(col("rev")).as("rev"))
+          merged.write.mode("overwrite").parquet(s"$root/v$b")
+        }
+      }
+      s.read.parquet(s"$root/v3")
+        .select(col("day"), col("n_orders"),
+          col("rev").cast(DoubleType).as("revenue"))
+        .orderBy("day")
+    })
+
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
-    rangeLayout, zorderLayout, snapshotRead, snapshotDiff)
+    rangeLayout, zorderLayout, snapshotRead, snapshotDiff,
+    incrementalAgg)
 }
