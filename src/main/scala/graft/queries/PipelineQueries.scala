@@ -1124,6 +1124,74 @@ object PipelineQueries {
         .orderBy("doc_id", "copy_idx")
     })
 
+  private val spanCorrupt = GraftQuery(
+    name = "pipeline_span_corrupt",
+    doc = "T5/UL2-style SPAN CORRUPTION (the denoising-objective " +
+      "transform that turns raw text into (input, target) training " +
+      "pairs): deterministic 3-token spans - token position i is " +
+      "masked iff ((i + doc_id) div 3) mod 7 = 0, i.e. every 7th " +
+      "3-block, phase-shifted per doc - replaced in the INPUT by " +
+      "per-doc sentinels <X_0>, <X_1>, ... while the TARGET lists " +
+      "each sentinel followed by the tokens it hides. Pure integer " +
+      "block arithmetic + array lambdas (transform/filter/concat_ws), " +
+      "zero UDFs, zero shuffles before the presentation sort; the " +
+      "oracle replays the identical formulas over DuckDB list " +
+      "lambdas, so both engines must produce byte-identical pairs. " +
+      "RNG-free masking is the price of differential testing - the " +
+      "plumbing (span selection, sentinel numbering, pair assembly) " +
+      "is exactly the production shape, with the random span sampler " +
+      "swappable for the hash formula.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE len(string_split(text, ' ')) >= 1)
+      SELECT doc_id,
+        -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL
+        -- where Spark's concat_ws is '' (a doc can have zero masked or
+        -- zero kept tokens)
+        COALESCE(
+          array_to_string(list_filter(list_transform(range(0, len(w)), i ->
+            CASE WHEN ((i + doc_id) // 3) % 7 = 0 THEN
+              CASE WHEN i = 0 OR (i + doc_id) % 3 = 0
+                THEN '<X_' || CAST(((i + doc_id) // 3) // 7
+                  - ((doc_id // 3) + 6) // 7 AS VARCHAR) || '>'
+                ELSE NULL END
+            ELSE w[CAST(i + 1 AS INT)] END), x -> x IS NOT NULL), ' '),
+          '') AS input,
+        COALESCE(
+          array_to_string(list_filter(list_transform(range(0, len(w)), i ->
+            CASE WHEN ((i + doc_id) // 3) % 7 = 0 THEN
+              CASE WHEN i = 0 OR (i + doc_id) % 3 = 0
+                THEN '<X_' || CAST(((i + doc_id) // 3) // 7
+                  - ((doc_id // 3) + 6) // 7 AS VARCHAR) || '>' || ' ' ||
+                  w[CAST(i + 1 AS INT)]
+                ELSE w[CAST(i + 1 AS INT)] END
+            ELSE NULL END), x -> x IS NOT NULL), ' '),
+          '') AS target
+      FROM t ORDER BY doc_id"""),
+    run = (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+        .selectExpr("doc_id",
+          """concat_ws(' ', filter(transform(sequence(0, size(w) - 1), i ->
+               CASE WHEN ((i + doc_id) div 3) % 7 = 0 THEN
+                 CASE WHEN i = 0 OR (i + doc_id) % 3 = 0
+                   THEN concat('<X_', cast(((i + doc_id) div 3) div 7
+                     - ((doc_id div 3) + 6) div 7 as string), '>')
+                   ELSE cast(null as string) END
+               ELSE element_at(w, cast(i + 1 as int)) END),
+             x -> x is not null)) AS input""",
+          """concat_ws(' ', filter(transform(sequence(0, size(w) - 1), i ->
+               CASE WHEN ((i + doc_id) div 3) % 7 = 0 THEN
+                 CASE WHEN i = 0 OR (i + doc_id) % 3 = 0
+                   THEN concat('<X_', cast(((i + doc_id) div 3) div 7
+                     - ((doc_id div 3) + 6) div 7 as string), '>', ' ',
+                     element_at(w, cast(i + 1 as int)))
+                   ELSE element_at(w, cast(i + 1 as int)) END
+               ELSE cast(null as string) END),
+             x -> x is not null)) AS target""")
+        .orderBy("doc_id"))
+
   private val urlCanonical = GraftQuery(
     name = "pipeline_url_canonical",
     doc = "URL CANONICALIZATION dedup (the crawl-side step before " +
@@ -3003,7 +3071,7 @@ object PipelineQueries {
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     vocabCoverage, lengthHistogram, chunkWindows, urlExtract,
-    urlCanonical, langRebalance,
+    urlCanonical, langRebalance, spanCorrupt,
     stratifiedSample, sourceMix, qualityDupFrac, trainingExport,
     corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate, decontamBloom,
