@@ -167,6 +167,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"stats join degenerated:\n$p")
   }
 
+  test("span corruption stays a narrow codegen pipeline") {
+    val p = plan("pipeline_span_corrupt")
+    // per-row array lambdas only: nothing may shuffle before the
+    // presentation sort (one Exchange for the final orderBy is fine)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"span corruption shuffles mid-pipeline:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("incremental agg refresh reads only the latest view version") {
+    val p = plan("lake_incremental_agg")
+    // the registered read serves from the materialized v3 - one scan of
+    // the days-sized view, no join back to the fact table
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"refresh read rescans history:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in the view read:\n$p")
+  }
+
+  test("snapshot diff joins exactly the two pinned versions") {
+    val p = plan("lake_snapshot_diff")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"diff should read exactly two version dirs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"diff degenerated:\n$p")
+  }
+
   test("bloom decontamination probes before a shuffle verify join") {
     val p = plan("pipeline_decontam_bloom")
     // the bloom probe must gate the training shingles BEFORE the exact
