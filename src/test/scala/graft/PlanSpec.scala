@@ -346,6 +346,28 @@ class PlanSpec extends AnyFunSuite {
       s"date predicate pruned nothing: scanned $byDate of $total")
   }
 
+  test("hilbert layout prunes row groups on each predicate independently") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DateType
+    val hdir = graft.queries.MaintenanceQueries.hilbertOrdersDir(spark, dir)
+    def scanned(f: org.apache.spark.sql.DataFrame): Long = {
+      f.collect()
+      f.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metrics("numOutputRows").value
+    }
+    val total = spark.read.parquet(hdir).count()
+    val byCust = scanned(spark.read.parquet(hdir)
+      .filter(col("o_custkey").between(40, 90)))
+    val byDate = scanned(spark.read.parquet(hdir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast(DateType) &&
+        col("o_orderdate") < lit("2000-01-01").cast(DateType)))
+    assert(byCust < total * 85 / 100,
+      s"custkey predicate pruned nothing: scanned $byCust of $total")
+    assert(byDate < total * 85 / 100,
+      s"date predicate pruned nothing: scanned $byDate of $total")
+  }
+
   test("salted join shuffles on the composite (key, salt)") {
     val p = plan("lake_salted_join")
     // the exchange key must include the salt — that's the whole point:
