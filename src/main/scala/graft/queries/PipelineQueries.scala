@@ -1124,6 +1124,46 @@ object PipelineQueries {
         .orderBy("doc_id", "copy_idx")
     })
 
+  private val scoreWinsorize = GraftQuery(
+    name = "pipeline_score_winsorize",
+    doc = "Per-language WINSORIZATION of a quality signal (clip to the " +
+      "[p05, p95] band before scores are compared or mixed across " +
+      "languages - the robust-normalization step that stops tail docs " +
+      "from dominating curriculum or mixture weights): exact " +
+      "interpolated percentiles per language (Spark percentile ≡ " +
+      "DuckDB quantile_cont BITWISE, the equality lake_percentiles " +
+      "pins), clipped with greatest/least on the same doubles. The " +
+      "languages-sized percentile row broadcasts back; one corpus " +
+      "scan feeds the stats, one the clip - the same two-pass shape " +
+      "as every stats-then-apply normalizer here. At 100 TB the " +
+      "exact-percentile pass would swap for the GK sketch " +
+      "(lake_approx_percentile) with the documented rank-error " +
+      "contract; the clip stage is unchanged.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_words
+                 FROM documents),
+      p AS (SELECT lang, quantile_cont(n_words, 0.05) AS lo,
+                   quantile_cont(n_words, 0.95) AS hi
+            FROM t GROUP BY 1)
+      SELECT doc_id, t.lang, CAST(n_words AS BIGINT) AS n_words,
+             GREATEST(LEAST(CAST(n_words AS DOUBLE), hi), lo) AS n_winsor
+      FROM t JOIN p USING (lang) ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_words"))
+        .localCheckpoint(true) // feeds the stats pass AND the clip pass
+      val pct = docs.groupBy("lang")
+        .agg(expr("percentile(n_words, array(0.05D, 0.95D))").as("p"))
+        .select(col("lang"), col("p")(0).as("lo"), col("p")(1).as("hi"))
+      docs.join(broadcast(pct), "lang")
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          greatest(least(col("n_words").cast(DoubleType), col("hi")),
+            col("lo")).as("n_winsor"))
+        .orderBy("doc_id")
+    })
+
   private val spanCorrupt = GraftQuery(
     name = "pipeline_span_corrupt",
     doc = "T5/UL2-style SPAN CORRUPTION (the denoising-objective " +
@@ -3075,7 +3115,7 @@ object PipelineQueries {
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     vocabCoverage, lengthHistogram, chunkWindows, urlExtract,
-    urlCanonical, langRebalance, spanCorrupt,
+    urlCanonical, langRebalance, spanCorrupt, scoreWinsorize,
     stratifiedSample, sourceMix, qualityDupFrac, trainingExport,
     corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate, decontamBloom,
