@@ -71,7 +71,14 @@ object Ids {
     * only remaining guard); falls back to persist, with a stderr
     * warning, if no checkpoint dir is configured. Blocks live until
     * the session drops them; Bench/Verify clear caches between queries
-    * (graft.Caches). */
+    * (graft.Caches). DURABLE-BRANCH HYGIENE: reliable checkpoint files
+    * are NOT blocks — `Caches.clearAll` (unpersist) never removes them,
+    * so a long-lived non-local session accumulates one checkpoint dir
+    * per orderedId call unless the cleaner is told to collect them.
+    * Set `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+    * startup conf — it cannot be flipped on a running context) on any
+    * cluster session that calls this repeatedly, or point
+    * `setCheckpointDir` at storage with a TTL/lifecycle rule. */
   def orderedId(df: DataFrame, keys: Seq[Column], idCol: String): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val keyed = phase1(df.withColumn("__key", struct(keys: _*)), keys)

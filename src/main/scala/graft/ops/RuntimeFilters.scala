@@ -40,19 +40,54 @@ import org.apache.spark.sql.types.BinaryType
   */
 object RuntimeFilters {
 
+  /** Sentinel for `expectedItems`: size the bitmap from an exact
+    * build-side row count (one extra tiny aggregate — the same
+    * stats-before-filter pass real engines schedule). Row count upper-
+    * bounds distinct keys, so auto-sizing only ever OVER-sizes. */
+  val AutoSize: Long = -1L
+
+  /** Bitmap ceiling — 8 MB of bits, the same cap Spark's own
+    * `InjectRuntimeFilter` applies (`…runtime.bloomFilter.maxNumBits`).
+    * The bitmap rides in task closures, so it must stay broadcast-sized
+    * no matter what the build cardinality turns out to be; past the cap
+    * the real fpp degrades (pruning weakens, results stay exact via the
+    * subsequent join) and we say so on stderr instead of degrading
+    * silently. */
+  val MaxNumBits: Long = 8L * 1024 * 1024 * 8
+
   /** Serialized bloom bitmap of `xxhash64(key)` over `build`.
     * `expectedItems`/`fpp` size the bitmap exactly like
-    * `util.sketch.BloomFilter.create` (1 M items at 1% ≈ 1.1 MB). */
+    * `util.sketch.BloomFilter.create` (1 M items at 1% ≈ 1.1 MB);
+    * the default [[AutoSize]] measures the build side instead of
+    * guessing. The sketch pass also counts build rows, so a caller-
+    * supplied `expectedItems` that undershoots the real cardinality is
+    * reported (stderr) rather than silently producing a saturated,
+    * non-pruning bloom. */
   def bloomBitmap(build: DataFrame, buildKey: Column,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): Array[Byte] = {
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedItems, fpp)
+      expectedItems: Long = AutoSize, fpp: Double = 0.01): Array[Byte] = {
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(build.count(), 1024L)
+    val idealBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(items, fpp)
+    val numBits = math.min(idealBits, MaxNumBits)
+    if (idealBits > MaxNumBits)
+      System.err.println(s"[graft.RuntimeFilters] bloom for $items items " +
+        s"at fpp=$fpp wants $idealBits bits > cap $MaxNumBits; capped — " +
+        "effective fpp degrades (results stay exact, pruning weakens)")
     val agg = new BloomFilterAggregate(
       GraftColumnBridge.expression(xxhash64(buildKey)),
-      Literal(expectedItems), Literal(numBits))
-    build.select(GraftColumnBridge.column(agg.toAggregateExpression())
-        .as("bloom_bitmap"))
-      .head().getAs[Array[Byte]](0)
+      Literal(items), Literal(numBits))
+    val row = build.select(
+      GraftColumnBridge.column(agg.toAggregateExpression())
+        .as("bloom_bitmap"),
+      count(lit(1)).as("build_rows")).head()
+    val buildRows = row.getLong(1)
+    if (expectedItems > 0 && buildRows > expectedItems)
+      System.err.println(s"[graft.RuntimeFilters] build side has " +
+        s"$buildRows rows > expectedItems=$expectedItems; bitmap is " +
+        "undersized for this input — pass AutoSize or a larger estimate")
+    row.getAs[Array[Byte]](0)
   }
 
   /** `probe` rows whose `probeKey` might exist among `build`'s `buildKey`
@@ -60,7 +95,7 @@ object RuntimeFilters {
     * subsequent join on the same key runs. */
   def bloomPruned(probe: DataFrame, probeKey: Column,
       build: DataFrame, buildKey: Column,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = AutoSize, fpp: Double = 0.01): DataFrame = {
     val bitmap = bloomBitmap(build, buildKey, expectedItems, fpp)
     probe.filter(GraftColumnBridge.column(
       BloomFilterMightContain(Literal(bitmap, BinaryType),

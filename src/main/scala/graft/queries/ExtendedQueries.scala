@@ -632,7 +632,14 @@ object ExtendedQueries {
       "and associative, partition-order-invariant. The probe " +
       "deserializes the ONE sketch row and queries 10 keys " +
       "driver-side - sketch-sized work, same contract-audit shape as " +
-      "the GK rank recount.",
+      "the GK rank recount. CAVEAT pinning within_eps_bound=1: the " +
+      "eps*N bound holds with confidence 0.999, not certainty - it is " +
+      "deterministic for the fixed seed on the CURRENT datasets " +
+      "(verified every round), but a regenerated or larger dataset " +
+      "could legitimately flip the flag without any code bug; if the " +
+      "driver regenerates testdata and this row alone goes red, widen " +
+      "the contract to no_underestimate (the only always-true CMS " +
+      "guarantee) rather than hunting a phantom regression.",
     oracle = Some("""
       WITH c AS (SELECT user_id, COUNT(*) AS exact_n
                  FROM events GROUP BY 1),

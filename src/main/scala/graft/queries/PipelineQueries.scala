@@ -662,7 +662,7 @@ object PipelineQueries {
       val hits = ann.join(brute.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_semi")
       brute.agg(countDistinct(col("query_id")).as("n_queries"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
         .select(col("n_queries"), lit(3L).as("k"), col("n_hits"),
           (col("n_hits").cast(DoubleType) /
             (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
