@@ -2213,18 +2213,42 @@ object PipelineQueries {
       "step of a curriculum or mixing schedule. The unique-id " +
       "tie-break makes the order total, so the standard ntile fill " +
       "rule (first n mod k buckets take the extra row) lands " +
-      "identically in both engines. One window per language partition.",
+      "identically in both engines. NOT a per-language ntile window " +
+      "(single task for a dominant language): rank comes from " +
+      "SkewWindows.rankedPrefix and the bucket is RECONSTRUCTED from " +
+      "(rank, per-language count) by the fill rule itself - bin = " +
+      "ceil-split arithmetic over exact integers, with the language " +
+      "counts a broadcast-sized aggregate. Identical output, no " +
+      "single-task stage (skew-probe ratios in SURVEY 6.2).",
     oracle = Some("""
       SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
              CAST(ntile(4) OVER (PARTITION BY lang
                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS bin
       FROM documents ORDER BY doc_id"""),
-    run = (s, dir) => table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        ntile(4).over(Window.partitionBy("lang")
-          .orderBy(col("n_chars").desc, col("doc_id")))
-          .cast(LongType).as("bin"))
-      .orderBy("doc_id"))
+    run = (s, dir) => {
+      val t = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val langN = t.groupBy("lang").agg(count(lit(1)).as("__n"))
+      val ranked = graft.ops.SkewWindows.rankedPrefix(t, "lang",
+        Seq(col("n_chars").desc, col("doc_id")), None, "__rank", "__cum")
+      // ntile(4) fill rule from (rank, n): base = n div 4 rows per
+      // bucket, the first n%4 buckets take one extra. SQL `div`, not
+      // `/` (double division) — integer-exact at any count; greatest()
+      // guards the base=0 divisor on the (unreachable when rank>cut)
+      // branch
+      ranked.join(broadcast(langN), "lang")
+        .withColumn("__base", expr("__n div 4"))
+        .withColumn("__extra", col("__n") % 4L)
+        .withColumn("__cut", col("__extra") * (col("__base") + 1L))
+        .withColumn("bin",
+          when(col("__rank") <= col("__cut"),
+            expr("(__rank - 1) div (__base + 1) + 1"))
+          .otherwise(col("__extra") +
+            expr("(__rank - 1 - __cut) div greatest(__base, 1)") + 1L)
+          .cast(LongType))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bin"))
+        .orderBy("doc_id")
+    })
 
   private val incrementalIngest = GraftQuery(
     name = "pipeline_incremental_ingest",
@@ -2318,11 +2342,14 @@ object PipelineQueries {
       s"doc_id order until a $TokenBudget-token budget is exhausted - " +
       "the mixture-assembly step when a training recipe fixes a token " +
       "quota per source/language. Running sum over a total order " +
-      "(unique doc_id tie-break), all integers. One window per " +
-      "language partition; under a single dominant language the " +
-      "two-phase per-shard offset scheme of graft.ops.Ids.orderedId " +
-      "is the documented scale-out (partial sums per (lang, shard), " +
-      "offsets broadcast back) - same answer, no single-task stage.",
+      "(unique doc_id tie-break), all integers. NOT a per-language " +
+      "window: a real corpus is ~50-90% one language, so " +
+      "Window.partitionBy(lang) funnels most of the corpus through " +
+      "ONE task - this uses graft.ops.SkewWindows.rankedPrefix (the " +
+      "two-phase per-(partition,lang) offset scheme; range layout, " +
+      "partial sums, broadcast offsets, narrow assignment), which the " +
+      "90%-dominant-language probe (SURVEY 6.2) shows scaling " +
+      "linearly where the window form straggles.",
     oracle = Some(s"""
       WITH t AS (SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -2335,13 +2362,14 @@ object PipelineQueries {
       SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
       FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id"""),
     run = (s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      table(s, dir, "documents")
+      val t = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      graft.ops.SkewWindows
+        .rankedPrefix(t, "lang", Seq(col("doc_id")),
+          Some("n_tokens"), "__rank", "cum_tokens")
         .filter(col("cum_tokens") <= TokenBudget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     })
 
@@ -2780,11 +2808,11 @@ object PipelineQueries {
       "hash order (the multiplicative id hash all the samplers here " +
       "share) - the no-RNG equivalent of 'sample n per class' that " +
       "re-runs identically on any cluster. The per-language count " +
-      "aggregate is tiny and broadcasts; selection is one row_number " +
-      "window per language over a total order (hash, then id). " +
-      "Dominant-language skew note as pipeline_token_budget: the " +
-      "two-phase Ids.orderedId offset scheme is the documented " +
-      "single-task-free scale-out.",
+      "aggregate is tiny and broadcasts; selection ranks (hash, then " +
+      "id) per language via SkewWindows.rankedPrefix - the two-phase " +
+      "offset scheme, NOT a per-language window, so a 90%-dominant " +
+      "language spreads over the range partitions instead of one task " +
+      "(probe ratios in SURVEY 6.2).",
     oracle = Some("""
       WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
       m AS (SELECT MIN(cnt) AS m FROM c),
@@ -2799,9 +2827,10 @@ object PipelineQueries {
       val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"))
       val minCnt = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
         .agg(min(col("cnt")).as("m"))
-      val w = Window.partitionBy("lang")
-        .orderBy(graft.ops.Sampling.hash32(col("doc_id")), col("doc_id"))
-      docs.withColumn("pick_rank", row_number().over(w).cast(LongType))
+      graft.ops.SkewWindows
+        .rankedPrefix(docs, "lang",
+          Seq(graft.ops.Sampling.hash32(col("doc_id")), col("doc_id")),
+          None, "pick_rank", "__cum")
         .crossJoin(broadcast(minCnt))
         .filter(col("pick_rank") <= col("m"))
         .select("doc_id", "lang", "pick_rank")

@@ -576,4 +576,25 @@ class PlanSpec extends AnyFunSuite {
     // longs cross the wire
     assert(ex >= 0 && tok > ex, s"tokenization after the shuffle:\n$p")
   }
+
+  test("per-language family has no per-language window (skew scale-out)") {
+    // token_budget / class_balance / curriculum_bins: a dominant
+    // language must never funnel through one task — rank/cumsum come
+    // from SkewWindows' range layout + narrow assignment, so the plan
+    // must show NO Window operator and a rangepartitioning exchange
+    // (inside the persisted phase-1 relation)
+    for (q <- Seq("pipeline_token_budget", "pipeline_class_balance",
+        "pipeline_curriculum_bins")) {
+      val df = Registry.byName(q).run(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Window ["), s"$q has a window operator:\n$p")
+      val full = df.queryExecution.executedPlan.toString
+      assert(full.contains("rangepartitioning") ||
+        full.contains("REPARTITION_BY_RANGE"),
+        s"$q lost the range layout:\n$full")
+      graft.Caches.clearAll(spark)
+    }
+  }
 }

@@ -291,4 +291,52 @@ class OpsSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"mean recall@5 = $mean")
   }
+
+  test("rankedPrefix equals the per-group window under 90% skew") {
+    import org.apache.spark.sql.expressions.Window
+    // 10k rows, 90% in one group — the dominant-language shape the
+    // two-phase scheme exists for; value is a small varying long
+    val df = spark.range(10000).select(
+      col("id"),
+      when(col("id") % 10 =!= 0, lit("major"))
+        .otherwise(concat(lit("minor"), col("id") % 7)).as("g"),
+      (col("id") % 13).as("v"))
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("rk", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy("g").orderBy("id")).cast(LongType))
+      .withColumn("cum", sum(col("v")).over(w))
+      .select("id", "rk", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = SkewWindows
+      .rankedPrefix(df, "g", Seq(col("id")), Some("v"), "rk", "cum")
+      .select("id", "rk", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected && got.size == 10000)
+  }
+
+  test("rankedPrefix spreads the dominant group over many partitions") {
+    // the point of the scheme: the 90% group must NOT collapse into one
+    // task the way Window.partitionBy(g) would place it
+    val df = spark.range(10000).select(
+      col("id"),
+      when(col("id") % 10 =!= 0, lit("major"))
+        .otherwise(concat(lit("minor"), col("id") % 7)).as("g"),
+      lit(1L).as("v"))
+    val out = SkewWindows
+      .rankedPrefix(df, "g", Seq(col("id")), None, "rk", "cum")
+    val majorParts = out.filter(col("g") === "major")
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    // the test session runs few shuffle partitions; what matters is
+    // MANY-not-ONE (Window.partitionBy would pin all 9k rows to 1)
+    assert(majorParts >= 3,
+      s"dominant group landed on only $majorParts partition(s)")
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window ["), s"unexpected window operator:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange:\n$p")
+  }
 }
