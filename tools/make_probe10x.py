@@ -5,8 +5,15 @@ Usage: python3 tools/make_probe10x.py [srcSfDir] [dstDir]
 
 documents/embeddings/events are replicated 10x with shifted ids — every
 source row becomes a 10-clique of exact duplicates, the duplication-heavy
-shape corpus dedup exists for. All other tables are symlinked unchanged
-(the TPC-H-ish side is not what the pipeline probes stress).
+shape corpus dedup exists for.
+
+The TPC-H fact/dim tables (lineitem, orders, customer, part, supplier)
+are ALSO replicated 10x, each replica a disjoint key universe (every key
+column shifted by i*<per-table shift>), so the lake-join probes
+(bloom/DPP/bigbig/salted) are measured on grown inputs instead of
+symlinked originals — referential integrity holds within each replica,
+join outputs grow ~linearly, and key skew is unchanged. nation/region
+stay symlinked (broadcast-sized dims; scaling them probes nothing).
 
 events.parquet is copied via pyarrow, not DuckDB, to preserve the
 physical TIMESTAMP(NANOS) column the nanos-scan path must keep seeing.
@@ -55,9 +62,37 @@ pq.write_table(pa.concat_tables(shifted), f"{dst}/events.parquet")
 print("events: x10 written (nanos preserved:",
       pq.read_schema(f"{dst}/events.parquet").field("ts").type, ")")
 
+# TPC-H side: 10 disjoint key universes. Shifts exceed each key's max
+# (asserted) so replicas never collide; foreign keys shift by the SAME
+# per-table constant as their referenced primary key, so every join
+# keeps its per-replica matches.
+OSHIFT, CSHIFT, PSHIFT, SSHIFT = 1_000_000, 100_000, 100_000, 10_000
+tpch = {
+    "orders": [("o_orderkey", OSHIFT), ("o_custkey", CSHIFT)],
+    "lineitem": [("l_orderkey", OSHIFT), ("l_partkey", PSHIFT),
+                 ("l_suppkey", SSHIFT)],
+    "customer": [("c_custkey", CSHIFT)],
+    "part": [("p_partkey", PSHIFT)],
+    "supplier": [("s_suppkey", SSHIFT)],
+}
+for table, keys in tpch.items():
+    for colname, shift in keys:
+        mxk = con.execute(
+            f"SELECT MAX({colname}) FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchone()[0]
+        assert mxk is not None and mxk < shift, \
+            f"{table}.{colname}: max {mxk} not in [0, {shift})"
+    repl = ", ".join(f"t.{c} + r.i*{s} AS {c}" for c, s in keys)
+    con.execute(f"""
+      COPY (SELECT t.* REPLACE ({repl})
+            FROM read_parquet('{src}/{table}.parquet') t, range(0,10) r(i))
+      TO '{dst}/{table}.parquet' (FORMAT PARQUET)""")
+    print(f"{table}: x10 written (shifted: {[c for c, _ in keys]})")
+
 for p in glob.glob(f"{src}/*.parquet"):
     name = os.path.basename(p)
-    if name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
+    if name in ("documents.parquet", "embeddings.parquet", "events.parquet") \
+            or os.path.splitext(name)[0] in tpch:
         continue
     tgt = os.path.join(dst, name)
     if not os.path.exists(tgt):
