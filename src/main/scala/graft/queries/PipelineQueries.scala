@@ -668,6 +668,47 @@ object PipelineQueries {
             (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
     })
 
+  private val ivfRecall = GraftQuery(
+    name = "pipeline_ivf_recall",
+    doc = "IVF recall audit, symmetric to pipeline_ann_recall: recall@3 " +
+      "of pipeline_knn_ivf vs the exact pipeline_knn_brute top-3 over " +
+      "the same query set (vec_id < 20), one summary row. IVF is exact " +
+      "WITHIN a (label, sub) cell, so what this measures is the loss " +
+      "from cell boundaries + the cap split - the quantity a user " +
+      "tuning nprobe/cap actually needs, now a per-dataset " +
+      "differential measurement instead of a test pin. Exact-integer " +
+      "hit count, single division at the end.",
+    oracle = Some(s"""
+      WITH brute AS (${knnBrute.oracle.get}),
+      ivf AS (${knnIvf.oracle.get}),
+      hits AS (SELECT a.vec_id, COUNT(*) AS n_hit
+               FROM ivf a JOIN brute b
+                 ON a.vec_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id AND b.rank <= 3
+               WHERE a.vec_id < 20
+               GROUP BY 1)
+      SELECT n_queries, k, n_hits,
+             CAST(n_hits AS DOUBLE) / CAST(n_queries * k AS DOUBLE) AS recall
+      FROM (SELECT (SELECT COUNT(DISTINCT query_id) FROM brute) AS n_queries,
+                   CAST(3 AS BIGINT) AS k,
+                   CAST((SELECT COALESCE(SUM(n_hit), 0) FROM hits)
+                     AS BIGINT) AS n_hits)"""),
+    run = (s, dir) => {
+      // brute feeds two branches (hit semi-join + n_queries aggregate):
+      // pin once, annRecall convention
+      val brute = knnBrute.run(s, dir).filter(col("rank") <= 3)
+        .localCheckpoint(true)
+      val ivf = knnIvf.run(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("neighbor_id"))
+      val hits = ivf.join(brute.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      brute.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_queries"), lit(3L).as("k"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) /
+            (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
+    })
+
   private val embedNearDupGlobal = GraftQuery(
     name = "pipeline_embed_neardup_global",
     doc = "Global (unpartitioned) embedding near-dup: ALL vector pairs " +
@@ -1162,6 +1203,68 @@ object PipelineQueries {
           greatest(least(col("n_words").cast(DoubleType), col("hi")),
             col("lo")).as("n_winsor"))
         .orderBy("doc_id")
+    })
+
+  private val scoreWinsorizeGk = GraftQuery(
+    name = "pipeline_score_winsorize_gk",
+    doc = "pipeline_score_winsorize's posture at 100 TB: the exact " +
+      "interpolated-percentile pass swapped for the Greenwald-Khanna " +
+      "sketch (approx_percentile, accuracy 1000) - bounded state per " +
+      "language instead of a full per-language value sort. The " +
+      "differential twin pattern of pipeline_decontam_bloom, adapted " +
+      "for a sketch whose OUTPUT legitimately differs: clip values " +
+      "aren't byte-identical (GK returns a dataset element, the exact " +
+      "pass interpolates), so what the oracle pins is the CONTRACT " +
+      "that makes the swap safe - per language, the GK p05/p95 bounds " +
+      "are rank-recounted against the targets with the 2*eps slack " +
+      "(eps = 1/accuracy; the same recount lake_approx_percentile " +
+      "documents), which bounds every clip deviation: a doc's GK-clip " +
+      "differs from its exact-clip only by bound gaps that the rank " +
+      "certificate caps. GK's guarantee is DETERMINISTIC for any " +
+      "partition/merge order (unlike CMS's probabilistic eps bound), " +
+      "so these flags cannot flip on regenerated data; no raw sketch " +
+      "value reaches the output (merge order may vary it run to run - " +
+      "flags only, the sketch-family rule).",
+    oracle = Some("""
+      SELECT lang, COUNT(*) AS n,
+             CAST(1 AS BIGINT) AS p05_within_rank_bound,
+             CAST(1 AS BIGINT) AS p95_within_rank_bound
+      FROM documents GROUP BY lang ORDER BY lang"""),
+    run = (s, dir) => {
+      // feeds the sketch pass AND the recount pass - pin once
+      val docs = table(s, dir, "documents")
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_words"))
+        .localCheckpoint(true)
+      val gk = docs.groupBy("lang")
+        .agg(expr("approx_percentile(n_words, array(0.05D, 0.95D), 1000)")
+          .as("g"))
+        .select(col("lang"), col("g")(0).cast(DoubleType).as("g05"),
+          col("g")(1).cast(DoubleType).as("g95"))
+      def flag(lt: Column, le: Column, p: Double): Column = {
+        val n = col("n").cast(DoubleType)
+        // Spark's QuantileSummaries targets rank ceil(p*n) (measured:
+        // at per-language n~100 the returned element sits exactly
+        // there, where a p*n target is off by the ceil gap); the
+        // returned element's rank interval [lt+1, le] must intersect
+        // the target +- 2*eps*n (eps = 1/accuracy)
+        val t = ceil(n * p)
+        val slack = n * 0.002
+        (((lt + 1).cast(DoubleType) <= t + slack) &&
+          (le.cast(DoubleType) >= t - slack)).cast(LongType)
+      }
+      val nw = col("n_words").cast(DoubleType)
+      docs.join(broadcast(gk), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(nw < col("g05"), 1L).otherwise(0L)).as("lt05"),
+          sum(when(nw <= col("g05"), 1L).otherwise(0L)).as("le05"),
+          sum(when(nw < col("g95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(nw <= col("g95"), 1L).otherwise(0L)).as("le95"))
+        .select(col("lang"), col("n"),
+          flag(col("lt05"), col("le05"), 0.05).as("p05_within_rank_bound"),
+          flag(col("lt95"), col("le95"), 0.95).as("p95_within_rank_bound"))
+        .orderBy("lang")
     })
 
   private val spanCorrupt = GraftQuery(
@@ -3139,12 +3242,13 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
     dedupKeepBest, embedNearDup, embedNearDupGlobal, embedNormalize,
-    knnBrute, knnIvf, annLsh, annLshTopk, annRecall, textStats,
+    knnBrute, knnIvf, annLsh, annLshTopk, annRecall, ivfRecall, textStats,
     textQuality, langId,
     fingerprint,
     tokenCountBpe, textLevenshtein, textNormalize, vocabTopk,
     vocabCoverage, lengthHistogram, chunkWindows, urlExtract,
     urlCanonical, langRebalance, spanCorrupt, scoreWinsorize,
+    scoreWinsorizeGk,
     stratifiedSample, sourceMix, qualityDupFrac, trainingExport,
     corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate, decontamBloom,
