@@ -43,6 +43,118 @@ import org.apache.spark.sql.types._
   */
 object SkewWindows {
 
+  /** Appends `sessCol` — the 1-based gap-sessionization number per
+    * group (= `SUM(new_sess) OVER (PARTITION BY group ORDER BY order…)`
+    * where `new_sess` flags a first event or an inactivity gap
+    * `> gapMicros`) — without a per-group single task. lag() is
+    * order-sequential, so the scale-out needs one extra piece beyond
+    * [[rankedPrefix]]'s offsets: each (partition, group) summary also
+    * carries its first/last event timestamps and its count of INTERNAL
+    * session starts (a narrow sorted scan), and the driver threads the
+    * boundary — partition p's first row of group g compares against the
+    * last timestamp of g in the nearest earlier partition, exactly the
+    * row lag() would have seen — while prefix-summing the session
+    * offsets. Phase 3 then re-derives every flag locally from the
+    * handed-off boundary timestamp. Output equals the window form
+    * whenever (group, order…) is a total order and `order` is
+    * timestamp-consistent (rows in `order` are also in `tsMicrosCol`
+    * order within a group — ties allowed; a tie's internal order can't
+    * change any gap against the threshold).
+    *
+    * `tsMicrosCol` must be LongType (caller derives it, e.g.
+    * `unix_micros(ts)` — integer state, the repo-wide exactness rule).
+    * Group values must be non-null. EAGER like rankedPrefix. */
+  def sessionNumbers(df: DataFrame, groupCol: String, tsMicrosCol: String,
+      order: Seq[Column], gapMicros: Long, sessCol: String): DataFrame = {
+    val layout = col(groupCol) +: order
+    val ranged = df.repartitionByRange(layout: _*)
+      .sortWithinPartitions(layout: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pidIdx = ranged.schema.fieldIndex("__pid")
+    val gIdx = ranged.schema.fieldIndex(groupCol)
+    val tsIdx = ranged.schema.fieldIndex(tsMicrosCol)
+    // phase 2: one summary row per (partition, group) from a narrow
+    // sorted scan — first/last ts, internal session starts
+    val sumSchema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      ranged.schema.fields(gIdx).copy(name = "g"),
+      StructField("first_ts", LongType, nullable = false),
+      StructField("last_ts", LongType, nullable = false),
+      StructField("starts", LongType, nullable = false)))
+    val sumEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(sumSchema)
+    val partials = ranged.mapPartitions ({ it =>
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[(Int, Any), Array[Long]] // first_ts, last_ts, starts
+      it.foreach { row =>
+        val key = (row.getInt(pidIdx), row.get(gIdx))
+        val ts = row.getLong(tsIdx)
+        acc.get(key) match {
+          case None => acc(key) = Array(ts, ts, 0L)
+          case Some(a) =>
+            if (ts - a(1) > gapMicros) a(2) += 1L
+            a(1) = ts
+        }
+      }
+      acc.iterator.map { case ((pid, g), a) =>
+        Row(pid, g, a(0), a(1), a(2))
+      }
+    })(sumEnc).collect()
+    // driver: thread boundaries + exclusive session offsets per group
+    // in partition order (bounded by partitions + boundary groups,
+    // same driver footprint as rankedPrefix's phase 2)
+    val state = scala.collection.mutable.Map.empty[Any, (Long, Long)]
+    // offsets: (pid, g) -> (session offset, prev-partition last ts,
+    // 1 if a previous partition holds g else 0)
+    val offsets: Map[(Int, Any), (Long, Long, Long)] =
+      partials.sortBy(r => r.getInt(0)).map { r =>
+        val pid = r.getInt(0)
+        val g = r.get(1)
+        val (firstTs, lastTs, starts) =
+          (r.getLong(2), r.getLong(3), r.getLong(4))
+        val entry = state.get(g) match {
+          case None => (pid, g) -> (0L, 0L, 0L)
+          case Some((sessSoFar, prevLast)) =>
+            (pid, g) -> (sessSoFar, prevLast, 1L)
+        }
+        val firstFlag = state.get(g) match {
+          case Some((_, prevLast)) if firstTs - prevLast <= gapMicros => 0L
+          case _ => 1L
+        }
+        val sessSoFar = state.get(g).map(_._1).getOrElse(0L)
+        state(g) = (sessSoFar + firstFlag + starts, lastTs)
+        entry
+      }.toMap
+    // phase 3: narrow re-derivation of every flag from the handed-off
+    // boundary; __pid (last field) dropped
+    val outSchema = StructType(
+      ranged.schema.fields.patch(pidIdx, Nil, 1) :+
+        StructField(sessCol, LongType, nullable = false))
+    val outEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(outSchema)
+    ranged.mapPartitions ({ it =>
+      var curG: Any = null
+      var started = false
+      var sess = 0L
+      var hasPrev = false
+      var prevTs = 0L
+      it.map { row =>
+        val g = row.get(gIdx)
+        if (!started || g != curG) {
+          val (s0, pl, hp) = offsets((row.getInt(pidIdx), g))
+          sess = s0; prevTs = pl; hasPrev = hp == 1L
+          curG = g; started = true
+        }
+        val ts = row.getLong(tsIdx)
+        if (!hasPrev || ts - prevTs > gapMicros) sess += 1
+        hasPrev = true
+        prevTs = ts
+        Row.fromSeq(row.toSeq.patch(pidIdx, Nil, 1) :+ sess)
+      }
+    })(outEnc)
+  }
+
   /** Appends `rankName` (1-based dense rank, = `row_number() OVER
     * (PARTITION BY groupCol ORDER BY order…)`) and `cumName` (running
     * sum of `valueCol` over the same frame, = `SUM(valueCol) … ROWS

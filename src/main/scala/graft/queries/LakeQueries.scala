@@ -255,11 +255,15 @@ object LakeQueries {
   // -------------------------------------------------------------------
   private val sessionize = GraftQuery(
     name = "lake_sessionize",
-    doc = "Gap-based sessionization (30-min inactivity) via lag + " +
-      "conditional cumulative sum — two window passes over ONE exchange " +
-      "on user_id. Emits per-session stats. At 100 TB this is the " +
-      "standard scalable formulation (no state server, no UDAF); the " +
-      "streaming twin lives in graft.streaming.EventStream.",
+    doc = "Gap-based sessionization (30-min inactivity). NOT the lag + " +
+      "cumulative-sum window pair: a per-user window funnels a hot " +
+      "user (50% of a real clickstream) through one task, so session " +
+      "numbers come from SkewWindows.sessionNumbers — range layout, " +
+      "per-(partition,user) boundary summaries (first/last ts + " +
+      "internal starts) threaded by the driver, narrow flag " +
+      "re-derivation - the lag() equivalent with no per-user task " +
+      "(skew-probe ratios in SURVEY 6.3). Emits per-session stats; " +
+      "the streaming twin lives in graft.streaming.EventStream.",
     oracle = Some("""
       WITH marked AS (
         SELECT user_id, ts, event_id, value,
@@ -275,15 +279,10 @@ object LakeQueries {
       FROM sess GROUP BY user_id, session_no
       ORDER BY user_id, session_no"""),
     run = (s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      table(s, dir, "events")
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-        .withColumn("new_sess",
-          when(unix_micros(col("ts")) - col("prev_us") <= 1800000000L, 0L)
-            .otherwise(1L))
-        .withColumn("session_no", sum(col("new_sess")).over(wRun))
+      val ev = table(s, dir, "events")
+        .withColumn("__us", unix_micros(col("ts")))
+      graft.ops.SkewWindows.sessionNumbers(ev, "user_id", "__us",
+          Seq(col("ts"), col("event_id")), 1800000000L, "session_no")
         .groupBy("user_id", "session_no")
         .agg(count(lit(1)).as("n_events"),
           min(col("event_id")).as("first_event"),

@@ -316,6 +316,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected && got.size == 10000)
   }
 
+  test("sessionNumbers equals the lag+cumsum window under a hot key") {
+    import org.apache.spark.sql.expressions.Window
+    // 20k events, 50% on one hot user; timestamps jump so sessions
+    // split both inside partitions and exactly at boundaries
+    val df = spark.range(20000).select(
+      col("id").as("eid"),
+      when(col("id") % 2 === 0, lit(7L))
+        .otherwise(col("id") % 37).as("u"),
+      // gaps: mostly 10-min steps, every 13th event jumps 2 hours
+      (col("id") * 600000000L +
+        when(col("id") % 13 === 0, 7200000000L).otherwise(0L)).as("us"))
+    val w = Window.partitionBy("u").orderBy(col("us"), col("eid"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("ns",
+        when(col("us") - col("prev") <= 1800000000L, 0L).otherwise(1L))
+      .withColumn("sess", sum(col("ns")).over(wRun))
+      .select("eid", "sess").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SkewWindows
+      .sessionNumbers(df, "u", "us", Seq(col("us"), col("eid")),
+        1800000000L, "sess")
+      .select("eid", "sess").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.size == 20000)
+  }
+
   test("rankedPrefix spreads the dominant group over many partitions") {
     // the point of the scheme: the 90% group must NOT collapse into one
     // task the way Window.partitionBy(g) would place it
