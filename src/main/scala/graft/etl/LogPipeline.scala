@@ -33,16 +33,23 @@ object LogPipeline {
     cleaned.select("userId", "firstName", "lastName", "gender", "level")
 
   /** Deterministic keyed-dedup variant (SURVEY §7.2.6): latest level per
-    * user by event time — what the reference arguably intended. */
-  def usersLatest(logData: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("userId"))
-      .orderBy(col("ts").desc, col("sessionId").desc,
-        col("itemInSession").desc)
+    * user by event time — what the reference arguably intended. An
+    * ARGMAX aggregate (max over a struct ordered by the event key),
+    * not a row_number window: partial-aggregable, so a hot user
+    * collapses map-side instead of funneling every row through one
+    * task — the lake_latest_per_user scale shape. The struct's
+    * (ts, sessionId, itemInSession) prefix orders events; the trailing
+    * payload fields only break (impossible-after-dedup) full ties
+    * deterministically. */
+  def usersLatest(logData: DataFrame): DataFrame =
     nextSongEvents(logData)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("userId", "firstName", "lastName", "gender", "level")
-  }
+      .groupBy("userId")
+      .agg(max(struct(col("ts"), col("sessionId"), col("itemInSession"),
+        col("firstName"), col("lastName"), col("gender"), col("level")))
+        .as("m"))
+      .select(col("userId"), col("m.firstName").as("firstName"),
+        col("m.lastName").as("lastName"), col("m.gender").as("gender"),
+        col("m.level").as("level"))
 
   /** `time` dim (etl.py:215-236): epoch-millis ts + STRING start_time +
     * six int units, full-row dedup. Written partitioned (year, month). */

@@ -43,6 +43,45 @@ import org.apache.spark.sql.types._
   */
 object SkewWindows {
 
+  /** Exact top-k per group with no per-group single task: stage 1 takes
+    * the local top-k within every (group, source-partition) slice — the
+    * window key includes `spark_partition_id()`, so each window group is
+    * bounded by a partition, never by a group — and stage 2 ranks the
+    * surviving ≤ k·partitions candidates per group exactly. Any global
+    * top-k row is top-k within its slice, so stage 1 loses nothing; the
+    * stage-2 per-group window runs on candidate rows only (k·P, tiny at
+    * any corpus size). The distributed analogue of what
+    * TakeOrderedAndProject does for GLOBAL top-k. `order` must be a
+    * total order for a deterministic result. */
+  def topKPerGroup(df: DataFrame, groupCol: String, order: Seq[Column],
+      k: Int, rankName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col(groupCol), col("__srcpid"))
+      .orderBy(order: _*)
+    val cand = df.withColumn("__srcpid", spark_partition_id())
+      .withColumn("__lr", row_number().over(w1))
+      .filter(col("__lr") <= k)
+      .drop("__lr", "__srcpid")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    cand.withColumn(rankName, row_number().over(w2).cast(LongType))
+      .filter(col(rankName) <= k)
+  }
+
+  /** `ntile(k)` reconstructed from a [[rankedPrefix]] rank and the
+    * group's row count by the standard fill rule — base = n div k rows
+    * per bucket, the first n%k buckets take one extra — in exact
+    * integer arithmetic (SQL `div`, never double `/`). `rank`/`n` are
+    * COLUMN NAMES (the arithmetic needs integral div, which the Column
+    * API lacks); greatest() guards the base=0 divisor on the branch
+    * that is unreachable when rank > cut. */
+  def ntileFromRank(rank: String, n: String, k: Int): Column = {
+    val base = s"($n div $k)"
+    val extra = s"($n % $k)"
+    val cut = s"($extra * ($base + 1))"
+    expr(s"CASE WHEN $rank <= $cut THEN ($rank - 1) div ($base + 1) + 1 " +
+      s"ELSE $extra + ($rank - 1 - $cut) div greatest($base, 1) + 1 END")
+  }
+
   /** Appends `sessCol` — the 1-based gap-sessionization number per
     * group (= `SUM(new_sess) OVER (PARTITION BY group ORDER BY order…)`
     * where `new_sess` flags a first event or an inactivity gap

@@ -305,8 +305,17 @@ object ExtendedQueries {
     name = "lake_window_ranks",
     doc = "Ranking suite per order-status partition, fully tiebroken " +
       "(totalprice, orderkey) so ntile assignment is deterministic. " +
-      "percent_rank/cume_dist are exact int-ratio doubles → bit-equal " +
-      "across engines.",
+      "percent_rank/cume_dist are exact int-ratio doubles - bit-equal " +
+      "across engines. NOT window functions: o_orderstatus has ~3 " +
+      "values, so Window.partitionBy(o_orderstatus) funnels a third of " +
+      "ALL orders through one task at any scale - the coarsest-key " +
+      "case of the dominant-language problem. Rank comes from " +
+      "SkewWindows.rankedPrefix; with the fully tiebroken (unique) " +
+      "order every ranking function is ARITHMETIC over (rank, n): " +
+      "ntile by the fill rule, percent_rank = (rank-1)/(n-1), " +
+      "cume_dist = rank/n (no peers), dense_rank = rank (no " +
+      "duplicates) - each one exact-integer state with a single " +
+      "double division, so both engines round identically.",
     oracle = Some("""
       SELECT o_orderkey, o_orderstatus,
              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
@@ -317,14 +326,23 @@ object ExtendedQueries {
       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       ORDER BY o_orderkey"""),
     run = (s, dir) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      table(s, dir, "orders")
+      val t = table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
-          ntile(4).over(w).cast(LongType).as("quartile"),
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cdist"),
-          dense_rank().over(w).cast(LongType).as("drank"))
+          col("o_totalprice"))
+      val counts = t.groupBy("o_orderstatus").agg(count(lit(1)).as("__n"))
+      graft.ops.SkewWindows.rankedPrefix(t, "o_orderstatus",
+          Seq(col("o_totalprice"), col("o_orderkey")), None,
+          "__rank", "__cum")
+        .join(broadcast(counts), "o_orderstatus")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          graft.ops.SkewWindows.ntileFromRank("__rank", "__n", 4)
+            .cast(LongType).as("quartile"),
+          when(col("__n") === 1L, 0.0)
+            .otherwise((col("__rank") - 1L).cast(DoubleType) /
+              (col("__n") - 1L).cast(DoubleType)).as("pct_rank"),
+          (col("__rank").cast(DoubleType) / col("__n").cast(DoubleType))
+            .as("cdist"),
+          col("__rank").as("drank"))
         .orderBy("o_orderkey")
     })
 

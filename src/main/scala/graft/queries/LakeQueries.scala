@@ -132,25 +132,29 @@ object LakeQueries {
   // -------------------------------------------------------------------
   private val latestPerUser = GraftQuery(
     name = "lake_latest_per_user",
-    doc = "Keyed dedup via row_number window — the correct-by-construction " +
-      "variant of the reference's non-deduped users table (SURVEY §2.8.2): " +
-      "latest event per user. One exchange on user_id; at 100 TB prefer " +
-      "this over dropDuplicates(subset) because it picks a DEFINED row.",
+    doc = "Keyed dedup (latest event per user) — the correct-by-" +
+      "construction variant of the reference's non-deduped users table " +
+      "(SURVEY §2.8.2). NOT a row_number window: top-1-per-key is an " +
+      "ARGMAX, so it runs as max(struct(ts, event_id, event_type)) — a " +
+      "partial-aggregable hash aggregate whose map-side combine " +
+      "collapses a 50%-hot user to one row per task BEFORE the " +
+      "exchange, where the window form shuffles every hot-user row to " +
+      "one task first (skew probe, SURVEY 6.3). The (ts, event_id) " +
+      "prefix is unique, so the struct max picks the same DEFINED row " +
+      "the window did; prefer this over dropDuplicates(subset), which " +
+      "picks an arbitrary one.",
     oracle = Some("""
       SELECT user_id, event_id AS last_event, event_type AS last_type
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
               ORDER BY ts DESC, event_id DESC) AS rn FROM events)
       WHERE rn = 1 ORDER BY user_id"""),
-    run = (s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      table(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id").as("last_event"),
-          col("event_type").as("last_type"))
-        .orderBy("user_id")
-    })
+    run = (s, dir) => table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event"),
+        col("m.event_type").as("last_type"))
+      .orderBy("user_id"))
 
   // -------------------------------------------------------------------
   // Rollup / cube.

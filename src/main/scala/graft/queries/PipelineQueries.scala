@@ -2334,21 +2334,10 @@ object PipelineQueries {
       val langN = t.groupBy("lang").agg(count(lit(1)).as("__n"))
       val ranked = graft.ops.SkewWindows.rankedPrefix(t, "lang",
         Seq(col("n_chars").desc, col("doc_id")), None, "__rank", "__cum")
-      // ntile(4) fill rule from (rank, n): base = n div 4 rows per
-      // bucket, the first n%4 buckets take one extra. SQL `div`, not
-      // `/` (double division) — integer-exact at any count; greatest()
-      // guards the base=0 divisor on the (unreachable when rank>cut)
-      // branch
       ranked.join(broadcast(langN), "lang")
-        .withColumn("__base", expr("__n div 4"))
-        .withColumn("__extra", col("__n") % 4L)
-        .withColumn("__cut", col("__extra") * (col("__base") + 1L))
         .withColumn("bin",
-          when(col("__rank") <= col("__cut"),
-            expr("(__rank - 1) div (__base + 1) + 1"))
-          .otherwise(col("__extra") +
-            expr("(__rank - 1 - __cut) div greatest(__base, 1)") + 1L)
-          .cast(LongType))
+          graft.ops.SkewWindows.ntileFromRank("__rank", "__n", 4)
+            .cast(LongType))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("bin"))
         .orderBy("doc_id")
     })
@@ -2700,8 +2689,11 @@ object PipelineQueries {
       "ONE double division - so DuckDB replays it bit for bit. " +
       "Magnitudes: A <= dims*(2*127*n)^2, inside 2^53 up to n ~ 3e5 " +
       "per language; beyond that the DECIMAL(38,0) twin applies. One " +
-      "narrow (lang,dim) shuffle for the centroids, broadcast back, " +
-      "one window for the top-3.",
+      "narrow (lang,dim) shuffle for the centroids, broadcast back; " +
+      "the top-3 is SkewWindows.topKPerGroup (local top-3 per " +
+      "(lang, partition) slice, exact re-rank of the k*P survivors) - " +
+      "not a per-language window, so the dominant language never " +
+      "funnels through one task.",
     oracle = Some("""
       WITH pts AS (SELECT d.lang, e.vec_id,
              list_transform(e.embedding,
@@ -2743,9 +2735,7 @@ object PipelineQueries {
         .agg(max(col("cnt")).as("n"),
           transform(array_sort(collect_list(struct(col("dim"), col("sx")))),
             e => e.getField("sx")).as("sv"))
-      val w = Window.partitionBy("lang")
-        .orderBy(col("dist").desc, col("vec_id"))
-      pts.join(broadcast(cent), "lang")
+      val scored = pts.join(broadcast(cent), "lang")
         .withColumn("num",
           aggregate(
             zip_with(col("q"), col("sv"),
@@ -2754,8 +2744,8 @@ object PipelineQueries {
         .withColumn("dist",
           col("num").cast(DoubleType) / (col("n") * col("n"))
             .cast(DoubleType))
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= 3)
+      graft.ops.SkewWindows.topKPerGroup(scored, "lang",
+          Seq(col("dist").desc, col("vec_id")), 3, "rank")
         .select("lang", "rank", "vec_id", "dist")
         .orderBy("lang", "rank")
     })
