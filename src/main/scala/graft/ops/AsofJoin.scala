@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
   * for every left row, attach the latest right row with the same key and
   * right.time <= left.time.
   *
-  * Formulation: tag both sides, union, one window pass per key ordered by
-  * (time, side) carrying the last non-null right payload forward
-  * (`last(..., ignoreNulls=true)` over an unbounded-preceding rows
-  * frame), keep left rows. This is the scalable shape — ONE shuffle on
-  * the key, no per-row subquery, no broadcast of either side, state is a
-  * single struct per partition-row — and it is exactly how you'd do it
-  * on 100 TB (both sides arbitrarily large).
+  * Formulation: tag both sides, union, carry the last non-null right
+  * payload forward in (key, time, side) order, keep left rows. The
+  * carry is NOT a per-key window (`last(…, ignoreNulls=true)` over
+  * partitionBy(key) plans one task per key — a hot instrument/user
+  * holding half the ticks becomes a straggler no cluster size fixes)
+  * but [[SkewWindows.carryForward]]: range layout over (key, time,
+  * side), per-(partition, key) last-non-null summaries threaded by the
+  * driver, narrow re-derivation. ONE shuffle on (key, time), no per-row
+  * subquery, no broadcast of either side, no per-key task — the shape
+  * you'd run on 100 TB with both sides arbitrarily large and skewed.
+  * Left-side ties (same key+time) are harmless: left rows never change
+  * the carried state, so every such row reads the same payload.
   *
   * Contract: right must be unique per (key, time) — pre-aggregate it
   * (otherwise "the" as-of row is ill-defined; DuckDB's native ASOF JOIN
@@ -47,12 +52,8 @@ object AsofJoin {
         leftCols.map(col)
     val taggedLeft = left.select(leftSel: _*)
 
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    taggedRight.unionByName(taggedLeft)
-      .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
+    SkewWindows.carryForward(taggedRight.unionByName(taggedLeft),
+        "__k", Seq(col("__t"), col("__side")), "__p", "__carried")
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         payload.map(p => col(s"__carried.$p").as(p)): _*)

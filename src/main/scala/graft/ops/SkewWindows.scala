@@ -43,6 +43,77 @@ import org.apache.spark.sql.types._
   */
 object SkewWindows {
 
+  /** Appends `outCol` — the last non-null `payloadCol` value at or
+    * before each row in (group, order…) order, i.e.
+    * `last(payload, ignoreNulls=true) OVER (PARTITION BY group ORDER BY
+    * order… ROWS UNBOUNDED PRECEDING..CURRENT ROW)` — without a
+    * per-group single task. The as-of-join carry: same boundary-handoff
+    * structure as [[sessionNumbers]], but what the driver threads is
+    * each (partition, group)'s LAST NON-NULL payload (row-sized; the
+    * collect stays bounded by partitions + boundary groups), so each
+    * partition's first rows of a group inherit exactly the value the
+    * window's running carry would have held entering that partition.
+    * Requires a total (group, order…) order for window-identical
+    * results (ties across a boundary could otherwise legally reorder
+    * null/non-null neighbors — the same caveat the window form has).
+    * Group values must be non-null; payload may be any type (struct
+    * included). EAGER like rankedPrefix. */
+  def carryForward(df: DataFrame, groupCol: String, order: Seq[Column],
+      payloadCol: String, outCol: String): DataFrame = {
+    val layout = col(groupCol) +: order
+    val ranged = df.repartitionByRange(layout: _*)
+      .sortWithinPartitions(layout: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pidIdx = ranged.schema.fieldIndex("__pid")
+    val gIdx = ranged.schema.fieldIndex(groupCol)
+    val pIdx = ranged.schema.fieldIndex(payloadCol)
+    val sumSchema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      ranged.schema.fields(gIdx).copy(name = "g"),
+      ranged.schema.fields(pIdx).copy(name = "p", nullable = true)))
+    val sumEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(sumSchema)
+    val partials = ranged.mapPartitions ({ it =>
+      // LinkedHashMap: groups in partition order; value = last non-null
+      val acc = scala.collection.mutable.LinkedHashMap.empty[(Int, Any), Any]
+      it.foreach { row =>
+        val key = (row.getInt(pidIdx), row.get(gIdx))
+        val p = row.get(pIdx)
+        if (!acc.contains(key)) acc(key) = null
+        if (p != null) acc(key) = p
+      }
+      acc.iterator.map { case ((pid, g), p) => Row(pid, g, p) }
+    })(sumEnc).collect()
+    val state = scala.collection.mutable.Map.empty[Any, Any]
+    val carryIn: Map[(Int, Any), Any] =
+      partials.sortBy(_.getInt(0)).map { r =>
+        val pid = r.getInt(0)
+        val g = r.get(1)
+        val entry = (pid, g) -> state.getOrElse(g, null)
+        if (r.get(2) != null) state(g) = r.get(2)
+        entry
+      }.toMap
+    val outSchema = StructType(
+      ranged.schema.fields.patch(pidIdx, Nil, 1) :+
+        ranged.schema.fields(pIdx).copy(name = outCol, nullable = true))
+    val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    ranged.mapPartitions ({ it =>
+      var curG: Any = null
+      var started = false
+      var carried: Any = null
+      it.map { row =>
+        val g = row.get(gIdx)
+        if (!started || g != curG) {
+          carried = carryIn((row.getInt(pidIdx), g))
+          curG = g; started = true
+        }
+        val p = row.get(pIdx)
+        if (p != null) carried = p
+        Row.fromSeq(row.toSeq.patch(pidIdx, Nil, 1) :+ carried)
+      }
+    })(outEnc)
+  }
+
   /** Exact top-k per group with no per-group single task: stage 1 takes
     * the local top-k within every (group, source-partition) slice — the
     * window key includes `spark_partition_id()`, so each window group is

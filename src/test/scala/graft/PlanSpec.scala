@@ -584,7 +584,8 @@ class PlanSpec extends AnyFunSuite {
     // must show NO Window operator and a rangepartitioning exchange
     // (inside the persisted phase-1 relation)
     for (q <- Seq("pipeline_token_budget", "pipeline_class_balance",
-        "pipeline_curriculum_bins")) {
+        "pipeline_curriculum_bins", "lake_window_ranks",
+        "lake_sessionize")) {
       val df = Registry.byName(q).run(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString

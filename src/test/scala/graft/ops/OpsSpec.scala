@@ -344,6 +344,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected && got.size == 20000)
   }
 
+  test("carryForward equals last-ignoreNulls window under a hot key") {
+    import org.apache.spark.sql.expressions.Window
+    // as-of shape: 50% of rows on one hot key; nulls (left rows) read
+    // the latest non-null (right) payload at or before them
+    val df = spark.range(20000).select(
+      col("id"),
+      when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 31).as("k"),
+      when(col("id") % 3 === 0, struct(col("id").as("v")))
+        .otherwise(lit(null)).as("p"))
+    val w = Window.partitionBy("k").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("c", last(col("p"), ignoreNulls = true).over(w))
+      .select(col("id"), col("c.v").as("cv")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val got = SkewWindows
+      .carryForward(df, "k", Seq(col("id")), "p", "c")
+      .select(col("id"), col("c.v").as("cv")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == expected && got.size == 20000)
+  }
+
   test("rankedPrefix spreads the dominant group over many partitions") {
     // the point of the scheme: the 90% group must NOT collapse into one
     // task the way Window.partitionBy(g) would place it
