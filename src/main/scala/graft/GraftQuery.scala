@@ -36,6 +36,7 @@ object Registry {
     graft.queries.SqlTextQueries.all ++
     graft.queries.CoverageQueries.all ++
     graft.queries.PipelineQueries.all ++
+    graft.queries.GraphQueries.all ++
     graft.queries.StreamingQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

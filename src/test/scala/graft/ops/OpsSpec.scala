@@ -391,4 +391,75 @@ class OpsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"single-partition exchange:\n$p")
   }
+
+  // ---------------- Graphs ----------------
+
+  test("pageRank equals a sequential replay of the integer recurrence") {
+    // seeded random digraph with a hub (node 0 gets 30% of in-edges)
+    // and a DANGLING node (99 appears only as dst) so the
+    // dangling-mass branch is exercised, not just compiled
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.fill(400) {
+      val s = rnd.nextInt(99) // 99 never a src => dangling
+      val d = if (rnd.nextInt(10) < 3) 0L else rnd.nextInt(100).toLong
+      (s.toLong, d)
+    }.filter { case (a, b) => a != b } :+ ((1L, 99L))
+    val edges = raw.toDF("src", "dst")
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val got = Graphs.pageRank(edges.repartition(7), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // sequential replay, same floor-division arithmetic
+    val w = raw.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wout = w.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val nodes = (raw.map(_._1) ++ raw.map(_._2)).distinct.sorted
+    val n = nodes.size
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      w.foreach { case ((s, d), wt) =>
+        in(d) += r(s) * wt / wout(s)
+      }
+      val dang = nodes.filterNot(wout.contains).map(r).sum / n
+      r = nodes.map(v => v -> (150000L + 85L * (in(v) + dang) / 100L)).toMap
+    }
+    assert(got == r && got.size == n)
+  }
+
+  test("pageRank is bit-identical across partitionings") {
+    val edges = spark.range(3000).select(
+      (col("id") % 61).as("src"), ((col("id") * 13 + 5) % 61).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val a = Graphs.pageRank(edges.repartition(1), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graphs.pageRank(edges.repartition(17), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("degree-oriented triangle counts equal the naive triple join") {
+    // seeded random graph with a heavy hub: node 0 touches ~half of
+    // all edges, exactly the shape the orientation exists to survive
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(500) {
+      val a = if (rnd.nextBoolean()) 0L else rnd.nextInt(40).toLong
+      val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct
+    val e = raw.toDF("a", "b")
+    val got = Graphs.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive a<b<c closure on the driver
+    val es = raw.toSet
+    val tri = for {
+      (a, b) <- raw
+      c <- (b + 1) to 39L
+      if es.contains((b, c)) && es.contains((a, c))
+    } yield (a, b, c)
+    val expected = tri.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected && tri.nonEmpty)
+  }
 }
