@@ -66,25 +66,34 @@ object Graphs {
     var r = nodes.select(col("v"), lit(scale).cast(LongType).as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contrib = ew
-        .join(r, ew("src") === r("v"))
-        .select(col("dst").as("v"), expr("(r * w) div wout").as("c"))
-        .groupBy("v").agg(sum("c").as("cin"))
-      val dangShare = r.join(ew.select("src").distinct(),
-          r("v") === col("src"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0L)).as("dm"))
-        .crossJoin(nNodes)
-        .select(expr("dm div n_nodes").as("dang"))
-      r = nodes
-        .join(contrib, Seq("v"), "left")
-        .crossJoin(broadcast(dangShare))
-        .select(col("v"),
-          (lit(teleport) +
-            expr("(85 * (coalesce(cin, CAST(0 AS BIGINT)) + dang)) div 100"))
-            .as("r"))
-        .localCheckpoint(true)
+      r = step(ew, nodes, nNodes, r, teleport).localCheckpoint(true)
     }
     r
+  }
+
+  /** One rank update (the loop body of [[pageRank]]), un-cut. Public so
+    * plan tests can assert the iteration's shape — at run time every
+    * iteration is localCheckpoint'd, which hides the join/broadcast
+    * structure behind an ExistingRDD scan (GraftQuery's plan-stage
+    * accessor convention). */
+  def step(ew: DataFrame, nodes: DataFrame, nNodes: DataFrame,
+      r: DataFrame, teleport: Long): DataFrame = {
+    val contrib = ew
+      .join(r, ew("src") === r("v"))
+      .select(col("dst").as("v"), expr("(r * w) div wout").as("c"))
+      .groupBy("v").agg(sum("c").as("cin"))
+    val dangShare = r.join(ew.select("src").distinct(),
+        r("v") === col("src"), "left_anti")
+      .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+      .crossJoin(nNodes)
+      .select(expr("dm div n_nodes").as("dang"))
+    nodes
+      .join(contrib, Seq("v"), "left")
+      .crossJoin(broadcast(dangShare))
+      .select(col("v"),
+        (lit(teleport) +
+          expr("(85 * (coalesce(cin, CAST(0 AS BIGINT)) + dang)) div 100"))
+          .as("r"))
   }
 
   /** Per-node triangle participation counts via DEGREE-ORIENTED wedge

@@ -3228,6 +3228,53 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("draw"))
       .orderBy("doc_id"))
 
+  private val qualityClassifier = GraftQuery(
+    name = "pipeline_quality_classifier",
+    doc = "Hashed-feature LINEAR quality classifier (the fastText-style " +
+      "model-based filter of CCNet/FineWeb curation, distinct from the " +
+      "heuristic ratio signals in pipeline_text_quality): each token is " +
+      "hashed with a char-polynomial (acc*31+ascii mod 1000003) into 64 " +
+      "feature buckets; the bucket weight is a fixed deterministic " +
+      "table (Knuth-constant formula in [-999,999] — a stand-in for " +
+      "trained weights; swapping in a real model is replacing the " +
+      "formula with a broadcast weight lookup, shape unchanged); " +
+      "doc score = Σ weights, keep iff mean weight >= -50 as the exact " +
+      "integer compare score*10 >= -500*n_tok. The WHOLE model is " +
+      "nested codegen'd higher-order functions (aggregate over " +
+      "transform) — per-row narrow, ZERO shuffles before the output " +
+      "sort: the ideal inference shape at 100 TB, and the reason " +
+      "model-based filtering parallelizes embarrassingly. Oracle " +
+      "replays the identical hash/weight/threshold integer arithmetic " +
+      "via list_transform/list_reduce.",
+    oracle = Some("""
+      WITH s AS (SELECT doc_id,
+        CAST(list_sum(list_transform(string_split(text, ' '),
+          t -> ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(t, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 1000003)
+                % 64) * 2654435761) % 1999 - 999)) AS BIGINT) AS score,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents)
+      SELECT doc_id, score, n_tok,
+             CAST(CASE WHEN score * 10 >= -500 * n_tok
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM s ORDER BY doc_id"""),
+    run = (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""aggregate(
+            transform(split(text, ' '),
+              t -> ((aggregate(
+                       transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT)),
+                       CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % 1000003)
+                     % 64) * 2654435761) % 1999 - 999),
+            CAST(0 AS BIGINT), (acc, w) -> acc + w)""").as("score"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .select(col("doc_id"), col("score"), col("n_tok"),
+        when(col("score") * 10 >= lit(-500) * col("n_tok"), 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy("doc_id"))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
@@ -3249,5 +3296,5 @@ object PipelineQueries {
     semanticDedup, multimodalIngest, embedOutliers, dupSpan,
     dedupSubstring,
     classBalance, lmFluency, bpeTrain, bpeSegment, ngramNovelty,
-    datasetCard, weightedSample)
+    datasetCard, weightedSample, qualityClassifier)
 }

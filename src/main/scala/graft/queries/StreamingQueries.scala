@@ -36,6 +36,30 @@ object StreamingQueries {
       EventStream.windowedCountsDrained(s, s"$dir/events.parquet")
         .orderBy("window_start_s", "event_type"))
 
+  private val streamSlidingCounts = GraftQuery(
+    name = "stream_sliding_counts",
+    doc = "Streaming SLIDING-window count+sum per event_type (10-minute " +
+      "windows every 5 minutes — each event in exactly 2 overlapping " +
+      "windows), drained with Trigger.AvailableNow. Covers the " +
+      "overlapping-assignment variant stream_windowed_counts' tumbling " +
+      "windows cannot: state is length/slide x tumbling, the " +
+      "amplification knob noted in EventStream.slidingCountsDrained. " +
+      "The oracle expands each event into its two window starts " +
+      "(unnest of the floor-bucket and its predecessor) and " +
+      "re-aggregates in batch — a drained stream must agree exactly.",
+    oracle = Some("""
+      WITH w AS (SELECT event_type, value,
+             unnest(list_value(
+               (epoch_ns(ts) // 300000000000) * 300 - 300,
+               (epoch_ns(ts) // 300000000000) * 300)) AS window_start_s
+           FROM events)
+      SELECT window_start_s, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2"""),
+    run = (s, dir) =>
+      EventStream.slidingCountsDrained(s, s"$dir/events.parquet")
+        .orderBy("window_start_s", "event_type"))
+
   private val streamSessionCounts = GraftQuery(
     name = "stream_session_counts",
     doc = "Drained mapGroupsWithState run: per-user event and " +
@@ -232,7 +256,8 @@ object StreamingQueries {
       EventStream.foreachBatchUpsertDrained(s, dir)
         .orderBy("user_id"))
 
-  val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSessionCounts,
+  val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSlidingCounts,
+    streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
     streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert)
 }

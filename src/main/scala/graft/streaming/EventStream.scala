@@ -537,4 +537,24 @@ object EventStream {
         col("event_type"), col("n"), col("sum_value"))
     drainToTable(spark, agg, "graft_stream_windows", OutputMode.Complete())
   }
+
+  /** SLIDING (overlapping) windows — 10-minute length, 5-minute slide,
+    * so every event belongs to exactly 2 windows. State is
+    * length/slide × the tumbling case: the slide ratio is the state-
+    * and write-amplification knob (a 1-hour window sliding by a minute
+    * holds 60 open windows per key — size the watermark horizon and
+    * slide together). Same drained-vs-batch contract as
+    * [[windowedCountsDrained]]. */
+  def slidingCountsDrained(spark: SparkSession, eventsDir: String)
+      : DataFrame = {
+    val agg = eventsStream(spark, eventsDir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+    drainToTable(spark, agg, "graft_stream_sliding", OutputMode.Complete())
+  }
 }

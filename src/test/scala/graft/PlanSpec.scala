@@ -598,4 +598,46 @@ class PlanSpec extends AnyFunSuite {
       graft.Caches.clearAll(spark)
     }
   }
+
+  test("quality classifier inference is narrow: no shuffle before the " +
+      "output sort, no explode") {
+    // the hashed linear model must stay inside per-row higher-order
+    // functions — a Generate (explode) or an aggregation exchange here
+    // means token rows started moving, which is the difference between
+    // an embarrassingly parallel scoring pass and a shuffle of the
+    // whole corpus at 100 TB
+    val p = plan("pipeline_quality_classifier")
+    assert(!p.contains("Generate"), s"tokens exploded into rows:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, // the final orderBy's range exchange only
+      s"expected only the sort exchange, got $exchanges:\n$p")
+    assert(!p.contains("HashAggregate") || // any agg must not be grouped
+      !p.contains("Keys: [doc_id"), s"per-doc aggregation shuffle:\n$p")
+  }
+
+  test("pagerank iteration: dangling share broadcasts, no cartesian") {
+    // the run-time loop cuts every iteration (localCheckpoint), which hides
+    // the join shape behind ExistingRDD — assert on the un-cut step
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(2000).select(
+      (col("id") % 61).as("src"), ((col("id") * 13 + 5) % 61).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum("w").as("wout"))
+    val ew = edges.join(outw, "src")
+    val nodes = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v"))).distinct()
+    val nNodes = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    val r0 = nodes.select(col("v"), lit(1000000L).as("r"))
+    val next = graft.ops.Graphs.step(ew, nodes, nNodes, r0, 150000L)
+    next.collect()
+    val p = next.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // both 1-row sides (n_nodes, dang) must come in as broadcasts and
+    // never as a CartesianProduct; the contribution join may be
+    // broadcast or shuffle depending on stats — both are fine
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row sides not broadcast-nested-loop joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unhinted cross join:\n$p")
+  }
 }
