@@ -3275,6 +3275,87 @@ object PipelineQueries {
           .otherwise(0L).as("keep"))
       .orderBy("doc_id"))
 
+  private val unimaxEpochs = GraftQuery(
+    name = "pipeline_unimax_epochs",
+    doc = "UniMax-style epoch allocation (Chung et al. 2023): given a " +
+      "token budget B = (capped total) div 2 and PER-SOURCE epoch caps " +
+      "(1-4 by source-index formula — standing in for licensing/" +
+      "quality caps; the paper's uniform cap is the special case), " +
+      "find the water level L with sum_s min(cap_s*n_s, L) <= B and " +
+      "allocate min(cap_s*n_s, L) tokens to each source: small " +
+      "sources train full cap epochs, large sources are cut at L — " +
+      "the budget-constrained generalization of temperature sampling " +
+      "(pipeline_source_mix) that never repeats a small source past " +
+      "its cap. The waterfill is CLOSED-FORM over sorted prefix sums: " +
+      "f(k) = P_k + (m-k)*t_k is monotone in k, so k* = max{k: f(k) " +
+      "<= B} and L = (B - P_k*) div (m - k*) — one window over the " +
+      "SOURCES-sized stats frame (m rows, broadcast scale; fine on " +
+      "one partition even at 100 TB where m is thousands), no driver " +
+      "loop, no iteration. All arithmetic int64; epochs reported in " +
+      "exact milli-epochs (alloc*1000 div n_tok).",
+    oracle = Some("""
+      WITH s AS (SELECT source,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+            FROM documents GROUP BY 1),
+      c AS (SELECT source, n_tok,
+              1 + (CAST(substring(source, 4) AS BIGINT) % 4) AS cap_epochs,
+              (1 + (CAST(substring(source, 4) AS BIGINT) % 4)) * n_tok AS t
+            FROM s),
+      tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt, COUNT(*) AS m FROM c),
+      r AS (SELECT c.*, row_number() OVER (ORDER BY t, source) AS rn,
+              CAST(SUM(t) OVER (ORDER BY t, source
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk
+            FROM c),
+      f AS (SELECT r.*, pk + (m - rn) * t AS fv, tt // 2 AS b
+            FROM r CROSS JOIN tot),
+      k AS (SELECT COALESCE(MAX(rn), 0) AS kk FROM f WHERE fv <= b),
+      kp AS (SELECT kk,
+               COALESCE((SELECT pk FROM f WHERE rn = kk), 0) AS pk FROM k),
+      lvl AS (SELECT CASE WHEN kk = m THEN -1
+                     ELSE ((tt // 2) - kp.pk) // (m - kk) END AS lvl
+              FROM kp CROSS JOIN tot)
+      SELECT source, n_tok, cap_epochs,
+             CASE WHEN lvl = -1 THEN t ELSE LEAST(t, lvl) END AS alloc_tok,
+             (CASE WHEN lvl = -1 THEN t ELSE LEAST(t, lvl) END) * 1000
+               // n_tok AS epochs_milli
+      FROM c CROSS JOIN lvl ORDER BY source"""),
+    run = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val capExpr = "1 + (cast(substring(source, 4, 10) as bigint) % 4)"
+      // sources-sized stats frame: the ONLY corpus-scale work is the
+      // partial-agg token count; everything after is m rows
+      val stats = table(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n_tok"))
+        .withColumn("cap_epochs", expr(capExpr))
+        .withColumn("t", col("cap_epochs") * col("n_tok"))
+        .localCheckpoint(true) // feeds 3 branches (tot, ranked, output)
+      val tot = broadcast(
+        stats.agg(sum("t").as("tt"), count(lit(1)).as("m")))
+      val w = Window.orderBy(col("t"), col("source"))
+      val ranked = stats.crossJoin(tot)
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("pk", sum("t").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("fv", col("pk") + (col("m") - col("rn")) * col("t"))
+        .withColumn("b", expr("tt div 2"))
+      val kstar = ranked.filter(col("fv") <= col("b"))
+        .select(col("rn").as("kk"), col("pk"), col("m"), col("b"))
+        .unionByName(tot.select(lit(0L).as("kk"), lit(0L).as("pk"),
+          col("m"), expr("tt div 2").as("b")))
+        .orderBy(col("kk").desc).limit(1)
+      val lvl = broadcast(kstar.select(
+        when(col("kk") === col("m"), lit(-1L))
+          .otherwise(expr("(b - pk) div (m - kk)")).as("lvl")))
+      stats.crossJoin(lvl)
+        .select(col("source"), col("n_tok"), col("cap_epochs"),
+          when(col("lvl") === -1L, col("t"))
+            .otherwise(least(col("t"), col("lvl"))).as("alloc_tok"))
+        .withColumn("epochs_milli",
+          expr("(alloc_tok * 1000) div n_tok"))
+        .orderBy("source")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupPrefix,
     dedupContainment, ingestNearDup, dedupClusters,
@@ -3296,5 +3377,5 @@ object PipelineQueries {
     semanticDedup, multimodalIngest, embedOutliers, dupSpan,
     dedupSubstring,
     classBalance, lmFluency, bpeTrain, bpeSegment, ngramNovelty,
-    datasetCard, weightedSample, qualityClassifier)
+    datasetCard, weightedSample, qualityClassifier, unimaxEpochs)
 }

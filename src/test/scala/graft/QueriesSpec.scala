@@ -86,6 +86,29 @@ class QueriesSpec extends AnyFunSuite {
     for ((lang, n) <- totals if lang != "en") assert(kept(lang) == n, lang)
   }
 
+  test("unimax waterfill: budget respected with slack < m, caps honored") {
+    val rows = Registry.byName("pipeline_unimax_epochs").run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val budget = rows.map { case (_, n, cap, _, _) => cap * n }.sum / 2
+    val alloc = rows.map(_._4).sum
+    // floor divisions waste < 1 token per unsaturated source
+    assert(alloc <= budget && budget - alloc < rows.length,
+      s"alloc $alloc vs budget $budget")
+    for ((src, n, cap, a, em) <- rows) {
+      assert(a <= cap * n, s"$src over its cap")
+      assert(em == a * 1000 / n, s"$src epochs_milli mismatch")
+    }
+    // the waterfill property: every unsaturated source sits at ONE
+    // common level L; saturated sources are exactly at cap*n < L
+    val levels = rows.filter { case (_, n, cap, a, _) => a < cap * n }
+      .map(_._4).distinct
+    assert(levels.length == 1, s"multiple water levels: $levels")
+    val l = levels.head
+    for ((src, n, cap, a, _) <- rows if a == cap * n)
+      assert(cap * n <= l, s"saturated $src above the water level")
+  }
+
   test("dupfrac is a valid fraction and flags the planted near-dups") {
     val rows = Registry.byName("pipeline_quality_dupfrac").run(spark, dir)
       .select("dup_frac").collect().map(_.getDouble(0))
