@@ -96,6 +96,58 @@ object Graphs {
           .as("r"))
   }
 
+  /** Fixed-iteration integer HITS (Kleinberg hubs & authorities).
+    *
+    * `edges` = (src, dst, w) weighted directed graph (one row per
+    * (src, dst)). Returns (v, authority, hub), both int64 scores
+    * max-normalized to `scale` after exactly `iters` iterations from
+    * the uniform hub start h0 = scale.
+    *
+    * Update (floor divisions, max-normalization — the integer-friendly
+    * standard for HITS):
+    *   a_raw(v) = Σ_{(u,v,w)} h(u)·w ; a(v) = a_raw·scale div max(a_raw)
+    *   h_raw(u) = Σ_{(u,v,w)} a(v)·w ; h(u) = h_raw·scale div max(h_raw)
+    * Nodes without in-(out-)edges score authority (hub) 0.
+    *
+    * Scale posture: same join+aggregate shape as [[pageRank]] — scores
+    * stay node-keyed DataFrames, each half-step is one shuffle pair,
+    * the normalizer is a 1-row max aggregate broadcast back (a
+    * different scalar-handoff shape than PageRank's dangling sum:
+    * divide-by-aggregate instead of add-broadcast). Overflow bound:
+    * raw·scale < 2⁶³ requires scale²·w_max·deg_max < 2⁶³ — at
+    * scale=10⁶ multi-edge weights×degree up to ~9·10⁶ are safe; shrink
+    * `scale` beyond.
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L)
+      : (DataFrame, DataFrame) = {
+    val ew = edges.localCheckpoint(true)
+    val nodes = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+
+    def halfStep(score: DataFrame, from: String, to: String): DataFrame = {
+      val raw = ew.join(score, ew(from) === score("v"))
+        .select(col(to).as("v"), (col("r") * col("w")).as("c"))
+        .groupBy("v").agg(sum("c").as("raw"))
+      val mx = broadcast(
+        raw.agg(greatest(max("raw"), lit(1L)).as("mx")))
+      nodes.join(raw, Seq("v"), "left")
+        .crossJoin(mx)
+        .select(col("v"),
+          coalesce(expr(s"(raw * $scale) div mx"), lit(0L)).as("r"))
+    }
+
+    var h = nodes.select(col("v"), lit(scale).cast(LongType).as("r"))
+      .localCheckpoint(true)
+    var a = h
+    for (_ <- 1 to iters) {
+      a = halfStep(h, "src", "dst").localCheckpoint(true)
+      h = halfStep(a, "dst", "src").localCheckpoint(true)
+    }
+    (a, h)
+  }
+
   /** Per-node triangle participation counts via DEGREE-ORIENTED wedge
     * closure (Schank's node-iterator++: orient every undirected edge
     * from its lower-(degree, id) endpoint to the higher one, generate

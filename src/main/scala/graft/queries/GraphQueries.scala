@@ -93,6 +93,51 @@ object GraphQueries {
         .orderBy("host")
     })
 
+  /** One HITS half-step oracle block: raw sum from `from`-keyed scores
+    * `prev`, max-normalizer, normalized `out` CTE. */
+  private def hitsHalfSql(out: String, prev: String, from: String,
+      to: String): String = s"""
+      ${out}r AS (SELECT e.$to AS v, CAST(SUM(p.r * e.w) AS BIGINT) AS raw
+             FROM e JOIN $prev p ON p.v = e.$from GROUP BY 1),
+      ${out}m AS (SELECT GREATEST(MAX(raw), 1) AS mx FROM ${out}r),
+      $out AS (SELECT n.v,
+             CAST(COALESCE(raw * 1000000 // (SELECT mx FROM ${out}m), 0)
+               AS BIGINT) AS r
+             FROM n LEFT JOIN ${out}r USING (v))"""
+
+  private val hostHits = GraftQuery(
+    name = "pipeline_host_hits",
+    doc = "Integer-exact HITS hubs & authorities over the host link " +
+      "graph, 2 fixed iterations (Kleinberg; the directory-page vs " +
+      "content-page decomposition PageRank's single score conflates — " +
+      "a link farm scores high hub / low authority). Max-normalized " +
+      "int64 arithmetic (Graphs.hits: the normalizer is a 1-row max " +
+      "broadcast — a divide-by-aggregate scalar handoff, the shape " +
+      "PageRank's dangling-sum ADD doesn't cover). Oracle unrolls the " +
+      "four half-steps as identical CTE blocks.",
+    oracle = Some(s"""
+      WITH $hostEdgesSql,
+      e AS (SELECT src, dst, COUNT(*) AS w FROM e0
+            WHERE src <> dst GROUP BY 1, 2),
+      n AS (SELECT DISTINCT v FROM
+              (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+      h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM n),
+      ${hitsHalfSql("a1", "h0", "src", "dst")},
+      ${hitsHalfSql("h1", "a1", "dst", "src")},
+      ${hitsHalfSql("a2", "h1", "src", "dst")},
+      ${hitsHalfSql("h2", "a2", "dst", "src")}
+      SELECT n.v AS host, a2.r AS authority, h2.r AS hub
+      FROM n JOIN a2 ON a2.v = n.v JOIN h2 ON h2.v = n.v
+      ORDER BY host"""),
+    run = (s, dir) => {
+      val edges = hostEdges(s, dir)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val (a, h) = Graphs.hits(edges, iters = 2)
+      a.select(col("v").as("host"), col("r").as("authority"))
+        .join(h.select(col("v").as("host"), col("r").as("hub")), "host")
+        .orderBy("host")
+    })
+
   private val hostTriangles = GraftQuery(
     name = "pipeline_host_triangles",
     doc = "Per-host triangle participation counts on the symmetrized " +
@@ -123,5 +168,5 @@ object GraphQueries {
       Graphs.triangleCounts(und).orderBy("host")
     })
 
-  val all: Seq[GraftQuery] = Seq(hostPagerank, hostTriangles)
+  val all: Seq[GraftQuery] = Seq(hostPagerank, hostHits, hostTriangles)
 }

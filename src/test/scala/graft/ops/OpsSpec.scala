@@ -439,6 +439,41 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("hits equals a sequential replay of the integer recurrence") {
+    val rnd = new scala.util.Random(13)
+    // hub-shaped digraph + node 77 with only in-edges (authority-only)
+    val raw = (Seq.fill(300) {
+      val s = rnd.nextInt(60).toLong
+      val d = if (rnd.nextInt(10) < 4) 0L else rnd.nextInt(60).toLong
+      (s, d)
+    } :+ ((5L, 77L))).filter { case (a, b) => a != b }
+    val edges = raw.toDF("src", "dst")
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val (aDf, hDf) = Graphs.hits(edges.repartition(5), iters = 2)
+    val gotA = aDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotH = hDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val w = raw.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nodes = (raw.map(_._1) ++ raw.map(_._2)).distinct
+    def half(score: Map[Long, Long], fromSrc: Boolean): Map[Long, Long] = {
+      val acc = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      w.foreach { case ((s, d), wt) =>
+        if (fromSrc) acc(d) += score(s) * wt else acc(s) += score(d) * wt
+      }
+      val mx = math.max(if (acc.isEmpty) 0L else acc.values.max, 1L)
+      nodes.map(v => v -> acc(v) * 1000000L / mx).toMap
+    }
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = h
+    for (_ <- 1 to 2) {
+      a = half(h, fromSrc = true)
+      h = half(a, fromSrc = false)
+    }
+    assert(gotA == a && gotH == h && gotA.size == nodes.size)
+    assert(gotA(77L) > 0 && gotH(77L) == 0) // sink: authority-only
+  }
+
   test("degree-oriented triangle counts equal the naive triple join") {
     // seeded random graph with a heavy hub: node 0 touches ~half of
     // all edges, exactly the shape the orientation exists to survive
