@@ -228,6 +228,46 @@ object StreamingQueries {
       EventStream.streamStreamJoinDrained(s, s"$dir/events.parquet")
         .orderBy("user_id", "signup_id", "purchase_id"))
 
+  private val streamOuterJoin = GraftQuery(
+    name = "stream_outer_join",
+    doc = "STREAM-STREAM LEFT OUTER join, drained: like " +
+      "stream_stream_join, but unmatched signups null-pad — and in " +
+      "streaming they do so only on STATE EVICTION, when the global " +
+      "watermark (min of both sides) passes a_ts + 1 hour. The " +
+      "drained result therefore differs from the batch outer join by " +
+      "exactly the unmatched signups younger than (final watermark - " +
+      "1 hour), which are still buffered at drain end. The oracle " +
+      "REPLAYS that cutoff (inner matches + unmatched lefts with " +
+      "a_ts + 1h < min(max_a, max_b) - 1h) - the streaming-vs-batch " +
+      "outer-join delta pinned as a differential contract instead of " +
+      "papered over.",
+    oracle = Some("""
+      WITH a AS (SELECT user_id, event_id AS signup_id,
+                        epoch_ns(ts) // 1000 AS a_us
+                 FROM events WHERE event_type = 'signup'),
+      b AS (SELECT user_id AS b_user, event_id AS purchase_id,
+                   epoch_ns(ts) // 1000 AS b_us
+            FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT LEAST((SELECT MAX(a_us) FROM a),
+                          (SELECT MAX(b_us) FROM b))
+                    - 3600000000 AS w),
+      matched AS (SELECT user_id, signup_id, purchase_id
+                  FROM a JOIN b ON user_id = b_user
+                   AND b_us >= a_us AND b_us <= a_us + 3600000000),
+      evicted AS (SELECT user_id, signup_id,
+                         CAST(NULL AS BIGINT) AS purchase_id
+                  FROM a CROSS JOIN wm
+                  WHERE a_us + 3600000000 < w
+                    AND NOT EXISTS (SELECT 1 FROM b
+                      WHERE b_user = user_id
+                        AND b_us >= a_us AND b_us <= a_us + 3600000000))
+      SELECT user_id, signup_id, purchase_id
+      FROM (SELECT * FROM matched UNION ALL SELECT * FROM evicted)
+      ORDER BY user_id, signup_id, purchase_id NULLS FIRST"""),
+    run = (s, dir) =>
+      EventStream.streamStreamOuterDrained(s, s"$dir/events.parquet")
+        .orderBy("user_id", "signup_id", "purchase_id"))
+
   private val streamForeachBatchUpsert = GraftQuery(
     name = "stream_foreachbatch_upsert",
     doc = "Drained foreachBatch UPSERT sink: the event stream, split " +
@@ -259,5 +299,6 @@ object StreamingQueries {
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSlidingCounts,
     streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
-    streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert)
+    streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert,
+    streamOuterJoin)
 }

@@ -455,6 +455,40 @@ object EventStream {
     drainToTable(spark, joined, "graft_stream_join", OutputMode.Append())
   }
 
+  /** LEFT OUTER stream-stream join, drained. Unlike the inner variant
+    * ([[streamStreamJoinDrained]]), null-padded results for unmatched
+    * left rows are emitted ONLY on state eviction — a left row leaves
+    * state once the global watermark (min of both sides' watermarks)
+    * passes its last possible match time (a_ts + 1 hour). So the
+    * drained output is NOT the batch outer join: unmatched signups
+    * younger than (final watermark − 1 hour) are still buffered when
+    * the drain ends and never null-pad. That cutoff is predictable
+    * from the data, which is what the oracle replays — the
+    * demonstrable difference between streaming and batch outer-join
+    * semantics, pinned rather than papered over. (AvailableNow runs a
+    * final no-data commit batch, so eviction at the final watermark
+    * does fire.) */
+  def streamStreamOuterDrained(spark: SparkSession, eventsPath: String)
+      : DataFrame = {
+    val a = eventsStream(spark, eventsPath)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val b = eventsStream(spark, eventsPath)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"),
+        col("event_id").as("purchase_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+    drainToTable(spark, joined, "graft_stream_outer", OutputMode.Append())
+  }
+
   /** Minimal schema for the late-data fixture stream (written by
     * `lateDataDrained` itself with µs timestamps — no nanos rebuild). */
   private val lateEventSchema: StructType = StructType(Seq(
