@@ -29,20 +29,61 @@ object Readers {
 
   /** Parquet scan of one driver table (SURVEY §2.1 S8).
     *
-    * `events.ts` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects; we read it as a nanos long and rebuild a
-    * microsecond TimestampType with integer division (`div`, not `/` —
-    * int64 nanos overflow double precision). Floor semantics match what
-    * DuckDB's TIMESTAMP_NS → epoch_us/epoch_ms conversions produce. */
+    * `events.ts` has shipped as BOTH physical units across driver data
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts as a nanos long under [[NanosAsLongKey]], rebuilt here with
+    * integer division — `div`, not `/`, int64 nanos overflow double
+    * precision) and TIMESTAMP(MICROS) (natively a µs TimestampType, no
+    * rebuild). The unit is probed from the parquet FOOTER (the schema-only
+    * read below plans no jobs), so one binary works against either data
+    * generation — exactly the schema-drift tolerance a lake reader needs.
+    * Floor semantics of the nanos path match DuckDB's TIMESTAMP_NS →
+    * epoch_us conversions, so the two paths agree on oracle parity. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
       require(spark.conf.get(NanosAsLongKey, "false") == "true",
         s"set $NanosAsLongKey=true in the SparkSession builder " +
           "(session-level, once) before reading the events table")
-      tsFromNanos(spark.read.parquet(path))
+      normalizeTs(spark.read.parquet(path))
     } else spark.read.parquet(path)
   }
+
+  /** Normalize the events `ts` column to a session-zoned µs TimestampType
+    * whatever the file's physical unit surfaced as:
+    *   - LongType            → TIMESTAMP(NANOS) read under nanosAsLong:
+    *                           floor-divide to µs ([[tsFromNanos]]);
+    *   - TimestampNTZType    → TIMESTAMP(MICROS, isAdjustedToUTC=false):
+    *                           reinterpret as session-zone wall clock.
+    *                           Sessions here run UTC, so epoch extraction
+    *                           (unix_millis/micros) matches DuckDB's naive
+    *                           TIMESTAMP arithmetic on the same file;
+    *   - TimestampType       → already µs, pass through.
+    * Every downstream ts consumer (time dims, windows, watermarks, as-of
+    * joins) sees ONE type, so a data-generation swap can never half-break
+    * the query surface again. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => tsFromNanos(df)
+    case TimestampNTZType =>
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+    case _                => df
+  }
+
+  /** Footer-only probe of the events table's `ts` surfaced type (no jobs
+    * planned). The streaming source needs it BEFORE declaring its scan
+    * schema — a declared ts:Long over a MICROS file would silently read
+    * raw µs as "nanos" and collapse event time 1000×. Cached per path:
+    * the footer never changes under a running job. */
+  def eventsTsType(spark: SparkSession, path: String): DataType =
+    tsTypeCache.computeIfAbsent(path, { p =>
+      spark.read.parquet(p).schema.fields
+        .find(_.name == "ts").map(_.dataType)
+        .getOrElse(TimestampType)
+    })
+
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
 
   /** The ONE nanos→µs `ts` rebuild, shared by the batch reader above
     * and the streaming source (graft.streaming.EventStream) so the two

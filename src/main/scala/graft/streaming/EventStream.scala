@@ -220,10 +220,10 @@ object EventStream {
     spark.table(name)
   }
 
-  /** Schema of the driver's events.parquet as the streaming source sees
-    * it under the required nanosAsLong session config: `ts` arrives as
-    * raw int64 nanoseconds and is rebuilt into a µs TimestampType right
-    * after the scan (same floor conversion as Readers.table). */
+  /** Schema of a NANOS-generation events.parquet as the streaming source
+    * sees it under the required nanosAsLong session config: `ts` arrives
+    * as raw int64 nanoseconds and is rebuilt into a µs TimestampType
+    * right after the scan (same floor conversion as Readers.table). */
   val rawEventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -232,14 +232,21 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-stream over the driver's events table (TIMESTAMP(NANOS)
-    * parquet). Declared schema — a streaming source can never afford an
-    * inference pass, it would race the arriving files. The streaming
-    * file source only monitors DIRECTORIES; when handed a single
-    * parquet file (the driver's layout) it is exposed through a
-    * symlinked temp directory — a metadata-only operation, no data
-    * copy, and exactly how a production stream would point at a
-    * landing directory instead of one file. */
+  /** File-stream over the driver's events table. Declared schema — a
+    * streaming source can never afford an inference pass, it would race
+    * the arriving files — but WHICH declared schema depends on the
+    * file's physical `ts` unit (the driver has shipped both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across data generations), so
+    * the unit is probed once from the parquet footer via the BATCH
+    * reader (metadata-only, no job) before the stream is declared.
+    * Declaring ts:Long over a MICROS file would silently read raw µs as
+    * "nanos" and collapse event time 1000× — a unit bug no schema check
+    * catches, which is exactly why the probe keys off the footer rather
+    * than trusting a constant. The streaming file source only monitors
+    * DIRECTORIES; when handed a single parquet file (the driver's
+    * layout) it is exposed through a symlinked temp directory — a
+    * metadata-only operation, no data copy, and exactly how a production
+    * stream would point at a landing directory instead of one file. */
   def eventsStream(spark: SparkSession, eventsPath: String): DataFrame = {
     require(
       spark.conf.get(graft.sources.Readers.NanosAsLongKey, "false") == "true",
@@ -255,8 +262,14 @@ object EventStream {
           d.resolve(p.getFileName), p.toAbsolutePath)
         d.toString
       })
-    graft.sources.Readers.tsFromNanos(
-      spark.readStream.schema(rawEventSchema).parquet(dir))
+    val declared = graft.sources.Readers.eventsTsType(spark, eventsPath) match {
+      case LongType         => rawEventSchema
+      case TimestampNTZType => StructType(eventSchema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+      case _                => eventSchema
+    }
+    graft.sources.Readers.normalizeTs(
+      spark.readStream.schema(declared).parquet(dir))
   }
 
   /** One symlink dir per source file for the JVM's lifetime — repeated
