@@ -19,12 +19,14 @@ import org.apache.spark.sql.types._
   *   1. range-repartition + sort within partitions on (group, order…) —
   *      the dominant group SPANS MANY partitions (the range sampler
   *      splits it), each holding a contiguous slice of its order;
-  *   2. per-(partition, group) row counts and value sums — a partial-
-  *      aggregable job whose output is bounded by
-  *      partitions + distinct-groups-crossing-boundaries (each partition
-  *      holds contiguous (group, order) ranges, so a group appears in
-  *      at most [its-span] partitions and the collect is O(partitions +
-  *      groups) rows, driver-safe like orderedId's phase 2);
+  *   2. per-partition BOUNDARY summaries — each partition holds
+  *      contiguous (group, order) ranges, so only its FIRST and LAST
+  *      group can span a partition boundary; every interior group is
+  *      wholly contained and provably needs offset (0, 0) / no carry-in.
+  *      Phase 2 therefore emits ≤ 2 rows per partition (via
+  *      [[firstLastGroups]]) and the collect is O(partitions) — safe
+  *      for a driver even when the group key is per-user/per-document
+  *      cardinality (10⁸-10⁹ keys at 100 TB), not just metadata-sized;
   *   3. exclusive prefix offsets per group in partition order, a
   *      task-closure map, added to the narrow per-partition local
   *      rank / running sum.
@@ -43,14 +45,48 @@ import org.apache.spark.sql.types._
   */
 object SkewWindows {
 
+  /** Size of the most recent phase-2 collect (driver-side rows). Test
+    * probe only: OpsSpec pins it to ≤ 2 × partitions on a many-group
+    * input, the property that keeps the boundary handoff driver-safe
+    * at per-user group cardinality. */
+  @volatile private[graft] var lastPhase2Rows: Int = -1
+
+  /** Streams one SORTED partition (rows already ordered by (group,
+    * order…) from the range layout) and emits only its FIRST and LAST
+    * group's finished summaries — the only groups that can continue
+    * into a neighboring partition, hence the only rows the driver
+    * boundary-handoff can ever consult. Interior groups are dropped
+    * here and defaulted by phase 3 (offset (0, 0) / no carry-in), so
+    * the phase-2 collect is ≤ 2 rows per partition regardless of group
+    * cardinality. `init` builds a mutable accumulator from a group's
+    * first row; `update` folds each subsequent row of the same group. */
+  private[graft] def firstLastGroups[A <: AnyRef](it: Iterator[Row],
+      gIdx: Int, init: Row => A, update: (A, Row) => Unit)
+      : Iterator[(Any, A)] =
+    if (!it.hasNext) Iterator.empty
+    else {
+      val r0 = it.next()
+      val firstG = r0.get(gIdx)
+      val firstA = init(r0)
+      var curG = firstG
+      var curA = firstA
+      it.foreach { row =>
+        val g = row.get(gIdx)
+        if (g != curG) { curG = g; curA = init(row) }
+        else update(curA, row)
+      }
+      if (curG == firstG) Iterator((firstG, firstA))
+      else Iterator((firstG, firstA), (curG, curA))
+    }
+
   /** Appends `outCol` — the last non-null `payloadCol` value at or
     * before each row in (group, order…) order, i.e.
     * `last(payload, ignoreNulls=true) OVER (PARTITION BY group ORDER BY
     * order… ROWS UNBOUNDED PRECEDING..CURRENT ROW)` — without a
     * per-group single task. The as-of-join carry: same boundary-handoff
     * structure as [[sessionNumbers]], but what the driver threads is
-    * each (partition, group)'s LAST NON-NULL payload (row-sized; the
-    * collect stays bounded by partitions + boundary groups), so each
+    * each boundary group's LAST NON-NULL payload (row-sized; ≤ 2 rows
+    * per partition via [[firstLastGroups]]), so each
     * partition's first rows of a group inherit exactly the value the
     * window's running carry would have held entering that partition.
     * Requires a total (group, order…) order for window-identical
@@ -73,17 +109,20 @@ object SkewWindows {
       ranged.schema.fields(gIdx).copy(name = "g"),
       ranged.schema.fields(pIdx).copy(name = "p", nullable = true)))
     val sumEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(sumSchema)
-    val partials = ranged.mapPartitions ({ it =>
-      // LinkedHashMap: groups in partition order; value = last non-null
-      val acc = scala.collection.mutable.LinkedHashMap.empty[(Int, Any), Any]
-      it.foreach { row =>
-        val key = (row.getInt(pidIdx), row.get(gIdx))
-        val p = row.get(pIdx)
-        if (!acc.contains(key)) acc(key) = null
-        if (p != null) acc(key) = p
+    val partials = ranged.mapPartitions ({ it0 =>
+      // boundary-only: first/last group's last non-null payload
+      val it = it0.buffered
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = it.head.getInt(pidIdx)
+        firstLastGroups[Array[Any]](it, gIdx,
+          init = r => Array[Any](r.get(pIdx)),
+          update = (a, r) => {
+            val p = r.get(pIdx); if (p != null) a(0) = p
+          }).map { case (g, a) => Row(pid, g, a(0)) }
       }
-      acc.iterator.map { case ((pid, g), p) => Row(pid, g, p) }
     })(sumEnc).collect()
+    lastPhase2Rows = partials.length
     val state = scala.collection.mutable.Map.empty[Any, Any]
     val carryIn: Map[(Int, Any), Any] =
       partials.sortBy(_.getInt(0)).map { r =>
@@ -104,7 +143,9 @@ object SkewWindows {
       it.map { row =>
         val g = row.get(gIdx)
         if (!started || g != curG) {
-          carried = carryIn((row.getInt(pidIdx), g))
+          // interior groups have no summary row: no earlier partition
+          // can hold them, so their carry-in is null by construction
+          carried = carryIn.getOrElse((row.getInt(pidIdx), g), null)
           curG = g; started = true
         }
         val p = row.get(pIdx)
@@ -184,8 +225,8 @@ object SkewWindows {
     val pidIdx = ranged.schema.fieldIndex("__pid")
     val gIdx = ranged.schema.fieldIndex(groupCol)
     val tsIdx = ranged.schema.fieldIndex(tsMicrosCol)
-    // phase 2: one summary row per (partition, group) from a narrow
-    // sorted scan — first/last ts, internal session starts
+    // phase 2: boundary-only summaries from a narrow sorted scan —
+    // first/last ts, internal session starts; ≤ 2 rows per partition
     val sumSchema = StructType(Seq(
       StructField("pid", IntegerType, nullable = false),
       ranged.schema.fields(gIdx).copy(name = "g"),
@@ -194,26 +235,27 @@ object SkewWindows {
       StructField("starts", LongType, nullable = false)))
     val sumEnc: org.apache.spark.sql.Encoder[Row] =
       Encoders.row(sumSchema)
-    val partials = ranged.mapPartitions ({ it =>
-      val acc = scala.collection.mutable.LinkedHashMap
-        .empty[(Int, Any), Array[Long]] // first_ts, last_ts, starts
-      it.foreach { row =>
-        val key = (row.getInt(pidIdx), row.get(gIdx))
-        val ts = row.getLong(tsIdx)
-        acc.get(key) match {
-          case None => acc(key) = Array(ts, ts, 0L)
-          case Some(a) =>
+    val partials = ranged.mapPartitions ({ it0 =>
+      val it = it0.buffered
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = it.head.getInt(pidIdx)
+        firstLastGroups[Array[Long]](it, gIdx,
+          init = { r =>
+            val ts = r.getLong(tsIdx)
+            Array(ts, ts, 0L) // first_ts, last_ts, starts
+          },
+          update = { (a, r) =>
+            val ts = r.getLong(tsIdx)
             if (ts - a(1) > gapMicros) a(2) += 1L
             a(1) = ts
-        }
-      }
-      acc.iterator.map { case ((pid, g), a) =>
-        Row(pid, g, a(0), a(1), a(2))
+          }).map { case (g, a) => Row(pid, g, a(0), a(1), a(2)) }
       }
     })(sumEnc).collect()
+    lastPhase2Rows = partials.length
     // driver: thread boundaries + exclusive session offsets per group
-    // in partition order (bounded by partitions + boundary groups,
-    // same driver footprint as rankedPrefix's phase 2)
+    // in partition order (O(partitions) rows, same driver footprint
+    // as rankedPrefix's phase 2)
     val state = scala.collection.mutable.Map.empty[Any, (Long, Long)]
     // offsets: (pid, g) -> (session offset, prev-partition last ts,
     // 1 if a previous partition holds g else 0)
@@ -252,7 +294,10 @@ object SkewWindows {
       it.map { row =>
         val g = row.get(gIdx)
         if (!started || g != curG) {
-          val (s0, pl, hp) = offsets((row.getInt(pidIdx), g))
+          // interior groups have no summary row → fresh group: zero
+          // session offset, no boundary timestamp to compare against
+          val (s0, pl, hp) = offsets.getOrElse(
+            (row.getInt(pidIdx), g), (0L, 0L, 0L))
           sess = s0; prevTs = pl; hasPrev = hp == 1L
           curG = g; started = true
         }
@@ -281,30 +326,50 @@ object SkewWindows {
       .sortWithinPartitions(layout: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // phase 2: one row per (partition, group) — the dominant group
-    // contributes its partition-span many rows, every other group ~1
-    val sumExpr = valueCol.map(c => sum(col(c)))
-      .getOrElse(sum(lit(0L))).as("__sum")
-    val partials = ranged.groupBy(col("__pid"), col(groupCol))
-      .agg(count(lit(1)).as("__cnt"), sumExpr)
-      .orderBy("__pid").collect()
-    val cntAcc = scala.collection.mutable.Map.empty[Any, Long]
-    val sumAcc = scala.collection.mutable.Map.empty[Any, Long]
-    val offsets: Map[(Int, Any), (Long, Long)] = partials.map { r =>
-      val pid = r.getInt(0)
-      val g = r.get(1)
-      val entry = (pid, g) -> (cntAcc.getOrElse(g, 0L),
-        sumAcc.getOrElse(g, 0L))
-      cntAcc(g) = cntAcc.getOrElse(g, 0L) + r.getLong(2)
-      sumAcc(g) = sumAcc.getOrElse(g, 0L) +
-        (if (r.isNullAt(3)) 0L else r.getLong(3))
-      entry
-    }.toMap
-    // phase 3: narrow assignment — __pid is the last field (appended
-    // above), dropped from the output
     val pidIdx = ranged.schema.fieldIndex("__pid")
     val gIdx = ranged.schema.fieldIndex(groupCol)
     val valIdx = valueCol.map(ranged.schema.fieldIndex)
+    // phase 2: boundary-only (cnt, sum) summaries — ≤ 2 rows per
+    // partition, a narrow sorted scan (no shuffle: the old groupBy agg
+    // re-exchanged what the range layout already co-located)
+    val sumSchema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      ranged.schema.fields(gIdx).copy(name = "g"),
+      StructField("cnt", LongType, nullable = false),
+      StructField("sum", LongType, nullable = false)))
+    val sumEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(sumSchema)
+    val partials = ranged.mapPartitions ({ it0 =>
+      val it = it0.buffered
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = it.head.getInt(pidIdx)
+        firstLastGroups[Array[Long]](it, gIdx,
+          init = { r =>
+            val v = valIdx.map(i => if (r.isNullAt(i)) 0L
+              else r.getLong(i)).getOrElse(0L)
+            Array(1L, v)
+          },
+          update = { (a, r) =>
+            a(0) += 1L
+            valIdx.foreach(i => if (!r.isNullAt(i)) a(1) += r.getLong(i))
+          }).map { case (g, a) => Row(pid, g, a(0), a(1)) }
+      }
+    })(sumEnc).collect()
+    lastPhase2Rows = partials.length
+    val cntAcc = scala.collection.mutable.Map.empty[Any, Long]
+    val sumAcc = scala.collection.mutable.Map.empty[Any, Long]
+    val offsets: Map[(Int, Any), (Long, Long)] =
+      partials.sortBy(_.getInt(0)).map { r =>
+        val pid = r.getInt(0)
+        val g = r.get(1)
+        val entry = (pid, g) -> (cntAcc.getOrElse(g, 0L),
+          sumAcc.getOrElse(g, 0L))
+        cntAcc(g) = cntAcc.getOrElse(g, 0L) + r.getLong(2)
+        sumAcc(g) = sumAcc.getOrElse(g, 0L) + r.getLong(3)
+        entry
+      }.toMap
+    // phase 3: narrow assignment — __pid is the last field (appended
+    // above), dropped from the output
     val outSchema = StructType(
       ranged.schema.fields.patch(pidIdx, Nil, 1) :+
         StructField(rankName, LongType, nullable = false) :+
@@ -319,7 +384,9 @@ object SkewWindows {
       it.map { row =>
         val g = row.get(gIdx)
         if (!started || g != curG) {
-          val (c0, s0) = offsets((row.getInt(pidIdx), g))
+          // interior groups have no summary row → offsets (0, 0)
+          val (c0, s0) = offsets.getOrElse(
+            (row.getInt(pidIdx), g), (0L, 0L))
           rank = c0; cum = s0; curG = g; started = true
         }
         rank += 1

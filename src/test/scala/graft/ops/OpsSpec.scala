@@ -392,6 +392,94 @@ class OpsSpec extends AnyFunSuite {
       s"single-partition exchange:\n$p")
   }
 
+  test("SkewWindows phase-2 collect is O(partitions), not O(groups)") {
+    import org.apache.spark.sql.expressions.Window
+    // 20k rows over 5,000 distinct groups — per-user cardinality, the
+    // shape the round-10 verdict flagged: the old per-(partition,
+    // group) summary would collect ~5,000 rows here; boundary-only
+    // must stay ≤ 2 per partition. Each function must ALSO still
+    // equal its window form (interior groups default to zero-offset).
+    val df = spark.range(20000).select(
+      col("id"),
+      (col("id") % 5000).as("g"),
+      (col("id") % 7).as("v"),
+      (col("id") * 600000000L).as("us"),
+      when(col("id") % 3 === 0, col("id"))
+        .otherwise(lit(null)).as("p"))
+    def maxPhase2(out: org.apache.spark.sql.DataFrame): Int = {
+      val parts = out.rdd.getNumPartitions
+      assert(SkewWindows.lastPhase2Rows >= 0)
+      assert(SkewWindows.lastPhase2Rows <= 2 * parts,
+        s"phase-2 collected ${SkewWindows.lastPhase2Rows} rows for " +
+          s"$parts partitions — O(groups), not O(partitions)")
+      parts
+    }
+    // rankedPrefix
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expRk = df.withColumn("rk", row_number()
+        .over(Window.partitionBy("g").orderBy("id")).cast(LongType))
+      .withColumn("cum", sum(col("v")).over(w))
+      .select("id", "rk", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gotRkDf = SkewWindows
+      .rankedPrefix(df, "g", Seq(col("id")), Some("v"), "rk", "cum")
+    maxPhase2(gotRkDf)
+    val gotRk = gotRkDf.select("id", "rk", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotRk == expRk && gotRk.size == 20000)
+    // sessionNumbers (every 13th event jumps past the gap)
+    val dfS = df.withColumn("us",
+      col("us") + when(col("id") % 13 === 0, 7200000000L).otherwise(0L))
+    val wS = Window.partitionBy("g").orderBy(col("us"), col("id"))
+    val wRun = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expSe = dfS.withColumn("prev", lag(col("us"), 1).over(wS))
+      .withColumn("ns",
+        when(col("us") - col("prev") <= 1800000000L, 0L).otherwise(1L))
+      .withColumn("sess", sum(col("ns")).over(wRun))
+      .select("id", "sess").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotSeDf = SkewWindows.sessionNumbers(dfS, "g", "us",
+      Seq(col("us"), col("id")), 1800000000L, "sess")
+    maxPhase2(gotSeDf)
+    val gotSe = gotSeDf.select("id", "sess").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSe == expSe && gotSe.size == 20000)
+    // carryForward
+    val expCf = df.withColumn("c",
+        last(col("p"), ignoreNulls = true).over(w))
+      .select("id", "c").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val gotCfDf = SkewWindows.carryForward(df, "g", Seq(col("id")), "p", "c")
+    maxPhase2(gotCfDf)
+    val gotCf = gotCfDf.select("id", "c").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(gotCf == expCf && gotCf.size == 20000)
+  }
+
+  test("firstLastGroups emits exactly the boundary summaries") {
+    import org.apache.spark.sql.Row
+    // 300 sorted rows over 100 groups in one "partition": only the
+    // first and last group may escape, everything interior is dropped
+    val rows = (0 until 300).map(i => Row(i / 3, i.toLong)).iterator
+    val out = SkewWindows.firstLastGroups[Array[Long]](rows, 0,
+      init = r => Array(r.getLong(1)),
+      update = (a, r) => a(0) += r.getLong(1)).toList
+    assert(out.map(_._1) == List(0, 99))
+    assert(out.head._2(0) == 0L + 1 + 2)       // group 0: rows 0,1,2
+    assert(out.last._2(0) == 297L + 298 + 299) // group 99
+    // single-group partition: one summary, fully folded
+    val one = SkewWindows.firstLastGroups[Array[Long]](
+      (0 until 5).map(i => Row(7, i.toLong)).iterator, 0,
+      init = r => Array(r.getLong(1)),
+      update = (a, r) => a(0) += r.getLong(1)).toList
+    assert(one.map(_._1) == List(7) && one.head._2(0) == 10L)
+    assert(SkewWindows.firstLastGroups[Array[Long]](Iterator.empty, 0,
+      r => Array(0L), (a, r) => ()).isEmpty)
+  }
+
   // ---------------- Graphs ----------------
 
   test("pageRank equals a sequential replay of the integer recurrence") {
