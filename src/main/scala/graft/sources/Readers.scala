@@ -65,6 +65,17 @@ object Readers {
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType         => tsFromNanos(df)
     case TimestampNTZType =>
+      // The NTZ→TimestampType cast reinterprets wall-clock in the SESSION
+      // timezone; only under UTC do both data generations agree on epoch
+      // values (and match DuckDB's naive TIMESTAMP arithmetic). Enforced
+      // here because the method is public — a non-UTC caller would get a
+      // silent event-time shift, not an error, without this.
+      require(
+        df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+        "normalizeTs requires spark.sql.session.timeZone=UTC (set in the " +
+          "SparkSession builder, like Bench/Verify/TestSpark do): the " +
+          "TIMESTAMP_NTZ branch reinterprets wall-clock in the session " +
+          "zone, so a non-UTC session would shift epoch values")
       df.withColumn("ts",
         org.apache.spark.sql.functions.col("ts").cast(TimestampType))
     case _                => df
@@ -73,14 +84,34 @@ object Readers {
   /** Footer-only probe of the events table's `ts` surfaced type (no jobs
     * planned). The streaming source needs it BEFORE declaring its scan
     * schema — a declared ts:Long over a MICROS file would silently read
-    * raw µs as "nanos" and collapse event time 1000×. Cached per path:
-    * the footer never changes under a running job. */
+    * raw µs as "nanos" and collapse event time 1000×.
+    *
+    * Which type a MICROS file SURFACES as depends on
+    * `spark.sql.parquet.inferTimestampNTZ.enabled` (default on:
+    * isAdjustedToUTC=false → TimestampNTZType; disabled → TimestampType).
+    * Both branches normalize to the same µs TimestampType under the
+    * required UTC session ([[normalizeTs]]), so the config only changes
+    * WHICH branch runs, never the values.
+    *
+    * Cached on the resolved absolute path + file size + mtime — the raw
+    * path string alone would go stale if a fixture rewrites the same
+    * path with the other data generation, or alias a file reached via
+    * both relative and absolute spellings. Non-local/unstat-able paths
+    * fall back to the path string (object-store URIs don't get rewritten
+    * in place mid-JVM). */
   def eventsTsType(spark: SparkSession, path: String): DataType =
-    tsTypeCache.computeIfAbsent(path, { p =>
-      spark.read.parquet(p).schema.fields
+    tsTypeCache.computeIfAbsent(tsCacheKey(path), { _ =>
+      spark.read.parquet(path).schema.fields
         .find(_.name == "ts").map(_.dataType)
         .getOrElse(TimestampType)
     })
+
+  private def tsCacheKey(path: String): String =
+    try {
+      val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val f = p.toFile
+      if (f.exists) s"$p@${f.length}:${f.lastModified}" else path
+    } catch { case _: Exception => path }
 
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
