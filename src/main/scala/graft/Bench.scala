@@ -41,27 +41,15 @@ object Bench {
     // queries (substring match); unset (the driver's case) = everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    // composed bench rows that are whole jobs, not Registry queries:
-    // etl_sparkify_full times SparkifyJob.run end-to-end (all five
-    // tables from bench-scale JSON, shared log prefix persisted once,
-    // parquet sinks included) so the §3.2 lineage-reuse claim has a
-    // measured number. Pass 1 pays the cached input synthesis
-    // (TempDirs); min-of-2 reports the job itself.
-    val composedEntries: Map[String, () => Unit] = Map(
-      "etl_sparkify_full" -> { () =>
-        val (songPath, logPath) =
-          graft.etl.SparkifyBenchInput.prepare(spark, sfDir)
-        val out = java.nio.file.Files.createTempDirectory("graft_sparkify_out")
-        try graft.etl.SparkifyJob.run(spark, songPath, logPath,
-          Some(out.toString))
-        finally {
-          java.nio.file.Files.walk(out)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-      })
+    // etl_sparkify_full is a regular Registry query now (EtlJobQueries):
+    // its run() executes SparkifyJob end-to-end — five parquet sinks,
+    // shared log prefix persisted once — then reads the sinks back into
+    // the canonical (tbl, rowstr) frame, so the timed row measures the
+    // whole job plus read-back and the SAME name is oracle-checked in
+    // CORRECTNESS. Pass 1 pays the cached input synthesis (TempDirs);
+    // min-of-2 reports the job itself.
     def selected: Seq[String] = {
-      val names = (Registry.all.map(_.name) ++ composedEntries.keys).sorted
+      val names = Registry.all.map(_.name).sorted
       only.fold(names)(pats => names.filter(n => pats.exists(n.contains)))
     }
     // Timing executes the query's OWN physical plan via toRdd.count():
@@ -76,11 +64,8 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try {
-            composedEntries.get(name) match {
-              case Some(job) => job()
-              case None => Registry.byName(name).run(spark, sfDir)
-                .queryExecution.toRdd.count()
-            }
+            Registry.byName(name).run(spark, sfDir)
+              .queryExecution.toRdd.count()
             true
           }
           catch { case e: Throwable =>

@@ -29,6 +29,7 @@ object Registry {
     * then beyond-reference analytics, then LLM-pipeline extensions. */
   lazy val all: Seq[GraftQuery] =
     graft.queries.ParityQueries.all ++
+    graft.queries.EtlJobQueries.all ++
     graft.queries.LakeQueries.all ++
     graft.queries.ExtendedQueries.all ++
     graft.queries.ScalarQueries.all ++
