@@ -599,18 +599,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("quality classifier inference is narrow: no shuffle before the " +
-      "output sort, no explode") {
+  test("quality classifier inference is narrow: range exchanges only, " +
+      "no explode, no single-task stage") {
     // the hashed linear model must stay inside per-row higher-order
-    // functions — a Generate (explode) or an aggregation exchange here
-    // means token rows started moving, which is the difference between
-    // an embarrassingly parallel scoring pass and a shuffle of the
-    // whole corpus at 100 TB
+    // functions — a Generate (explode) in the INFERENCE plan means
+    // token rows started moving, which is the difference between an
+    // embarrassingly parallel scoring pass and a shuffle of the whole
+    // corpus at 100 TB. (Training DOES explode tokens, but eagerly in
+    // its own 4096-key aggregation jobs before this plan exists — the
+    // learned table enters here as one ArrayData literal.) The two
+    // legal exchanges are both RANGE partitionings: the calibration
+    // rank's orderedId layout and the final output sort; a
+    // SinglePartition exchange (global window) or a doc_id-keyed
+    // aggregation would be the scale-killers this pin guards against.
     val p = plan("pipeline_quality_classifier")
     assert(!p.contains("Generate"), s"tokens exploded into rows:\n$p")
     val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges == 1, // the final orderBy's range exchange only
-      s"expected only the sort exchange, got $exchanges:\n$p")
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(exchanges == rangeEx && exchanges <= 2,
+      s"expected <=2 range exchanges (rank layout + sort), got " +
+        s"$exchanges total / $rangeEx range:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange:\n$p")
+    assert(!p.contains("Window ["), s"global window operator:\n$p")
     assert(!p.contains("HashAggregate") || // any agg must not be grouped
       !p.contains("Keys: [doc_id"), s"per-doc aggregation shuffle:\n$p")
   }
