@@ -348,31 +348,33 @@ object EventStream {
       StructField("n_events", LongType)))
     val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     def versionDir(b: Long) = s"$target/v$b"
-    val q = spark.readStream.schema(landingSchema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        nBatches.incrementAndGet()
-        val agg = batch.groupBy("user_id").agg(
-          max(struct(col("ts_us"), col("event_id"), col("value")))
-            .as("latest"),
-          count(lit(1)).as("n_events"))
-        val existing =
-          if (batchId > 0 && java.nio.file.Files.exists(
-              java.nio.file.Paths.get(versionDir(batchId - 1), "_SUCCESS")))
-            spark.read.parquet(versionDir(batchId - 1))
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            mergedSchema)
-        existing.unionByName(agg)
-          .groupBy("user_id")
-          .agg(max(col("latest")).as("latest"),
-            sum(col("n_events")).as("n_events"))
-          .write.mode(SaveMode.Overwrite).parquet(versionDir(batchId))
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = spark.readStream.schema(landingSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          nBatches.incrementAndGet()
+          val agg = batch.groupBy("user_id").agg(
+            max(struct(col("ts_us"), col("event_id"), col("value")))
+              .as("latest"),
+            count(lit(1)).as("n_events"))
+          val existing =
+            if (batchId > 0 && java.nio.file.Files.exists(
+                java.nio.file.Paths.get(versionDir(batchId - 1), "_SUCCESS")))
+              spark.read.parquet(versionDir(batchId - 1))
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              mergedSchema)
+          existing.unionByName(agg)
+            .groupBy("user_id")
+            .agg(max(col("latest")).as("latest"),
+              sum(col("n_events")).as("n_events"))
+            .write.mode(SaveMode.Overwrite).parquet(versionDir(batchId))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val last = {
       import scala.jdk.CollectionConverters._
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(target))
@@ -402,6 +404,32 @@ object EventStream {
 
   private val drainId = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** State-partition count for the drained runs. Streaming state cost
+    * scales with the SHUFFLE PARTITION count, not the data: every
+    * stateful operator keeps one state store per partition per operator
+    * (a stream-stream join keeps FOUR), each paying checkpoint files
+    * and snapshot/commit work per micro-batch — with the session's
+    * CPU-count partitions (32 on the bench) a drained join burns ~250
+    * store instances of fixed cost to shuffle a few thousand rows.
+    * Sizing state partitions to STATE VOLUME, not core count, is the
+    * standard production knob (it is pinned into the checkpoint at
+    * first run and must be chosen deliberately); the drains set it
+    * session-locally for the duration of each run. At real 100 TB
+    * state this number is sized UP the same way — the point is that it
+    * is sized, not inherited. */
+  private val StatePartitions = 4
+
+  /** Temporarily pins spark.sql.shuffle.partitions for a drained run
+    * (the value is read at stream-plan time). Callers are sequential
+    * (bench / verify / forked test JVM run one query at a time), so
+    * the session-level flip cannot race another planning thread. */
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StatePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming frame to a fresh memory-sink table with
     * Trigger.AvailableNow and return it. After the new drain SUCCEEDS,
     * the previous drain's table for the same prefix is dropped: a
@@ -416,11 +444,13 @@ object EventStream {
   private def drainToTable(spark: SparkSession, df: DataFrame,
       prefix: String, mode: OutputMode): DataFrame = {
     val name = s"${prefix}_${drainId.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = spark.table(name)
     Option(lastDrain.put(prefix, name))
       .filter(_ != name)
@@ -552,12 +582,14 @@ object EventStream {
             .as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("event_type"), col("n"), col("sum_value"))
-      val q = agg.writeStream.outputMode(OutputMode.Append())
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", cpDir)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(spark) {
+        val q = agg.writeStream.outputMode(OutputMode.Append())
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", cpDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     events.filter(unix_micros(col("ts")) >= cutUs)
       .write.mode("append").parquet(srcDir)
