@@ -80,14 +80,17 @@ object HashedLinear {
     when(lit(100) * nStop >= lit(6) * size(toks), 1L).otherwise(-1L)
   }
 
-  /** Closed-form training: one aggregation pass over the corpus,
-    * returns the bucket→weight table. EAGER (one Spark job): the
-    * weights must be in hand before the caller bakes them into the
-    * inference literal. */
-  def trainRateDiff(docs: DataFrame, textCol: String): Array[Long] = {
-    val counts = docs
-      .select(labelCol(textCol).as("__y"),
-        explode(expr(bucketsExprSql(textCol))).as("__b"))
+  /** Closed-form training: one aggregation pass over a PREP frame that
+    * already carries the ±1 label (`yCol`) and bucket array (`bkCol`) —
+    * the caller computes (and persists) that frame once so training,
+    * calibration and inference share a single tokenization pass instead
+    * of re-hashing the corpus per stage. Returns the bucket→weight
+    * table. EAGER (one Spark job): the weights must be in hand before
+    * the caller bakes them into the inference literal. */
+  def trainRateDiff(prep: DataFrame, yCol: String,
+      bkCol: String): Array[Long] = {
+    val counts = prep
+      .select(col(yCol).as("__y"), explode(col(bkCol)).as("__b"))
       .groupBy("__b")
       .agg(sum(when(col("__y") === 1L, 1L).otherwise(0L)).as("__pc"),
         sum(when(col("__y") === -1L, 1L).otherwise(0L)).as("__nc"))

@@ -3292,16 +3292,21 @@ object PipelineQueries {
       FROM rk, np ORDER BY rk.doc_id"""),
     run = (s, dir) => {
       import graft.ops.{HashedLinear, Ids}
-      val docs = table(s, dir, "documents")
-      val w = HashedLinear.trainRateDiff(docs, "text")
-      val nPos = docs.agg(sum(when(
-          HashedLinear.labelCol("text") === 1L, 1L).otherwise(0L)))
-        .first().getLong(0)
-      val scored = docs.select(col("doc_id"),
+      // tokenize/hash ONCE: training, calibration count and inference
+      // all read this persisted prep (one pass over text instead of
+      // three-plus; at lake scale this is the standard
+      // materialize-features-before-training trade, spill-safe)
+      val prep = table(s, dir, "documents")
+        .select(col("doc_id"),
           HashedLinear.labelCol("text").as("label"),
-          HashedLinear.scoreColumn(
-            expr(HashedLinear.bucketsExprSql("text")), w).as("__raw"),
+          expr(HashedLinear.bucketsExprSql("text")).as("__bk"),
           size(split(col("text"), " ")).cast(LongType).as("__ntok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = HashedLinear.trainRateDiff(prep, "label", "__bk")
+      val nPos = prep.agg(sum(when(col("label") === 1L, 1L).otherwise(0L)))
+        .first().getLong(0)
+      val scored = prep
+        .withColumn("__raw", HashedLinear.scoreColumn(col("__bk"), w))
         .select(col("doc_id"), col("label"),
           expr("(__raw * 1000) div __ntok").as("score"))
       Ids.orderedId(scored,
