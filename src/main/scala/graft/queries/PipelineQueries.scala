@@ -2121,6 +2121,105 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     })
 
+  /** Coreset size for [[diverseCoreset]]. Kept small so the oracle's
+    * unrolled round CTEs stay readable; the algorithm is k-generic. */
+  private val CoresetK = 4
+
+  private val diverseCoreset = GraftQuery(
+    name = "pipeline_diverse_coreset",
+    doc = "Diversity-maximizing coreset selection via greedy k-center " +
+      s"(Gonzalez): seed with the lowest vec_id, then $CoresetK-1 " +
+      "rounds of pick-the-point-farthest-from-its-nearest-selected - " +
+      "the data-curation primitive for maximally-diverse exemplar " +
+      "subsets (dedup's complement: keep the SPREAD, not drop the " +
+      "copies; 2-approximation of the optimal k-center cover). " +
+      "Arithmetic is exact end-to-end: int8-quantized vectors " +
+      "(KMeans.quantize's floor(x*127)), squared L2 via the dot " +
+      "identity saa - 2ab + sbb in integers (magnitudes <= 64*254^2, " +
+      "double-exact too, so DuckDB's list_dot_product replays " +
+      "bit-for-bit), argmax tie-broken on lowest vec_id. Each round " +
+      "is ONE narrow pass: the min-distance column updates against " +
+      "the single newly-selected vector (broadcast as a literal) and " +
+      "a partial-aggregable max(struct) carries the winner AND its " +
+      "vector out, so a round costs one map + one tiny agg - k scans " +
+      "total, the standard greedy k-center cost; at huge k you shard " +
+      "via pipeline_kmeans_train cells first. Output: (round, vec_id, " +
+      "sep) where sep is the selected point's squared distance to the " +
+      "prior set - the coverage-radius curve quality teams monitor.",
+    oracle = Some("""
+      WITH d AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS DOUBLE)) AS dv
+           FROM embeddings),
+      e AS (SELECT vec_id, dv,
+              CAST(list_dot_product(dv, dv) AS BIGINT) AS saa FROM d),
+      c1 AS (SELECT vec_id, dv, saa FROM e ORDER BY vec_id LIMIT 1),
+      m1 AS (SELECT p.vec_id, p.dv, p.saa,
+               CAST(p.saa - 2 * list_dot_product(p.dv, c.dv) + c.saa
+                 AS BIGINT) AS md
+             FROM e p, c1 c),
+      c2 AS (SELECT vec_id, dv, saa, md FROM m1
+             WHERE vec_id NOT IN (SELECT vec_id FROM c1)
+             ORDER BY md DESC, vec_id LIMIT 1),
+      m2 AS (SELECT p.vec_id, p.dv, p.saa,
+               LEAST(p.md, CAST(p.saa - 2 * list_dot_product(p.dv, c.dv)
+                 + c.saa AS BIGINT)) AS md
+             FROM m1 p, c2 c),
+      c3 AS (SELECT vec_id, dv, saa, md FROM m2
+             WHERE vec_id NOT IN (SELECT vec_id FROM c1
+                                  UNION SELECT vec_id FROM c2)
+             ORDER BY md DESC, vec_id LIMIT 1),
+      m3 AS (SELECT p.vec_id, p.dv, p.saa,
+               LEAST(p.md, CAST(p.saa - 2 * list_dot_product(p.dv, c.dv)
+                 + c.saa AS BIGINT)) AS md
+             FROM m2 p, c3 c),
+      c4 AS (SELECT vec_id, md FROM m3
+             WHERE vec_id NOT IN (SELECT vec_id FROM c1
+                                  UNION SELECT vec_id FROM c2
+                                  UNION SELECT vec_id FROM c3)
+             ORDER BY md DESC, vec_id LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS round, vec_id, CAST(0 AS BIGINT) AS sep
+        FROM c1
+      UNION ALL SELECT CAST(2 AS BIGINT), vec_id, md FROM c2
+      UNION ALL SELECT CAST(3 AS BIGINT), vec_id, md FROM c3
+      UNION ALL SELECT CAST(4 AS BIGINT), vec_id, md FROM c4
+      ORDER BY round"""),
+    run = (s, dir) => {
+      val prep = table(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * 127).cast(LongType)).as("qv"))
+        .withColumn("saa", aggregate(zip_with(col("qv"), col("qv"),
+          (a, b) => a * b), lit(0L), (acc, v) => acc + v))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // squared L2 to ONE selected vector via the dot identity - the
+      // center rides into the plan as a literal, nothing shuffles
+      def distTo(sv: Seq[Long], sSaa: Long): Column =
+        col("saa") - lit(2L) * aggregate(zip_with(col("qv"), typedlit(sv),
+          (a, b) => a * b), lit(0L), (acc, v) => acc + v) + lit(sSaa)
+      val seed = prep.orderBy("vec_id").head()
+      var selVec = seed.getSeq[Long](1)
+      var selSaa = seed.getLong(2)
+      val picked = scala.collection.mutable.ArrayBuffer(
+        (1L, seed.getLong(0), 0L))
+      var cur = prep.withColumn("md", distTo(selVec, selSaa))
+      for (r <- 2 to CoresetK) {
+        val ids = picked.map(_._2).toSeq
+        // max(struct) is partial-aggregable and carries the winning
+        // vector out with the argmax - one job per round, no lookup
+        val top = cur.filter(!col("vec_id").isInCollection(ids))
+          .agg(max(struct(col("md"), (-col("vec_id")).as("ni"),
+            col("vec_id"), col("qv"), col("saa"))).as("m"))
+          .select(col("m.md"), col("m.vec_id"), col("m.qv"), col("m.saa"))
+          .head()
+        selVec = top.getSeq[Long](2)
+        selSaa = top.getLong(3)
+        picked += ((r.toLong, top.getLong(1), top.getLong(0)))
+        cur = cur.withColumn("md", least(col("md"), distTo(selVec, selSaa)))
+      }
+      import s.implicits._
+      picked.toSeq.toDF("round", "vec_id", "sep").orderBy("round")
+    })
+
   private val kmeansTrain = GraftQuery(
     name = "pipeline_kmeans_train",
     doc = "IVF centroid TRAINING via integer-exact Lloyd's k-means (k=8, " +
@@ -3413,7 +3512,8 @@ object PipelineQueries {
     piiScrub, qualityRepetition, decontaminate, decontamBloom,
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
-    kmeansTrain, packSequences, tfidfTopk, zipfSpectrum, curriculumBins,
+    kmeansTrain, diverseCoreset, packSequences, tfidfTopk, zipfSpectrum,
+    curriculumBins,
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
     semanticDedup, multimodalIngest, embedOutliers, dupSpan,
     dedupSubstring,
