@@ -129,10 +129,16 @@ object LogPipeline {
       .drop("t_start_time")
   }
 
+  /** Hive-layout sinks (etl.py:236,297). Same small-files guard as
+    * SongPipeline.writeSongs: repartition on the layout keys so each
+    * (year, month) dir is written by one task, not by every task that
+    * happens to hold a row for it. */
   def writeTime(time: DataFrame, outDir: String): Unit =
-    time.write.mode("overwrite").partitionBy("year", "month").parquet(outDir)
+    time.repartition(col("year"), col("month"))
+      .write.mode("overwrite").partitionBy("year", "month").parquet(outDir)
 
   def writeSongplays(songplays: DataFrame, outDir: String): Unit =
-    songplays.write.mode("overwrite").partitionBy("year", "month")
+    songplays.repartition(col("year"), col("month"))
+      .write.mode("overwrite").partitionBy("year", "month")
       .parquet(outDir)
 }

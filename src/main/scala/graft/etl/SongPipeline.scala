@@ -36,8 +36,15 @@ object SongPipeline {
       col("artist_latitude").as("latitude"))
 
   /** Partitioned parquet write used by the reference for `songs`
-    * (etl.py:99-102): overwrite, hive layout year/artist_id. */
+    * (etl.py:99-102): overwrite, hive layout year/artist_id. The
+    * repartition on the layout keys routes each hive dir to ONE task —
+    * without it every task holding rows for a combo writes its own
+    * file, i.e. up to tasks×dirs tiny files (the classic small-files
+    * amplification; at lake scale it is the difference between a
+    * listable table and a namenode incident). Output rows and layout
+    * are identical — only the file count per dir changes. */
   def writeSongs(songs: DataFrame, outDir: String): Unit =
-    songs.write.mode("overwrite")
+    songs.repartition(col("year"), col("artist_id"))
+      .write.mode("overwrite")
       .partitionBy("year", "artist_id").parquet(outDir)
 }
