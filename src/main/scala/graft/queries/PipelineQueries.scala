@@ -3415,6 +3415,108 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val classifierHoldout = GraftQuery(
+    name = "pipeline_classifier_holdout",
+    doc = "Held-out evaluation of the in-engine-trained quality " +
+      "classifier - the train/eval separation every model-based filter " +
+      "needs before it gates a corpus (train-set agreement flatters; " +
+      "the holdout confusion matrix is the number that decides " +
+      "deployment). Deterministic 80/20 split by the shared " +
+      "multiplicative id hash (hash32(doc_id) % 5 - RNG-free, " +
+      "replayable on any engine/backfill); rate-difference weights " +
+      "(graft.ops.HashedLinear) AND the calibrated score threshold are " +
+      "fit on TRAIN only - the threshold is the n_pos-th ranked train " +
+      "score via the two-phase orderedId (no single-task window) - " +
+      "then frozen and applied to the unseen 20%. Output: the eval " +
+      "confusion matrix (label, keep, n). Scale: the split is a " +
+      "narrow filter over one shared persisted prep; training costs " +
+      "are the classifier's (one 4096-key pass); eval scoring is " +
+      "zero-shuffle. Oracle replays split, training, calibration and " +
+      "eval scoring in pure SQL.",
+    oracle = Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok,
+                   ${graft.ops.Sampling.hash32Sql("doc_id")} % 5 AS fold
+                 FROM documents),
+      lab AS (
+        SELECT doc_id, fold,
+               CAST(len(tok) AS BIGINT) AS n_tok,
+               CAST(CASE WHEN 100 * len(list_filter(tok, t -> t IN
+                      ('a','the','of','and','in','to','is')))
+                    >= 6 * len(tok) THEN 1 ELSE -1 END AS BIGINT) AS y,
+               list_transform(tok,
+                 t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(t, ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 1000003) % 4096) AS bk
+        FROM d),
+      tr AS (SELECT * FROM lab WHERE fold <> 0),
+      ev AS (SELECT * FROM lab WHERE fold = 0),
+      e AS (SELECT doc_id, y, unnest(bk) AS b FROM tr),
+      cnt AS (SELECT b,
+                CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS pc,
+                CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS nc
+              FROM e GROUP BY b),
+      tots AS (SELECT GREATEST(CAST(SUM(pc) AS BIGINT), 1) AS pt,
+                      GREATEST(CAST(SUM(nc) AS BIGINT), 1) AS nt
+               FROM cnt),
+      w AS (SELECT b, (1000000 * pc) // pt - (1000000 * nc) // nt AS w
+            FROM cnt, tots),
+      rawt AS (SELECT e.doc_id, CAST(SUM(w.w) AS BIGINT) AS r
+               FROM e JOIN w USING (b) GROUP BY e.doc_id),
+      sct AS (SELECT tr.doc_id, tr.y,
+                     (COALESCE(rawt.r, 0) * 1000) // tr.n_tok AS score
+              FROM tr LEFT JOIN rawt USING (doc_id)),
+      np AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_pos FROM tr),
+      rkt AS (SELECT score,
+                     row_number() OVER (ORDER BY -score, doc_id) AS rk
+              FROM sct),
+      tau AS (SELECT score AS t FROM rkt, np WHERE rk = n_pos),
+      ee AS (SELECT doc_id, unnest(bk) AS b FROM ev),
+      rawe AS (SELECT ee.doc_id, CAST(SUM(w.w) AS BIGINT) AS r
+               FROM ee JOIN w USING (b) GROUP BY ee.doc_id),
+      sce AS (SELECT ev.doc_id, ev.y,
+                     (COALESCE(rawe.r, 0) * 1000) // ev.n_tok AS score
+              FROM ev LEFT JOIN rawe USING (doc_id))
+      SELECT sce.y AS label,
+             CAST(CASE WHEN sce.score >= tau.t THEN 1 ELSE 0 END AS BIGINT)
+               AS keep,
+             COUNT(*) AS n
+      FROM sce, tau GROUP BY 1, 2 ORDER BY label, keep"""),
+    run = (s, dir) => {
+      import graft.ops.{HashedLinear, Ids, Sampling}
+      val prep = table(s, dir, "documents")
+        .select(col("doc_id"),
+          (Sampling.hash32(col("doc_id")) % 5).as("fold"),
+          HashedLinear.labelCol("text").as("label"),
+          expr(HashedLinear.bucketsExprSql("text")).as("__bk"),
+          size(split(col("text"), " ")).cast(LongType).as("__ntok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val train = prep.filter(col("fold") =!= 0)
+      val w = HashedLinear.trainRateDiff(train, "label", "__bk")
+      val nPos = train
+        .agg(sum(when(col("label") === 1L, 1L).otherwise(0L)))
+        .first().getLong(0)
+      require(nPos > 0, "degenerate split: no positive train docs")
+      def scores(df: DataFrame): DataFrame = df
+        .withColumn("__raw", HashedLinear.scoreColumn(col("__bk"), w))
+        .select(col("doc_id"), col("label"),
+          expr("(__raw * 1000) div __ntok").as("score"))
+      // threshold = the n_pos-th ranked TRAIN score, frozen before eval
+      val tau = Ids.orderedId(scores(train),
+          Seq((-col("score")).as("__negs"), col("doc_id")), "__rk")
+        .filter(col("__rk") === nPos)
+        .select("score").head().getLong(0)
+      scores(prep.filter(col("fold") === 0))
+        .select(col("label"),
+          when(col("score") >= tau, 1L).otherwise(0L).as("keep"))
+        .groupBy("label", "keep")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "keep")
+    })
+
   private val unimaxEpochs = GraftQuery(
     name = "pipeline_unimax_epochs",
     doc = "UniMax-style epoch allocation (Chung et al. 2023): given a " +
@@ -3518,5 +3620,6 @@ object PipelineQueries {
     semanticDedup, multimodalIngest, embedOutliers, dupSpan,
     dedupSubstring,
     classBalance, lmFluency, bpeTrain, bpeSegment, ngramNovelty,
-    datasetCard, weightedSample, qualityClassifier, unimaxEpochs)
+    datasetCard, weightedSample, qualityClassifier, classifierHoldout,
+    unimaxEpochs)
 }
