@@ -129,16 +129,23 @@ object LogPipeline {
       .drop("t_start_time")
   }
 
-  /** Hive-layout sinks (etl.py:236,297). Same small-files guard as
-    * SongPipeline.writeSongs: repartition on the layout keys so each
-    * (year, month) dir is written by one task, not by every task that
-    * happens to hold a row for it. */
+  /** Hive-layout sinks (etl.py:236,297). Small-files guard, but NOT a
+    * plain hash-repartition on the layout keys: (year, month) has FEW
+    * distinct values, so hashing on it collapses the write to
+    * dirs-many tasks (measured: the 10× probe's songplays write lost
+    * its parallelism). repartitionByRange on (layout keys, finer key)
+    * keeps the full partition count — each range partition is
+    * contiguous in (year, month), so a dir is written by the handful
+    * of partitions covering its range: files-per-dir bounded by the
+    * partition count (not tasks×dirs), parallelism intact. */
   def writeTime(time: DataFrame, outDir: String): Unit =
-    time.repartition(col("year"), col("month"))
+    time.repartitionByRange(col("year"), col("month"), col("ts"))
       .write.mode("overwrite").partitionBy("year", "month").parquet(outDir)
 
   def writeSongplays(songplays: DataFrame, outDir: String): Unit =
-    songplays.repartition(col("year"), col("month"))
+    songplays
+      .repartitionByRange(col("year"), col("month"), col("sessionId"),
+        col("start_time"))
       .write.mode("overwrite").partitionBy("year", "month")
       .parquet(outDir)
 }
