@@ -30,6 +30,12 @@ object Bench {
     Seq("lake_agg_pricing", "lake_star_revenue", "lake_windows").foreach {
       q => Registry.byName(q).run(spark, sfDir).count()
     }
+    // synthesize the Sparkify JSON corpus UNTIMED (r11 verdict #4): the
+    // TempDirs cache builds it once per JVM, so without this the FIRST
+    // timed pass of etl_sparkify_full pays corpus synthesis on top of
+    // the five measured sinks (min-of-2 usually hides that, but the
+    // row should never conflate one-time input prep with job cost)
+    graft.etl.SparkifyBenchInput.prepare(spark, sfDir)
 
     // two timed passes, keep the per-query minimum: the shared machine
     // shows ±30% wall-clock noise and min-of-2 is a stabler estimator

@@ -45,11 +45,20 @@ import org.apache.spark.sql.types._
   */
 object SkewWindows {
 
-  /** Size of the most recent phase-2 collect (driver-side rows). Test
-    * probe only: OpsSpec pins it to ≤ 2 × partitions on a many-group
-    * input, the property that keeps the boundary handoff driver-safe
-    * at per-user group cardinality. */
-  @volatile private[graft] var lastPhase2Rows: Int = -1
+  /** Size of the most recent phase-2 collect (driver-side rows), keyed
+    * PER OPERATOR so concurrent calls to different operators in one JVM
+    * cannot cross-contaminate the probe (r11 advice — one shared var
+    * could hand a test another operator's count). Test probe only:
+    * OpsSpec pins it to ≤ 2 × partitions on a many-group input, the
+    * property that keeps the boundary handoff driver-safe at per-user
+    * group cardinality. */
+  private val phase2Rows =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Most recent phase-2 collect size for `op` ("rankedPrefix",
+    * "sessionNumbers", "carryForward"); -1 before the first call. */
+  private[graft] def lastPhase2Rows(op: String): Int =
+    Option(phase2Rows.get(op)).fold(-1)(_.intValue)
 
   /** Streams one SORTED partition (rows already ordered by (group,
     * order…) from the range layout) and emits only its FIRST and LAST
@@ -122,7 +131,7 @@ object SkewWindows {
           }).map { case (g, a) => Row(pid, g, a(0)) }
       }
     })(sumEnc).collect()
-    lastPhase2Rows = partials.length
+    phase2Rows.put("carryForward", partials.length)
     val state = scala.collection.mutable.Map.empty[Any, Any]
     val carryIn: Map[(Int, Any), Any] =
       partials.sortBy(_.getInt(0)).map { r =>
@@ -144,7 +153,16 @@ object SkewWindows {
         val g = row.get(gIdx)
         if (!started || g != curG) {
           // interior groups have no summary row: no earlier partition
-          // can hold them, so their carry-in is null by construction
+          // can hold them, so their carry-in is null by construction.
+          // A partition's FIRST group however is always summarized by
+          // firstLastGroups — a miss there means the contiguity
+          // invariant broke, and defaulting would be silently wrong
+          // (r11 advice: the default must not swallow that case)
+          if (!started)
+            require(carryIn.contains((row.getInt(pidIdx), g)),
+              s"SkewWindows.carryForward invariant: partition " +
+                s"${row.getInt(pidIdx)} first group $g has no phase-2 " +
+                "summary")
           carried = carryIn.getOrElse((row.getInt(pidIdx), g), null)
           curG = g; started = true
         }
@@ -252,7 +270,7 @@ object SkewWindows {
           }).map { case (g, a) => Row(pid, g, a(0), a(1), a(2)) }
       }
     })(sumEnc).collect()
-    lastPhase2Rows = partials.length
+    phase2Rows.put("sessionNumbers", partials.length)
     // driver: thread boundaries + exclusive session offsets per group
     // in partition order (O(partitions) rows, same driver footprint
     // as rankedPrefix's phase 2)
@@ -295,7 +313,14 @@ object SkewWindows {
         val g = row.get(gIdx)
         if (!started || g != curG) {
           // interior groups have no summary row → fresh group: zero
-          // session offset, no boundary timestamp to compare against
+          // session offset, no boundary timestamp to compare against.
+          // The partition's FIRST group always has one (same invariant
+          // tripwire as carryForward)
+          if (!started)
+            require(offsets.contains((row.getInt(pidIdx), g)),
+              s"SkewWindows.sessionNumbers invariant: partition " +
+                s"${row.getInt(pidIdx)} first group $g has no phase-2 " +
+                "summary")
           val (s0, pl, hp) = offsets.getOrElse(
             (row.getInt(pidIdx), g), (0L, 0L, 0L))
           sess = s0; prevTs = pl; hasPrev = hp == 1L
@@ -321,6 +346,15 @@ object SkewWindows {
   def rankedPrefix(df: DataFrame, groupCol: String, order: Seq[Column],
       valueCol: Option[String], rankName: String,
       cumName: String): DataFrame = {
+    // fail fast on the driver: phase 2/3 read valueCol with getLong and
+    // sum into a LongType schema — a non-Long numeric would otherwise
+    // surface as an opaque ClassCastException inside a task (r11 advice)
+    valueCol.foreach { v =>
+      val dt = df.schema(v).dataType
+      require(dt == LongType,
+        s"rankedPrefix valueCol '$v' must be LongType (cast upstream — " +
+          s"integer state, the repo-wide exactness rule); got $dt")
+    }
     val layout = col(groupCol) +: order
     val ranged = df.repartitionByRange(layout: _*)
       .sortWithinPartitions(layout: _*)
@@ -355,7 +389,7 @@ object SkewWindows {
           }).map { case (g, a) => Row(pid, g, a(0), a(1)) }
       }
     })(sumEnc).collect()
-    lastPhase2Rows = partials.length
+    phase2Rows.put("rankedPrefix", partials.length)
     val cntAcc = scala.collection.mutable.Map.empty[Any, Long]
     val sumAcc = scala.collection.mutable.Map.empty[Any, Long]
     val offsets: Map[(Int, Any), (Long, Long)] =
@@ -384,7 +418,13 @@ object SkewWindows {
       it.map { row =>
         val g = row.get(gIdx)
         if (!started || g != curG) {
-          // interior groups have no summary row → offsets (0, 0)
+          // interior groups have no summary row → offsets (0, 0); the
+          // partition's FIRST group always has one (invariant tripwire)
+          if (!started)
+            require(offsets.contains((row.getInt(pidIdx), g)),
+              s"SkewWindows.rankedPrefix invariant: partition " +
+                s"${row.getInt(pidIdx)} first group $g has no phase-2 " +
+                "summary")
           val (c0, s0) = offsets.getOrElse(
             (row.getInt(pidIdx), g), (0L, 0L))
           rank = c0; cum = s0; curG = g; started = true

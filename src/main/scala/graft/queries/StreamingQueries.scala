@@ -216,7 +216,12 @@ object StreamingQueries {
       "to the watermark horizon at scale. Inner-join emissions never " +
       "wait on the watermark, so the drained result equals the batch " +
       "join exactly; the oracle replays it over the same " +
-      "microsecond-floored timestamps the nanos scan produces.",
+      "microsecond-floored timestamps the nanos scan produces. " +
+      "Implementation is hot-key-safe (r12): a derived hour-bucket " +
+      "equi-key with a two-replica purchase explosion spreads a hot " +
+      "user's state over its active hours and bounds matcher scans " +
+      "to one bucket — identical output, no O(hot-key²) comparison " +
+      "grind (EventStream.bucketedJoinSides).",
     oracle = Some("""
       SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
       FROM events a JOIN events b ON a.user_id = b.user_id
@@ -240,7 +245,9 @@ object StreamingQueries {
       "REPLAYS that cutoff (inner matches + unmatched lefts with " +
       "a_ts + 1h < min(max_a, max_b) - 1h) - the streaming-vs-batch " +
       "outer-join delta pinned as a differential contract instead of " +
-      "papered over.",
+      "papered over. Same hot-key-safe bucketed layout as " +
+      "stream_stream_join (the un-exploded signup side stays the " +
+      "left side, so unmatched signups still null-pad exactly once).",
     oracle = Some("""
       WITH a AS (SELECT user_id, event_id AS signup_id,
                         epoch_ns(ts) // 1000 AS a_us
@@ -267,6 +274,37 @@ object StreamingQueries {
     run = (s, dir) =>
       EventStream.streamStreamOuterDrained(s, s"$dir/events.parquet")
         .orderBy("user_id", "signup_id", "purchase_id"))
+
+  private val streamStreamJoinHotkey = GraftQuery(
+    name = "stream_stream_join_hotkey",
+    doc = "Stream-stream join with a PER-KEY EMISSION CAP on the hot " +
+      "side (r11 verdict #1): purchases collapse to at most one row " +
+      "per (user, 5-minute bucket) via dropDuplicatesWithinWatermark " +
+      "BEFORE the windowed join, so a signup emits at most 13 " +
+      "(signup, purchase-activity-bucket) rows however dense the hot " +
+      "user's purchases — the output-bounding variant a 100 TB " +
+      "pipeline runs when the exact join's per-pair fan-out is itself " +
+      "the bottleneck. Semantics deliberately differ from " +
+      "stream_stream_join (bucket presence, not pairs; window = " +
+      "bucket starts in [floor_5m(a_ts), a_ts+1h]) and the oracle " +
+      "replays exactly those semantics in batch SQL: DISTINCT " +
+      "purchase buckets per user, joined to signups on the same " +
+      "bucket-start window.",
+    oracle = Some("""
+      WITH a AS (SELECT user_id, event_id AS signup_id,
+                        epoch_ns(ts) // 1000 AS a_us
+                 FROM events WHERE event_type = 'signup'),
+      pb AS (SELECT DISTINCT user_id AS b_user,
+                    (epoch_ns(ts) // 1000 // 300000000) * 300000000 AS b_us
+             FROM events WHERE event_type = 'purchase')
+      SELECT a.user_id, a.signup_id, pb.b_us AS purchase_bucket_us
+      FROM a JOIN pb ON a.user_id = pb.b_user
+       AND pb.b_us >= (a.a_us // 300000000) * 300000000
+       AND pb.b_us <= a.a_us + 3600000000
+      ORDER BY user_id, signup_id, purchase_bucket_us"""),
+    run = (s, dir) =>
+      EventStream.streamStreamJoinHotkeyDrained(s, s"$dir/events.parquet")
+        .orderBy("user_id", "signup_id", "purchase_bucket_us"))
 
   private val streamForeachBatchUpsert = GraftQuery(
     name = "stream_foreachbatch_upsert",
@@ -300,5 +338,5 @@ object StreamingQueries {
     streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
     streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert,
-    streamOuterJoin)
+    streamOuterJoin, streamStreamJoinHotkey)
 }

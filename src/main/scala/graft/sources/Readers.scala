@@ -93,10 +93,17 @@ object Readers {
     * required UTC session ([[normalizeTs]]), so the config only changes
     * WHICH branch runs, never the values.
     *
-    * Cached on the resolved absolute path + file size + mtime — the raw
+    * Cached on the resolved absolute path + content metadata — the raw
     * path string alone would go stale if a fixture rewrites the same
     * path with the other data generation, or alias a file reached via
-    * both relative and absolute spellings. Non-local/unstat-able paths
+    * both relative and absolute spellings. For a parquet DIRECTORY the
+    * key folds the CHILDREN's metadata (count + total size + max
+    * mtime): the directory's own stat is useless for staleness — its
+    * length is filesystem-constant and its mtime second-granular, so an
+    * in-place rewrite within one second (exactly the case the key
+    * targets) could alias (r11 advice). A rewrite always changes child
+    * names/sizes (parquet part files are freshly named), so the folded
+    * key cannot serve a stale footer type. Non-local/unstat-able paths
     * fall back to the path string (object-store URIs don't get rewritten
     * in place mid-JVM). */
   def eventsTsType(spark: SparkSession, path: String): DataType =
@@ -110,7 +117,17 @@ object Readers {
     try {
       val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
       val f = p.toFile
-      if (f.exists) s"$p@${f.length}:${f.lastModified}" else path
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        if (kids == null) path
+        else {
+          var sz = 0L
+          var mt = 0L
+          kids.foreach { k => sz += k.length(); mt = mt max k.lastModified() }
+          s"$p@d${kids.length}:$sz:$mt"
+        }
+      } else if (f.exists) s"$p@${f.length}:${f.lastModified}"
+      else path
     } catch { case _: Exception => path }
 
   private val tsTypeCache =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -137,9 +137,9 @@ object EventStream {
   /** Drained flatMapGroupsWithState run over the driver's events table. */
   def sessionRowsDrained(spark: SparkSession, eventsPath: String)
       : DataFrame = {
-    implicit val sp: SparkSession = spark
-    val rows = sessionRowsFrom(eventsStream(spark, eventsPath))
-    drainToTable(spark, rows.toDF(), "graft_stream_session_rows",
+    implicit val ds: SparkSession = drainSession(spark)
+    val rows = sessionRowsFrom(eventsStream(ds, eventsPath))
+    drainToTable(ds, rows.toDF(), "graft_stream_session_rows",
       OutputMode.Append())
   }
 
@@ -151,7 +151,8 @@ object EventStream {
     * state grows with the stream except the per-group aggregate. */
   def staticJoinCountsDrained(spark: SparkSession, eventsPath: String,
       dim: DataFrame, dimKey: String, groupCol: String): DataFrame = {
-    val ev = eventsStream(spark, eventsPath)
+    val ds = drainSession(spark)
+    val ev = eventsStream(ds, eventsPath)
     val agg = ev.join(broadcast(dim), ev("user_id") === dim(dimKey))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_events"),
@@ -168,7 +169,7 @@ object EventStream {
     * row wins the race is not. */
   def dedupDrained(spark: SparkSession, eventsPath: String,
       keys: Seq[String]): DataFrame = {
-    val deduped = eventsStream(spark, eventsPath)
+    val deduped = eventsStream(drainSession(spark), eventsPath)
       .select(keys.map(col): _*)
       .dropDuplicates(keys)
     drainToTable(spark, deduped, "graft_stream_dedup", OutputMode.Append())
@@ -183,7 +184,7 @@ object EventStream {
     * so the drained sink equals batch DISTINCT exactly. */
   def dedupWithinWatermarkDrained(spark: SparkSession, eventsPath: String,
       keys: Seq[String]): DataFrame = {
-    val deduped = eventsStream(spark, eventsPath)
+    val deduped = eventsStream(drainSession(spark), eventsPath)
       .withWatermark("ts", "1 hour")
       .select((keys.map(col) :+ col("ts")): _*)
       .dropDuplicatesWithinWatermark(keys)
@@ -200,9 +201,9 @@ object EventStream {
     * final state equals the batch lag-gap sessionization. */
   def sessionCountsDrained(spark: SparkSession, eventsPath: String)
       : DataFrame = {
-    implicit val sp: SparkSession = spark
-    val counts = sessionCountsFrom(eventsStream(spark, eventsPath))
-    drainToTable(spark, counts.toDF(), "graft_stream_sessions",
+    implicit val ds: SparkSession = drainSession(spark)
+    val counts = sessionCountsFrom(eventsStream(ds, eventsPath))
+    drainToTable(ds, counts.toDF(), "graft_stream_sessions",
         OutputMode.Update())
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"),
@@ -319,6 +320,7 @@ object EventStream {
   def foreachBatchUpsertRun(spark: SparkSession, sfDir: String)
       : UpsertRun = {
     import org.apache.spark.sql.SaveMode
+    val ds = drainSession(spark)
     val landing = upsertLandings.computeIfAbsent(
       java.nio.file.Paths.get(sfDir).toAbsolutePath.toString, { _ =>
         val d = deleteOnExit(
@@ -348,33 +350,31 @@ object EventStream {
       StructField("n_events", LongType)))
     val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     def versionDir(b: Long) = s"$target/v$b"
-    withStatePartitions(spark) {
-      val q = spark.readStream.schema(landingSchema)
-        .option("maxFilesPerTrigger", 1).parquet(landing)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          nBatches.incrementAndGet()
-          val agg = batch.groupBy("user_id").agg(
-            max(struct(col("ts_us"), col("event_id"), col("value")))
-              .as("latest"),
-            count(lit(1)).as("n_events"))
-          val existing =
-            if (batchId > 0 && java.nio.file.Files.exists(
-                java.nio.file.Paths.get(versionDir(batchId - 1), "_SUCCESS")))
-              spark.read.parquet(versionDir(batchId - 1))
-            else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              mergedSchema)
-          existing.unionByName(agg)
-            .groupBy("user_id")
-            .agg(max(col("latest")).as("latest"),
-              sum(col("n_events")).as("n_events"))
-            .write.mode(SaveMode.Overwrite).parquet(versionDir(batchId))
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    val q = ds.readStream.schema(landingSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nBatches.incrementAndGet()
+        val agg = batch.groupBy("user_id").agg(
+          max(struct(col("ts_us"), col("event_id"), col("value")))
+            .as("latest"),
+          count(lit(1)).as("n_events"))
+        val existing =
+          if (batchId > 0 && java.nio.file.Files.exists(
+              java.nio.file.Paths.get(versionDir(batchId - 1), "_SUCCESS")))
+            ds.read.parquet(versionDir(batchId - 1))
+          else ds.createDataFrame(
+            ds.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            mergedSchema)
+        existing.unionByName(agg)
+          .groupBy("user_id")
+          .agg(max(col("latest")).as("latest"),
+            sum(col("n_events")).as("n_events"))
+          .write.mode(SaveMode.Overwrite).parquet(versionDir(batchId))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
     val last = {
       import scala.jdk.CollectionConverters._
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(target))
@@ -413,21 +413,62 @@ object EventStream {
     * store instances of fixed cost to shuffle a few thousand rows.
     * Sizing state partitions to STATE VOLUME, not core count, is the
     * standard production knob (it is pinned into the checkpoint at
-    * first run and must be chosen deliberately); the drains set it
-    * session-locally for the duration of each run. At real 100 TB
-    * state this number is sized UP the same way — the point is that it
-    * is sized, not inherited. */
+    * first run and must be chosen deliberately); the drains run on a
+    * cloned session carrying this value. At real 100 TB state this
+    * number is sized UP the same way — the point is that it is sized,
+    * not inherited. */
   private val StatePartitions = 4
 
-  /** Temporarily pins spark.sql.shuffle.partitions for a drained run
-    * (the value is read at stream-plan time). Callers are sequential
-    * (bench / verify / forked test JVM run one query at a time), so
-    * the session-level flip cannot race another planning thread. */
-  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, StatePartitions.toString)
-    try body finally spark.conf.set(key, prev)
+  /** State-store provider toggle for the drained runs: set
+    * `spark.graft.streaming.stateStore=rocksdb` on the PARENT session
+    * (builder or conf.set) to run every drain on
+    * RocksDBStateStoreProvider — the 100 TB posture, where per-
+    * partition state lives off-heap in a local RocksDB instead of the
+    * default provider's executor-memory HashMap (at real state volume
+    * the HDFS-backed provider's in-memory map plus full snapshot files
+    * is the scaling wall; RocksDB spills to local disk and checkpoints
+    * changelogs). Default = Spark's HDFS-backed provider, which is
+    * faster at drained-test state sizes. */
+  val StateStoreKey = "spark.graft.streaming.stateStore"
+
+  private def providerClass(parent: SparkSession): String =
+    parent.conf.get(StateStoreKey, "hdfs") match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case other => throw new IllegalArgumentException(
+        s"$StateStoreKey must be 'hdfs' or 'rocksdb', got '$other'")
+    }
+
+  /** One long-lived DRAIN SESSION per parent session: a `newSession()`
+    * clone sharing the SparkContext (and cached data) but with isolated
+    * SQL conf and catalog, so the drain-sized shuffle-partition setting
+    * and the state-store toggle can never leak into queries planned
+    * concurrently on the parent (the r11 advice: a session-global conf
+    * flip, however briefly held, is visible to every other planning
+    * thread). Memoized per parent because memory-sink temp views and
+    * the streaming listener bus attach per session — one clone keeps
+    * that footprint bounded across hundreds of drains. Runtime conf is
+    * copied from the parent at first use (static confs are skipped);
+    * the provider toggle is re-read on every call so tests can flip it
+    * between drains. */
+  private val drainSessions = new java.util.concurrent
+    .ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private[graft] def drainSession(parent: SparkSession): SparkSession = {
+    val s = drainSessions.computeIfAbsent(parent, { p =>
+      val c = p.newSession()
+      p.conf.getAll.foreach { case (k, v) =>
+        try c.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+      c.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      c
+    })
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      providerClass(parent))
+    s
   }
 
   /** Run a streaming frame to a fresh memory-sink table with
@@ -443,18 +484,21 @@ object EventStream {
     * at a time). */
   private def drainToTable(spark: SparkSession, df: DataFrame,
       prefix: String, mode: OutputMode): DataFrame = {
+    // the memory-sink temp view registers in the session that STARTS
+    // the query — the drain session the sources were built on, not the
+    // caller's parent session (df.sparkSession is that clone; `spark`
+    // is kept in the signature only for call-site symmetry)
+    val session = df.sparkSession
     val name = s"${prefix}_${drainId.incrementAndGet()}"
-    withStatePartitions(spark) {
-      val q = df.writeStream.outputMode(mode)
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    val out = spark.table(name)
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = session.table(name)
     Option(lastDrain.put(prefix, name))
       .filter(_ != name)
-      .foreach(spark.catalog.dropTempView(_))
+      .foreach(session.catalog.dropTempView(_))
     out
   }
   private val lastDrain =
@@ -469,6 +513,60 @@ object EventStream {
     * must equal the batch twin row-for-row, which is exactly what the
     * DuckDB oracle checks. Window starts surface as epoch seconds —
     * integer bucket arithmetic both engines share. */
+  /** One-hour bucket width shared by both stream-stream joins (equals
+    * the join's event-time window, the choice that makes two purchase
+    * replicas sufficient — see [[bucketedJoinSides]]). */
+  private val JoinBucketUs = 3600000000L
+
+  /** The two sides of the signup⋈purchase interval join with the
+    * HOT-KEY-SAFE equi-key layout (r11 verdict #1). A bare
+    * `user_id = b_user` equi-key puts ALL of one user's buffered rows
+    * in one state partition, and the symmetric-hash matcher scans every
+    * buffered signup of that user per arriving purchase — O(hot²)
+    * COMPARISONS on a skewed stream even though the output is only
+    * O(matches) (the skew corpus's 375k-event hot user grinds ~10¹⁰
+    * comparisons through one task; SURVEY §6.4 r11 had to exclude it).
+    *
+    * The fix keeps the EXACT join semantics and adds a derived
+    * equi-key: the signup's hour-bucket `a_bkt = floor(a_ts / 1h)`,
+    * and the purchase EXPLODED into its only two reachable signup
+    * buckets `{floor(b_ts/1h), floor(b_ts/1h) − 1}` — any purchase in
+    * (a_ts, a_ts+1h] has its hour-floor in {a_bkt, a_bkt+1}, so
+    * exactly ONE replica of each matching purchase carries the
+    * signup's bucket (replicas have distinct keys: no duplicate
+    * emissions), and any replica passing the retained range condition
+    * is a true match (no lost ones). State now hash-partitions on
+    * (user, hour) — a hot user spreads over its active hours instead
+    * of one partition — and per-arrival matching scans one hour's
+    * rows, not the whole horizon: comparisons drop from O(hot²) to
+    * O(hot²/buckets), output-proportional in practice. The cost is 2×
+    * purchase-side state — the standard interval-join bucketing
+    * trade. Watermark eviction is unchanged: the extractable
+    * `b_ts BETWEEN a_ts AND a_ts + 1h` range condition is still
+    * present verbatim. */
+  private def bucketedJoinSides(ds: SparkSession, eventsPath: String)
+      : (DataFrame, DataFrame, Column) = {
+    val a = eventsStream(ds, eventsPath)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("a_ts"),
+        expr(s"unix_micros(ts) div $JoinBucketUs").as("a_bkt"))
+      .withWatermark("a_ts", "1 hour")
+    val b = eventsStream(ds, eventsPath)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"),
+        col("event_id").as("purchase_id"), col("ts").as("b_ts"))
+      .withColumn("b_bkt", explode(array(
+        expr(s"unix_micros(b_ts) div $JoinBucketUs"),
+        expr(s"unix_micros(b_ts) div $JoinBucketUs - 1"))))
+      .withWatermark("b_ts", "1 hour")
+    val cond = col("user_id") === col("b_user") &&
+      col("a_bkt") === col("b_bkt") &&
+      col("b_ts") >= col("a_ts") &&
+      col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR")
+    (a, b, cond)
+  }
+
   /** Drained STREAM-STREAM inner join — the remaining first-class
     * streaming operator (two unbounded sides, buffered state on both):
     * signup events joined to purchase events of the same user within
@@ -477,23 +575,13 @@ object EventStream {
     * the buffered state is bounded to the watermark horizon (Spark
     * evicts rows whose join window has passed); inner-join emissions
     * themselves never wait on the watermark, so the drained result
-    * equals the batch join exactly — which is what the oracle checks. */
+    * equals the batch join exactly — which is what the oracle checks.
+    * Implementation is the hot-key-safe bucketed-equi-key layout
+    * ([[bucketedJoinSides]]) with identical output. */
   def streamStreamJoinDrained(spark: SparkSession, eventsPath: String)
       : DataFrame = {
-    val a = eventsStream(spark, eventsPath)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id"), col("event_id").as("signup_id"),
-        col("ts").as("a_ts"))
-      .withWatermark("a_ts", "1 hour")
-    val b = eventsStream(spark, eventsPath)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("b_user"),
-        col("event_id").as("purchase_id"), col("ts").as("b_ts"))
-      .withWatermark("b_ts", "1 hour")
-    val joined = a.join(b,
-      col("user_id") === col("b_user") &&
-        col("b_ts") >= col("a_ts") &&
-        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+    val (a, b, cond) = bucketedJoinSides(drainSession(spark), eventsPath)
+    val joined = a.join(b, cond)
       .select(col("user_id"), col("signup_id"), col("purchase_id"))
     drainToTable(spark, joined, "graft_stream_join", OutputMode.Append())
   }
@@ -513,23 +601,69 @@ object EventStream {
     * does fire.) */
   def streamStreamOuterDrained(spark: SparkSession, eventsPath: String)
       : DataFrame = {
-    val a = eventsStream(spark, eventsPath)
+    // same bucketed layout as the inner join; the LEFT side is the
+    // un-exploded one, so an unmatched signup still null-pads exactly
+    // once (each purchase is replicated, each signup is not — a left
+    // row either matches the unique replica carrying its bucket or
+    // evicts unmatched)
+    val (a, b, cond) = bucketedJoinSides(drainSession(spark), eventsPath)
+    val joined = a.join(b, cond, "left_outer")
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+    drainToTable(spark, joined, "graft_stream_outer", OutputMode.Append())
+  }
+
+  /** 5-minute bucket width of the hotkey join's emission cap. */
+  private val HotkeyBucketUs = 300000000L
+
+  /** Drained stream-stream join with a PER-KEY EMISSION CAP on the hot
+    * side (r11 verdict #1's workload-level mitigation, shipped as its
+    * own operator): purchases are collapsed to at most ONE row per
+    * (user, 5-minute bucket) — `dropDuplicatesWithinWatermark` keyed on
+    * the bucket, the bucket START as the deterministic event time —
+    * BEFORE the windowed join to signups. The semantics CHANGE vs
+    * [[streamStreamJoinDrained]] and the change is the point: the
+    * output row is (signup, purchase-activity bucket), so a signup
+    * emits at most ⌈1h/5min⌉+1 = 13 rows however many purchases the
+    * hot user lands in the window — the join a 100 TB pipeline runs
+    * when the per-pair fan-out itself (not just the matching cost,
+    * which [[bucketedJoinSides]] already bounds) would be the
+    * bottleneck, and "did the user purchase in that interval" is the
+    * actual question. Window: buckets whose start falls in
+    * [floor₅ₘ(a_ts), a_ts + 1h] — bucket-start granularity on the left
+    * edge keeps the emitted set deterministic (which purchases of a
+    * bucket precede a mid-bucket signup is unknowable after the
+    * collapse; the floor is the bucket the signup itself falls in).
+    * Dedup state expires with the watermark, and a same-bucket row can
+    * never re-emit after expiry: any later arrival carries the same
+    * bucket event time, which is by then late, hence dropped — the
+    * cap is exact, so the drained result equals the batch DISTINCT
+    * replay the oracle runs. The redundant plain-range condition
+    * (`b_bts >= a_ts − 5 min`, implied by the floor bound) keeps the
+    * state-watermark extraction working on both sides. */
+  def streamStreamJoinHotkeyDrained(spark: SparkSession, eventsPath: String)
+      : DataFrame = {
+    val ds = drainSession(spark)
+    val a = eventsStream(ds, eventsPath)
       .filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"),
         col("ts").as("a_ts"))
       .withWatermark("a_ts", "1 hour")
-    val b = eventsStream(spark, eventsPath)
+    val b = eventsStream(ds, eventsPath)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("b_user"),
-        col("event_id").as("purchase_id"), col("ts").as("b_ts"))
-      .withWatermark("b_ts", "1 hour")
+        expr(s"timestamp_micros(unix_micros(ts) div $HotkeyBucketUs" +
+          s" * $HotkeyBucketUs)").as("b_bts"))
+      .withWatermark("b_bts", "1 hour")
+      .dropDuplicatesWithinWatermark("b_user", "b_bts")
     val joined = a.join(b,
       col("user_id") === col("b_user") &&
-        col("b_ts") >= col("a_ts") &&
-        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
-      "left_outer")
-      .select(col("user_id"), col("signup_id"), col("purchase_id"))
-    drainToTable(spark, joined, "graft_stream_outer", OutputMode.Append())
+        col("b_bts") >= col("a_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("b_bts") >= expr(s"timestamp_micros(unix_micros(a_ts)" +
+          s" div $HotkeyBucketUs * $HotkeyBucketUs)") &&
+        col("b_bts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("signup_id"),
+        unix_micros(col("b_bts")).as("purchase_bucket_us"))
+    drainToTable(spark, joined, "graft_stream_hotkey", OutputMode.Append())
   }
 
   /** Minimal schema for the late-data fixture stream (written by
@@ -574,7 +708,8 @@ object EventStream {
     val outDir = dir.resolve("out").toString
     val cpDir = dir.resolve("cp").toString
     def drainOnce(): Unit = {
-      val agg = spark.readStream.schema(lateEventSchema).parquet(srcDir)
+      val ds = drainSession(spark)
+      val agg = ds.readStream.schema(lateEventSchema).parquet(srcDir)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -582,14 +717,12 @@ object EventStream {
             .as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("event_type"), col("n"), col("sum_value"))
-      withStatePartitions(spark) {
-        val q = agg.writeStream.outputMode(OutputMode.Append())
-          .format("parquet").option("path", outDir)
-          .option("checkpointLocation", cpDir)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
     events.filter(unix_micros(col("ts")) >= cutUs)
       .write.mode("append").parquet(srcDir)
@@ -607,7 +740,7 @@ object EventStream {
 
   def windowedCountsDrained(spark: SparkSession, eventsDir: String)
       : DataFrame = {
-    val agg = eventsStream(spark, eventsDir)
+    val agg = eventsStream(drainSession(spark), eventsDir)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
@@ -626,7 +759,7 @@ object EventStream {
     * [[windowedCountsDrained]]. */
   def slidingCountsDrained(spark: SparkSession, eventsDir: String)
       : DataFrame = {
-    val agg = eventsStream(spark, eventsDir)
+    val agg = eventsStream(drainSession(spark), eventsDir)
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -45,7 +45,7 @@ object SkewWindowsClusterCheck {
         when(col("id") % 3 === 0, col("id")).otherwise(lit(null)).as("p"))
       def pin(tag: String, out: org.apache.spark.sql.DataFrame): Unit = {
         val parts = out.rdd.getNumPartitions
-        val rows = graft.ops.SkewWindows.lastPhase2Rows
+        val rows = graft.ops.SkewWindows.lastPhase2Rows(tag)
         require(rows >= 0 && rows <= 2 * parts,
           s"$tag: phase-2 collected $rows rows for $parts partitions")
       }

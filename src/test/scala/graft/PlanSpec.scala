@@ -651,4 +651,61 @@ class PlanSpec extends AnyFunSuite {
       s"1-row sides not broadcast-nested-loop joined:\n$p")
     assert(!p.contains("CartesianProduct"), s"unhinted cross join:\n$p")
   }
+
+  test("AQE OptimizeSkewedJoin splits the skewed SMJ (bigbig shape)") {
+    // The other half of the production skew answer (r11 verdict #5):
+    // lake_salted_join hand-salts; stock AQE skew-join must ALSO be
+    // demonstrated live on the lake_join_bigbig shape — a merge-hinted
+    // fact⋈fact SMJ where 95% of fact rows share one key. Thresholds
+    // are lowered to make the hot partition "skewed" at test size (the
+    // defaults are sized for 256 MB partitions); the assertion is the
+    // real one: the executed SMJ carries skew=true, i.e.
+    // OptimizeSkewedJoin split the hot partition into advisory-sized
+    // reads instead of leaving one straggler task.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      def run(): (Array[org.apache.spark.sql.Row], String) = {
+        val fact = spark.range(200000).select(
+          when(col("id") % 20 =!= 0, lit(0L))
+            .otherwise(col("id") % 1000).as("k"),
+          col("id").as("v"))
+        val dim = spark.range(1000).select(
+          col("id").as("k2"), (col("id") * 7L).as("w"))
+        // group on a DERIVED column (year-of-date in lake_join_bigbig)
+        // — aggregating on the join key itself would let the agg reuse
+        // the join's hash partitioning, and OptimizeSkewedJoin (non-
+        // forced) correctly refuses to split a stage whose partitioning
+        // a downstream operator depends on
+        val j = fact.join(dim.hint("merge"), col("k") === col("k2"))
+          .groupBy((col("v") % 8L).as("b"))
+          .agg(count(lit(1)).as("n"), sum("v").as("sv"), sum("w").as("sw"))
+          .orderBy("b")
+        val rows = j.collect()
+        (rows, j.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head)
+      }
+      val (rows, p) = run()
+      assert(p.contains("SortMergeJoin"), s"not an SMJ:\n$p")
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+      // identical answer with the skew split OFF (same join, one
+      // straggler partition) — the optimization must be plan-only
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (rowsOff, pOff) = run()
+      assert(!pOff.contains("skew=true"))
+      assert(rows.map(_.toSeq).toSeq == rowsOff.map(_.toSeq).toSeq)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

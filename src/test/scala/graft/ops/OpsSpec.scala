@@ -406,11 +406,13 @@ class OpsSpec extends AnyFunSuite {
       (col("id") * 600000000L).as("us"),
       when(col("id") % 3 === 0, col("id"))
         .otherwise(lit(null)).as("p"))
-    def maxPhase2(out: org.apache.spark.sql.DataFrame): Int = {
+    def maxPhase2(op: String,
+        out: org.apache.spark.sql.DataFrame): Int = {
       val parts = out.rdd.getNumPartitions
-      assert(SkewWindows.lastPhase2Rows >= 0)
-      assert(SkewWindows.lastPhase2Rows <= 2 * parts,
-        s"phase-2 collected ${SkewWindows.lastPhase2Rows} rows for " +
+      val rows = SkewWindows.lastPhase2Rows(op)
+      assert(rows >= 0)
+      assert(rows <= 2 * parts,
+        s"$op phase-2 collected $rows rows for " +
           s"$parts partitions — O(groups), not O(partitions)")
       parts
     }
@@ -424,7 +426,7 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val gotRkDf = SkewWindows
       .rankedPrefix(df, "g", Seq(col("id")), Some("v"), "rk", "cum")
-    maxPhase2(gotRkDf)
+    maxPhase2("rankedPrefix", gotRkDf)
     val gotRk = gotRkDf.select("id", "rk", "cum").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(gotRk == expRk && gotRk.size == 20000)
@@ -441,7 +443,7 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val gotSeDf = SkewWindows.sessionNumbers(dfS, "g", "us",
       Seq(col("us"), col("id")), 1800000000L, "sess")
-    maxPhase2(gotSeDf)
+    maxPhase2("sessionNumbers", gotSeDf)
     val gotSe = gotSeDf.select("id", "sess").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotSe == expSe && gotSe.size == 20000)
@@ -452,7 +454,7 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
       .toMap
     val gotCfDf = SkewWindows.carryForward(df, "g", Seq(col("id")), "p", "c")
-    maxPhase2(gotCfDf)
+    maxPhase2("carryForward", gotCfDf)
     val gotCf = gotCfDf.select("id", "c").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
       .toMap

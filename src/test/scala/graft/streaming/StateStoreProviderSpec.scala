@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The r11-verdict #2 pin: the drained streaming family must run — and
+  * agree with itself — on BOTH state-store providers. The default
+  * HDFS-backed provider holds each partition's state in executor
+  * memory (fine at test sizes, the scaling wall at real 100 TB state);
+  * `RocksDBStateStoreProvider` is the production posture — off-heap
+  * local RocksDB per partition, changelog checkpointing. The toggle is
+  * `EventStream.StateStoreKey` on the PARENT session; the drain
+  * session re-reads it per drain, so one suite can exercise both.
+  *
+  * Coverage: a mapGroupsWithState drain (custom keyed state), the
+  * bucketed stream-stream join (4 state stores per partition), and
+  * lateDataDrained — whose TWO sequential AvailableNow runs share one
+  * checkpoint, i.e. a real stop-and-restart where run 2 must restore
+  * run 1's committed watermark from RocksDB-checkpointed state. */
+class StateStoreProviderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withProvider[T](name: String)(body: => T): T = {
+    spark.conf.set(EventStream.StateStoreKey, name)
+    try body finally spark.conf.unset(EventStream.StateStoreKey)
+  }
+
+  test("provider toggle reaches the drain session") {
+    withProvider("rocksdb") {
+      assert(EventStream.drainSession(spark)
+        .conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+    }
+    // default restored: hdfs provider after the toggle is unset
+    assert(EventStream.drainSession(spark)
+      .conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("HDFSBackedStateStoreProvider"))
+    withProvider("bogus") {
+      intercept[IllegalArgumentException](EventStream.drainSession(spark))
+    }
+  }
+
+  test("mapGroupsWithState drain: rocksdb == hdfs") {
+    val hdfs = EventStream.sessionCountsDrained(spark, s"$sf/events.parquet")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val rocks = withProvider("rocksdb") {
+      EventStream.sessionCountsDrained(spark, s"$sf/events.parquet")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+    }
+    assert(rocks.nonEmpty && rocks == hdfs)
+  }
+
+  test("bucketed stream-stream join drain: rocksdb == hdfs") {
+    val hdfs = EventStream.streamStreamJoinDrained(spark, s"$sf/events.parquet")
+      .orderBy("user_id", "signup_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val rocks = withProvider("rocksdb") {
+      EventStream.streamStreamJoinDrained(spark, s"$sf/events.parquet")
+        .orderBy("user_id", "signup_id", "purchase_id")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(rocks.nonEmpty && rocks == hdfs)
+  }
+
+  test("checkpoint restart (late-data two-run drain) on rocksdb == hdfs") {
+    val hdfs = EventStream.lateDataDrained(spark, sf)
+      .orderBy("window_start_s", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val rocks = withProvider("rocksdb") {
+      EventStream.lateDataDrained(spark, sf)
+        .orderBy("window_start_s", "event_type")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(rocks.nonEmpty && rocks == hdfs)
+  }
+}
