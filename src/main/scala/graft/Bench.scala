@@ -19,6 +19,11 @@ object Bench {
       .config(graft.sources.Readers.NanosAsLongKey, "true")
       .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_STATE_STORE=rocksdb benches the drained streaming
+      // family on RocksDBStateStoreProvider (the 100 TB state posture;
+      // SURVEY §6 records the delta vs the default HDFS-backed provider)
+      .config(graft.streaming.EventStream.StateStoreKey,
+        sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Caches.quietNoisyLogs()

@@ -306,6 +306,30 @@ object StreamingQueries {
       EventStream.streamStreamJoinHotkeyDrained(s, s"$dir/events.parquet")
         .orderBy("user_id", "signup_id", "purchase_bucket_us"))
 
+  private val streamTwsUserStats = GraftQuery(
+    name = "stream_tws_user_stats",
+    doc = "Drained transformWithState run (Spark 4's arbitrary-stateful-" +
+      "processing v2, the successor to map/flatMapGroupsWithState): " +
+      "per-user event count, DISTINCT event-type count, and first/last " +
+      "event time, held as composed typed state primitives — a " +
+      "ValueState scalar aggregate plus a MapState distinct-set whose " +
+      "per-batch cost is O(keys touched), not O(state) (each primitive " +
+      "is its own RocksDB column family; Spark supports the operator " +
+      "only on RocksDBStateStoreProvider, so this row also exercises " +
+      "the 100 TB state posture end-to-end on every run). All stats " +
+      "are order-insensitive and monotone, so the drain is correct " +
+      "under any batch split; the oracle recomputes the final state in " +
+      "batch SQL over the same microsecond-floored timestamps.",
+    oracle = Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+             MIN(epoch_ns(ts) // 1000) AS first_ts_us,
+             MAX(epoch_ns(ts) // 1000) AS last_ts_us
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) =>
+      EventStream.userStatsDrained(s, s"$dir/events.parquet")
+        .orderBy("user_id"))
+
   private val streamForeachBatchUpsert = GraftQuery(
     name = "stream_foreachbatch_upsert",
     doc = "Drained foreachBatch UPSERT sink: the event stream, split " +
@@ -338,5 +362,5 @@ object StreamingQueries {
     streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
     streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert,
-    streamOuterJoin, streamStreamJoinHotkey)
+    streamOuterJoin, streamStreamJoinHotkey, streamTwsUserStats)
 }

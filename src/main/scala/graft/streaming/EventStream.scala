@@ -248,7 +248,8 @@ object EventStream {
     * layout) it is exposed through a symlinked temp directory — a
     * metadata-only operation, no data copy, and exactly how a production
     * stream would point at a landing directory instead of one file. */
-  def eventsStream(spark: SparkSession, eventsPath: String): DataFrame = {
+  def eventsStream(spark: SparkSession, eventsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     require(
       spark.conf.get(graft.sources.Readers.NanosAsLongKey, "false") == "true",
       s"set ${graft.sources.Readers.NanosAsLongKey}=true in the " +
@@ -269,8 +270,9 @@ object EventStream {
         if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
       case _                => eventSchema
     }
-    graft.sources.Readers.normalizeTs(
-      spark.readStream.schema(declared).parquet(dir))
+    val reader = spark.readStream.schema(declared)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.sources.Readers.normalizeTs(reader.parquet(dir))
   }
 
   /** One symlink dir per source file for the JVM's lifetime — repeated
@@ -504,6 +506,34 @@ object EventStream {
   private val lastDrain =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Drain an APPEND-mode streaming frame to a parquet FILE sink and
+    * read the committed files back (via the sink's `_spark_metadata`
+    * transaction log, so only committed batches are visible). The
+    * memory sink materializes its whole result on the DRIVER — fine
+    * for the aggregate/dedup drains whose output is group- or
+    * key-cardinality-sized, fatal for the stream-stream joins whose
+    * output is DATA-sized: on the r12 skew corpus the hot user's join
+    * answer is ~28M rows, which as a memory sink filled the driver
+    * heap and wedged the run (the comparison grind was already fixed
+    * by the bucketed equi-key; the remaining wall was the sink
+    * itself). A file sink is how production runs this shape — output
+    * scales with executors and disk, never with driver memory — and
+    * the read-back is a distributed scan. Append mode only (the file
+    * sink cannot retract), which the join emissions are. */
+  private def drainToParquet(df: DataFrame, prefix: String): DataFrame = {
+    val session = df.sparkSession
+    val dir = deleteOnExit(java.nio.file.Files
+      .createTempDirectory(s"graft_${prefix}_sink")).toString
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // declared schema: an empty result commits no parquet files and
+    // inference would fail; the stream's own schema is authoritative
+    session.read.schema(df.schema).parquet(s"$dir/out")
+  }
+
   /** Oracle-checkable drained run (SURVEY §7.4.4's drained case): the
     * 5-minute tumbling-window aggregate executed as a REAL streaming
     * query — file source → stateful agg → memory sink — with
@@ -583,7 +613,7 @@ object EventStream {
     val (a, b, cond) = bucketedJoinSides(drainSession(spark), eventsPath)
     val joined = a.join(b, cond)
       .select(col("user_id"), col("signup_id"), col("purchase_id"))
-    drainToTable(spark, joined, "graft_stream_join", OutputMode.Append())
+    drainToParquet(joined, "stream_join")
   }
 
   /** LEFT OUTER stream-stream join, drained. Unlike the inner variant
@@ -609,7 +639,7 @@ object EventStream {
     val (a, b, cond) = bucketedJoinSides(drainSession(spark), eventsPath)
     val joined = a.join(b, cond, "left_outer")
       .select(col("user_id"), col("signup_id"), col("purchase_id"))
-    drainToTable(spark, joined, "graft_stream_outer", OutputMode.Append())
+    drainToParquet(joined, "stream_outer")
   }
 
   /** 5-minute bucket width of the hotkey join's emission cap. */
@@ -643,10 +673,21 @@ object EventStream {
   def streamStreamJoinHotkeyDrained(spark: SparkSession, eventsPath: String)
       : DataFrame = {
     val ds = drainSession(spark)
+    // same hour-bucket equi-key layout as [[bucketedJoinSides]], applied
+    // AFTER the emission-cap dedup (the cap keys on the un-exploded
+    // (user, 5-min bucket)): without it the matcher scans every buffered
+    // signup of the user per arriving bucket row — the hot user's
+    // signups number O(events), and the r12 skew probe measured that
+    // grind at 380 s vs ~11 s for the bucketed exact join. A bucket row
+    // matches signups with a_ts ∈ [b_bts − 1h, b_bts + 5min), whose
+    // hour-floor is one of {h−1, h, h+1} for h = floor_h(b_bts) — three
+    // replicas with distinct keys, so a matching signup's bucket equals
+    // exactly one replica's and no emission duplicates or drops.
     val a = eventsStream(ds, eventsPath)
       .filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"),
-        col("ts").as("a_ts"))
+        col("ts").as("a_ts"),
+        expr(s"unix_micros(ts) div $JoinBucketUs").as("a_bkt"))
       .withWatermark("a_ts", "1 hour")
     val b = eventsStream(ds, eventsPath)
       .filter(col("event_type") === "purchase")
@@ -655,15 +696,20 @@ object EventStream {
           s" * $HotkeyBucketUs)").as("b_bts"))
       .withWatermark("b_bts", "1 hour")
       .dropDuplicatesWithinWatermark("b_user", "b_bts")
+      .withColumn("b_abkt", explode(array(
+        expr(s"unix_micros(b_bts) div $JoinBucketUs - 1"),
+        expr(s"unix_micros(b_bts) div $JoinBucketUs"),
+        expr(s"unix_micros(b_bts) div $JoinBucketUs + 1"))))
     val joined = a.join(b,
       col("user_id") === col("b_user") &&
+        col("a_bkt") === col("b_abkt") &&
         col("b_bts") >= col("a_ts") - expr("INTERVAL 5 MINUTES") &&
         col("b_bts") >= expr(s"timestamp_micros(unix_micros(a_ts)" +
           s" div $HotkeyBucketUs * $HotkeyBucketUs)") &&
         col("b_bts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("signup_id"),
         unix_micros(col("b_bts")).as("purchase_bucket_us"))
-    drainToTable(spark, joined, "graft_stream_hotkey", OutputMode.Append())
+    drainToParquet(joined, "stream_hotkey")
   }
 
   /** Minimal schema for the late-data fixture stream (written by
@@ -768,5 +814,101 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n"), col("sum_value"))
     drainToTable(spark, agg, "graft_stream_sliding", OutputMode.Complete())
+  }
+
+  // ── transformWithState: the Spark-4 arbitrary-state API ─────────────
+
+  case class TypedUserEvent(user_id: Long, event_id: Long,
+      event_type: String, tsMicros: Long)
+  case class UserStatsState(nEvents: Long, firstUs: Long, lastUs: Long)
+  case class UserStatsRow(user_id: Long, n_events: Long,
+      n_event_types: Long, first_ts_us: Long, last_ts_us: Long)
+
+  /** `StatefulProcessor` for [[userStatsDrained]] — the successor API to
+    * map/flatMapGroupsWithState (SPARK-40025, "arbitrary stateful
+    * processing v2"): instead of ONE opaque state value per key, the
+    * processor composes typed state PRIMITIVES from the handle, each its
+    * own column family in the (mandatory) RocksDB store:
+    *
+    *   - `ValueState[UserStatsState]` — the scalar running aggregate
+    *     (count + first/last event time), read-modify-write per batch;
+    *   - `MapState[String, Boolean]` — the user's distinct event-type
+    *     set. This is the primitive that matters at scale: with
+    *     GroupState the whole set would serialize/deserialize as one
+    *     blob per key per batch, while MapState reads/writes only the
+    *     KEYS TOUCHED this batch (point lookups into the store) — the
+    *     difference between O(state) and O(delta) per batch for
+    *     set-valued state.
+    *
+    * Every emitted stat is order-insensitive (count, min, max, set
+    * size), so the processor is correct under any row order and any
+    * batch split — no single-batch contract, unlike the session
+    * processors whose gap logic needs event-time order. TTLConfig.NONE
+    * because the drained run is finite; a production deployment sets a
+    * TTL here and the store evicts idle users without a timer sweep. */
+  class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedUserEvent, UserStatsRow] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState, MapState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var totals: ValueState[UserStatsState] = _
+    @transient private var seenTypes: MapState[String, Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[UserStatsState]("totals",
+        E.product[UserStatsState], TTLConfig.NONE)
+      seenTypes = getHandle.getMapState[String, Boolean]("seen_types",
+        E.STRING, E.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedUserEvent],
+        timerValues: TimerValues): Iterator[UserStatsRow] = {
+      var st =
+        if (totals.exists()) totals.get()
+        else UserStatsState(0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { e =>
+        st = UserStatsState(st.nEvents + 1,
+          math.min(st.firstUs, e.tsMicros), math.max(st.lastUs, e.tsMicros))
+        if (!seenTypes.containsKey(e.event_type))
+          seenTypes.updateValue(e.event_type, true)
+      }
+      totals.update(st)
+      Iterator.single(UserStatsRow(key, st.nEvents,
+        seenTypes.keys().size.toLong, st.firstUs, st.lastUs))
+    }
+  }
+
+  /** Drained `transformWithState` run: per-user event count, distinct
+    * event-type count, and first/last event time via composed typed
+    * state ([[UserStatsProcessor]]). Spark 4 supports the operator only
+    * on `RocksDBStateStoreProvider` (the typed primitives map to RocksDB
+    * column families), so the drain forces that provider regardless of
+    * the [[StateStoreKey]] toggle — which also makes every registered
+    * run of this query exercise the 100 TB state posture end-to-end.
+    * Update mode re-emits a touched user's row each batch; every stat is
+    * monotone (count/set-size grow, min/max tighten), so the final
+    * answer is the monotone fold over the sink and the drain is correct
+    * under ANY batch split — `maxFilesPerTrigger` exists for the spec
+    * that proves exactly that with a real multi-batch run. */
+  def userStatsDrained(spark: SparkSession, eventsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    implicit val ds: SparkSession = drainSession(spark)
+    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ds.implicits._
+    val src = eventsStream(ds, eventsPath, maxFilesPerTrigger)
+    val out = src
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[TypedUserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    drainToTable(ds, out.toDF(), "graft_stream_tws", OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_event_types")).as("n_event_types"),
+        min(col("first_ts_us")).as("first_ts_us"),
+        max(col("last_ts_us")).as("last_ts_us"))
   }
 }

@@ -61,6 +61,34 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == batch)
   }
 
+  test("hotkey-capped stream-stream join: drained == batch bucket replay") {
+    // pins the r12 three-replica hour-bucket equi-key rewrite: a
+    // purchase bucket reaches signups with a_ts ∈ [b_bts−1h, b_bts+5m),
+    // i.e. hour-floors {h−1, h, h+1} — exactly one replica can match a
+    // given signup, so the drained result must equal the batch replay
+    // of the capped semantics (DISTINCT buckets per user) row-for-row
+    val sf = "/root/testdata/sf0.001"
+    val got = EventStream
+      .streamStreamJoinHotkeyDrained(spark, s"$sf/events.parquet")
+      .orderBy("user_id", "signup_id", "purchase_bucket_us")
+      .collect().map(_.toSeq).toSeq
+    Readers.table(spark, sf, "events").createOrReplaceTempView("ev_hot")
+    val want = spark.sql("""
+      WITH a AS (SELECT user_id, event_id AS signup_id,
+                        unix_micros(ts) AS a_us
+                 FROM ev_hot WHERE event_type = 'signup'),
+      pb AS (SELECT DISTINCT user_id AS b_user,
+                    unix_micros(ts) div 300000000 * 300000000 AS b_us
+             FROM ev_hot WHERE event_type = 'purchase')
+      SELECT a.user_id, a.signup_id, pb.b_us AS purchase_bucket_us
+      FROM a JOIN pb ON a.user_id = pb.b_user
+       AND pb.b_us >= a.a_us div 300000000 * 300000000
+       AND pb.b_us <= a.a_us + 3600000000
+      ORDER BY user_id, signup_id, purchase_bucket_us""")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("foreachBatch sink: arbitrary-sink pattern drains all rows") {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fb").toString

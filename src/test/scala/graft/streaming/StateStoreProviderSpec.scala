@@ -64,6 +64,39 @@ class StateStoreProviderSpec extends AnyFunSuite {
     assert(rocks.nonEmpty && rocks == hdfs)
   }
 
+  test("transformWithState drain equals batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val got = EventStream.userStatsDrained(spark, s"$sf/events.parquet")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val want = graft.sources.Readers.table(spark, sf, "events")
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_event_types"),
+        min(unix_micros(col("ts"))).as("first_ts_us"),
+        max(unix_micros(col("ts"))).as("last_ts_us"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("transformWithState state carries across REAL micro-batches") {
+    import org.apache.spark.sql.SaveMode
+    // 3 landing files + maxFilesPerTrigger=1 → AvailableNow runs 3
+    // micro-batches; ValueState and the MapState distinct-set must
+    // restore per batch and the monotone fold must land on the same
+    // final answer as the single-batch drain
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tws_multi").toString
+    graft.sources.Readers.table(spark, sf, "events")
+      .repartition(3)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events")
+    val multi =
+      EventStream.userStatsDrained(spark, s"$dir/events", Some(1))
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val single = EventStream.userStatsDrained(spark, s"$sf/events.parquet")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(multi.nonEmpty && multi == single)
+  }
+
   test("checkpoint restart (late-data two-run drain) on rocksdb == hdfs") {
     val hdfs = EventStream.lateDataDrained(spark, sf)
       .orderBy("window_start_s", "event_type")
