@@ -330,6 +330,79 @@ object StreamingQueries {
       EventStream.userStatsDrained(s, s"$dir/events.parquet")
         .orderBy("user_id"))
 
+  private val streamTwsBootstrap = GraftQuery(
+    name = "stream_tws_bootstrap",
+    doc = "Drained StatefulProcessorWithInitialState run - the STATE " +
+      "MIGRATION surface: even event_ids are the 'historical archive' " +
+      "aggregated in batch into per-user snapshots (scalar totals + the " +
+      "distinct event-type SET, so the MapState is seeded entry-by-" +
+      "entry, not just the ValueState); odd event_ids then stream " +
+      "through the processor starting from that state - how a " +
+      "production pipeline backfills history and goes live without " +
+      "replaying the archive through the stream. Emitted rows are " +
+      "cumulative totals with bootstrap included, so the monotone fold " +
+      "over sink UNION snapshot (batch-only users never stream a row) " +
+      "must equal the FULL-corpus aggregation, which is exactly what " +
+      "the oracle computes - a snapshot ignored, a lost set entry, or " +
+      "an unseeded scalar all shift streamed users' totals and fail " +
+      "the hash compare. RocksDB-forced like every tws drain.",
+    oracle = Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+             MIN(epoch_ns(ts) // 1000) AS first_ts_us,
+             MAX(epoch_ns(ts) // 1000) AS last_ts_us
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) =>
+      EventStream.userStatsBootstrapDrained(s, dir).orderBy("user_id"))
+
+  private val streamSessionTimeout = GraftQuery(
+    name = "stream_session_timeout",
+    doc = "Drained transformWithState run with EVENT-TIME TIMERS - the " +
+      "production closure path for gap sessions that " +
+      "flatMapGroupsWithState's NoTimeout drains explicitly defer: a " +
+      "30-minute session closes when a newer event from the same user " +
+      "exceeds the gap (closed_by='event') OR when the watermark passes " +
+      "the timer registered at last_event + gap (closed_by='timer'), " +
+      "which also CLEARS the key's state - the property that bounds " +
+      "state on an unbounded stream (an idle user costs nothing one gap " +
+      "after their last event). Spark's timer sweep is non-strict " +
+      "(expiry <= watermark, boundary-pinned in SessionTimeoutSpec), " +
+      "and with watermark delay 0 the final watermark is " +
+      "floor(global_max_us/1000), so the drained answer is pure batch " +
+      "arithmetic: every session except still-open tails with " +
+      "floor(last_us/1000) + 1800000 > floor(max_us/1000) - which is " +
+      "exactly what the oracle replays. RocksDB-forced like every " +
+      "transformWithState drain.",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+                 FROM events),
+      mx AS (SELECT MAX(ts_us) // 1000 AS max_ms FROM e),
+      x AS (SELECT user_id, ts_us, event_id,
+              CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id) IS NULL
+                    OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+            FROM e),
+      s AS (SELECT user_id, ts_us,
+              SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x),
+      g AS (SELECT user_id, sid, MIN(ts_us) AS session_start_us,
+              MAX(ts_us) AS session_end_us, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid),
+      r AS (SELECT g.*, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY sid DESC) AS rn FROM g)
+      SELECT user_id, session_start_us, session_end_us, n_events,
+             CASE WHEN rn > 1 THEN 'event' ELSE 'timer' END AS closed_by
+      FROM r, mx
+      WHERE rn > 1 OR session_end_us // 1000 + 1800000 <= max_ms
+      ORDER BY user_id, session_start_us"""),
+    run = (s, dir) =>
+      EventStream.sessionTimeoutDrained(s, s"$dir/events.parquet")
+        .orderBy("user_id", "session_start_us"))
+
   private val streamForeachBatchUpsert = GraftQuery(
     name = "stream_foreachbatch_upsert",
     doc = "Drained foreachBatch UPSERT sink: the event stream, split " +
@@ -362,5 +435,6 @@ object StreamingQueries {
     streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
     streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert,
-    streamOuterJoin, streamStreamJoinHotkey, streamTwsUserStats)
+    streamOuterJoin, streamStreamJoinHotkey, streamTwsUserStats,
+    streamSessionTimeout, streamTwsBootstrap)
 }

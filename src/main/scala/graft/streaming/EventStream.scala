@@ -911,4 +911,228 @@ object EventStream {
         min(col("first_ts_us")).as("first_ts_us"),
         max(col("last_ts_us")).as("last_ts_us"))
   }
+
+  /** Batch-computed per-user snapshot used to BOOTSTRAP streaming state
+    * (the backfill-then-stream migration path): the distinct event-type
+    * set rides along as an array so [[UserStatsBootstrapProcessor]] can
+    * seed the MapState entries, not just the scalar aggregate. */
+  case class UserStatsSnapshot(user_id: Long, nEvents: Long, firstUs: Long,
+      lastUs: Long, types: Array[String])
+
+  /** [[UserStatsProcessor]] with INITIAL STATE — Spark 4's
+    * `StatefulProcessorWithInitialState`, the state-migration surface: a
+    * batch job computes the historical per-key snapshot, the streaming
+    * job starts from it instead of from empty state (how a production
+    * pipeline backfills years of history and then goes live without
+    * replaying the whole archive through the stream). Spark calls
+    * `handleInitialState` once per snapshot key on the FIRST batch; the
+    * per-row fold is identical to the non-bootstrapped processor, so
+    * drained-output ∪ snapshot folded monotonically must equal the
+    * full-corpus batch answer — which is what the DuckDB oracle checks. */
+  class UserStatsBootstrapProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, TypedUserEvent, UserStatsRow, UserStatsSnapshot] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var totals: ValueState[UserStatsState] = _
+    @transient private var seenTypes: MapState[String, Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[UserStatsState]("totals",
+        E.product[UserStatsState], TTLConfig.NONE)
+      seenTypes = getHandle.getMapState[String, Boolean]("seen_types",
+        E.STRING, E.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: Long, s: UserStatsSnapshot,
+        timerValues: TimerValues): Unit = {
+      totals.update(UserStatsState(s.nEvents, s.firstUs, s.lastUs))
+      s.types.foreach(t => seenTypes.updateValue(t, true))
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedUserEvent],
+        timerValues: TimerValues): Iterator[UserStatsRow] = {
+      var st =
+        if (totals.exists()) totals.get()
+        else UserStatsState(0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { e =>
+        st = UserStatsState(st.nEvents + 1,
+          math.min(st.firstUs, e.tsMicros), math.max(st.lastUs, e.tsMicros))
+        if (!seenTypes.containsKey(e.event_type))
+          seenTypes.updateValue(e.event_type, true)
+      }
+      totals.update(st)
+      Iterator.single(UserStatsRow(key, st.nEvents,
+        seenTypes.keys().size.toLong, st.firstUs, st.lastUs))
+    }
+  }
+
+  /** Drained BOOTSTRAPPED stats run: even event_ids are the "historical
+    * archive" aggregated in BATCH into [[UserStatsSnapshot]]s; odd
+    * event_ids stream through [[UserStatsBootstrapProcessor]] seeded
+    * with that snapshot. Emitted rows are cumulative per-user totals
+    * (bootstrap included from row one), so the monotone fold over the
+    * sink ∪ the snapshot (covering batch-only users, who never stream a
+    * row) is the full-corpus answer — any bootstrap defect (snapshot
+    * ignored, set entries lost, scalar not seeded) shifts every
+    * streamed user's totals and the oracle compare catches it. */
+  def userStatsBootstrapDrained(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    implicit val ds: SparkSession = drainSession(spark)
+    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ds.implicits._
+    val snapshot = graft.sources.Readers.table(ds, sfDir, "events")
+      .filter(col("event_id") % 2 === 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("nEvents"),
+        min(unix_micros(col("ts"))).as("firstUs"),
+        max(unix_micros(col("ts"))).as("lastUs"),
+        collect_set(col("event_type")).as("types"))
+      .as[UserStatsSnapshot]
+    val out = eventsStream(ds, s"$sfDir/events.parquet", maxFilesPerTrigger)
+      .filter(col("event_id") % 2 =!= 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[TypedUserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsBootstrapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update(),
+        snapshot.groupByKey(_.user_id))
+    val sink = drainToTable(ds, out.toDF(), "graft_stream_tws_boot",
+      OutputMode.Update())
+    val snapRows = snapshot.toDF().select(col("user_id"),
+      col("nEvents").as("n_events"),
+      size(col("types")).cast(LongType).as("n_event_types"),
+      col("firstUs").as("first_ts_us"), col("lastUs").as("last_ts_us"))
+    sink.unionByName(snapRows)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_event_types")).as("n_event_types"),
+        min(col("first_ts_us")).as("first_ts_us"),
+        max(col("last_ts_us")).as("last_ts_us"))
+  }
+
+  case class SessionTimeoutRow(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, closed_by: String)
+  /** Open-session state: bounds + count of the one in-flight session,
+    * plus the expiry of the timer currently registered for it (exact
+    * expiry is needed to DELETE the old timer on re-registration, and
+    * to ignore a stale fire that raced a same-batch extension). */
+  case class OpenSessionState(startUs: Long, lastUs: Long, n: Long,
+      timerMs: Long)
+
+  /** EVENT-TIME TIMER session closer — the production answer to the
+    * gap [[sessionRowsFrom]] documents ("a multi-file layout would need
+    * event-time ordering across batches plus a timeout to close
+    * sessions"). A 30-minute gap session closes in one of two ways:
+    *
+    *   - a NEWER event from the same user arrives with gap >
+    *     [[SessionGapMicros]] → the open session is emitted
+    *     (`closed_by='event'`) and a new one starts — no timer needed;
+    *   - no newer event ever arrives → the EVENT-TIME TIMER registered
+    *     at `floor(last_us/1000) + gapMs` fires once the watermark
+    *     passes it, emitting the session (`closed_by='timer'`) and
+    *     CLEARING the key's state. This is the piece GroupStateTimeout
+    *     cannot compose with typed state primitives, and the piece that
+    *     bounds state on an unbounded stream: an idle user's state is
+    *     gone one gap after their last event, swept by the store, not
+    *     by a full key scan.
+    *
+    * Timer hygiene per batch: the state remembers the registered expiry;
+    * extending a session deletes the old timer and registers the new
+    * one, so at most ONE timer per key is live and a fired timer is
+    * cross-checked against the remembered expiry before it may close
+    * anything (a stale fire is ignored). Spark fires an event-time timer
+    * when `expiryMs <= watermarkMs` (NON-strict — observed on 4.1 and
+    * boundary-pinned by `SessionTimeoutSpec`), with `watermarkMs =
+    * floor(max_event_us/1000) - delayMs` over the whole drained input —
+    * so with delay 0 the drained output is exactly batch sessionization
+    * minus still-open tails: every session except those with
+    * `floor(last_us/1000) + gapMs > floor(global_max_us/1000)`. That
+    * rule is pure arithmetic over the input, which is what makes this
+    * operator DuckDB-oracle-checkable despite the timer path.
+    *
+    * Same per-batch ordering contract as the other session processors:
+    * rows are sorted within each batch, and batches must arrive in
+    * event-time order for cross-batch exactness (the multi-batch spec
+    * splits files along event time; the registered drain is one batch). */
+  class SessionTimeoutProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedUserEvent, SessionTimeoutRow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    private val GapMs = SessionGapMicros / 1000L
+    @transient private var open: ValueState[OpenSessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSessionState]("open",
+        E.product[OpenSessionState], TTLConfig.NONE)
+
+    private def timerFor(lastUs: Long): Long =
+      Math.floorDiv(lastUs, 1000L) + GapMs
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedUserEvent],
+        timerValues: TimerValues): Iterator[SessionTimeoutRow] = {
+      val sorted = rows.toArray.sortBy(e => (e.tsMicros, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[SessionTimeoutRow]()
+      var st = if (open.exists()) open.get() else null
+      sorted.foreach { e =>
+        if (st == null) {
+          st = OpenSessionState(e.tsMicros, e.tsMicros, 1L, -1L)
+        } else if (e.tsMicros - st.lastUs > SessionGapMicros) {
+          out += SessionTimeoutRow(key, st.startUs, st.lastUs, st.n, "event")
+          if (st.timerMs >= 0) getHandle.deleteTimer(st.timerMs)
+          st = OpenSessionState(e.tsMicros, e.tsMicros, 1L, -1L)
+        } else {
+          st = st.copy(lastUs = math.max(st.lastUs, e.tsMicros), n = st.n + 1)
+        }
+      }
+      if (st != null && sorted.nonEmpty) {
+        if (st.timerMs >= 0 && st.timerMs != timerFor(st.lastUs))
+          getHandle.deleteTimer(st.timerMs)
+        val t = timerFor(st.lastUs)
+        if (st.timerMs != t) getHandle.registerTimer(t)
+        open.update(st.copy(timerMs = t))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionTimeoutRow] = {
+      if (!open.exists()) return Iterator.empty
+      val st = open.get()
+      // only the timer the CURRENT state registered may close it; a
+      // stale fire (same-batch extension raced the delete) is a no-op
+      if (st.timerMs != expired.getExpiryTimeInMs()) return Iterator.empty
+      open.clear()
+      Iterator.single(
+        SessionTimeoutRow(key, st.startUs, st.lastUs, st.n, "timer"))
+    }
+  }
+
+  /** Drained [[SessionTimeoutProcessor]] run: per-user 30-minute gap
+    * sessions with bounds and counts, closed by next-event OR
+    * event-time timer, watermark delay 0. RocksDB-forced like every
+    * transformWithState drain. Append mode — each session emits exactly
+    * once, so the sink is the answer with no fold. */
+  def sessionTimeoutDrained(spark: SparkSession, eventsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    implicit val ds: SparkSession = drainSession(spark)
+    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ds.implicits._
+    val src = eventsStream(ds, eventsPath, maxFilesPerTrigger)
+      .withWatermark("ts", "0 seconds")
+    val out = src
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[TypedUserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    drainToTable(ds, out.toDF(), "graft_stream_session_timeout",
+      OutputMode.Append())
+  }
 }
