@@ -520,7 +520,20 @@ object EventStream {
     * scales with executors and disk, never with driver memory — and
     * the read-back is a distributed scan. Append mode only (the file
     * sink cannot retract), which the join emissions are. */
-  private def drainToParquet(df: DataFrame, prefix: String): DataFrame = {
+  private def drainToParquet(df: DataFrame, prefix: String): DataFrame =
+    drainToParquetWithProgress(df, prefix)._1
+
+  /** [[drainToParquet]] that also returns the query's per-batch
+    * [[org.apache.spark.sql.streaming.StreamingQueryProgress]] — the
+    * state-operator metrics (numRowsTotal / numRowsRemoved) are how a
+    * test PROVES watermark eviction actually ran, rather than trusting
+    * a docstring (r12 verdict #2: the hotkey join's floor-bucket
+    * conjunct triggers a `StreamingJoinHelper` extraction WARN, and
+    * only the metrics can show whether buffered state still drains
+    * once the horizon passes). recentProgress retains the last 100
+    * batches by default — more than any drained run here produces. */
+  private[graft] def drainToParquetWithProgress(df: DataFrame, prefix: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val session = df.sparkSession
     val dir = deleteOnExit(java.nio.file.Files
       .createTempDirectory(s"graft_${prefix}_sink")).toString
@@ -531,7 +544,8 @@ object EventStream {
     q.awaitTermination()
     // declared schema: an empty result commits no parquet files and
     // inference would fail; the stream's own schema is authoritative
-    session.read.schema(df.schema).parquet(s"$dir/out")
+    (session.read.schema(df.schema).parquet(s"$dir/out"),
+      q.recentProgress.toSeq)
   }
 
   /** Oracle-checkable drained run (SURVEY §7.4.4's drained case): the
@@ -574,15 +588,16 @@ object EventStream {
     * trade. Watermark eviction is unchanged: the extractable
     * `b_ts BETWEEN a_ts AND a_ts + 1h` range condition is still
     * present verbatim. */
-  private def bucketedJoinSides(ds: SparkSession, eventsPath: String)
+  private[graft] def bucketedJoinSides(ds: SparkSession, eventsPath: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : (DataFrame, DataFrame, Column) = {
-    val a = eventsStream(ds, eventsPath)
+    val a = eventsStream(ds, eventsPath, maxFilesPerTrigger)
       .filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"),
         col("ts").as("a_ts"),
         expr(s"unix_micros(ts) div $JoinBucketUs").as("a_bkt"))
       .withWatermark("a_ts", "1 hour")
-    val b = eventsStream(ds, eventsPath)
+    val b = eventsStream(ds, eventsPath, maxFilesPerTrigger)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("b_user"),
         col("event_id").as("purchase_id"), col("ts").as("b_ts"))
@@ -609,11 +624,23 @@ object EventStream {
     * Implementation is the hot-key-safe bucketed-equi-key layout
     * ([[bucketedJoinSides]]) with identical output. */
   def streamStreamJoinDrained(spark: SparkSession, eventsPath: String)
-      : DataFrame = {
-    val (a, b, cond) = bucketedJoinSides(drainSession(spark), eventsPath)
+      : DataFrame =
+    streamStreamJoinDrainedWithProgress(spark, eventsPath, None)._1
+
+  /** [[streamStreamJoinDrained]] with per-batch progress exposed (and an
+    * optional maxFilesPerTrigger so a multi-file landing dir yields
+    * REAL multiple micro-batches with an advancing watermark between
+    * them) — the handle `JoinStateEvictionSpec` uses to assert the
+    * join's buffered state is EVICTED once the watermark passes, as
+    * numbers (stateOperators numRowsRemoved / numRowsTotal), not prose. */
+  def streamStreamJoinDrainedWithProgress(spark: SparkSession,
+      eventsPath: String, maxFilesPerTrigger: Option[Int] = None)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val (a, b, cond) =
+      bucketedJoinSides(drainSession(spark), eventsPath, maxFilesPerTrigger)
     val joined = a.join(b, cond)
       .select(col("user_id"), col("signup_id"), col("purchase_id"))
-    drainToParquet(joined, "stream_join")
+    drainToParquetWithProgress(joined, "stream_join")
   }
 
   /** LEFT OUTER stream-stream join, drained. Unlike the inner variant
@@ -671,7 +698,20 @@ object EventStream {
     * (`b_bts >= a_ts − 5 min`, implied by the floor bound) keeps the
     * state-watermark extraction working on both sides. */
   def streamStreamJoinHotkeyDrained(spark: SparkSession, eventsPath: String)
-      : DataFrame = {
+      : DataFrame =
+    streamStreamJoinHotkeyDrainedWithProgress(spark, eventsPath, None)._1
+
+  /** [[streamStreamJoinHotkeyDrained]] with per-batch progress exposed —
+    * this is the query whose floor-bucket conjunct makes
+    * `StreamingJoinHelper` log "Failed to extract state value watermark"
+    * (it cannot derive a key-value horizon from the non-linear
+    * `div`-floor term). The redundant plain-range conjunct is what keeps
+    * extraction alive; `JoinStateEvictionSpec` asserts on these metrics
+    * that BOTH join sides' buffered rows are in fact removed as the
+    * watermark advances, adjudicating that WARN with numbers. */
+  def streamStreamJoinHotkeyDrainedWithProgress(spark: SparkSession,
+      eventsPath: String, maxFilesPerTrigger: Option[Int] = None)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val ds = drainSession(spark)
     // same hour-bucket equi-key layout as [[bucketedJoinSides]], applied
     // AFTER the emission-cap dedup (the cap keys on the un-exploded
@@ -683,13 +723,13 @@ object EventStream {
     // hour-floor is one of {h−1, h, h+1} for h = floor_h(b_bts) — three
     // replicas with distinct keys, so a matching signup's bucket equals
     // exactly one replica's and no emission duplicates or drops.
-    val a = eventsStream(ds, eventsPath)
+    val a = eventsStream(ds, eventsPath, maxFilesPerTrigger)
       .filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"),
         col("ts").as("a_ts"),
         expr(s"unix_micros(ts) div $JoinBucketUs").as("a_bkt"))
       .withWatermark("a_ts", "1 hour")
-    val b = eventsStream(ds, eventsPath)
+    val b = eventsStream(ds, eventsPath, maxFilesPerTrigger)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("b_user"),
         expr(s"timestamp_micros(unix_micros(ts) div $HotkeyBucketUs" +
@@ -709,7 +749,7 @@ object EventStream {
         col("b_bts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("signup_id"),
         unix_micros(col("b_bts")).as("purchase_bucket_us"))
-    drainToParquet(joined, "stream_hotkey")
+    drainToParquetWithProgress(joined, "stream_hotkey")
   }
 
   /** Minimal schema for the late-data fixture stream (written by
@@ -1011,6 +1051,96 @@ object EventStream {
         max(col("n_event_types")).as("n_event_types"),
         min(col("first_ts_us")).as("first_ts_us"),
         max(col("last_ts_us")).as("last_ts_us"))
+  }
+
+  /** Reconstruct the [[UserStatsSnapshot]] per-key state from a
+    * transformWithState CHECKPOINT via the `statestore` data source —
+    * the read half of the offline state-repartition recipe: ValueState
+    * `totals` gives the scalar aggregate, the MapState `seen_types`
+    * entries regroup into the distinct-type set. Distributed scans
+    * both; nothing driver-sized. */
+  def userStatsSnapshotFromCheckpoint(ds: SparkSession, ckpt: String)
+      : Dataset[UserStatsSnapshot] = {
+    import ds.implicits._
+    val totals = ds.read.format("statestore").option("path", ckpt)
+      .option("stateVarName", "totals").load()
+      .select(col("key.value").as("user_id"),
+        col("value.nEvents").as("nEvents"),
+        col("value.firstUs").as("firstUs"),
+        col("value.lastUs").as("lastUs"))
+    val types = ds.read.format("statestore").option("path", ckpt)
+      .option("stateVarName", "seen_types").load()
+      .select(col("key.value").as("user_id"),
+        col("user_map_key.value").as("t"))
+      .groupBy("user_id").agg(collect_set(col("t")).as("types"))
+    totals.join(types, Seq("user_id")).as[UserStatsSnapshot]
+  }
+
+  /** OFFLINE STATE-REPARTITION recipe (the 100 TB operational gap: a
+    * live stateful query's state-partition count is frozen at first
+    * start — `numShufflePartitions` is read from the checkpoint, so
+    * scaling a hot stateful job up means REBUILDING its state, not
+    * flipping a conf). The rebuild is three moves, all distributed:
+    *
+    *   1. READ the old checkpoint's per-key state as DataFrames via the
+    *      `statestore` source ([[userStatsSnapshotFromCheckpoint]]);
+    *   2. START a NEW query on a session whose
+    *      `spark.sql.shuffle.partitions` = the new state partition
+    *      count, seeding it through
+    *      [[UserStatsBootstrapProcessor]]'s initial-state surface —
+    *      Spark hash-partitions the snapshot across the NEW partition
+    *      count on the first batch (the "re-bucket" step is the
+    *      engine's own exchange, not hand-rolled file surgery);
+    *   3. RESUME the stream from where the old query stopped (here: the
+    *      not-yet-processed events path) against the new checkpoint.
+    *
+    * Returns the folded cumulative answer (sink ∪ snapshot, exactly as
+    * [[userStatsBootstrapDrained]]) plus the new checkpoint path so
+    * callers can verify the migrated state in place. The old
+    * checkpoint is never written to. */
+  def userStatsMigratedDrained(spark: SparkSession, oldCkpt: String,
+      eventsPath: String, newPartitions: Int): (DataFrame, String) = {
+    // a FRESH session clone, not the memoized drain session: the whole
+    // point is a different shuffle-partition count, which must not
+    // leak into (or inherit from) the shared drain clone
+    val ds = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try ds.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    ds.conf.set("spark.sql.shuffle.partitions", newPartitions.toString)
+    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ds.implicits._
+    val snapshot = userStatsSnapshotFromCheckpoint(ds, oldCkpt)
+    val out = eventsStream(ds, eventsPath)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[TypedUserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsBootstrapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update(),
+        snapshot.groupByKey(_.user_id))
+    val newCkpt = deleteOnExit(java.nio.file.Files
+      .createTempDirectory("graft_state_migr_ck")).toString
+    val name = s"graft_stream_migrated_${drainId.incrementAndGet()}"
+    val q = out.toDF().writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .option("checkpointLocation", newCkpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sink = ds.table(name)
+    val snapRows = snapshot.toDF().select(col("user_id"),
+      col("nEvents").as("n_events"),
+      size(col("types")).cast(LongType).as("n_event_types"),
+      col("firstUs").as("first_ts_us"), col("lastUs").as("last_ts_us"))
+    val folded = sink.unionByName(snapRows)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_event_types")).as("n_event_types"),
+        min(col("first_ts_us")).as("first_ts_us"),
+        max(col("last_ts_us")).as("last_ts_us"))
+    (folded, newCkpt)
   }
 
   case class SessionTimeoutRow(user_id: Long, session_start_us: Long,

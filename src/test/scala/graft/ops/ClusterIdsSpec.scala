@@ -2,6 +2,8 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.ClusterSubmit
+
 /** Drives [[graft.tools.OrderedIdClusterCheck]] on a
   * `local-cluster[2,1,1024]` master — real separate executor JVMs — via
   * spark-submit (a second SparkContext cannot share the test JVM).
@@ -12,27 +14,6 @@ class ClusterIdsSpec extends AnyFunSuite {
 
   test("orderedId durable branch on local-cluster: checkpoint written, " +
       "ids survive simulated block loss") {
-    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
-    val cmd = Seq("/opt/spark/bin/spark-submit",
-      "--master", "local-cluster[2,1,1024]",
-      "--driver-class-path", classes,
-      "--conf", s"spark.executor.extraClassPath=$classes",
-      "--conf", "spark.ui.enabled=false",
-      "--class", "graft.tools.OrderedIdClusterCheck",
-      "spark-internal")
-    val buf = new StringBuilder
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(proc.getInputStream))
-    var line = reader.readLine()
-    while (line != null) { buf.append(line).append('\n'); line = reader.readLine() }
-    val finished = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-    if (!finished) proc.destroyForcibly()
-    val out = buf.toString
-    assert(finished, s"spark-submit timed out:\n${out.takeRight(4000)}")
-    assert(proc.exitValue() == 0,
-      s"cluster check exited ${proc.exitValue()}:\n${out.takeRight(4000)}")
-    assert(out.contains("[clustercheck] OK"),
-      s"no OK verdict:\n${out.takeRight(4000)}")
+    ClusterSubmit.assertOk(ClusterSubmit.run("graft.tools.OrderedIdClusterCheck"))
   }
 }

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Readers
+
+/** The r12 verdict #2 pin: stream-stream join WATERMARK EVICTION as
+  * measured state metrics, not a docstring. Both exact-join layouts add
+  * a derived hour-bucket equi-key (`EventStream.bucketedJoinSides`) and
+  * the hotkey variant adds a floor-bucket conjunct that
+  * `StreamingJoinHelper` cannot turn into a state-value watermark (the
+  * "Failed to extract state value watermark" WARN in the bench tail —
+  * the `div`-floor term is non-linear, so extraction skips it). The
+  * claim to prove is that the REDUNDANT plain-range conjunct kept
+  * eviction alive: across a multi-batch run with an advancing
+  * watermark, `StreamingQueryProgress.stateOperators` must show
+  * buffered join rows being REMOVED, and the final retained state must
+  * sit well below the run's peak. If eviction were broken the state
+  * would be monotone non-decreasing until the final batch — exactly
+  * what these assertions reject.
+  */
+class JoinStateEvictionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** sf0.001 events split into 4 files along EVENT TIME with pinned
+    * ascending mtimes (FileStreamSource orders by mtime), so
+    * maxFilesPerTrigger=1 yields 4 real micro-batches whose watermark
+    * advances between them. */
+  lazy val multiFileDir: String = {
+    val src = Readers.table(spark, "/root/testdata/sf0.001", "events")
+    val d = java.nio.file.Files.createTempDirectory("graft_evict").toString
+    val rows = src.orderBy("ts").collect()
+    val n = rows.length
+    import scala.jdk.CollectionConverters._
+    (0 until 4).foreach { i =>
+      spark.createDataFrame(
+        rows.slice(i * n / 4, (i + 1) * n / 4).toList.asJava, src.schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/f$i")
+      val f = new java.io.File(s"$d/f$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(s"$d/part-$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      val dir = new java.io.File(s"$d/f$i")
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    d
+  }
+
+  /** (peak state rows, final state rows, total removed, batches) over
+    * the run's symmetric-hash-join operator. */
+  private def joinStateStats(
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+      : (Long, Long, Long, Int) = {
+    val perBatch = progress.map { p =>
+      val ops = p.stateOperators.filter(
+        _.operatorName.toLowerCase.contains("join"))
+      (ops.map(_.numRowsTotal).sum, ops.map(_.numRowsRemoved).sum)
+    }
+    (perBatch.map(_._1).max, perBatch.last._1, perBatch.map(_._2).sum,
+      perBatch.size)
+  }
+
+  test("exact bucketed join: state evicts as the watermark advances") {
+    val (df, progress) = EventStream
+      .streamStreamJoinDrainedWithProgress(spark, multiFileDir, Some(1))
+    val multi = df.orderBy("user_id", "signup_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val single = EventStream
+      .streamStreamJoinDrained(spark,
+        "/root/testdata/sf0.001/events.parquet")
+      .orderBy("user_id", "signup_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    assert(multi.nonEmpty && multi == single,
+      "multi-batch join result must equal the single-batch drain")
+
+    val (peak, fin, removed, batches) = joinStateStats(progress)
+    assert(batches >= 4, s"expected >= 4 micro-batches, got $batches")
+    assert(removed > 0,
+      "no buffered join rows were ever removed - eviction never ran")
+    assert(fin < peak,
+      s"final state $fin !< peak $peak - state never drained")
+    // the final watermark is max(ts) - 1h; everything older than its
+    // join horizon must be gone, so the residue is a small tail, not
+    // the bulk of the stream
+    assert(fin < peak / 2,
+      s"final state $fin >= half of peak $peak - eviction is not " +
+        "keeping up with the watermark")
+  }
+
+  test("hotkey join: eviction survives the non-extractable conjunct") {
+    val (df, progress) = EventStream
+      .streamStreamJoinHotkeyDrainedWithProgress(spark, multiFileDir, Some(1))
+    val multi = df.orderBy("user_id", "signup_id", "purchase_bucket_us")
+      .collect().map(_.toSeq).toSeq
+    val single = EventStream
+      .streamStreamJoinHotkeyDrained(spark,
+        "/root/testdata/sf0.001/events.parquet")
+      .orderBy("user_id", "signup_id", "purchase_bucket_us")
+      .collect().map(_.toSeq).toSeq
+    assert(multi.nonEmpty && multi == single,
+      "multi-batch hotkey result must equal the single-batch drain")
+
+    val (peak, fin, removed, batches) = joinStateStats(progress)
+    assert(batches >= 4, s"expected >= 4 micro-batches, got $batches")
+    assert(removed > 0,
+      "hotkey join state never evicted - the StreamingJoinHelper WARN " +
+        "would then be a real leak, not a skipped redundant conjunct")
+    assert(fin < peak,
+      s"final state $fin !< peak $peak - state never drained")
+    // the watermarked dedup feeding the join must also stay bounded
+    val dedupRemoved = progress.flatMap(_.stateOperators)
+      .filter(_.operatorName.toLowerCase.contains("dedup"))
+      .map(_.numRowsRemoved).sum
+    assert(dedupRemoved > 0,
+      "dropDuplicatesWithinWatermark state never expired")
+  }
+}

@@ -39,7 +39,6 @@ class TwsBootstrapSpec extends AnyFunSuite {
     // the odd-half events alone under the plain (no-initial-state)
     // processor: if this equaled the full answer, the corpus could not
     // distinguish a working bootstrap from an ignored one
-    val ds = EventStream.drainSession(spark)
     val oddOnly = {
       val d = java.nio.file.Files.createTempDirectory("graft_boot_odd")
       Readers.table(spark, sf, "events")
