@@ -355,6 +355,33 @@ object StreamingQueries {
     run = (s, dir) =>
       EventStream.userStatsBootstrapDrained(s, dir).orderBy("user_id"))
 
+  private val streamStateMigration = GraftQuery(
+    name = "stream_state_migration",
+    doc = "END-TO-END OFFLINE STATE-REPARTITION run - the operational " +
+      "answer to a stateful query's frozen state-partition count (it " +
+      "is read from the checkpoint at every restart, so scaling a hot " +
+      "job means rebuilding its state): the original 4-partition " +
+      "query's checkpoint over the historic half (even event_ids, " +
+      "built once per JVM as the pre-existing production state) is " +
+      "read back via the statestore data source, re-bucketed to 8 " +
+      "state partitions through the initial-state bootstrap surface " +
+      "(Spark's own first-batch exchange does the re-hash), and the " +
+      "live half (odd event_ids) resumes against the new checkpoint. " +
+      "The fold over sink UNION snapshot must equal the FULL-corpus " +
+      "per-user aggregation - a key lost or doubled anywhere in " +
+      "read-back, re-bucket, or resume shifts some user's totals and " +
+      "fails the hash compare. StateMigrationSpec additionally pins " +
+      "that the new checkpoint physically carries 8 partitions and " +
+      "that its own state equals the full-corpus truth.",
+    oracle = Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+             MIN(epoch_ns(ts) // 1000) AS first_ts_us,
+             MAX(epoch_ns(ts) // 1000) AS last_ts_us
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) =>
+      EventStream.stateMigrationDrained(s, dir).orderBy("user_id"))
+
   private val streamSessionTimeout = GraftQuery(
     name = "stream_session_timeout",
     doc = "Drained transformWithState run with EVENT-TIME TIMERS - the " +
@@ -436,5 +463,5 @@ object StreamingQueries {
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
     streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert,
     streamOuterJoin, streamStreamJoinHotkey, streamTwsUserStats,
-    streamSessionTimeout, streamTwsBootstrap)
+    streamSessionTimeout, streamTwsBootstrap, streamStateMigration)
 }

@@ -139,8 +139,10 @@ object EventStream {
       : DataFrame = {
     implicit val ds: SparkSession = drainSession(spark)
     val rows = sessionRowsFrom(eventsStream(ds, eventsPath))
-    drainToTable(ds, rows.toDF(), "graft_stream_session_rows",
-      OutputMode.Append())
+    // file sink, not memory: the output is SESSION-sized (grows with
+    // the data), and an append-mode memory sink would hold it all on
+    // the driver - the 100x events probe OOM'd exactly there
+    drainToParquet(rows.toDF(), "stream_session_rows")
   }
 
   /** Drained stream-STATIC enrichment join (the standard streaming
@@ -172,7 +174,9 @@ object EventStream {
     val deduped = eventsStream(drainSession(spark), eventsPath)
       .select(keys.map(col): _*)
       .dropDuplicates(keys)
-    drainToTable(spark, deduped, "graft_stream_dedup", OutputMode.Append())
+    // distinct-key-set output grows with the data: file sink (see
+    // sessionRowsDrained)
+    drainToParquet(deduped, "stream_dedup")
   }
 
   /** Drained BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark
@@ -189,8 +193,7 @@ object EventStream {
       .select((keys.map(col) :+ col("ts")): _*)
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)
-    drainToTable(spark, deduped, "graft_stream_dedup_wm",
-      OutputMode.Append())
+    drainToParquet(deduped, "stream_dedup_wm")
   }
 
   /** Drained stateful run: sessionCountsFrom over the driver's events
@@ -1143,6 +1146,57 @@ object EventStream {
     (folded, newCkpt)
   }
 
+  /** Per-sfDir migration fixture: the events table split into a
+    * "historic" half (even event_ids) and a "live" half (odd), plus the
+    * ORIGINAL 4-partition query's checkpoint over the historic half.
+    * Built once per JVM per sfDir — the fixture is the pre-existing
+    * production state a migration starts FROM, so the timed query
+    * measures the migration itself, not the one-time construction of
+    * the world it migrates (the etl_sparkify_full precedent). */
+  private val migrationFixtures = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, String)]()
+
+  /** Oracle-checkable END-TO-END state migration
+    * ([[userStatsMigratedDrained]]) over the driver's events table:
+    * read the 4-partition checkpoint's state, re-bucket to 8 state
+    * partitions via the initial-state bootstrap, resume on the live
+    * half, fold. The result must equal the full-corpus per-user
+    * aggregation — a key lost or doubled in the re-bucket shifts some
+    * user's totals and fails the hash compare. */
+  def stateMigrationDrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val (liveDir, oldCkpt) =
+      migrationFixtures.computeIfAbsent(sfDir, { _ =>
+        val base = deleteOnExit(java.nio.file.Files
+          .createTempDirectory("graft_migr_fixture")).toString
+        val events = graft.sources.Readers.table(spark, sfDir, "events")
+        events.filter(col("event_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$base/historic")
+        events.filter(col("event_id") % 2 =!= 0)
+          .write.mode("overwrite").parquet(s"$base/live")
+        val ds = drainSession(spark)
+        ds.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import ds.implicits._
+        val out = eventsStream(ds, s"$base/historic")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsMicros"))
+          .as[TypedUserEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new UserStatsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+        val name = s"graft_stream_migr_old_${drainId.incrementAndGet()}"
+        val q = out.toDF().writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(name)
+          .option("checkpointLocation", s"$base/oldCkpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ds.catalog.dropTempView(name)
+        (s"$base/live", s"$base/oldCkpt")
+      })
+    userStatsMigratedDrained(spark, oldCkpt, liveDir, 8)._1
+  }
+
   case class SessionTimeoutRow(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long, closed_by: String)
   /** Open-session state: bounds + count of the one in-flight session,
@@ -1262,7 +1316,9 @@ object EventStream {
       .transformWithState(new SessionTimeoutProcessor,
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
-    drainToTable(ds, out.toDF(), "graft_stream_session_timeout",
-      OutputMode.Append())
+    // session-sized append output: file sink, not driver memory (the
+    // 100x probe measured ~millions of session rows; the memory-sink
+    // table was a leading contributor to the single-JVM heap OOM)
+    drainToParquet(out.toDF(), "stream_session_timeout")
   }
 }

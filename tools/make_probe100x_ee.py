@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Build the 100x embeddings+events probe slice (r12 verdict #3).
 
-Usage: python3 tools/make_probe100x_ee.py [srcSfDir] [dstDir]
+Usage: python3 tools/make_probe100x_ee.py [srcSfDir] [dstDir] [reps]
+
+reps defaults to 100; pass 10 to build the matching 10x rung of the
+ladder (same shape recipe, so sf0.1 -> 10x -> 100x is like-for-like).
 
 SURVEY 6.5 proves the dedup/cluster family at 100x; this slice extends
 the probe ladder to the ANN/embedding family and the streaming
@@ -43,10 +46,10 @@ import pyarrow.parquet as pq
 
 SHIFT = 10_000_000
 USHIFT = 1_000_000
-REPS = 100
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/probe100x_ee"
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 100
 os.makedirs(dst, exist_ok=True)
 
 # --- embeddings: jittered replicas -----------------------------------
