@@ -382,6 +382,54 @@ object StreamingQueries {
     run = (s, dir) =>
       EventStream.stateMigrationDrained(s, dir).orderBy("user_id"))
 
+  private val streamSessionMigration = GraftQuery(
+    name = "stream_session_migration",
+    doc = "END-TO-END TIMER-STATE migration - the hard half of the " +
+      "offline state-repartition recipe (stream_state_migration moves " +
+      "fold state; session state also carries a PENDING EVENT-TIME " +
+      "TIMER per open session): the original 4-partition session query " +
+      "runs the historic half of events (time-split at the event-time " +
+      "midpoint, nudged off the 1 ms timer-floor ambiguity window), " +
+      "its open-session state is read back via the statestore source, " +
+      "and an 8-partition query resumes on the live half through " +
+      "StatefulProcessorWithInitialState, RE-REGISTERING every open " +
+      "session's closing timer in handleInitialState. Emitted rows " +
+      "from both runs together must equal the UNBROKEN full-corpus " +
+      "session answer (stream_session_timeout's oracle) - a session " +
+      "STRADDLING the migration boundary only comes out right if both " +
+      "its state and its timer crossed; a dropped timer leaves " +
+      "pre-migration idle sessions unclosed (missing rows), a stale " +
+      "one double-fires (extra rows), and either fails the hash.",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+                 FROM events),
+      mx AS (SELECT MAX(ts_us) // 1000 AS max_ms FROM e),
+      x AS (SELECT user_id, ts_us, event_id,
+              CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id) IS NULL
+                    OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+            FROM e),
+      s AS (SELECT user_id, ts_us,
+              SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x),
+      g AS (SELECT user_id, sid, MIN(ts_us) AS session_start_us,
+              MAX(ts_us) AS session_end_us, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid),
+      r AS (SELECT g.*, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY sid DESC) AS rn FROM g)
+      SELECT user_id, session_start_us, session_end_us, n_events
+      FROM r, mx
+      WHERE rn > 1 OR session_end_us // 1000 + 1800000 <= max_ms
+      ORDER BY user_id, session_start_us"""),
+    run = (s, dir) =>
+      EventStream.sessionMigrationDrained(s, dir)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .orderBy("user_id", "session_start_us"))
+
   private val streamSessionTimeout = GraftQuery(
     name = "stream_session_timeout",
     doc = "Drained transformWithState run with EVENT-TIME TIMERS - the " +
@@ -463,5 +511,6 @@ object StreamingQueries {
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
     streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert,
     streamOuterJoin, streamStreamJoinHotkey, streamTwsUserStats,
-    streamSessionTimeout, streamTwsBootstrap, streamStateMigration)
+    streamSessionTimeout, streamTwsBootstrap, streamStateMigration,
+    streamSessionMigration)
 }

@@ -1303,6 +1303,234 @@ object EventStream {
     }
   }
 
+  /** Per-sfDir TIMER-migration fixture: events time-split at a cut
+    * (historic = ts <= cut streamed by the original 4-partition session
+    * query, live = the rest), the original query's checkpoint AND its
+    * emitted rows persisted. The cut starts at the event-time midpoint
+    * and is nudged forward +1 s until NO user has a cross-cut event
+    * pair with gap in (gap-1ms, gap]: the timer expiry is ms-floored,
+    * so inside that sub-ms window "did the gap elapse before the cut's
+    * watermark" and "is the next event within the gap" can disagree
+    * between the split run and an unbroken one — a real semantic edge
+    * of ms-granular timers over us-granular data, excluded from the
+    * fixture deterministically rather than papered over (the nudge is
+    * data-dependent but fixed per corpus). */
+  private val sessMigrFixtures = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, String, String)]()
+
+  /** END-TO-END timer-state migration over the driver's events table:
+    * original 4-partition run on the historic half -> 8-partition
+    * bootstrapped resume on the live half; returns run-1 rows UNION
+    * run-2 rows, which must equal the UNBROKEN full-corpus session
+    * answer (stream_session_timeout's own oracle). */
+  def sessionMigrationDrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val (liveDir, oldCkpt, run1Out) =
+      sessMigrFixtures.computeIfAbsent(sfDir, { _ =>
+        val base = deleteOnExit(java.nio.file.Files
+          .createTempDirectory("graft_sess_migr_fx")).toString
+        val events = graft.sources.Readers.table(spark, sfDir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+        val bounds = events.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val gapLo = SessionGapMicros - 1000L
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val withPrev = events
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"))
+          .withColumn("prev_us", lag("us", 1).over(w))
+          .filter(col("prev_us").isNotNull)
+        // the cut lands INSIDE a session (midpoint of the in-session
+        // pair nearest the corpus time midpoint, gap safely below the
+        // ambiguity window) so the migration carries real in-flight
+        // state, then nudges +1 s off any OTHER pair whose cross-cut
+        // gap sits within 1 ms of exactly the session gap (the
+        // ms-floored timer cannot agree with the us data there; zero
+        // such pairs on the driver corpora)
+        var cut = withPrev
+          .filter(col("us") - col("prev_us") > 0L &&
+            col("us") - col("prev_us") <= gapLo)
+          .select(((col("prev_us") + col("us")) / 2).cast("long").as("mid"))
+          .withColumn("d", abs(col("mid") - lit(lo + (hi - lo) / 2)))
+          .orderBy("d").limit(1).head().getLong(0)
+        val pairs = withPrev
+          .filter(col("us") - col("prev_us") > gapLo &&
+            col("us") - col("prev_us") <= SessionGapMicros)
+          .select(col("prev_us"), col("us")).limit(10000).collect()
+        // bounded collect: gaps within 1 ms of EXACTLY 30 min are a
+        // ~1e-4 sliver of the gap distribution (zero on the driver
+        // corpora); 10k is a generous pathological-corpus cap
+        while (pairs.exists(r => r.getLong(0) <= cut && r.getLong(1) > cut))
+          cut += 1000000L
+        events.filter(unix_micros(col("ts")) <= cut)
+          .write.mode("overwrite").parquet(s"$base/historic")
+        events.filter(unix_micros(col("ts")) > cut)
+          .write.mode("overwrite").parquet(s"$base/live")
+        // original 4-partition query over the historic half
+        val ds = drainSession(spark)
+        ds.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import ds.implicits._
+        val out = eventsStream(ds, s"$base/historic")
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsMicros"))
+          .as[TypedUserEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new SessionTimeoutProcessor,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append())
+        val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+          .format("parquet").option("path", s"$base/run1")
+          .option("checkpointLocation", s"$base/oldCkpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (s"$base/live", s"$base/oldCkpt", s"$base/run1")
+      })
+    val (run2, _) =
+      sessionTimeoutMigratedDrained(spark, oldCkpt, liveDir, 8)
+    val schema =
+      org.apache.spark.sql.Encoders.product[SessionTimeoutRow].schema
+    spark.read.schema(schema).parquet(run1Out).unionByName(run2)
+  }
+
+  /** Open-session snapshot used to bootstrap [[SessionTimeoutBootstrapProcessor]]
+    * — the TIMER-STATE half of the offline repartition recipe. timerMs
+    * is not carried: the bootstrap re-derives and RE-REGISTERS the
+    * timer from lastUs (timers live in their own checkpoint store and
+    * cannot be copied across queries; re-registration is the correct
+    * rebuild). */
+  case class OpenSessionSnapshot(user_id: Long, startUs: Long,
+      lastUs: Long, n: Long)
+
+  /** [[SessionTimeoutProcessor]] with INITIAL STATE — the migration
+    * surface for TIMER-carrying state (the hard half: the user-stats
+    * migration moves only fold state; here every migrated open session
+    * must also get its closing timer re-registered, or idle sessions
+    * from before the migration never close). `handleInitialState` sets
+    * the open-session ValueState and registers the timer at the same
+    * expiry the original query had pending; the per-row fold and the
+    * expiry sweep are IDENTICAL to the non-bootstrapped processor
+    * (duplicated — Scala cannot extend both the base processor and
+    * `StatefulProcessorWithInitialState`, the UserStatsBootstrapProcessor
+    * precedent). */
+  class SessionTimeoutBootstrapProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, TypedUserEvent, SessionTimeoutRow, OpenSessionSnapshot] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    private val GapMs = SessionGapMicros / 1000L
+    @transient private var open: ValueState[OpenSessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSessionState]("open",
+        E.product[OpenSessionState], TTLConfig.NONE)
+
+    private def timerFor(lastUs: Long): Long =
+      Math.floorDiv(lastUs, 1000L) + GapMs
+
+    override def handleInitialState(key: Long, s: OpenSessionSnapshot,
+        timerValues: TimerValues): Unit = {
+      val t = timerFor(s.lastUs)
+      getHandle.registerTimer(t)
+      open.update(OpenSessionState(s.startUs, s.lastUs, s.n, t))
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedUserEvent],
+        timerValues: TimerValues): Iterator[SessionTimeoutRow] = {
+      val sorted = rows.toArray.sortBy(e => (e.tsMicros, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[SessionTimeoutRow]()
+      var st = if (open.exists()) open.get() else null
+      sorted.foreach { e =>
+        if (st == null) {
+          st = OpenSessionState(e.tsMicros, e.tsMicros, 1L, -1L)
+        } else if (e.tsMicros - st.lastUs > SessionGapMicros) {
+          out += SessionTimeoutRow(key, st.startUs, st.lastUs, st.n, "event")
+          if (st.timerMs >= 0) getHandle.deleteTimer(st.timerMs)
+          st = OpenSessionState(e.tsMicros, e.tsMicros, 1L, -1L)
+        } else {
+          st = st.copy(lastUs = math.max(st.lastUs, e.tsMicros), n = st.n + 1)
+        }
+      }
+      if (st != null && sorted.nonEmpty) {
+        if (st.timerMs >= 0 && st.timerMs != timerFor(st.lastUs))
+          getHandle.deleteTimer(st.timerMs)
+        val t = timerFor(st.lastUs)
+        if (st.timerMs != t) getHandle.registerTimer(t)
+        open.update(st.copy(timerMs = t))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionTimeoutRow] = {
+      if (!open.exists()) return Iterator.empty
+      val st = open.get()
+      if (st.timerMs != expired.getExpiryTimeInMs()) return Iterator.empty
+      open.clear()
+      Iterator.single(
+        SessionTimeoutRow(key, st.startUs, st.lastUs, st.n, "timer"))
+    }
+  }
+
+  /** Open-session state read back from a [[SessionTimeoutProcessor]]
+    * checkpoint via the statestore source — the read half of the
+    * timer-state migration. */
+  def sessionSnapshotFromCheckpoint(ds: SparkSession, ckpt: String)
+      : Dataset[OpenSessionSnapshot] = {
+    import ds.implicits._
+    ds.read.format("statestore").option("path", ckpt)
+      .option("stateVarName", "open").load()
+      .select(col("key.value").as("user_id"),
+        col("value.startUs").as("startUs"),
+        col("value.lastUs").as("lastUs"),
+        col("value.n").as("n"))
+      .as[OpenSessionSnapshot]
+  }
+
+  /** TIMER-STATE repartition rebuild ([[userStatsMigratedDrained]]'s
+    * hard sibling): read the original session query's open-session
+    * state, start a NEW query at `newPartitions` state partitions
+    * seeded through [[SessionTimeoutBootstrapProcessor]] (which
+    * re-registers every open session's closing timer), resume on the
+    * not-yet-processed events. Returns the new query's emitted rows
+    * plus the new checkpoint path. Sessions STRADDLING the migration
+    * boundary must come out with the same bounds as an unbroken run —
+    * the oracle/spec check that exactly. */
+  def sessionTimeoutMigratedDrained(spark: SparkSession, oldCkpt: String,
+      eventsPath: String, newPartitions: Int): (DataFrame, String) = {
+    val ds = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try ds.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    ds.conf.set("spark.sql.shuffle.partitions", newPartitions.toString)
+    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ds.implicits._
+    val snapshot = sessionSnapshotFromCheckpoint(ds, oldCkpt)
+    val out = eventsStream(ds, eventsPath)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[TypedUserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutBootstrapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(), snapshot.groupByKey(_.user_id))
+    val base = deleteOnExit(java.nio.file.Files
+      .createTempDirectory("graft_sess_migr")).toString
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (ds.read.schema(org.apache.spark.sql.Encoders.product[SessionTimeoutRow]
+      .schema).parquet(s"$base/out"), s"$base/ck")
+  }
+
   /** Drained [[SessionTimeoutProcessor]] run: per-user 30-minute gap
     * sessions with bounds and counts, closed by next-event OR
     * event-time timer, watermark delay 0. RocksDB-forced like every
