@@ -87,6 +87,40 @@ class MultiModalSpec extends AnyFunSuite {
     assert(MultiModal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
   }
 
+  test("direct WAV codec == javax.sound stack, both directions") {
+    // the hot path parses/writes RIFF directly (AudioSystem takes a
+    // JVM-global provider lock per call - the r13 100x probe measured
+    // the 16-thread decode running at single-thread speed); this pin
+    // keeps the fast codec honest against the REAL stack: the direct
+    // parser must read JDK-written containers identically, and the JDK
+    // reader must accept direct-written containers identically, so the
+    // fast path can never drift into a private format
+    val cases = Seq(
+      (8000, Array.tabulate(64)(i => ((i * 37) % 1999 - 999).toShort)),
+      (16000, Array[Short](0, 0, 0)),
+      (44100, Array[Short](Short.MinValue, Short.MaxValue)),
+      (12000, Array.empty[Short]))
+    cases.foreach { case (rate, samples) =>
+      val jdk = MultiModal.encodeWav(rate, samples)
+      val direct = MultiModal.encodeWavDirect(rate, samples)
+      val viaJdk = MultiModal.decodeWav(direct)
+      val viaDirectOfJdk = MultiModal.decodeWavDirect(jdk)
+      val viaDirect = MultiModal.decodeWavDirect(direct)
+      val truth = MultiModal.decodeWav(jdk)
+      assert(viaJdk == truth, s"JDK reader rejects direct container @$rate")
+      assert(viaDirectOfJdk == truth,
+        s"direct parser misreads JDK container @$rate")
+      assert(viaDirect == truth, s"direct round trip differs @$rate")
+    }
+    // rejection set matches: garbage, truncated header, stereo refusal
+    assert(MultiModal.decodeWavDirect("not audio".getBytes("UTF-8")).isEmpty)
+    assert(MultiModal.decodeWavDirect(
+      MultiModal.encodeWav(8000, Array[Short](1, 2)).take(20)).isEmpty)
+    val truncated = MultiModal.encodeWavDirect(8000, Array[Short](1, 2, 3))
+    assert(MultiModal.decodeWavDirect(truncated.dropRight(2)).isEmpty,
+      "data chunk overrunning the buffer must be rejected, not read")
+  }
+
   test("extractFeatures uses the real WAV decoder for audio assets") {
     val wav = MultiModal.encodeWav(8000, Array.fill(50)(123.toShort))
     val ds = Seq(MultiModal.MediaAsset(1L, "audio", wav, 0, 0, 8000)).toDS()
