@@ -39,6 +39,118 @@ object MultiModal {
   case class ImageDecoded(doc_id: Long, width: Long, height: Long,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
+  /** PER-THREAD cached ImageIO readers/writers. Acquiring a codec via
+    * `ImageIO.read/write/getImageReaders` consults the JVM-wide
+    * IIORegistry on EVERY call — a synchronized service lookup that
+    * serializes parallel decode stages exactly like the AudioSystem
+    * registry did for WAV (r13 100x probe: the 16-thread PNG decode ran
+    * at ~1.2x single-thread speed). An ImageReader/ImageWriter instance
+    * is NOT thread-safe but is perfectly reusable, so each worker
+    * thread looks its codec up ONCE and reuses it per record; the
+    * stream wrappers are constructed directly (MemoryCacheImage*Stream)
+    * rather than via the registry-scanning factory. On any decode
+    * failure the instance is disposed and evicted — a fresh one is
+    * fetched next call, so a reader wedged by corrupt input cannot
+    * poison the thread. */
+  private val threadReaders = ThreadLocal.withInitial(
+    () => new java.util.HashMap[String, javax.imageio.ImageReader]())
+  private val threadWriters = ThreadLocal.withInitial(
+    () => new java.util.HashMap[String, javax.imageio.ImageWriter]())
+
+  private def cachedReader(fmt: String): javax.imageio.ImageReader = {
+    val m = threadReaders.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+      m.put(fmt, r)
+    }
+    r
+  }
+
+  private def evictReader(fmt: String): Unit = {
+    val m = threadReaders.get()
+    val r = m.remove(fmt)
+    if (r != null) {
+      try r.dispose()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  private def cachedWriter(fmt: String): javax.imageio.ImageWriter = {
+    val m = threadWriters.get()
+    var w = m.get(fmt)
+    if (w == null) {
+      w = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+      m.put(fmt, w)
+    }
+    w
+  }
+
+  private def evictWriter(fmt: String): Unit = {
+    val m = threadWriters.get()
+    val w = m.remove(fmt)
+    if (w != null) {
+      try w.dispose()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Container sniff by magic bytes — the formats the corpus carries.
+    * Unknown magic falls back to the registry scan (correct for exotic
+    * formats, cold-path only). */
+  private def sniffFormat(content: Array[Byte]): Option[String] =
+    if (content.length >= 8 && content(0) == 0x89.toByte &&
+      content(1) == 'P'.toByte && content(2) == 'N'.toByte &&
+      content(3) == 'G'.toByte) Some("png")
+    else if (content.length >= 4 && content(0) == 'G'.toByte &&
+      content(1) == 'I'.toByte && content(2) == 'F'.toByte &&
+      content(3) == '8'.toByte) Some("gif")
+    else if (content.length >= 2 && content(0) == 0xff.toByte &&
+      content(1) == 0xd8.toByte) Some("jpeg")
+    else None
+
+  /** Lock-free-path image read: cached per-thread reader for sniffed
+    * formats, registry fallback otherwise; null on any failure (the
+    * callers' existing corrupt-input contract). */
+  private def readImageCached(content: Array[Byte])
+      : java.awt.image.BufferedImage =
+    sniffFormat(content) match {
+      case Some(fmt) =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val r = cachedReader(fmt)
+          try { r.setInput(iis, true, true); r.read(0) }
+          catch {
+            case scala.util.control.NonFatal(_) => evictReader(fmt); null
+          } finally {
+            try r.setInput(null)
+            catch { case scala.util.control.NonFatal(_) => evictReader(fmt) }
+          }
+        } finally iis.close()
+      case None =>
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))
+        catch { case scala.util.control.NonFatal(_) => null }
+    }
+
+  /** Lock-free-path PNG encode via the per-thread cached writer. */
+  private def writePngCached(img: java.awt.image.BufferedImage)
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = cachedWriter("png")
+    try { w.setOutput(ios); w.write(img) }
+    catch {
+      case e@scala.util.control.NonFatal(_) => evictWriter("png"); throw e
+    } finally {
+      try w.setOutput(null)
+      catch { case scala.util.control.NonFatal(_) => evictWriter("png") }
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** REAL image decode via javax.imageio: parses the container format,
     * decodes pixels, returns verified dimensions and per-channel means.
     * None when the bytes are not a supported image — callers fall back
@@ -51,7 +163,7 @@ object MultiModal {
     // IndexOutOfBounds (truncated GIF), IllegalArgument... All of it is
     // data at corpus scale, so every non-fatal failure maps to None.
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      try readImageCached(content)
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
@@ -243,9 +355,7 @@ object MultiModal {
       while (x < width) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePngCached(img)
   }
 
   /** Deterministic PNG ingest: one real PNG per id, whose dimensions and
@@ -255,7 +365,15 @@ object MultiModal {
   def syntheticPngAssets(ids: Dataset[Long])(
       implicit spark: SparkSession): Dataset[ImageAsset] = {
     import spark.implicits._
-    ids.mapPartitions { it =>
+    // Repartition the skinny id stream to the session's parallelism
+    // BEFORE the per-record codec work: the ids come off a parquet scan
+    // whose partition count is row-group/byte-sized (the r13 100x probe
+    // measured the decode stage running on 2-4 of 16 cores because the
+    // grown documents file still splits into a handful of partitions).
+    // A CPU-bound stage wants cores-many partitions; the shuffle moves
+    // 8 bytes per row, nothing against the codec cost it unlocks.
+    ids.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
       it.map { d =>
         val w = (8 + d % 13).toInt
@@ -347,7 +465,9 @@ object MultiModal {
   def syntheticWavAssets(ids: Dataset[Long])(
       implicit spark: SparkSession): Dataset[AudioAsset] = {
     import spark.implicits._
-    ids.map { d =>
+    // cores-many partitions before per-record codec work (see
+    // syntheticPngAssets)
+    ids.repartition(spark.sparkContext.defaultParallelism).map { d =>
       val rate = (8000 + (d % 4) * 4000).toInt
       val n = (64 + d % 97).toInt
       val amp = ((d % 2001) - 1000).toShort
@@ -385,9 +505,12 @@ object MultiModal {
       img
     }
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer =
-      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    // per-thread cached writer: the registry lookup serializes threads
+    // (see the threadReaders scaladoc); the sequence state is closed by
+    // endWriteSequence and the output detached after every call, so
+    // reuse is clean - any failure evicts the instance instead
+    val writer = cachedWriter("gif")
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -396,7 +519,13 @@ object MultiModal {
           new javax.imageio.IIOImage(solid(rgb), null, null), null)
       }
       writer.endWriteSequence()
-    } finally { writer.dispose(); ios.close() }
+    } catch {
+      case e@scala.util.control.NonFatal(_) => evictWriter("gif"); throw e
+    } finally {
+      try writer.setOutput(null)
+      catch { case scala.util.control.NonFatal(_) => evictWriter("gif") }
+      ios.close()
+    }
     bos.toByteArray
   }
 
@@ -405,6 +534,52 @@ object MultiModal {
     * and returns per-frame verified dims + channel means, in frame
     * order. Empty for undecodable bytes. */
   def decodeVideoFrames(content: Array[Byte]): Seq[DecodedImage] = {
+    // cached per-thread reader for the sniffed container (the registry
+    // scan serializes threads - see the threadReaders scaladoc);
+    // unknown magic takes the registry path below, cold only
+    sniffFormat(content) match {
+      case Some(fmt) =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val r = cachedReader(fmt)
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            (0 until n).flatMap { i =>
+              val img = r.read(i)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val np = w.toLong * h
+              Some(DecodedImage(w, h, sr.toDouble / np, sg.toDouble / np,
+                sb.toDouble / np))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => evictReader(fmt); Nil
+          } finally {
+            try r.setInput(null)
+            catch { case scala.util.control.NonFatal(_) => evictReader(fmt) }
+          }
+        } finally iis.close()
+      case None => decodeVideoFramesRegistry(content)
+    }
+  }
+
+  /** Registry-path frame decode for containers the sniff does not
+    * know — correctness fallback, not the hot path. */
+  private def decodeVideoFramesRegistry(content: Array[Byte])
+      : Seq[DecodedImage] = {
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(content))
@@ -463,7 +638,10 @@ object MultiModal {
   def syntheticGifAssets(ids: Dataset[Long])(
       implicit spark: SparkSession): Dataset[VideoAsset] = {
     import spark.implicits._
-    ids.mapPartitions { it =>
+    // cores-many partitions before per-record codec work (see
+    // syntheticPngAssets)
+    ids.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { d =>
         val w = (8 + d % 11).toInt
@@ -595,7 +773,7 @@ object MultiModal {
   def resizeImage(content: Array[Byte], targetW: Int,
       targetH: Int): Option[Array[Byte]] = {
     val src =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      try readImageCached(content)
       catch { case scala.util.control.NonFatal(_) => null }
     if (src == null) None
     else {
@@ -608,9 +786,7 @@ object MultiModal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(src, 0, 0, targetW, targetH, null)
       } finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(dst, "png", bos)
-      Some(bos.toByteArray)
+      Some(writePngCached(dst))
     }
   }
 
