@@ -38,11 +38,36 @@ object SparkifyJob {
       time)
 
     outDir.foreach { out =>
-      SongPipeline.writeSongs(songs, s"$out/songs")
-      artists.write.mode("overwrite").parquet(s"$out/artists")
-      users.write.mode("overwrite").parquet(s"$out/users")
-      LogPipeline.writeTime(time, s"$out/time")
-      LogPipeline.writeSongplays(songplays, s"$out/songplays")
+      // Materialize the two shared caches BEFORE the sinks fan out:
+      // concurrent first-touch of a persisted plan can compute the same
+      // cached partition more than once (the block wins, the work is
+      // wasted); one count on `time` pays a single pass that fills both
+      // caches, since the time dim is derived from the cleaned-log
+      // prefix. Then the five sinks are fully independent jobs.
+      time.count()
+      // Independent sinks are submitted concurrently — the 100 TB
+      // posture: a sequential driver loop leaves the cluster idle in
+      // every small sink's tail (commit, file moves, last skewed
+      // task), while concurrent jobs let the scheduler backfill those
+      // slots with the next sink's tasks. Output paths are disjoint,
+      // so commits never contend; failure of any sink fails the job.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val sinks = Seq(
+          scala.concurrent.Future(SongPipeline.writeSongs(songs, s"$out/songs")),
+          scala.concurrent.Future(
+            artists.write.mode("overwrite").parquet(s"$out/artists")),
+          scala.concurrent.Future(
+            users.write.mode("overwrite").parquet(s"$out/users")),
+          scala.concurrent.Future(LogPipeline.writeTime(time, s"$out/time")),
+          scala.concurrent.Future(
+            LogPipeline.writeSongplays(songplays, s"$out/songplays")))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(sinks),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
     Outputs(songs, artists, users, time, songplays)
   }
