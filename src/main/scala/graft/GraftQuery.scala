@@ -37,6 +37,7 @@ object Registry {
     graft.queries.SqlTextQueries.all ++
     graft.queries.CoverageQueries.all ++
     graft.queries.PipelineQueries.all ++
+    graft.queries.CurationQueries.all ++
     graft.queries.GraphQueries.all ++
     graft.queries.StreamingQueries.all
 

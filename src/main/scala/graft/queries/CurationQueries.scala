@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.ops.{HashedLinear, TextOps}
+import graft.sources.Readers.table
+
+/** Corpus-curation operators beyond the pipeline set: retrieval scoring
+  * (BM25), target-domain selection (DSIR-style importance ranking), and
+  * the per-stage drop accounting every production curation pipeline
+  * reports (the "filter funnel").
+  *
+  * Shared exactness discipline (the tfidf trick, PipelineQueries):
+  * every double in compared output is ONE division of two exactly-
+  * computed 64-bit integers, so Spark and DuckDB round identically and
+  * rankings (ties broken by id) are bit-determined. BM25's k1/b and the
+  * idf smoothing are kept RATIONAL (k1 = 6/5, b = 3/4, idf = (2N+2)/
+  * (2df+1)) so the whole score folds into that single division; the
+  * textbook ln() idf is deliberately dropped — per-term doc ranking is
+  * unchanged (idf is a per-term constant) and cross-engine ln() is not
+  * bit-portable.
+  */
+object CurationQueries {
+
+  /** BM25 rational constants: k1 = 6/5, b = 3/4 folded symbolically into
+    * integer numerator/denominator (see bm25Topk doc). */
+
+  private val bm25Topk = GraftQuery(
+    name = "pipeline_bm25_topk",
+    doc = "BM25 retrieval scoring: top-5 documents per query term for " +
+      "the 5 mid-df vocabulary terms (df ranks 10-14 - past the " +
+      "stopword head, still corpus-wide). The retrieval primitive a " +
+      "training-data pipeline runs for targeted corpus slicing and " +
+      "eval-set mining. Exactness: k1 = 6/5 and b = 3/4 stay rational, " +
+      "so the full per-(term,doc) score folds to " +
+      "22*tf*L*(2N+2) / ((10*L*tf + 3*L + 9*dl*N)*(2df+1)) - one " +
+      "double division of two exact BIGINT products (L = corpus token " +
+      "count, dl = doc length; both engines round identically). The " +
+      "ln() of textbook idf is dropped: per-term ranking is invariant " +
+      "to it (idf is constant within a term) and ln is not " +
+      "bit-portable across engines. Scale: tf/df/dl are " +
+      "partial-aggregable; the 5-term postings join is a broadcast of " +
+      "the term list; per-term top-5 is TWO-PHASE (salted local " +
+      "row_number, then global over <=160 rows/term) so a hot term's " +
+      "postings never serialize onto one task.",
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok GROUP BY doc_id, token),
+      dfr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY token),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+             FROM tf GROUP BY doc_id),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      lt AS (SELECT CAST(SUM(dl) AS BIGINT) AS l_tok FROM dl),
+      terms AS (SELECT token, df FROM (
+          SELECT token, df,
+                 row_number() OVER (ORDER BY df DESC, token) AS tr
+          FROM dfr) WHERE tr BETWEEN 10 AND 14),
+      scored AS (SELECT t.token AS term, f.doc_id, f.tf, d.dl, t.df,
+          CAST(22 * f.tf * l.l_tok * (2 * n.n_docs + 2) AS DOUBLE) /
+          CAST((10 * l.l_tok * f.tf + 3 * l.l_tok + 9 * d.dl * n.n_docs)
+               * (2 * t.df + 1) AS DOUBLE) AS score
+        FROM tf f JOIN terms t USING (token) JOIN dl d USING (doc_id)
+        CROSS JOIN nd n CROSS JOIN lt l),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY term
+               ORDER BY score DESC, doc_id) AS rank FROM scored)
+      SELECT term, doc_id, tf, dl, df, score, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 5 ORDER BY term, rank"""),
+    run = (s, dir) => {
+      // one tokenize pass; tf feeds df, dl AND the scoring join
+      val tf = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val scalars = table(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(sum("dl").as("l_tok")))
+      // mid-df query terms: TakeOrdered(14) bounds the frame, then a
+      // 14-row window assigns the rank (driver-bounded by the limit)
+      val termW = Window.orderBy(col("df").desc, col("token"))
+      val terms = dfr.orderBy(col("df").desc, col("token")).limit(14)
+        .withColumn("tr", row_number().over(termW))
+        .filter(col("tr").between(10, 14)).drop("tr")
+        .withColumnRenamed("token", "term")
+      val num = lit(22L) * col("tf") * col("l_tok")
+        .* (lit(2L) * col("n_docs") + lit(2L))
+      val den = (lit(10L) * col("l_tok") * col("tf")
+        + lit(3L) * col("l_tok")
+        + lit(9L) * col("dl") * col("n_docs"))
+        .* (lit(2L) * col("df") + lit(1L))
+      val scored = tf.withColumnRenamed("token", "term")
+        .join(broadcast(terms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(scalars))
+        .withColumn("score", num.cast(DoubleType) / den.cast(DoubleType))
+      // two-phase per-term top-5: a term's postings are corpus-sized at
+      // scale, so phase 1 ranks within (term, doc_id%32) salt slices
+      // (a doc in the global top-5 is in its slice's top-5), phase 2
+      // ranks the <=160 survivors per term
+      val w1 = Window.partitionBy(col("term"), pmod(col("doc_id"), lit(32)))
+        .orderBy(col("score").desc, col("doc_id"))
+      val w2 = Window.partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("__rn1", row_number().over(w1))
+        .filter(col("__rn1") <= 5).drop("__rn1")
+        .withColumn("rank", row_number().over(w2).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select("term", "doc_id", "tf", "dl", "df", "score", "rank")
+        .orderBy("term", "rank")
+    })
+
+  private val domainAffinity = GraftQuery(
+    name = "pipeline_domain_affinity",
+    doc = "Hashed n-gram domain-affinity selection (DSIR-shaped, " +
+      "Xie et al. 2023: rank source documents by how much more their " +
+      "hashed-feature profile resembles a target domain than the " +
+      "background corpus): target = the MIN(source) slice, features = " +
+      "the classifier's 4096-bucket char-polynomial token hash " +
+      "(graft.ops.HashedLinear - the expression string is shared " +
+      "verbatim with the DuckDB oracle). Score is the LINEAR-space " +
+      "likelihood-ratio surrogate dot(c,t)*S_tot / (dot(c,s)*T_tot) - " +
+      "exact BIGINT inner products and totals folded into one double " +
+      "division (DSIR's log-space weights are not bit-portable across " +
+      "engines; the linear form keeps the same ordering signal and the " +
+      "oracle exact). dot_s >= 1 always (a doc's own tokens are in the " +
+      "background), so the division is total. Top-200 by (score, " +
+      "doc_id) via TakeOrdered - no global sort. Scale: the bucketed " +
+      "frame is computed once and feeds the target histogram, " +
+      "background histogram and per-doc dots; both histograms are " +
+      "4096-row broadcasts, the dots partial-aggregable.",
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, source,
+          list_transform(string_split(text, ' '),
+            t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(t, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 1000003) % 4096) AS bk
+        FROM documents),
+      tgt AS (SELECT MIN(source) AS tsrc FROM documents),
+      e AS (SELECT doc_id, source, unnest(bk) AS b FROM d),
+      c AS (SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM e GROUP BY doc_id, source, b),
+      tb AS (SELECT b, CAST(SUM(c.c) AS BIGINT) AS t
+             FROM c, tgt WHERE c.source = tgt.tsrc GROUP BY b),
+      sb AS (SELECT b, CAST(SUM(c.c) AS BIGINT) AS s FROM c GROUP BY b),
+      tots AS (SELECT (SELECT CAST(SUM(t) AS BIGINT) FROM tb) AS t_tot,
+                      (SELECT CAST(SUM(s) AS BIGINT) FROM sb) AS s_tot),
+      dots AS (SELECT c.doc_id,
+                 CAST(SUM(c.c * COALESCE(tb.t, 0)) AS BIGINT) AS dot_t,
+                 CAST(SUM(c.c * sb.s) AS BIGINT) AS dot_s
+               FROM c LEFT JOIN tb USING (b) JOIN sb USING (b)
+               GROUP BY c.doc_id)
+      SELECT doc_id, dot_t, dot_s,
+             CAST(dot_t * s_tot AS DOUBLE) /
+             CAST(dot_s * t_tot AS DOUBLE) AS score
+      FROM dots, tots
+      ORDER BY score DESC, doc_id LIMIT 200"""),
+    run = (s, dir) => {
+      // per-(doc, bucket) counts: ONE tokenize+hash pass feeding the
+      // target histogram, the background histogram and the dots
+      val c = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(expr(HashedLinear.bucketsExprSql("text"))).as("b"))
+        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      // lazy scalar handoff: the target label rides a broadcast 1-row
+      // frame instead of a driver collect
+      val tgt = table(s, dir, "documents").agg(min("source").as("tsrc"))
+      val tb = c.crossJoin(broadcast(tgt))
+        .filter(col("source") === col("tsrc"))
+        .groupBy("b").agg(sum("c").as("t"))
+      val sb = c.groupBy("b").agg(sum("c").as("s"))
+      val tots = tb.agg(sum("t").as("t_tot"))
+        .crossJoin(sb.agg(sum("s").as("s_tot")))
+      c.join(broadcast(tb), Seq("b"), "left")
+        .join(broadcast(sb), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * coalesce(col("t"), lit(0L))).as("dot_t"),
+          sum(col("c") * col("s")).as("dot_s"))
+        .crossJoin(broadcast(tots))
+        .withColumn("score",
+          (col("dot_t") * col("s_tot")).cast(DoubleType) /
+            (col("dot_s") * col("t_tot")).cast(DoubleType))
+        .select("doc_id", "dot_t", "dot_s", "score")
+        .orderBy(col("score").desc, col("doc_id")).limit(200)
+    })
+
+  private val filterFunnel = GraftQuery(
+    name = "pipeline_filter_funnel",
+    doc = "Filter-funnel accounting: every document attributed to " +
+      "exactly ONE outcome - its FIRST failing quality rule in a fixed " +
+      "order (too_short <30 tok, too_long >90, high_stopword >12%, " +
+      "low_ttr <0.31, ratio thresholds as integer cross-products; " +
+      "thresholds sit inside this corpus's distribution so EVERY path " +
+      "carries rows and the oracle differentially checks all six), " +
+      "then prefix_dup (same 8-token head as a lower-id quality " +
+      "survivor - the templated-boilerplate rule), else kept - with " +
+      "doc and token counts per outcome. This is the observability " +
+      "primitive a production curation pipeline reports nightly; at " +
+      "100 TB a drop chart that double-counts or loses documents is " +
+      "worse than no chart. All integers. Scale: one narrow pass " +
+      "computes the rule flags, the dup stage keys on the 16-byte md5 " +
+      "of the head (never raw text), and the funnel is a 6-row " +
+      "aggregate.",
+    oracle = Some("""
+      WITH q AS (SELECT doc_id,
+          md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            AS n_dis
+        FROM documents),
+      r1 AS (SELECT doc_id, h, n_tok,
+          CASE WHEN n_tok < 30 THEN 'too_short'
+               WHEN n_tok > 90 THEN 'too_long'
+               WHEN 25 * n_stop > 3 * n_tok THEN 'high_stopword'
+               WHEN 100 * n_dis < 31 * n_tok THEN 'low_ttr'
+               ELSE NULL END AS reason0
+        FROM q),
+      keep AS (SELECT h, MIN(doc_id) AS keeper FROM r1
+               WHERE reason0 IS NULL GROUP BY h),
+      fin AS (SELECT r1.doc_id, r1.n_tok,
+          COALESCE(r1.reason0,
+            CASE WHEN r1.doc_id <> k.keeper THEN 'prefix_dup'
+                 ELSE 'kept' END) AS reason
+        FROM r1 LEFT JOIN keep k ON k.h = r1.h)
+      SELECT CAST(CASE reason WHEN 'too_short' THEN 1 WHEN 'too_long'
+               THEN 2 WHEN 'high_stopword' THEN 3 WHEN 'low_ttr' THEN 4
+               WHEN 'prefix_dup' THEN 5 ELSE 6 END AS BIGINT) AS stage,
+             reason, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      FROM fin GROUP BY stage, reason ORDER BY stage"""),
+    run = (s, dir) => {
+      val w = TextOps.tokens(col("text"))
+      // slim flag frame (no text - the head md5 stands in for it from
+      // here on); feeds both the keeper aggregate and the attribution
+      val r1 = table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(array_join(slice(w, 1, 8), " ")).as("h"),
+          size(w).cast(LongType).as("n_tok"),
+          TextOps.markerHits(w, Seq("the", "a")).cast(LongType)
+            .as("n_stop"),
+          size(array_distinct(w)).cast(LongType).as("n_dis"))
+        .withColumn("reason0",
+          when(col("n_tok") < 30, "too_short")
+            .when(col("n_tok") > 90, "too_long")
+            .when(lit(25L) * col("n_stop") > lit(3L) * col("n_tok"),
+              "high_stopword")
+            .when(lit(100L) * col("n_dis") < lit(31L) * col("n_tok"),
+              "low_ttr"))
+        .select("doc_id", "h", "n_tok", "reason0")
+        .localCheckpoint(true)
+      val keep = r1.filter(col("reason0").isNull)
+        .groupBy("h").agg(min("doc_id").as("keeper"))
+      val reason = coalesce(col("reason0"),
+        when(col("doc_id") =!= col("keeper"), "prefix_dup")
+          .otherwise("kept"))
+      r1.join(keep, Seq("h"), "left")
+        .withColumn("reason", reason)
+        .withColumn("stage",
+          when(col("reason") === "too_short", 1L)
+            .when(col("reason") === "too_long", 2L)
+            .when(col("reason") === "high_stopword", 3L)
+            .when(col("reason") === "low_ttr", 4L)
+            .when(col("reason") === "prefix_dup", 5L).otherwise(6L))
+        .groupBy("stage", "reason")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+        .orderBy("stage")
+    })
+
+  val all: Seq[GraftQuery] = Seq(bm25Topk, domainAffinity, filterFunnel)
+}

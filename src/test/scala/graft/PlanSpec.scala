@@ -720,4 +720,39 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("bm25: term list broadcasts, per-term top-5 is salted two-phase") {
+    val p = plan("pipeline_bm25_topk")
+    // the 5-term query list must broadcast into the postings join —
+    // a shuffle there repartitions the whole tf frame for 5 keys
+    assert(p.contains("BroadcastHashJoin"), s"terms not broadcast:\n$p")
+    // phase-1 ranking must partition by (term, salt): a hot term's
+    // postings are corpus-sized at 100 TB and may not rank on one task
+    assert("windowspecdefinition\\(term[^)]*pmod".r.findFirstIn(p).isDefined
+      || p.contains("pmod(doc_id"),
+      s"salted phase-1 window missing:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"expected two-phase window ranking:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unhinted cross join:\n$p")
+  }
+
+  test("domain affinity: histograms broadcast, top-200 is TakeOrdered") {
+    val p = plan("pipeline_domain_affinity")
+    // both 4096-row bucket histograms join back as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"bucket histograms not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    // global top-200: per-partition heap + driver merge, no full sort
+    assert(p.contains("TakeOrderedAndProject"), s"top-k sorts fully:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unhinted cross join:\n$p")
+  }
+
+  test("filter funnel: one flag pass, partial aggregate, no cartesian") {
+    val p = plan("pipeline_filter_funnel")
+    // the funnel aggregate must be partial+final (map-side combine on
+    // 6 groups), and the keeper join must never degrade to cartesian
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"funnel aggregate not partial+final:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in funnel:\n$p")
+  }
 }
