@@ -506,11 +506,54 @@ object StreamingQueries {
       EventStream.foreachBatchUpsertDrained(s, dir)
         .orderBy("user_id"))
 
+  private val streamSessionWindow = GraftQuery(
+    name = "stream_session_window",
+    doc = "NATIVE streaming session windows - Spark's built-in " +
+      "session_window aggregation run as a real watermarked append " +
+      "query (the declarative twin of the transformWithState session " +
+      "processors; state merging is the ENGINE's, MergingSessionsExec, " +
+      "not custom code). 30-min gap per user, 0-second watermark: a " +
+      "session emits exactly once its end + gap falls behind the " +
+      "final watermark, so the oracle is the gaps-and-islands session " +
+      "derivation restricted to CLOSED sessions (end + gap <= " +
+      "ms-floored max event time - Spark tracks watermarks at " +
+      "millisecond resolution). session_end_us is the last event time " +
+      "(window.end minus the gap), the tws processors' convention. " +
+      "Cross-batch session MERGING is pinned in SessionWindowSpec (a " +
+      "time-split two-batch run must equal the single-batch run). " +
+      "File sink: session output is data-sized.",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+                 FROM events),
+      mx AS (SELECT MAX(ts_us // 1000) AS max_ms FROM e),
+      x AS (SELECT user_id, ts_us, event_id,
+              CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id) IS NULL
+                    OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+            FROM e),
+      s AS (SELECT user_id, ts_us, event_id,
+              SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x),
+      g AS (SELECT user_id, sid, MIN(ts_us) AS session_start_us,
+              MAX(ts_us) AS session_end_us, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid)
+      SELECT user_id, session_start_us, session_end_us, n_events
+      FROM g, mx
+      WHERE session_end_us + 1800000000 <= max_ms * 1000
+      ORDER BY user_id, session_start_us"""),
+    run = (s, dir) =>
+      EventStream.sessionWindowDrained(s, s"$dir/events.parquet")
+        .orderBy("user_id", "session_start_us"))
+
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSlidingCounts,
     streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
     streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert,
     streamOuterJoin, streamStreamJoinHotkey, streamTwsUserStats,
     streamSessionTimeout, streamTwsBootstrap, streamStateMigration,
-    streamSessionMigration)
+    streamSessionMigration, streamSessionWindow)
 }

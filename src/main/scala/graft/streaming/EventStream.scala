@@ -867,6 +867,38 @@ object EventStream {
     drainToTable(spark, agg, "graft_stream_sliding", OutputMode.Complete())
   }
 
+  /** NATIVE streaming session windows — Spark's built-in
+    * `session_window` aggregation (the declarative twin of the
+    * `transformWithState` session processors, and the streaming twin of
+    * lake_session_window): 30-minute gap sessions per user, append mode
+    * with a 0-second watermark, so a session emits exactly once its
+    * END + GAP falls behind the watermark. State is merged by the
+    * engine (MergingSessionsExec) — arriving events extend or MERGE
+    * adjacent sessions, which is the property the batch operator never
+    * has to prove; `SessionWindowSpec` pins a time-split two-batch run
+    * equal to the single-batch run. Emitted `session_end_us` is the
+    * LAST EVENT time (Spark's window.end minus the gap), matching the
+    * tws session processors' output convention. Sessions still open at
+    * end-of-drain never emit — the closed-session predicate is the
+    * oracle's job, same as stream_session_timeout. File sink: session
+    * output is data-sized. */
+  def sessionWindowDrained(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val ds = drainSession(spark)
+    val gapUs = 1800L * 1000000L
+    val agg = eventsStream(ds, eventsDir, maxFilesPerTrigger)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        (unix_micros(col("session_window.end")) - lit(gapUs))
+          .as("session_end_us"),
+        col("n_events"))
+    drainToParquet(agg, "stream_session_window")
+  }
+
   // ── transformWithState: the Spark-4 arbitrary-state API ─────────────
 
   case class TypedUserEvent(user_id: Long, event_id: Long,
