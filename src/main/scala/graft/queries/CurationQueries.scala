@@ -296,5 +296,70 @@ object CurationQueries {
         .orderBy("stage")
     })
 
-  val all: Seq[GraftQuery] = Seq(bm25Topk, domainAffinity, filterFunnel)
+  private val rankFusion = GraftQuery(
+    name = "pipeline_rank_fusion",
+    doc = "Borda rank fusion of three quality signals - the " +
+      "multi-signal data-selection step run when no single score is " +
+      "trusted (combine-then-cut instead of cascading filters): " +
+      "length (n_tok), lexical diversity (TTR in ppm) and " +
+      "stopword density (ppm - the Gopher-style natural-language " +
+      "signal), each ranked corpus-wide descending with doc_id " +
+      "tie-break, fused as the integer RANK SUM (Borda; RRF's " +
+      "1/(k+rank) floats are not bit-portable, the rank sum carries " +
+      "the same consensus signal exactly). Top-100 by (borda, " +
+      "doc_id). The ppm signals are positive-operand integer " +
+      "divisions (truncation == floor, both engines agree). Scale: " +
+      "each corpus-wide rank is the two-phase Ids.orderedId (range " +
+      "layout + O(partitions) boundary offsets, NO single-task " +
+      "global window); the fusion is three slim shuffle joins on " +
+      "doc_id and a TakeOrdered top-100.",
+    oracle = Some("""
+      WITH q AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            AS n_dis,
+          CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+        FROM documents),
+      s AS (SELECT doc_id, n_tok,
+          (n_dis * 1000000) // n_tok AS ttr_ppm,
+          (n_stop * 1000000) // n_tok AS stop_ppm FROM q),
+      r AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id)
+            AS BIGINT) AS r_len,
+          CAST(row_number() OVER (ORDER BY ttr_ppm DESC, doc_id)
+            AS BIGINT) AS r_ttr,
+          CAST(row_number() OVER (ORDER BY stop_ppm DESC, doc_id)
+            AS BIGINT) AS r_stop
+        FROM s)
+      SELECT doc_id, r_len, r_ttr, r_stop,
+             r_len + r_ttr + r_stop AS borda
+      FROM r ORDER BY borda, doc_id LIMIT 100"""),
+    run = (s, dir) => {
+      import graft.ops.Ids
+      val w = TextOps.tokens(col("text"))
+      // one stats pass; the three rank phases and the fusion joins all
+      // read this slim checkpointed frame
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), size(w).cast(LongType).as("n_tok"),
+          size(array_distinct(w)).cast(LongType).as("n_dis"),
+          TextOps.markerHits(w, Seq("the", "a")).cast(LongType)
+            .as("n_stop"))
+        .withColumn("ttr_ppm", expr("(n_dis * 1000000) div n_tok"))
+        .withColumn("stop_ppm", expr("(n_stop * 1000000) div n_tok"))
+        .select("doc_id", "n_tok", "ttr_ppm", "stop_ppm")
+        .localCheckpoint(true)
+      def rank(key: String, out: String) =
+        Ids.orderedId(base.select(col("doc_id"), col(key)),
+            Seq((-col(key)).as("__neg"), col("doc_id")), out)
+          .select("doc_id", out)
+      rank("n_tok", "r_len")
+        .join(rank("ttr_ppm", "r_ttr"), "doc_id")
+        .join(rank("stop_ppm", "r_stop"), "doc_id")
+        .withColumn("borda", col("r_len") + col("r_ttr") + col("r_stop"))
+        .orderBy(col("borda"), col("doc_id")).limit(100)
+    })
+
+  val all: Seq[GraftQuery] =
+    Seq(bm25Topk, domainAffinity, filterFunnel, rankFusion)
 }

@@ -257,4 +257,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(Registry.byName("pipeline_knn_brute").run(spark, dir)
       .count() == 100) // 20 queries × top-5
   }
+
+  test("domain affinity: the top-200 over-represents the target source") {
+    // the score is supposed to SELECT the target domain — the selected
+    // set's target share must beat the corpus share, or the likelihood
+    // ratio is decorative
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val tgt = docs.agg(min("source")).head().getString(0)
+    def share(df: org.apache.spark.sql.DataFrame): Double = {
+      val n = df.count().toDouble
+      df.filter(col("source") === tgt).count().toDouble / n
+    }
+    val top = Registry.byName("pipeline_domain_affinity").run(spark, dir)
+      .select("doc_id").join(docs, "doc_id")
+    assert(share(top) > share(docs),
+      s"top-200 target share ${share(top)} <= corpus ${share(docs)}")
+    Caches.clearAll(spark)
+  }
+
+  test("filter funnel conserves documents and tokens") {
+    import org.apache.spark.sql.functions._
+    val funnel = Registry.byName("pipeline_filter_funnel").run(spark, dir)
+    val total = funnel.agg(sum("n_docs"), sum("n_tokens")).head()
+    val docs = graft.sources.Readers.table(spark, dir, "documents")
+    val nDocs = docs.count()
+    val nTok = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    // every doc in exactly one outcome; token mass preserved — a funnel
+    // that double-counts or loses rows is worse than no funnel
+    assert(total.getLong(0) == nDocs, s"doc conservation: $total vs $nDocs")
+    assert(total.getLong(1) == nTok, s"token conservation: $total vs $nTok")
+    Caches.clearAll(spark)
+  }
+
+  test("rank fusion: borda is the sum of its ranks, top-100 monotone") {
+    val rows = Registry.byName("pipeline_rank_fusion").run(spark, dir)
+      .collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == r.getLong(4))
+    }
+    val bordas = rows.map(_.getLong(4)).toSeq
+    assert(bordas == bordas.sorted, "output not ordered by borda")
+    Caches.clearAll(spark)
+  }
 }
