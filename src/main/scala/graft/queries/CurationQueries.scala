@@ -138,7 +138,8 @@ object CurationQueries {
       "partial-aggregable 4096-group passes collected at driver scale " +
       "and baked into array LITERALS (the HashedLinear inference " +
       "pattern), so per-doc scoring is a zero-shuffle, zero-join " +
-      "codegen'd array fold - dot(c,t) = sum over the doc's own " +
+      "per-row array fold (interpreted HOF, but narrow and "+
+      "shuffle-free) - dot(c,t) = sum over the doc's own " +
       "tokens of t[bucket], no exploded-corpus shuffle anywhere " +
       "(the first formulation shuffled a corpus-sized (doc,bucket) " +
       "frame; measured 30.4 -> 17.3 s at the 500k-doc 100x rung and " +
@@ -197,7 +198,9 @@ object CurationQueries {
       val tLit = typedlit(tArr.toSeq)
       val sLit = typedlit(sArr.toSeq)
       // dot(c, t) = sum over the doc's OWN tokens of t[bucket]: a
-      // per-row codegen'd array fold against the baked literal
+      // per-row array fold against the baked literal (HOF aggregate is
+      // interpreted, not whole-stage-codegen'd — PLANS.md shows the
+      // Project outside the * span — but it is narrow and shuffle-free)
       def dot(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         aggregate(col("bk"), lit(0L),
           (acc, b) => acc + element_at(h, (b + 1).cast(IntegerType)))
