@@ -195,17 +195,12 @@ object CurationQueries {
       val sArr = histogram(prep)
       val tTot = tArr.sum
       val sTot = sArr.sum
-      val tLit = typedlit(tArr.toSeq)
-      val sLit = typedlit(sArr.toSeq)
-      // dot(c, t) = sum over the doc's OWN tokens of t[bucket]: a
-      // per-row array fold against the baked literal (HOF aggregate is
-      // interpreted, not whole-stage-codegen'd — PLANS.md shows the
-      // Project outside the * span — but it is narrow and shuffle-free)
-      def dot(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        aggregate(col("bk"), lit(0L),
-          (acc, b) => acc + element_at(h, (b + 1).cast(IntegerType)))
-      prep.withColumn("dot_t", dot(tLit))
-        .withColumn("dot_s", dot(sLit))
+      // dot(c, t) = sum over the doc's OWN tokens of t[bucket]: the
+      // codegen'd BucketDotExpr fold against the baked table (the HOF
+      // aggregate twin is interpreted; OpsSpec pins them bit-equal)
+      import graft.functions.BucketDotExpr.bucketDot
+      prep.withColumn("dot_t", bucketDot(col("bk"), tArr))
+        .withColumn("dot_s", bucketDot(col("bk"), sArr))
         .withColumn("score",
           (col("dot_t") * lit(sTot)).cast(DoubleType) /
             (col("dot_s") * lit(tTot)).cast(DoubleType))

@@ -587,4 +587,42 @@ class OpsSpec extends AnyFunSuite {
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     assert(got == expected && tri.nonEmpty)
   }
+
+  test("BucketDotExpr is bit-equal to the interpreted HOF fold") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.HashedLinear
+    // pseudo-random signed table over the full bucket range, exercised
+    // by the REAL corpus hash (every row's buckets come from the shared
+    // char-polynomial expression the oracles replay)
+    val w = Array.tabulate(HashedLinear.Buckets)(i =>
+      (i * 2654435761L) % 2001L - 1000L)
+    val prep = graft.sources.Readers.table(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select(col("doc_id"),
+        expr(HashedLinear.bucketsExprSql("text")).as("bk"))
+    val both = prep
+      .withColumn("fast", HashedLinear.scoreColumn(col("bk"), w))
+      .withColumn("slow", HashedLinear.scoreColumnHof(col("bk"), w))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(both.count() == 500)
+    // null input stays null; empty array folds to 0 in both
+    val edge = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<BIGINT>) AS bk UNION ALL " +
+      "SELECT CAST(ARRAY() AS ARRAY<BIGINT>)")
+    val er = edge.select(HashedLinear.scoreColumn(col("bk"), w).as("f"),
+        HashedLinear.scoreColumnHof(col("bk"), w).as("s"))
+      .collect().map(r => (r.isNullAt(0), if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.isNullAt(1))).toSeq
+    assert(er.map(_._1) == er.map(_._3), "null-propagation must match")
+    assert(er.exists(t => !t._1 && t._2 == 0L), "empty array folds to 0")
+    // an out-of-range bucket must fail fast, not silently skip
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT ARRAY(CAST(${HashedLinear.Buckets} AS BIGINT)) AS bk")
+        .select(HashedLinear.scoreColumn(col("bk"), w)).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+    assert(rootMsg(ex).contains("bucket out of range"))
+  }
 }
