@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The curation/text family on a PATHOLOGICAL corpus: empty text,
+  * single token, all-stopword, one-token-repeated (TTR floor), unicode
+  * (accented + CJK — Spark and DuckDB both return codepoints from
+  * `ascii()`, so the shared char-polynomial hash is cross-engine-exact
+  * beyond ASCII; verified by the driver-side differential run recorded
+  * in SURVEY), and three documents sharing an 8-token head (the
+  * prefix_dup path). The full DuckDB differential on this exact shape
+  * ran at build time (10 queries ALL PASS); this spec keeps the
+  * invariants pinned in-repo where the oracle harness can't reach.
+  */
+class EdgeCorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val dir: String = {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima"
+    val rows = Seq(
+      (0L, "", "en", "edge"),
+      (1L, "solo", "en", "edge"),
+      (2L, "the a the a the a the a", "en", "edge"),
+      (3L, ("x " * 50) + "x", "en", "edge"),
+      (4L, "héllo wörld naïve café résumé early über straße", "en", "edge"),
+      (5L, "中文 文本 中文 测试 数据 管道 质量 过滤", "zh", "edge"),
+      (6L, base + " mike november oscar papa", "en", "edge"),
+      (7L, base + " quebec romeo sierra tango", "en", "edge"),
+      (8L, base + " uniform victor whiskey xray", "en", "edge")) ++
+      (9 until 30).map { i =>
+        val words = (0 until 20).map(j => s"w${(i * 7 + j) % 23}") ++
+          Seq("the", "a", s"tail$i")
+        (i.toLong, words.mkString(" "),
+          if (i % 3 == 0) "fr" else "en",
+          if (i % 2 == 0) "other" else "edge")
+      }
+    val d = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("filter funnel conserves the pathological corpus exactly") {
+    val f = Registry.byName("pipeline_filter_funnel").run(spark, dir)
+    val t = f.agg(sum("n_docs")).head().getLong(0)
+    assert(t == 30L, s"funnel lost/duplicated docs: $t")
+    Caches.clearAll(spark)
+  }
+
+  test("domain affinity scores every doc, empty text included") {
+    val a = Registry.byName("pipeline_domain_affinity").run(spark, dir)
+      .collect()
+    assert(a.length == 30, "top-200 over 30 docs must return all 30")
+    assert(a.forall(_.getLong(2) >= 1L), "dot_s >= 1 must hold (self-mass)")
+    Caches.clearAll(spark)
+  }
+
+  test("rank fusion ranks are permutations of 1..n on edge input") {
+    val r = Registry.byName("pipeline_rank_fusion").run(spark, dir)
+      .collect()
+    assert(r.length == 30)
+    Seq(1, 2, 3).foreach { c =>
+      assert(r.map(_.getLong(c)).sorted.toSeq == (1L to 30L),
+        s"rank column $c is not a permutation")
+    }
+    Caches.clearAll(spark)
+  }
+
+  test("bm25 emits 5 ranked docs per term with tf >= 1") {
+    val b = Registry.byName("pipeline_bm25_topk").run(spark, dir).collect()
+    val byTerm = b.groupBy(_.getString(0))
+    assert(byTerm.size == 5, s"expected 5 query terms, got ${byTerm.keys}")
+    byTerm.values.foreach { rows =>
+      assert(rows.map(_.getLong(6)).sorted.toSeq == (1L to rows.length))
+      assert(rows.forall(_.getLong(2) >= 1L))
+    }
+    Caches.clearAll(spark)
+  }
+}
