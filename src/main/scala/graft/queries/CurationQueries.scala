@@ -26,28 +26,45 @@ import graft.sources.Readers.table
   */
 object CurationQueries {
 
-  /** BM25 rational constants: k1 = 6/5, b = 3/4 folded symbolically into
-    * integer numerator/denominator (see bm25Topk doc). */
+  /** Shared BM25 scorer: per-(term, doc) rational-BM25 scores for the 5
+    * mid-df query terms (df ranks 10-14). k1 = 6/5, b = 3/4 folded
+    * symbolically into integer numerator/denominator (see bm25Topk doc).
+    * One tokenize pass: tf feeds df, dl AND the scoring join; the term
+    * list broadcasts; TakeOrdered(14) bounds the term-selection frame
+    * so its rank window is driver-bounded. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val tf = table(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val scalars = table(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("l_tok")))
+    val termW = Window.orderBy(col("df").desc, col("token"))
+    val terms = dfr.orderBy(col("df").desc, col("token")).limit(14)
+      .withColumn("tr", row_number().over(termW))
+      .filter(col("tr").between(10, 14)).drop("tr")
+      .withColumnRenamed("token", "term")
+    val num = lit(22L) * col("tf") * col("l_tok")
+      .* (lit(2L) * col("n_docs") + lit(2L))
+    val den = (lit(10L) * col("l_tok") * col("tf")
+      + lit(3L) * col("l_tok")
+      + lit(9L) * col("dl") * col("n_docs"))
+      .* (lit(2L) * col("df") + lit(1L))
+    tf.withColumnRenamed("token", "term")
+      .join(broadcast(terms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .withColumn("score", num.cast(DoubleType) / den.cast(DoubleType))
+  }
 
-  private val bm25Topk = GraftQuery(
-    name = "pipeline_bm25_topk",
-    doc = "BM25 retrieval scoring: top-5 documents per query term for " +
-      "the 5 mid-df vocabulary terms (df ranks 10-14 - past the " +
-      "stopword head, still corpus-wide). The retrieval primitive a " +
-      "training-data pipeline runs for targeted corpus slicing and " +
-      "eval-set mining. Exactness: k1 = 6/5 and b = 3/4 stay rational, " +
-      "so the full per-(term,doc) score folds to " +
-      "22*tf*L*(2N+2) / ((10*L*tf + 3*L + 9*dl*N)*(2df+1)) - one " +
-      "double division of two exact BIGINT products (L = corpus token " +
-      "count, dl = doc length; both engines round identically). The " +
-      "ln() of textbook idf is dropped: per-term ranking is invariant " +
-      "to it (idf is constant within a term) and ln is not " +
-      "bit-portable across engines. Scale: tf/df/dl are " +
-      "partial-aggregable; the 5-term postings join is a broadcast of " +
-      "the term list; per-term top-5 is TWO-PHASE (salted local " +
-      "row_number, then global over <=160 rows/term) so a hot term's " +
-      "postings never serialize onto one task.",
-    oracle = Some("""
+  /** The BM25 CTE chain shared VERBATIM by bm25Topk's and bm25Query's
+    * oracles (one definition — Spark and DuckDB move together, the
+    * Threshold convention of PipelineQueries). */
+  private val Bm25OracleCtes = """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                    FROM documents),
       tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
@@ -67,41 +84,33 @@ object CurationQueries {
           CAST((10 * l.l_tok * f.tf + 3 * l.l_tok + 9 * d.dl * n.n_docs)
                * (2 * t.df + 1) AS DOUBLE) AS score
         FROM tf f JOIN terms t USING (token) JOIN dl d USING (doc_id)
-        CROSS JOIN nd n CROSS JOIN lt l),
+        CROSS JOIN nd n CROSS JOIN lt l)"""
+
+  private val bm25Topk = GraftQuery(
+    name = "pipeline_bm25_topk",
+    doc = "BM25 retrieval scoring: top-5 documents per query term for " +
+      "the 5 mid-df vocabulary terms (df ranks 10-14 - past the " +
+      "stopword head, still corpus-wide). The retrieval primitive a " +
+      "training-data pipeline runs for targeted corpus slicing and " +
+      "eval-set mining. Exactness: k1 = 6/5 and b = 3/4 stay rational, " +
+      "so the full per-(term,doc) score folds to " +
+      "22*tf*L*(2N+2) / ((10*L*tf + 3*L + 9*dl*N)*(2df+1)) - one " +
+      "double division of two exact BIGINT products (L = corpus token " +
+      "count, dl = doc length; both engines round identically). The " +
+      "ln() of textbook idf is dropped: per-term ranking is invariant " +
+      "to it (idf is constant within a term) and ln is not " +
+      "bit-portable across engines. Scale: tf/df/dl are " +
+      "partial-aggregable; the 5-term postings join is a broadcast of " +
+      "the term list; per-term top-5 is TWO-PHASE (salted local " +
+      "row_number, then global over <=160 rows/term) so a hot term's " +
+      "postings never serialize onto one task.",
+    oracle = Some(Bm25OracleCtes + """,
       rk AS (SELECT *, row_number() OVER (PARTITION BY term
                ORDER BY score DESC, doc_id) AS rank FROM scored)
       SELECT term, doc_id, tf, dl, df, score, CAST(rank AS BIGINT) AS rank
       FROM rk WHERE rank <= 5 ORDER BY term, rank"""),
     run = (s, dir) => {
-      // one tokenize pass; tf feeds df, dl AND the scoring join
-      val tf = table(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val scalars = table(s, dir, "documents")
-        .agg(count(lit(1)).as("n_docs"))
-        .crossJoin(dl.agg(sum("dl").as("l_tok")))
-      // mid-df query terms: TakeOrdered(14) bounds the frame, then a
-      // 14-row window assigns the rank (driver-bounded by the limit)
-      val termW = Window.orderBy(col("df").desc, col("token"))
-      val terms = dfr.orderBy(col("df").desc, col("token")).limit(14)
-        .withColumn("tr", row_number().over(termW))
-        .filter(col("tr").between(10, 14)).drop("tr")
-        .withColumnRenamed("token", "term")
-      val num = lit(22L) * col("tf") * col("l_tok")
-        .* (lit(2L) * col("n_docs") + lit(2L))
-      val den = (lit(10L) * col("l_tok") * col("tf")
-        + lit(3L) * col("l_tok")
-        + lit(9L) * col("dl") * col("n_docs"))
-        .* (lit(2L) * col("df") + lit(1L))
-      val scored = tf.withColumnRenamed("token", "term")
-        .join(broadcast(terms), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(scalars))
-        .withColumn("score", num.cast(DoubleType) / den.cast(DoubleType))
+      val scored = bm25Scored(s, dir)
       // two-phase per-term top-5: a term's postings are corpus-sized at
       // scale, so phase 1 ranks within (term, doc_id%32) salt slices
       // (a doc in the global top-5 is in its slice's top-5), phase 2
@@ -358,6 +367,53 @@ object CurationQueries {
         .orderBy(col("borda"), col("doc_id")).limit(100)
     })
 
+  private val bm25Query = GraftQuery(
+    name = "pipeline_bm25_query",
+    doc = "MULTI-TERM BM25 retrieval via exact rank fusion - the " +
+      "whole-query answer bm25_topk's per-term exactness constraint " +
+      "forbids (summing per-term BM25 doubles is not bit-portable " +
+      "because float addition orders differ across engines; summing " +
+      "per-term RANKS is integer-exact and carries the same consensus " +
+      "- the rank_fusion insight applied to retrieval). The 5 mid-df " +
+      "terms form one query; each term's postings are ranked with the " +
+      "skew-proof SkewWindows.rankedPrefix (range layout, NO " +
+      "single-task per-term window - a hot term's postings are " +
+      "corpus-sized at 100 TB); a doc missing a term gets the " +
+      "fill rank k_t+1, folded in WITHOUT a docs-x-terms cross join " +
+      "via borda = sum_t(k_t+1) + sum_present(rank - k_t - 1), so " +
+      "only posting rows are ever touched. Docs hitting zero terms " +
+      "are not retrieved (standard retrieval contract). Top-20 by " +
+      "(borda, doc_id) via TakeOrdered.",
+    oracle = Some(Bm25OracleCtes + """,
+      rk AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+               ORDER BY score DESC, doc_id) AS trank FROM scored),
+      kt AS (SELECT term, CAST(MAX(trank) AS BIGINT) AS kt
+             FROM rk GROUP BY term),
+      fill AS (SELECT CAST(SUM(kt + 1) AS BIGINT) AS f FROM kt),
+      agg AS (SELECT rk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               CAST(SUM(rk.trank - kt.kt - 1) AS BIGINT) AS adj
+              FROM rk JOIN kt USING (term) GROUP BY rk.doc_id)
+      SELECT doc_id, n_terms_hit, f + adj AS borda
+      FROM agg, fill ORDER BY borda, doc_id LIMIT 20"""),
+    run = (s, dir) => {
+      import graft.ops.SkewWindows
+      val scored = bm25Scored(s, dir)
+        .select("term", "doc_id", "score")
+      val ranked = SkewWindows.rankedPrefix(scored, "term",
+          Seq(col("score").desc, col("doc_id")), None, "trank", "__cum")
+        .drop("__cum")
+      val kt = ranked.groupBy("term").agg(max("trank").as("kt"))
+      val fill = kt.agg(sum(col("kt") + lit(1L)).as("f"))
+      ranked.join(broadcast(kt), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms_hit"),
+          sum(col("trank") - col("kt") - lit(1L)).as("adj"))
+        .crossJoin(broadcast(fill))
+        .select(col("doc_id"), col("n_terms_hit"),
+          (col("f") + col("adj")).as("borda"))
+        .orderBy(col("borda"), col("doc_id")).limit(20)
+    })
+
   val all: Seq[GraftQuery] =
-    Seq(bm25Topk, domainAffinity, filterFunnel, rankFusion)
+    Seq(bm25Topk, domainAffinity, filterFunnel, rankFusion, bm25Query)
 }
