@@ -884,7 +884,18 @@ object EventStream {
     * output is data-sized. */
   def sessionWindowDrained(spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      watermarkDelay: String = "0 seconds"): DataFrame = {
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    sessionWindowDrainedWithProgress(spark, eventsDir, maxFilesPerTrigger,
+      watermarkDelay)._1
+
+  /** [[sessionWindowDrained]] plus the per-batch query progress — the
+    * stateOperators metrics (numRowsRemoved) are how SessionWindowSpec
+    * PROVES watermark eviction runs on the native session operator,
+    * same discipline as JoinStateEvictionSpec for the joins. */
+  private[graft] def sessionWindowDrainedWithProgress(spark: SparkSession,
+      eventsDir: String, maxFilesPerTrigger: Option[Int] = None,
+      watermarkDelay: String = "0 seconds")
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val ds = drainSession(spark)
     val gapUs = 1800L * 1000000L
     val agg = eventsStream(ds, eventsDir, maxFilesPerTrigger)
@@ -896,7 +907,7 @@ object EventStream {
         (unix_micros(col("session_window.end")) - lit(gapUs))
           .as("session_end_us"),
         col("n_events"))
-    drainToParquet(agg, "stream_session_window")
+    drainToParquetWithProgress(agg, "stream_session_window")
   }
 
   // ── transformWithState: the Spark-4 arbitrary-state API ─────────────

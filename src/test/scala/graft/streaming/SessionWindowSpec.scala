@@ -120,6 +120,46 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(drained(d, Some(1)) == drained(inputDir))
   }
 
+  test("state eviction is measured, not assumed (stateOperators)") {
+    // multi-batch run over the event-time-ordered fixture: emitted
+    // sessions must LEAVE the store as the watermark passes them —
+    // numRowsRemoved > 0 across the run, and the final state holds
+    // fewer rows than the total ever added (open tails only). Same
+    // metrics discipline JoinStateEvictionSpec applies to the joins.
+    val src = Readers.table(spark, "/root/testdata/sf0.001", "events")
+    val d = java.nio.file.Files.createTempDirectory("graft_sw_ev").toString
+    val parts = src.orderBy("ts").collect()
+    val n = parts.length
+    import scala.jdk.CollectionConverters._
+    Seq(0 until n / 3, n / 3 until 2 * n / 3, 2 * n / 3 until n)
+      .zipWithIndex.foreach { case (r, i) =>
+        spark.createDataFrame(r.map(parts(_)).toList.asJava, src.schema)
+          .coalesce(1).write.mode("overwrite").parquet(s"$d/f$i")
+        val f = new java.io.File(s"$d/f$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(s"$d/part-$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        val sub = new java.io.File(s"$d/f$i")
+        sub.listFiles().foreach(_.delete()); sub.delete()
+      }
+    val (out, progress) = EventStream.sessionWindowDrainedWithProgress(
+      spark, d, Some(1))
+    assert(out.count() > 0)
+    val states = progress.flatMap(_.stateOperators)
+    assert(states.nonEmpty, "no stateOperators metrics recorded")
+    val removed = states.map(_.numRowsRemoved).sum
+    assert(removed > 0,
+      s"watermark never evicted session state (removed=$removed)")
+    // the emitted sessions must be gone: final state is the open tails
+    // only, strictly fewer rows than sessions emitted + retained
+    val finalTotal = progress.last.stateOperators.map(_.numRowsTotal).sum
+    assert(finalTotal > 0, "open tails must remain in state")
+    assert(removed >= out.count(),
+      s"every emitted session should have been evicted from the store " +
+        s"(removed=$removed, emitted=${out.count()})")
+  }
+
   test("a late bridging event MERGES two open sessions (MergingSessions)") {
     import spark.implicits._
     val t0 = 1700000000000000L
