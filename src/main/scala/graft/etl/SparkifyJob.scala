@@ -51,22 +51,39 @@ object SparkifyJob {
       // task), while concurrent jobs let the scheduler backfill those
       // slots with the next sink's tasks. Output paths are disjoint,
       // so commits never contend; failure of any sink fails the job.
+      // Each sink is lifted to Try so a failure cannot orphan the
+      // others mid-write: all five run to completion (the pool's
+      // shutdown() does not interrupt in-flight jobs), and EVERY
+      // failed sink is reported — the first as the cause, the rest
+      // suppressed — instead of only whichever failed first.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
-        val sinks = Seq(
-          scala.concurrent.Future(SongPipeline.writeSongs(songs, s"$out/songs")),
-          scala.concurrent.Future(
+        val sinks: Seq[(String, () => Unit)] = Seq(
+          "songs" -> (() => SongPipeline.writeSongs(songs, s"$out/songs")),
+          "artists" -> (() =>
             artists.write.mode("overwrite").parquet(s"$out/artists")),
-          scala.concurrent.Future(
+          "users" -> (() =>
             users.write.mode("overwrite").parquet(s"$out/users")),
-          scala.concurrent.Future(LogPipeline.writeTime(time, s"$out/time")),
-          scala.concurrent.Future(
+          "time" -> (() => LogPipeline.writeTime(time, s"$out/time")),
+          "songplays" -> (() =>
             LogPipeline.writeSongplays(songplays, s"$out/songplays")))
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(sinks),
+        val outcomes = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(sinks.map { case (name, run) =>
+            scala.concurrent.Future((name, scala.util.Try(run())))
+          }),
           scala.concurrent.duration.Duration.Inf)
+        val failed = outcomes.collect {
+          case (name, scala.util.Failure(e)) => (name, e)
+        }
+        if (failed.nonEmpty) {
+          val err = new RuntimeException(
+            s"Sparkify sink(s) failed: ${failed.map(_._1).mkString(", ")}",
+            failed.head._2)
+          failed.tail.foreach { case (_, t) => err.addSuppressed(t) }
+          throw err
+        }
       } finally pool.shutdown()
     }
     Outputs(songs, artists, users, time, songplays)

@@ -21,7 +21,12 @@ import org.apache.spark.sql.types._
   * Out-of-range buckets throw (fail fast): the shared char-polynomial
   * hash mods every bucket into [0, weights.length), so a wild index is
   * corruption, not data — silently skipping would diverge from the HOF
-  * twin's NULL and hide the defect.
+  * twin's NULL and hide the defect. A NULL ELEMENT, by contrast, is a
+  * value the fold must propagate: the HOF twin's `a + element_at(...)`
+  * turns any null element into a NULL result, so this expression does
+  * the same (the bucket arrays come from `transform(... % ...)`, whose
+  * declared element type is nullable even though the hash never
+  * produces null in practice).
   */
 case class BucketDotExpr(child: Expression, weights: Array[Long])
     extends UnaryExpression {
@@ -33,6 +38,10 @@ case class BucketDotExpr(child: Expression, weights: Array[Long])
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_bucket_dot"
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -40,6 +49,7 @@ case class BucketDotExpr(child: Expression, weights: Array[Long])
     var s = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val b = a.getLong(i)
       require(b >= 0 && b < weights.length, s"bucket out of range: $b")
       s += weights(b.toInt)
@@ -56,17 +66,34 @@ case class BucketDotExpr(child: Expression, weights: Array[Long])
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val b = ctx.freshName("b")
+      val anyNull = ctx.freshName("anyNull")
+      // ev.isNull is a compile-time `false` literal when this
+      // expression is non-nullable; only emit the assignment when the
+      // null branch is actually reachable per the schema
+      val nullBranch =
+        if (nullable) s"${ev.isNull} = true;"
+        else "throw new IllegalStateException(\"null element in " +
+          "non-nullable bucket array\");"
       s"""
          |int $n = $a.numElements();
          |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $b = $a.getLong($i);
-         |  if ($b < 0 || $b >= $w.length) {
-         |    throw new IllegalArgumentException("bucket out of range: " + $b);
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n && !$anyNull; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    $anyNull = true;
+         |  } else {
+         |    long $b = $a.getLong($i);
+         |    if ($b < 0 || $b >= $w.length) {
+         |      throw new IllegalArgumentException("bucket out of range: " + $b);
+         |    }
+         |    $s += $w[(int) $b];
          |  }
-         |  $s += $w[(int) $b];
          |}
-         |${ev.value} = $s;
+         |if ($anyNull) {
+         |  $nullBranch
+         |} else {
+         |  ${ev.value} = $s;
+         |}
        """.stripMargin
     })
   }

@@ -240,7 +240,15 @@ object MultiModal {
     * JDK-written containers identically, and the JDK stack must decode
     * [[encodeWavDirect]] output identically), so the fast path cannot
     * drift from the real format. */
-  def decodeWavDirect(content: Array[Byte]): Option[DecodedAudio] = {
+  def decodeWavDirect(content: Array[Byte]): Option[DecodedAudio] =
+    // corrupt-input → None is a CONTRACT (the javax.sound twin honors
+    // it); the chunk walk below validates bounds, but a crafted
+    // container must degrade to None, never escape as an uncaught
+    // throw that fails the whole job from a hot-path task
+    try decodeWavDirectImpl(content)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeWavDirectImpl(content: Array[Byte]): Option[DecodedAudio] = {
     def le32(o: Int): Int =
       (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8) |
         ((content(o + 2) & 0xff) << 16) | ((content(o + 3) & 0xff) << 24)
@@ -258,7 +266,9 @@ object MultiModal {
     while (off + 8 <= content.length && (dataOff < 0 || !fmtOk)) {
       val id = tag(off)
       val sz = le32(off + 4)
-      if (sz < 0 || off + 8 + sz > content.length) return None
+      // Long arithmetic: sz near 2^31 would wrap `off + 8 + sz`
+      // negative and bypass the bound, then index out of range below
+      if (sz < 0 || off.toLong + 8L + sz.toLong > content.length) return None
       if (id == "fmt " && sz >= 16) {
         fmtOk = le16(off + 8) == 1 &&     // PCM
           le16(off + 10) == 1 &&          // mono

@@ -484,6 +484,30 @@ object EventStream {
     s
   }
 
+  /** Second memoized clone with RocksDB FORCED — the home of every
+    * `transformWithState` drain (Spark 4 supports the operator only on
+    * that provider) and of the migration fixtures. Keeping these on
+    * their own session means no drain ever mutates the TOGGLE session's
+    * providerClass after [[drainSession]] returns it: the r13 advice —
+    * a fixture setting RocksDB on the shared clone silently forced
+    * RocksDB onto any toggle-respecting drain interleaved before the
+    * next `drainSession()` reset. */
+  private val rocksDrainSessions = new java.util.concurrent
+    .ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private[graft] def rocksDrainSession(parent: SparkSession): SparkSession =
+    rocksDrainSessions.computeIfAbsent(parent, { p =>
+      val c = p.newSession()
+      p.conf.getAll.foreach { case (k, v) =>
+        try c.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+      c.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      c.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      c
+    })
+
   /** Run a streaming frame to a fresh memory-sink table with
     * Trigger.AvailableNow and return it. After the new drain SUCCEEDS,
     * the previous drain's table for the same prefix is dropped: a
@@ -986,9 +1010,7 @@ object EventStream {
     * that proves exactly that with a real multi-batch run. */
   def userStatsDrained(spark: SparkSession, eventsPath: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    implicit val ds: SparkSession = drainSession(spark)
-    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ds: SparkSession = rocksDrainSession(spark)
     import ds.implicits._
     val src = eventsStream(ds, eventsPath, maxFilesPerTrigger)
     val out = src
@@ -1072,9 +1094,7 @@ object EventStream {
     * streamed user's totals and the oracle compare catches it. */
   def userStatsBootstrapDrained(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    implicit val ds: SparkSession = drainSession(spark)
-    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ds: SparkSession = rocksDrainSession(spark)
     import ds.implicits._
     val snapshot = graft.sources.Readers.table(ds, sfDir, "events")
       .filter(col("event_id") % 2 === 0)
@@ -1224,9 +1244,7 @@ object EventStream {
           .write.mode("overwrite").parquet(s"$base/historic")
         events.filter(col("event_id") % 2 =!= 0)
           .write.mode("overwrite").parquet(s"$base/live")
-        val ds = drainSession(spark)
-        ds.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val ds = rocksDrainSession(spark)
         import ds.implicits._
         val out = eventsStream(ds, s"$base/historic")
           .select(col("user_id"), col("event_id"), col("event_type"),
@@ -1412,9 +1430,7 @@ object EventStream {
         events.filter(unix_micros(col("ts")) > cut)
           .write.mode("overwrite").parquet(s"$base/live")
         // original 4-partition query over the historic half
-        val ds = drainSession(spark)
-        ds.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val ds = rocksDrainSession(spark)
         import ds.implicits._
         val out = eventsStream(ds, s"$base/historic")
           .withWatermark("ts", "0 seconds")
@@ -1581,9 +1597,7 @@ object EventStream {
     * once, so the sink is the answer with no fold. */
   def sessionTimeoutDrained(spark: SparkSession, eventsPath: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    implicit val ds: SparkSession = drainSession(spark)
-    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ds: SparkSession = rocksDrainSession(spark)
     import ds.implicits._
     val src = eventsStream(ds, eventsPath, maxFilesPerTrigger)
       .withWatermark("ts", "0 seconds")

@@ -119,6 +119,19 @@ class MultiModalSpec extends AnyFunSuite {
     val truncated = MultiModal.encodeWavDirect(8000, Array[Short](1, 2, 3))
     assert(MultiModal.decodeWavDirect(truncated.dropRight(2)).isEmpty,
       "data chunk overrunning the buffer must be rejected, not read")
+    // crafted chunk size near 2^31: `off + 8 + sz` overflows Int and
+    // would bypass the bounds guard without Long arithmetic (r13 advice)
+    val crafted = MultiModal.encodeWavDirect(8000, Array[Short](1, 2, 3))
+    def putLe32(buf: Array[Byte], o: Int, v: Int): Unit = {
+      buf(o) = (v & 0xff).toByte; buf(o + 1) = ((v >> 8) & 0xff).toByte
+      buf(o + 2) = ((v >> 16) & 0xff).toByte
+      buf(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(crafted, 40, Int.MaxValue - 4) // data-chunk size field
+    assert(MultiModal.decodeWavDirect(crafted).isEmpty,
+      "near-2^31 chunk size must hit the Long bounds guard, not wrap")
+    putLe32(crafted, 16, Int.MaxValue - 4) // fmt-chunk size field
+    assert(MultiModal.decodeWavDirect(crafted).isEmpty)
   }
 
   test("extractFeatures uses the real WAV decoder for audio assets") {

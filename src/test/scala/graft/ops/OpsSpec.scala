@@ -615,6 +615,16 @@ class OpsSpec extends AnyFunSuite {
         r.isNullAt(1))).toSeq
     assert(er.map(_._1) == er.map(_._3), "null-propagation must match")
     assert(er.exists(t => !t._1 && t._2 == 0L), "empty array folds to 0")
+    // a NULL ELEMENT propagates to a NULL result in both formulations
+    // (the HOF's `a + element_at(...)` nulls the fold; the codegen'd
+    // expression must not read it as 0 — r13 advice)
+    val nullElem = spark.sql(
+      "SELECT ARRAY(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)) AS bk")
+      .select(HashedLinear.scoreColumn(col("bk"), w).as("f"),
+        HashedLinear.scoreColumnHof(col("bk"), w).as("s"))
+      .collect()(0)
+    assert(nullElem.isNullAt(0) && nullElem.isNullAt(1),
+      "null element must null the dot in both the expr and the HOF twin")
     // an out-of-range bucket must fail fast, not silently skip
     val ex = intercept[Exception] {
       spark.sql(s"SELECT ARRAY(CAST(${HashedLinear.Buckets} AS BIGINT)) AS bk")

@@ -93,9 +93,7 @@ class SessionMigrationSpec extends AnyFunSuite {
     augmented.filter(unix_micros(col("ts")) > cut)
       .write.mode("overwrite").parquet(s"$base/live")
     augmented.write.mode("overwrite").parquet(s"$base/full")
-    val ds = EventStream.drainSession(spark)
-    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ds = EventStream.rocksDrainSession(spark)
     import ds.implicits._
     val out = EventStream.eventsStream(ds, s"$base/historic")
       .withWatermark("ts", "0 seconds")

@@ -28,12 +28,8 @@ class StateIntrospectionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def rocksDrainSession(): SparkSession = {
-    val ds = EventStream.drainSession(spark)
-    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    ds
-  }
+  private def rocksDrainSession(): SparkSession =
+    EventStream.rocksDrainSession(spark)
 
   private def typedEvents(ds: SparkSession, src: DataFrame) = {
     import ds.implicits._

@@ -43,9 +43,7 @@ class StateMigrationSpec extends AnyFunSuite {
   /** The original 4-partition query over the historic half, persisted
     * checkpoint (the drain session is pinned at 4 shuffle partitions). */
   lazy val oldCkpt: String = {
-    val ds = EventStream.drainSession(spark)
-    ds.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ds = EventStream.rocksDrainSession(spark)
     import ds.implicits._
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_migr_ck_old").toString

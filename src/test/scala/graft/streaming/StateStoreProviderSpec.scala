@@ -151,9 +151,7 @@ class StateStoreProviderSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions.{col, unix_micros}
     def run(ttl: Boolean): Seq[Seq[Any]] = {
-      val ds = EventStream.drainSession(spark)
-      ds.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ds = EventStream.rocksDrainSession(spark)
       import ds.implicits._
       val land = java.nio.file.Files
         .createTempDirectory(s"graft_ttl_land_$ttl").toString
