@@ -2738,6 +2738,165 @@ object PipelineQueries {
         .orderBy("vec_id")
     })
 
+  private val ingestSemDedup = GraftQuery(
+    name = "pipeline_ingest_semdedup",
+    doc = "Cross-corpus SEMANTIC ingest gate: an arriving batch " +
+      "(vec_id % 10 = 7) is deduped against a STANDING corpus " +
+      "(vec_id % 10 != 7) in embedding space - the embedding-side " +
+      "twin of pipeline_ingest_neardup's text gate. The IVF cells are " +
+      "trained on the corpus ONLY (integer-exact Lloyd, k seeded from " +
+      "the first corpus ids - the index a production pipeline already " +
+      "holds); the batch is ASSIGNED to those standing cells and " +
+      "compared in-cell only, batch x corpus-cell - the standing " +
+      "corpus is never self-joined again and the batch never joins " +
+      "itself. Oversized cells split by the deterministic id hash at " +
+      s"$IvfCellCap using the CORPUS cell size on both sides, so pair " +
+      "work is cap*|batch|, linear in the delivery. dup_of = the " +
+      "NEAREST standing neighbor with cosine >= " + SemThreshold +
+      " (max cosine, ties to the smaller id), not just any - the " +
+      "keeper a dedup ledger records. Training, assignment, capping, " +
+      "pair search and the argmax are all replayed bit-exactly by the " +
+      "DuckDB oracle.",
+    oracle = Some(s"""
+      WITH ptsc AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+           FROM embeddings WHERE vec_id % 10 <> 7),
+      ptsb AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+           FROM embeddings WHERE vec_id % 10 = 7),
+      c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, q AS sv
+             FROM ptsc WHERE vec_id < 8),
+      a1 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM ptsc p CROSS JOIN c0 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a1) WHERE rk = 1),
+      e1 AS (SELECT b.cid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+               COUNT(*) AS cnt
+             FROM b1 b JOIN ptsc p USING (vec_id)
+               CROSS JOIN range(0, 64) t(i)
+             GROUP BY b.cid, t.i),
+      c1 AS (SELECT cid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+             FROM e1 GROUP BY cid),
+      a2 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM ptsc p CROSS JOIN c1 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a2) WHERE rk = 1),
+      e2 AS (SELECT b.cid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+               COUNT(*) AS cnt
+             FROM b2 b JOIN ptsc p USING (vec_id)
+               CROSS JOIN range(0, 64) t(i)
+             GROUP BY b.cid, t.i),
+      c2 AS (SELECT cid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+             FROM e2 GROUP BY cid),
+      a3 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM ptsc p CROSS JOIN c2 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b3 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a3) WHERE rk = 1),
+      ab AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM ptsb p CROSS JOIN c2 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      bb AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM ab) WHERE rk = 1),
+      cs AS (SELECT cid, COUNT(*) AS cell_n FROM b3 GROUP BY cid),
+      hc AS (SELECT b3.vec_id, b3.cid,
+               ${VectorOps.subCellSql("b3.vec_id", "cs.cell_n", IvfCellCap)}
+                 AS sub
+             FROM b3 JOIN cs USING (cid)),
+      hb AS (SELECT bb.vec_id, bb.cid,
+               ${VectorOps.subCellSql("bb.vec_id", "cs.cell_n", IvfCellCap)}
+                 AS sub
+             FROM bb JOIN cs USING (cid)),
+      e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      p AS (SELECT b.vec_id AS id_b, a.vec_id AS id_a,
+              list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
+            FROM hb b JOIN hc a ON a.cid = b.cid AND a.sub = b.sub
+            JOIN nn na ON na.vec_id = a.vec_id
+            JOIN nn nb ON nb.vec_id = b.vec_id
+            WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)
+              >= $SemThreshold),
+      r AS (SELECT id_b, id_a, cos, row_number() OVER (PARTITION BY id_b
+              ORDER BY cos DESC, id_a) AS rk FROM p),
+      d AS (SELECT id_b AS vec_id, id_a AS dup_of, cos AS best_cos
+            FROM r WHERE rk = 1)
+      SELECT bb.vec_id, bb.cid, d.dup_of, d.best_cos,
+             CAST(d.dup_of IS NULL AS BIGINT) AS kept
+      FROM bb LEFT JOIN d USING (vec_id) ORDER BY bb.vec_id"""),
+    run = (s, dir) => {
+      import graft.ops.KMeans
+      val emb = table(s, dir, "embeddings")
+      val pts = KMeans.quantize(emb)
+      val corpusPts = pts.filter(col("vec_id") % 10 =!= 7)
+      val batchPts = pts.filter(col("vec_id") % 10 === 7)
+      // the standing index: centroids trained on the CORPUS only
+      val cent = KMeans.train(corpusPts, k = 8, iters = 2)
+      // both assignments fan into multiple branches (pair sides, cell
+      // sizes, the final left join); cut once like semanticDedup
+      val corpusCells = KMeans.assign(corpusPts, cent)
+        .select("vec_id", "cid").localCheckpoint(true)
+      val batchCells = KMeans.assign(batchPts, cent)
+        .select("vec_id", "cid").localCheckpoint(true)
+      val sizes = corpusCells.groupBy("cid").agg(count(lit(1)).as("cell_n"))
+      val pv = VectorOps.prepared(emb, "vec_id", "embedding")
+      val a = corpusCells.join(broadcast(sizes), "cid")
+        .withColumn("sub",
+          VectorOps.subCell(col("vec_id"), "cell_n", IvfCellCap))
+        .join(pv, "vec_id")
+        .select(col("vec_id").as("id_a"), col("cid"), col("sub"),
+          col("v").as("va"), col("nrm").as("na"))
+      val b = batchCells.join(broadcast(sizes), "cid")
+        .withColumn("sub",
+          VectorOps.subCell(col("vec_id"), "cell_n", IvfCellCap))
+        .join(pv, "vec_id")
+        .select(col("vec_id").as("id_b"), col("cid").as("cb"),
+          col("sub").as("sb"), col("v").as("vb"), col("nrm").as("nb"))
+      // batch x corpus-cell only: no corpus-corpus, no batch-batch pair
+      // ever forms. Nearest keeper via partially-aggregable max_by over
+      // (cos, -id): max cosine, ties to the smaller standing id - no
+      // per-batch-vector window sort.
+      val dups = b.join(a, col("cid") === col("cb") &&
+          col("sub") === col("sb"))
+        .withColumn("cos",
+          VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cos") >= SemThreshold)
+        .groupBy(col("id_b").as("vec_id"))
+        .agg(max_by(struct(col("id_a"), col("cos")),
+          struct(col("cos"), -col("id_a"))).as("best"))
+        .select(col("vec_id"), col("best.id_a").as("dup_of"),
+          col("best.cos").as("best_cos"))
+      batchCells.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("dup_of"), col("best_cos"),
+          isnull(col("dup_of")).cast(LongType).as("kept"))
+        .orderBy("vec_id")
+    })
+
   private val multimodalIngest = GraftQuery(
     name = "pipeline_multimodal_ingest",
     doc = "Binary-FILE ingestion source: the per-doc PNGs land as " +
@@ -3617,7 +3776,7 @@ object PipelineQueries {
     kmeansTrain, diverseCoreset, packSequences, tfidfTopk, zipfSpectrum,
     curriculumBins,
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
-    semanticDedup, multimodalIngest, embedOutliers, dupSpan,
+    semanticDedup, ingestSemDedup, multimodalIngest, embedOutliers, dupSpan,
     dedupSubstring,
     classBalance, lmFluency, bpeTrain, bpeSegment, ngramNovelty,
     datasetCard, weightedSample, qualityClassifier, classifierHoldout,

@@ -470,6 +470,21 @@ class PlanSpec extends AnyFunSuite {
     assert(joinKeyed, s"sub-cell not part of any join's keys:\n$p")
   }
 
+  test("ingest semdedup: batch x corpus-cell pair join keyed by sub-cell, " +
+      "no quadratic stage") {
+    val p = scanPlan("pipeline_ingest_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic pair stage:\n$p")
+    // the one pair join must carry the cap's sub-cell in its keys —
+    // candidates are batch x corpus within (cid, sub), so pair work is
+    // cap * |batch| and the standing corpus is never self-joined
+    val joinKeyed = p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) &&
+        l.contains("sub#") && l.contains("sb#"))
+    assert(joinKeyed, s"sub-cell not part of any join's keys:\n$p")
+  }
+
   test("filtered knn: metadata semi join prunes before the dot product") {
     val p = scanPlan("pipeline_knn_filtered")
     assert(p.contains("LeftSemi"), s"metadata filter not a semi join:\n$p")

@@ -131,6 +131,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest semdedup: every gated row is batch, every keeper standing") {
+    val rows = Registry.byName("pipeline_ingest_semdedup").run(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    // output covers exactly the arriving batch
+    rows.foreach(r => assert(r.getLong(0) % 10 == 7))
+    val dups = rows.filter(!_.isNullAt(2))
+    assert(dups.nonEmpty) // planted embedding near-dups must surface
+    dups.foreach { r =>
+      assert(r.getLong(2) % 10 != 7,
+        "dup_of must be a STANDING-corpus id, never another batch row")
+      assert(r.getDouble(3) >= 0.4) // nearest neighbor clears the bar
+      assert(r.getLong(4) == 0L)
+    }
+    rows.filter(_.isNullAt(2)).foreach { r =>
+      assert(r.isNullAt(3) && r.getLong(4) == 1L)
+    }
+  }
+
   test("filtered knn: every neighbor passes the metadata filter") {
     val en = graft.sources.Readers.table(spark, dir, "documents")
       .filter(org.apache.spark.sql.functions.col("lang") === "en")
