@@ -414,6 +414,199 @@ object CurationQueries {
         .orderBy(col("borda"), col("doc_id")).limit(20)
     })
 
+  /** Token budget of the composed curation job — binds at every tracked
+    * sf (corpora are 27k-270k tokens) so the budget stage always cuts. */
+  private val CurateBudget = 2000L
+
+  private val curateFull = GraftQuery(
+    name = "pipeline_curate_full",
+    doc = "END-TO-END curation composition - the r13 curation family " +
+      "run as ONE job instead of piecewise: (1) the filter-funnel " +
+      "quality+prefix-dup gate (same rules as pipeline_filter_funnel) " +
+      "keeps only clean keeper docs; (2) DSIR-shaped domain affinity " +
+      "is scored ON THE CLEANED CORPUS (target = MIN(source) slice of " +
+      "the survivors, histograms re-derived downstream of the funnel, " +
+      "baked into literals - zero-join scoring); (3) Borda rank " +
+      "fusion of affinity, TTR and length over the survivors (each " +
+      "rank is the two-phase Ids.orderedId, no single-task window); " +
+      "(4) docs admitted in fused order until a " + CurateBudget +
+      "-token budget exhausts (global cumsum via the skew-proof " +
+      "rankedPrefix, inclusive like pipeline_token_budget); (5) the " +
+      "admitted set greedily packed into 64-token bins, 8 shards " +
+      "(pipeline_pack_sequences' fold). The oracle replays the WHOLE " +
+      "chain - funnel CASE, histogram dots, three ranks, windowed " +
+      "budget, recursive-CTE pack - so a defect in any stage or in " +
+      "stage WIRING fails the hash. Scale posture inherited from the " +
+      "pieces: slim flag frames, driver-bounded 4096-bucket " +
+      "histograms, range-partitioned ranks, per-shard packing.",
+    oracle = Some(s"""
+      WITH RECURSIVE q AS (SELECT doc_id, source,
+          md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            AS n_dis,
+          list_transform(string_split(text, ' '),
+            t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(t, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 1000003) % 4096) AS bk
+        FROM documents),
+      r1 AS (SELECT *, CASE WHEN n_tok < 30 THEN 'too_short'
+               WHEN n_tok > 90 THEN 'too_long'
+               WHEN 25 * n_stop > 3 * n_tok THEN 'high_stopword'
+               WHEN 100 * n_dis < 31 * n_tok THEN 'low_ttr'
+               ELSE NULL END AS reason0 FROM q),
+      kp AS (SELECT h, MIN(doc_id) AS keeper FROM r1
+             WHERE reason0 IS NULL GROUP BY h),
+      kept AS (SELECT r1.doc_id, r1.source, r1.n_tok, r1.n_dis, r1.bk
+               FROM r1 JOIN kp ON kp.h = r1.h
+               WHERE r1.reason0 IS NULL AND r1.doc_id = kp.keeper),
+      tgt AS (SELECT MIN(source) AS tsrc FROM kept),
+      e AS (SELECT doc_id, source, unnest(bk) AS b FROM kept),
+      c AS (SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM e GROUP BY doc_id, source, b),
+      tb AS (SELECT b, CAST(SUM(c.c) AS BIGINT) AS t
+             FROM c, tgt WHERE c.source = tgt.tsrc GROUP BY b),
+      sb AS (SELECT b, CAST(SUM(c.c) AS BIGINT) AS s FROM c GROUP BY b),
+      tots AS (SELECT (SELECT CAST(SUM(t) AS BIGINT) FROM tb) AS t_tot,
+                      (SELECT CAST(SUM(s) AS BIGINT) FROM sb) AS s_tot),
+      dots AS (SELECT c.doc_id,
+                 CAST(SUM(c.c * COALESCE(tb.t, 0)) AS BIGINT) AS dot_t,
+                 CAST(SUM(c.c * sb.s) AS BIGINT) AS dot_s
+               FROM c LEFT JOIN tb USING (b) JOIN sb USING (b)
+               GROUP BY c.doc_id),
+      sig AS (SELECT k.doc_id, k.n_tok,
+                (k.n_dis * 1000000) // k.n_tok AS ttr_ppm,
+                CAST(d.dot_t * t2.s_tot AS DOUBLE) /
+                CAST(d.dot_s * t2.t_tot AS DOUBLE) AS aff
+              FROM kept k JOIN dots d USING (doc_id), tots t2),
+      rk AS (SELECT doc_id, n_tok,
+               CAST(row_number() OVER (ORDER BY aff DESC, doc_id)
+                 AS BIGINT) AS r_aff,
+               CAST(row_number() OVER (ORDER BY ttr_ppm DESC, doc_id)
+                 AS BIGINT) AS r_ttr,
+               CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id)
+                 AS BIGINT) AS r_len
+             FROM sig),
+      adm AS (SELECT doc_id, n_tok, r_aff + r_ttr + r_len AS borda,
+                SUM(n_tok) OVER (ORDER BY r_aff + r_ttr + r_len, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM rk),
+      sel AS (SELECT doc_id, n_tok, CAST(borda AS BIGINT) AS borda,
+                CAST(cum AS BIGINT) AS cum_tokens
+              FROM adm WHERE cum <= $CurateBudget),
+      t AS (SELECT doc_id, doc_id % 8 AS shard, n_tok AS n, borda,
+              cum_tokens FROM sel),
+      r AS (SELECT doc_id, shard, n, borda, cum_tokens,
+              row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM t),
+      p AS (SELECT doc_id, shard, n, borda, cum_tokens, rn,
+              CAST(0 AS BIGINT) AS bin_idx,
+              CAST(0 AS BIGINT) AS tok_offset,
+              LEAST(n, 64) AS fill
+            FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.doc_id, r.shard, r.n, r.borda, r.cum_tokens, r.rn,
+              CASE WHEN p.fill + r.n > 64 THEN p.bin_idx + 1
+                   ELSE p.bin_idx END,
+              CASE WHEN p.fill + r.n > 64 THEN 0 ELSE p.fill END,
+              CASE WHEN p.fill + r.n > 64 THEN LEAST(r.n, 64)
+                   ELSE p.fill + r.n END
+            FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+      SELECT doc_id, borda, cum_tokens, shard, bin_idx, tok_offset,
+             n AS n_tokens, CAST(n > 64 AS BIGINT) AS truncated
+      FROM p ORDER BY doc_id"""),
+    run = (s, dir) => {
+      implicit val sp: SparkSession = s
+      import graft.functions.BucketDotExpr.bucketDot
+      import graft.ops.{Ids, SkewWindows}
+      val w = TextOps.tokens(col("text"))
+      // Stage 1 — funnel flags (same rules/constants as filter_funnel);
+      // one slim pass, text dropped immediately, bucket arrays carried
+      // for the downstream affinity stage
+      val r1 = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(array_join(slice(w, 1, 8), " ")).as("h"),
+          size(w).cast(LongType).as("n_tok"),
+          TextOps.markerHits(w, Seq("the", "a")).cast(LongType)
+            .as("n_stop"),
+          size(array_distinct(w)).cast(LongType).as("n_dis"),
+          expr(HashedLinear.bucketsExprSql("text")).as("bk"))
+        .withColumn("reason0",
+          when(col("n_tok") < 30, "too_short")
+            .when(col("n_tok") > 90, "too_long")
+            .when(lit(25L) * col("n_stop") > lit(3L) * col("n_tok"),
+              "high_stopword")
+            .when(lit(100L) * col("n_dis") < lit(31L) * col("n_tok"),
+              "low_ttr"))
+        .localCheckpoint(true)
+      val kp = r1.filter(col("reason0").isNull)
+        .groupBy("h").agg(min("doc_id").as("keeper"))
+      // survivors: quality-clean AND the keeper of their 8-token head
+      val kept = r1.filter(col("reason0").isNull)
+        .join(kp, "h").filter(col("doc_id") === col("keeper"))
+        .select("doc_id", "source", "n_tok", "n_dis", "bk")
+        .localCheckpoint(true) // feeds 2 histograms + scoring + signals
+      // Stage 2 — affinity on the CLEANED corpus (histograms re-derived
+      // downstream of the funnel, driver-bounded at 4096 buckets)
+      val tgtVal = kept.agg(min("source")).first().getString(0)
+      def histogram(df: DataFrame): Array[Long] = {
+        val h = Array.fill(HashedLinear.Buckets)(0L)
+        df.select(explode(col("bk")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n"))
+          .collect()
+          .foreach(r => h(r.getLong(0).toInt) = r.getLong(1))
+        h
+      }
+      val tArr = histogram(kept.filter(col("source") === tgtVal))
+      val sArr = histogram(kept)
+      val tTot = tArr.sum
+      val sTot = sArr.sum
+      val sig = kept
+        .withColumn("dot_t", bucketDot(col("bk"), tArr))
+        .withColumn("dot_s", bucketDot(col("bk"), sArr))
+        .withColumn("aff",
+          (col("dot_t") * lit(sTot)).cast(DoubleType) /
+            (col("dot_s") * lit(tTot)).cast(DoubleType))
+        .withColumn("ttr_ppm", expr("(n_dis * 1000000) div n_tok"))
+        .select("doc_id", "n_tok", "ttr_ppm", "aff")
+        .localCheckpoint(true) // feeds the 3 rank branches + join-back
+      // Stage 3 — Borda fusion of (affinity, TTR, length), each rank
+      // the two-phase orderedId (range layout, no single-task window)
+      def rank(key: String, out: String) =
+        Ids.orderedId(sig.select(col("doc_id"), col(key)),
+            Seq((-col(key)).as("__neg"), col("doc_id")), out)
+          .select("doc_id", out)
+      val fused = rank("aff", "r_aff")
+        .join(rank("ttr_ppm", "r_ttr"), "doc_id")
+        .join(rank("n_tok", "r_len"), "doc_id")
+        .join(sig.select("doc_id", "n_tok"), "doc_id")
+        .withColumn("borda", col("r_aff") + col("r_ttr") + col("r_len"))
+      // Stage 4 — token budget over the fused order (global inclusive
+      // cumsum, two-phase rankedPrefix under a constant group)
+      val admitted = SkewWindows.rankedPrefix(
+          fused.withColumn("__g", lit(0L))
+            .select("__g", "doc_id", "n_tok", "borda"),
+          "__g", Seq(col("borda"), col("doc_id")),
+          Some("n_tok"), "__rank", "cum_tokens")
+        .filter(col("cum_tokens") <= CurateBudget)
+        .select("doc_id", "n_tok", "borda", "cum_tokens")
+      // Stage 5 — pack the admitted set (64-token bins, 8 shards)
+      val packed = graft.ops.Packing.packGreedy(
+        admitted.select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          col("n_tok").as("n_tokens")),
+        capacity = 64).toDF()
+      packed.join(admitted.select("doc_id", "borda", "cum_tokens"),
+          "doc_id")
+        .select(col("doc_id"), col("borda"), col("cum_tokens"),
+          col("shard"), col("bin_idx"), col("tok_offset"),
+          col("n_tokens"), col("truncated").cast(LongType).as("truncated"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[GraftQuery] =
-    Seq(bm25Topk, domainAffinity, filterFunnel, rankFusion, bm25Query)
+    Seq(bm25Topk, domainAffinity, filterFunnel, rankFusion, bm25Query,
+      curateFull)
 }

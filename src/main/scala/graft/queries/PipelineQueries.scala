@@ -1986,6 +1986,74 @@ object PipelineQueries {
       decontamVerdict(s, dir, cont)
     })
 
+  private val decontamOverlap = GraftQuery(
+    name = "pipeline_decontam_overlap",
+    doc = "OVERLAP-FRACTION decontamination - the published-protocol " +
+      "refinement of pipeline_decontaminate's any-hit rule: long " +
+      "13-gram shingles (an accidental 13-token collision is " +
+      "vanishingly unlikely, so a hit means real copying) and a " +
+      "PER-DOC overlap fraction n_hit/n_13 (distinct 13-grams shared " +
+      "with the benchmark over the doc's distinct 13-grams), flagged " +
+      "contaminated iff the fraction clears 10% - the integer compare " +
+      "10*n_hit >= n_13, so the verdict never touches a double; the " +
+      "reported fraction is one division of two exact BIGINTs (both " +
+      "engines round identically). Runs on the bloom-gated shape " +
+      "pipeline_decontam_bloom proved (registry-scale benchmark side: " +
+      "bloom prefilter, then an exact shuffle join of survivors only); " +
+      "per-doc aggregation is one partial-aggregable count. The " +
+      "oracle replays membership on raw 13-gram strings.",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 11),
+              i -> array_to_string(w[i:i+12], ' '))) AS sh
+            FROM t WHERE len(w) >= 13),
+      n13 AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_13 FROM s),
+      ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      bench AS (SELECT DISTINCT g FROM ex WHERE doc_id < 20),
+      hit AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+              FROM ex e JOIN bench b USING (g) WHERE e.doc_id >= 20
+              GROUP BY e.doc_id)
+      SELECT n.doc_id, n.n_13, COALESCE(h.n_hit, 0) AS n_hit,
+             CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(n.n_13 AS DOUBLE)
+               AS overlap_frac,
+             CAST(10 * COALESCE(h.n_hit, 0) >= n.n_13 AS BIGINT)
+               AS contaminated
+      FROM n13 n LEFT JOIN hit h USING (doc_id)
+      WHERE n.doc_id >= 20 ORDER BY n.doc_id"""),
+    run = (s, dir) => {
+      val w = TextOps.tokens(col("text"))
+      // distinct 13-gram arrays, cut once: feeds n_13, the benchmark
+      // set AND the training explode (shared-prefix convention)
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= 13)
+        .select(col("doc_id"), TextOps.shingles(col("w"), 13).as("sh"))
+        .localCheckpoint(true)
+      val n13 = base.select(col("doc_id"),
+        size(col("sh")).cast(LongType).as("n_13"))
+      val ex = base
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      val bench = ex.filter(col("doc_id") < 20).select("gh").distinct()
+        .localCheckpoint(true) // eager bloom build + verify join
+      val train = ex.filter(col("doc_id") >= 20)
+      val pruned = graft.ops.RuntimeFilters.bloomPruned(
+        train, col("gh"), bench, col("gh"))
+      // exact verify join removes bloom false positives; shuffle_hash
+      // models the registry-scale benchmark side (decontam_bloom)
+      val hits = pruned.join(bench.hint("shuffle_hash"), "gh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      n13.filter(col("doc_id") >= 20)
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_13"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+            col("n_13").cast(DoubleType)).as("overlap_frac"),
+          (lit(10L) * coalesce(col("n_hit"), lit(0L)) >= col("n_13"))
+            .cast(LongType).as("contaminated"))
+        .orderBy("doc_id")
+    })
+
   private val piiScrub = GraftQuery(
     name = "pipeline_pii_scrub",
     doc = "PII redaction over document text (the compliance pass every " +
@@ -3771,6 +3839,7 @@ object PipelineQueries {
     stratifiedSample, sourceMix, qualityDupFrac, trainingExport,
     corpusClean, embedQuantize,
     piiScrub, qualityRepetition, decontaminate, decontamBloom,
+    decontamOverlap,
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
     kmeansTrain, diverseCoreset, packSequences, tfidfTopk, zipfSpectrum,

@@ -71,6 +71,35 @@ class EdgeCorpusSpec extends AnyFunSuite {
     Caches.clearAll(spark)
   }
 
+  test("overlap decontamination fractions partial overlaps exactly") {
+    val r = Registry.byName("pipeline_decontam_overlap").run(spark, dir)
+      .collect()
+    // training docs with >= 13 tokens: 20..29 (23 tokens, 11 shingles)
+    assert(r.length == 10)
+    r.foreach { row =>
+      val n13 = row.getLong(1)
+      val nHit = row.getLong(2)
+      assert(n13 == 11L && nHit <= n13)
+      assert(row.getDouble(3) == nHit.toDouble / n13)
+      assert(row.getLong(4) == (if (10 * nHit >= n13) 1L else 0L))
+    }
+    // the shifted w-cycle plants PARTIAL bench overlaps (0 < hit < all):
+    // the fraction rule must see them as fractions, not all-or-nothing
+    assert(r.exists(row => row.getLong(2) > 0 && row.getLong(2) < 11L))
+    Caches.clearAll(spark)
+  }
+
+  test("curate_full degrades to empty when the funnel rejects everything") {
+    // every edge doc is under the 30-token quality floor: the composed
+    // job must flow an EMPTY survivor set through affinity histograms,
+    // three orderedId ranks, the budget cumsum and the packer without
+    // crashing (null target source, empty offsets map, empty fold)
+    val r = Registry.byName("pipeline_curate_full").run(spark, dir)
+      .collect()
+    assert(r.isEmpty)
+    Caches.clearAll(spark)
+  }
+
   test("bm25 emits 5 ranked docs per term with tf >= 1") {
     val b = Registry.byName("pipeline_bm25_topk").run(spark, dir).collect()
     val byTerm = b.groupBy(_.getString(0))

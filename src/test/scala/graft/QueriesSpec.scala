@@ -131,6 +131,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("curate_full: budget binds and bins replay the greedy fold") {
+    val rows = Registry.byName("pipeline_curate_full").run(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // budget stage cut something and never overshot
+    assert(rows.map(_.getLong(2)).max <= 2000L)
+    assert(rows.map(_.getLong(1)).min >= 3L) // borda = sum of 3 ranks
+    // packing invariant per (shard, bin): offsets are the running fill,
+    // capped at capacity (an oversize doc fills its bin exactly)
+    rows.groupBy(r => (r.getLong(3), r.getLong(4))).values.foreach { rs =>
+      var off = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(5) == off, s"offset broken in bin: $rs")
+        off = math.min(off + r.getLong(6), 64L)
+      }
+    }
+  }
+
   test("ingest semdedup: every gated row is batch, every keeper standing") {
     val rows = Registry.byName("pipeline_ingest_semdedup").run(spark, dir)
       .collect()
