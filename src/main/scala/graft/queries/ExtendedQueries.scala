@@ -310,12 +310,18 @@ object ExtendedQueries {
       "values, so Window.partitionBy(o_orderstatus) funnels a third of " +
       "ALL orders through one task at any scale - the coarsest-key " +
       "case of the dominant-language problem. Rank comes from " +
-      "SkewWindows.rankedPrefix; with the fully tiebroken (unique) " +
-      "order every ranking function is ARITHMETIC over (rank, n): " +
-      "ntile by the fill rule, percent_rank = (rank-1)/(n-1), " +
-      "cume_dist = rank/n (no peers), dense_rank = rank (no " +
-      "duplicates) - each one exact-integer state with a single " +
-      "double division, so both engines round identically.",
+      "SkewWindows.rankedPrefixAuto - COST-BASED (r13 verdict #3): " +
+      "the per-group counts the query already aggregates feed a free " +
+      "max-group probe; when every group fits one task the plain " +
+      "window runs (the 4-9x small-input overhead of the two-phase " +
+      "form recovered), above the threshold the range-layout form " +
+      "takes over (OpsSpec pins both branches equal; the skew probes " +
+      "exercise the two-phase branch). With the fully tiebroken " +
+      "(unique) order every ranking function is ARITHMETIC over " +
+      "(rank, n): ntile by the fill rule, percent_rank = " +
+      "(rank-1)/(n-1), cume_dist = rank/n (no peers), dense_rank = " +
+      "rank (no duplicates) - each one exact-integer state with a " +
+      "single double division, so both engines round identically.",
     oracle = Some("""
       SELECT o_orderkey, o_orderstatus,
              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
@@ -329,10 +335,13 @@ object ExtendedQueries {
       val t = table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"))
+      // ≤3 status rows: pinned so the branch probe and the join-back
+      // share one aggregation pass instead of re-counting the corpus
       val counts = t.groupBy("o_orderstatus").agg(count(lit(1)).as("__n"))
-      graft.ops.SkewWindows.rankedPrefix(t, "o_orderstatus",
+        .localCheckpoint(true)
+      graft.ops.SkewWindows.rankedPrefixAuto(t, "o_orderstatus",
           Seq(col("o_totalprice"), col("o_orderkey")), None,
-          "__rank", "__cum")
+          "__rank", "__cum", Some((counts, "__n")))
         .join(broadcast(counts), "o_orderstatus")
         .select(col("o_orderkey"), col("o_orderstatus"),
           graft.ops.SkewWindows.ntileFromRank("__rank", "__n", 4)

@@ -611,8 +611,7 @@ class PlanSpec extends AnyFunSuite {
     // must show NO Window operator and a rangepartitioning exchange
     // (inside the persisted phase-1 relation)
     for (q <- Seq("pipeline_token_budget", "pipeline_class_balance",
-        "pipeline_curriculum_bins", "lake_window_ranks",
-        "lake_sessionize")) {
+        "pipeline_curriculum_bins", "lake_sessionize")) {
       val df = Registry.byName(q).run(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -624,6 +623,39 @@ class PlanSpec extends AnyFunSuite {
         s"$q lost the range layout:\n$full")
       graft.Caches.clearAll(spark)
     }
+  }
+
+  test("lake_window_ranks dispatches on group size: plain window on " +
+      "small groups, range layout when forced past the threshold") {
+    import graft.ops.SkewWindows
+    // small test input: every group fits one task, so the COST-BASED
+    // dispatcher must pick the plain per-group window (the r13 watch
+    // item: two-phase costs 4-9x here for nothing)
+    val df1 = Registry.byName("lake_window_ranks").run(spark, dir)
+    df1.collect()
+    assert(SkewWindows.lastAutoBranch == "window")
+    val p1 = df1.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p1.contains("Window ["), s"fallback window not chosen:\n$p1")
+    graft.Caches.clearAll(spark)
+    // threshold forced to 0: the two-phase branch must take over with
+    // the range layout and NO per-group window operator
+    spark.conf.set(SkewWindows.SmallGroupRowsKey, "0")
+    try {
+      val df2 = Registry.byName("lake_window_ranks").run(spark, dir)
+      df2.collect()
+      assert(SkewWindows.lastAutoBranch == "twophase")
+      val p2 = df2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p2.contains("Window ["), s"window despite forced branch:\n$p2")
+      val full = df2.queryExecution.executedPlan.toString
+      assert(full.contains("rangepartitioning") ||
+        full.contains("REPARTITION_BY_RANGE"),
+        s"two-phase branch lost the range layout:\n$full")
+      // both branches produce the identical result frame
+      assert(df1.collect().toSeq == df2.collect().toSeq)
+    } finally spark.conf.unset(SkewWindows.SmallGroupRowsKey)
+    graft.Caches.clearAll(spark)
   }
 
   test("quality classifier inference is narrow: range exchanges only, " +

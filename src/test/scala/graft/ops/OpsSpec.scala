@@ -314,6 +314,19 @@ class OpsSpec extends AnyFunSuite {
       .select("id", "rk", "cum").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected && got.size == 10000)
+    // the COST-BASED dispatcher: both branches must equal the window
+    // truth, and the branch must flip exactly at the threshold
+    def auto() = SkewWindows
+      .rankedPrefixAuto(df, "g", Seq(col("id")), Some("v"), "rk", "cum")
+      .select("id", "rk", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(auto() == expected) // 9k-row major group <= default 2e6
+    assert(SkewWindows.lastAutoBranch == "window")
+    spark.conf.set(SkewWindows.SmallGroupRowsKey, "100")
+    try {
+      assert(auto() == expected)
+      assert(SkewWindows.lastAutoBranch == "twophase")
+    } finally spark.conf.unset(SkewWindows.SmallGroupRowsKey)
   }
 
   test("sessionNumbers equals the lag+cumsum window under a hot key") {
