@@ -18,11 +18,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * StreamingQueries, bloom-filter builds in graft.ops.RuntimeFilters). Explain-only callers should use the plan-stage
   * accessors those modules expose instead of `run`.
   */
+/** @param tolerance opt-in relative epsilon for the DuckDB compare:
+  *   `Some(rtol)` routes the query's oracle into
+  *   `tolerance_oracle_sql.json` (compared by tools/check.py with
+  *   |got−exp| ≤ rtol·|exp| on float columns, exact on the rest)
+  *   instead of `oracle_sql.json` — hash-equality stays the DEFAULT and
+  *   the driver's exact-hash gate never sees a designed-tolerance row.
+  *   For operators whose textbook semantics need transcendentals
+  *   (ln-idf BM25): ln is NOT bit-portable across engines — measured
+  *   147/2000 ULP mismatches between Spark's StrictMath-codegen log
+  *   and DuckDB's libm ln on the idf input range — so exact-hash would
+  *   force rational contortions (r13 verdict #6). */
 final case class GraftQuery(
     name: String,
     doc: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame)
+    run: (SparkSession, String) => DataFrame,
+    tolerance: Option[Double] = None)
 
 object Registry {
   /** Full inventory, in SURVEY §2 order: reference-parity surface first,

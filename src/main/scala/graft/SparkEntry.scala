@@ -21,7 +21,19 @@ object SparkEntry {
     Registry.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted only for non-SQL-expressible ops
+    * and for tolerance-mode queries (those route through
+    * [[toleranceSql]] — the driver's exact-hash compare cannot bound a
+    * transcendental's cross-engine ULP drift, so it records its weaker
+    * rows-only check while tools/check.py runs the epsilon compare). */
   def oracleSql: Map[String, String] =
-    Registry.all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+    Registry.all.filter(_.tolerance.isEmpty)
+      .flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+
+  /** Tolerance-mode oracles: name → (oracle SQL, relative epsilon for
+    * float columns). Dumped by Verify as tolerance_oracle_sql.json. */
+  def toleranceSql: Map[String, (String, Double)] =
+    Registry.all.flatMap(q =>
+      for (sql <- q.oracle; rtol <- q.tolerance)
+        yield q.name -> (sql.trim, rtol)).toMap
 }

@@ -50,6 +50,17 @@ object Verify {
       .filter(kv => only.forall(_(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // tolerance-mode oracles (opt-in epsilon compare, r13 verdict #6):
+    // separate file so the driver's exact-hash gate never consumes them
+    // (it records its rows-only check instead); tools/check.py compares
+    // float columns under |got-exp| <= rtol*|exp|, the rest exactly
+    val tolJson = SparkEntry.toleranceSql
+      .filter(kv => only.forall(_(kv._1)))
+      .map { case (k, (sql, rtol)) =>
+        s"${q(k)}: {${q("sql")}: ${q(sql)}, ${q("rtol")}: $rtol}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/tolerance_oracle_sql.json"),
+      tolJson)
     spark.stop()
   }
 }

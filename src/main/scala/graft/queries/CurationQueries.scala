@@ -32,7 +32,10 @@ object CurationQueries {
     * One tokenize pass: tf feeds df, dl AND the scoring join; the term
     * list broadcasts; TakeOrdered(14) bounds the term-selection frame
     * so its rank window is driver-bounded. */
-  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+  /** Shared BM25 postings prep: (term, doc_id, tf, df, dl, n_docs,
+    * l_tok) for the 5 mid-df query terms — everything both scorers
+    * (rational and ln-idf) need, one tokenize pass. */
+  private def bm25Joined(s: SparkSession, dir: String): DataFrame = {
     val tf = table(s, dir, "documents")
       .select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("token"))
@@ -48,16 +51,20 @@ object CurationQueries {
       .withColumn("tr", row_number().over(termW))
       .filter(col("tr").between(10, 14)).drop("tr")
       .withColumnRenamed("token", "term")
+    tf.withColumnRenamed("token", "term")
+      .join(broadcast(terms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+  }
+
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val num = lit(22L) * col("tf") * col("l_tok")
       .* (lit(2L) * col("n_docs") + lit(2L))
     val den = (lit(10L) * col("l_tok") * col("tf")
       + lit(3L) * col("l_tok")
       + lit(9L) * col("dl") * col("n_docs"))
       .* (lit(2L) * col("df") + lit(1L))
-    tf.withColumnRenamed("token", "term")
-      .join(broadcast(terms), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(scalars))
+    bm25Joined(s, dir)
       .withColumn("score", num.cast(DoubleType) / den.cast(DoubleType))
   }
 
@@ -414,6 +421,65 @@ object CurationQueries {
         .orderBy(col("borda"), col("doc_id")).limit(20)
     })
 
+  private val bm25LnIdf = GraftQuery(
+    name = "pipeline_bm25_lnidf",
+    doc = "TEXTBOOK BM25 (Robertson/Okapi): idf = ln(1 + (N - df + " +
+      "0.5)/(df + 0.5)), saturation tf*(k1+1)/(tf + k1*(1 - b + " +
+      "b*dl/avgdl)) with the standard k1 = 1.2, b = 0.75 - the " +
+      "ln-and-float semantics pipeline_bm25_topk's exact-hash " +
+      "constraint forbids (measured: Spark's StrictMath-codegen log " +
+      "and DuckDB's libm ln disagree by 1 ULP on 147/2000 idf inputs, " +
+      "so no rational contortion can make this hashable). First user " +
+      "of TOLERANCE MODE (r13 verdict #6): the oracle routes through " +
+      "tolerance_oracle_sql.json and tools/check.py compares the " +
+      "score column under rtol 1e-9 (a few ULPs of headroom above " +
+      "the measured 1-ULP drift), ranks and integer inputs exactly; " +
+      "the driver's exact-hash gate records its rows-only check " +
+      "instead of a designed failure. Both engines evaluate the " +
+      "IDENTICALLY parenthesized formula, so every difference is " +
+      "transcendental rounding, never algebra. Same salted two-phase " +
+      "per-term top-5 as bm25_topk.",
+    tolerance = Some(1e-9),
+    oracle = Some(Bm25OracleCtes + """,
+      lsc AS (SELECT t.token AS term, f.doc_id, f.tf, d.dl, t.df,
+          ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(t.df AS DOUBLE) + 0.5)
+                   / (CAST(t.df AS DOUBLE) + 0.5))
+          * ((CAST(f.tf AS DOUBLE) * 2.2)
+             / (CAST(f.tf AS DOUBLE) + 1.2 *
+                (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+                  / (CAST(l.l_tok AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))))
+            AS score
+        FROM tf f JOIN terms t USING (token) JOIN dl d USING (doc_id)
+        CROSS JOIN nd n CROSS JOIN lt l),
+      rk2 AS (SELECT *, row_number() OVER (PARTITION BY term
+               ORDER BY score DESC, doc_id) AS rank FROM lsc)
+      SELECT term, doc_id, tf, dl, df, score, CAST(rank AS BIGINT) AS rank
+      FROM rk2 WHERE rank <= 5 ORDER BY term, rank"""),
+    run = (s, dir) => {
+      val j = bm25Joined(s, dir)
+      val ndD = col("n_docs").cast(DoubleType)
+      val dfD = col("df").cast(DoubleType)
+      val tfD = col("tf").cast(DoubleType)
+      val dlD = col("dl").cast(DoubleType)
+      val avgdl = col("l_tok").cast(DoubleType) / ndD
+      // parenthesization mirrors the oracle token for token: IEEE ops
+      // over identical inputs in identical order, only ln can drift
+      val idf = log(lit(1.0) + (ndD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+      val sat = (tfD * lit(2.2)) /
+        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / avgdl)))
+      val scored = j.withColumn("score", idf * sat)
+      val w1 = Window.partitionBy(col("term"), pmod(col("doc_id"), lit(32)))
+        .orderBy(col("score").desc, col("doc_id"))
+      val w2 = Window.partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("__rn1", row_number().over(w1))
+        .filter(col("__rn1") <= 5).drop("__rn1")
+        .withColumn("rank", row_number().over(w2).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select("term", "doc_id", "tf", "dl", "df", "score", "rank")
+        .orderBy("term", "rank")
+    })
+
   /** Token budget of the composed curation job — binds at every tracked
     * sf (corpora are 27k-270k tokens) so the budget stage always cuts. */
   private val CurateBudget = 2000L
@@ -608,5 +674,5 @@ object CurationQueries {
 
   val all: Seq[GraftQuery] =
     Seq(bm25Topk, domainAffinity, filterFunnel, rankFusion, bm25Query,
-      curateFull)
+      curateFull, bm25LnIdf)
 }

@@ -17,9 +17,15 @@ class QueriesSpec extends AnyFunSuite {
     // names must agree because the driver sorts columns by name — the
     // SQL itself is checked by tools/check.py; here we just pin the maps
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.toleranceSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // exact-hash and tolerance-mode oracles are disjoint routes
+    assert((SparkEntry.oracleSql.keySet & SparkEntry.toleranceSql.keySet)
+      .isEmpty)
     // since round 4 every registered query carries a DuckDB oracle —
-    // the sketch/ANN queries oracle their deterministic contracts
-    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).isEmpty)
+    // the sketch/ANN queries oracle their deterministic contracts, and
+    // tolerance-mode queries (ln-idf BM25) route via toleranceSql
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      SparkEntry.toleranceSql.keySet).isEmpty)
   }
 
   Registry.all.foreach { q =>

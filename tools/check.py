@@ -76,6 +76,13 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# tolerance-mode oracles (opt-in epsilon compare, r13 verdict #6):
+# name -> {"sql": ..., "rtol": ...}; float columns compared with a
+# relative bound, everything else exactly. Hash-equality stays default.
+tol_path = f"{out_dir}/tolerance_oracle_sql.json"
+tolerance = json.load(open(tol_path)) if os.path.exists(tol_path) else {}
+rtols = {name: spec["rtol"] for name, spec in tolerance.items()}
+oracle = dict(oracle, **{n: spec["sql"] for n, spec in tolerance.items()})
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
@@ -109,14 +116,29 @@ for name, sql in sorted(oracle.items()):
                 print(f"FAIL {name}.{c}: null mask differs")
                 continue
             m = ~gn
-            if not (got[c][m].values == exp[c][m].values).all():
+            gv, ev = got[c][m].values, exp[c][m].values
+            if name in rtols and np.issubdtype(np.asarray(ev).dtype,
+                                               np.floating):
+                rt = rtols[name]
+                bad_mask = ~np.isclose(gv.astype(float), ev.astype(float),
+                                       rtol=rt, atol=0.0)
+                if bad_mask.any():
+                    ok = False
+                    bad = np.nonzero(bad_mask)[0][:3]
+                    print(f"FAIL {name}.{c}: {bad_mask.sum()} beyond "
+                          f"rtol={rt}, e.g. rows {bad}:")
+                    for i in bad:
+                        print(f"    got={gv[i]!r} exp={ev[i]!r}")
+                continue
+            if not (gv == ev).all():
                 ok = False
-                bad = np.nonzero(got[c][m].values != exp[c][m].values)[0][:3]
-                print(f"FAIL {name}.{c}: {len(np.nonzero(got[c][m].values != exp[c][m].values)[0])} mismatches, e.g. rows {bad}:")
+                bad = np.nonzero(gv != ev)[0][:3]
+                print(f"FAIL {name}.{c}: {len(np.nonzero(gv != ev)[0])} mismatches, e.g. rows {bad}:")
                 for i in bad:
-                    print(f"    got={got[c][m].values[i]!r} exp={exp[c][m].values[i]!r}")
+                    print(f"    got={gv[i]!r} exp={ev[i]!r}")
         if ok:
-            print(f"PASS {name} ({len(got)} rows)")
+            mode = f" [rtol={rtols[name]}]" if name in rtols else ""
+            print(f"PASS {name} ({len(got)} rows){mode}")
         else:
             fails += 1
     except Exception as ex:
