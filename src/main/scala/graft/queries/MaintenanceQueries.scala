@@ -396,6 +396,79 @@ object MaintenanceQueries {
       }
     }
 
+  /** The copy-on-write table of [[versionedEventsRoot]] committed
+    * through [[graft.sources.ManifestLog]] instead of path conventions:
+    * each merge writes its data files under data/v{b} and publishes an
+    * atomic manifest recording that version's adds (its part files)
+    * and removes (the previous version's) — a replayable transaction
+    * log. Reads resolve versions by LOG REPLAY only. Cached per sfDir
+    * (table state, not the measured operator). */
+  def manifestEventsRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_manifest_snapshot", dir) { root =>
+      import graft.sources.ManifestLog
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      (0 to 3).foreach { b =>
+        val batch = ev.filter(col("event_id") % 4 === b)
+          .groupBy("user_id")
+          .agg(max(struct(col("ts_us"), col("event_id"), col("value")))
+            .as("latest"),
+            count(lit(1)).as("n_events"))
+        val merged =
+          if (b == 0) batch
+          // read the previous version THROUGH the log, not by path
+          else ManifestLog.readVersion(s, root, b - 1).unionByName(batch)
+            .groupBy("user_id")
+            .agg(max(col("latest")).as("latest"),
+              sum(col("n_events")).as("n_events"))
+        merged.write.mode("overwrite").parquet(s"$root/data/v$b")
+        val adds = ManifestLog.partFiles(root, s"data/v$b")
+        val removes =
+          if (b == 0) Seq.empty[String]
+          else ManifestLog.partFiles(root, s"data/v${b - 1}")
+        ManifestLog.commit(root, b, adds, removes, op = "merge")
+      }
+    }
+
+  private val snapshotManifest = GraftQuery(
+    name = "lake_snapshot_manifest",
+    doc = "MANIFEST-LOG snapshot read - lake_snapshot_read's time " +
+      "travel with version addressing done the way real lakehouse " +
+      "formats do it (r13 verdict #7): an append-only JSON transaction " +
+      "log (_log/%020d.json, one manifest of adds/removes per commit, " +
+      "published via atomic link(2) so racing writers serialize - " +
+      "exactly one wins a version, the loser gets a Conflict and " +
+      "rebases; ManifestLogSpec pins the race), and the AS-OF-v2 read " +
+      "resolves its file set by REPLAYING the log, never by path " +
+      "convention. Same SCD1-merged copy-on-write state and the SAME " +
+      "oracle as lake_snapshot_read (v2 reconstructed from the change " +
+      "log) - a green row proves commit protocol, log replay and " +
+      "snapshot isolation end-to-end against ground truth that never " +
+      "saw the log. At 100 TB the log is metadata-sized; checkpoint " +
+      "compaction (fold every K manifests) is the documented next " +
+      "rung.",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        value
+                 FROM events WHERE event_id % 4 <= 2),
+      r AS (SELECT user_id, ts_us, event_id, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts_us DESC, event_id DESC) AS rk,
+              COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM e)
+      SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+             value AS last_value, CAST(n_events AS BIGINT) AS n_events
+      FROM r WHERE rk = 1 ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = manifestEventsRoot(s, dir)
+      graft.sources.ManifestLog.readVersion(s, root, 2)
+        .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
+          col("latest.event_id").as("last_event_id"),
+          col("latest.value").as("last_value"), col("n_events"))
+        .orderBy("user_id")
+    })
+
   // -------------------------------------------------------------------
   // Snapshot DIFF (CDC between two pinned versions).
   // -------------------------------------------------------------------
@@ -500,5 +573,5 @@ object MaintenanceQueries {
 
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
-    incrementalAgg)
+    snapshotManifest, incrementalAgg)
 }

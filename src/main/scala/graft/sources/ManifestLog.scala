@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Append-only JSON MANIFEST LOG over copy-on-write parquet files — the
+  * transaction-log half of a lakehouse table format (the piece
+  * lake_snapshot_read's path-addressed version dirs deliberately
+  * omitted; r13 verdict #7). Mechanics mirror the published formats
+  * (Delta/Iceberg) at miniature scale:
+  *
+  *   - one JSON manifest per version under `_log/`, zero-padded name
+  *     (`%020d.json`) so lexicographic listing IS version order;
+  *   - each manifest records the version's `adds` and `removes`
+  *     (data-file paths relative to the table root) — a LOG of actions,
+  *     not a snapshot, so readers REPLAY entries 0..v to resolve the
+  *     live file set as of v;
+  *   - commits are OPTIMISTIC and atomic: the manifest is staged to a
+  *     temp file and published with `Files.createLink` — POSIX link(2)
+  *     fails with EEXIST atomically if the version was already
+  *     committed (a plain rename would silently REPLACE the loser's
+  *     view: rename(2) clobbers). Two writers racing to commit the
+  *     same version → exactly one wins, the other gets [[Conflict]]
+  *     and must re-read the log, rebase, and retry at the next version
+  *     — the whole serializable-writer story of a real table format,
+  *     pinned by ManifestLogSpec's concurrent-writer test.
+  *
+  * At 100 TB the log is metadata-sized (one small JSON per commit; the
+  * data files never move), reads list one directory, and replay cost is
+  * O(versions × files-per-commit) on the driver — the same posture as
+  * a real format before checkpoint compaction, which would be the next
+  * rung (fold every K manifests into one snapshot file). */
+object ManifestLog {
+
+  /** Optimistic-concurrency loser: `version` was committed by another
+    * writer between this writer's read and its publish. */
+  final case class Conflict(version: Long) extends RuntimeException(
+    s"manifest version $version already committed by a concurrent writer")
+
+  private def logDir(root: String): Path = Paths.get(root, "_log")
+  private def manifestName(v: Long): String = f"$v%020d.json"
+
+  /** Stage + atomically publish the manifest for `version`. Throws
+    * [[Conflict]] (and leaves the log untouched) if that version is
+    * already committed. */
+  def commit(root: String, version: Long, adds: Seq[String],
+      removes: Seq[String], op: String): Unit = {
+    val dir = logDir(root)
+    Files.createDirectories(dir)
+    def arr(fs: Seq[String]) =
+      fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    val json = s"""{"version":$version,"op":"$op",""" +
+      s""""adds":${arr(adds)},"removes":${arr(removes)}}"""
+    val tmp = Files.createTempFile(dir, s".stage-$version-", ".json")
+    Files.writeString(tmp, json)
+    try Files.createLink(dir.resolve(manifestName(version)), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw Conflict(version)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Committed versions in ascending order (lexicographic listing of
+    * the zero-padded names — stage temp files are dot-prefixed and
+    * skipped). */
+  def versions(root: String): Seq[Long] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+  }
+
+  def latestVersion(root: String): Option[Long] = versions(root).lastOption
+
+  /** Live data files as of `version`: REPLAY manifests 0..version,
+    * folding adds and removes in commit order. Throws if `version` was
+    * never committed (a time-travel read must not silently resolve a
+    * neighboring version). */
+  def filesAsOf(root: String, version: Long): Seq[String] = {
+    val vs = versions(root)
+    require(vs.contains(version),
+      s"version $version not in manifest log (have: $vs)")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    vs.takeWhile(_ <= version).foreach { v =>
+      val json = Files.readString(logDir(root).resolve(manifestName(v)))
+      // self-authored JSON (writer above): fields are flat string
+      // arrays, so the scan below is a parser for exactly this format
+      def field(name: String): Seq[String] = {
+        val m = ("\"" + name + "\":\\[([^\\]]*)\\]").r
+          .findFirstMatchIn(json)
+        m.map(_.group(1)).filter(_.nonEmpty)
+          .map(_.split(",").map(_.trim.stripPrefix("\"")
+            .stripSuffix("\"")).toSeq)
+          .getOrElse(Seq.empty)
+      }
+      field("removes").foreach(live.remove)
+      field("adds").foreach(live.add)
+    }
+    live.toSeq
+  }
+
+  /** Snapshot read AS OF `version`, resolved through log replay —
+    * never through path conventions. */
+  def readVersion(spark: SparkSession, root: String,
+      version: Long): DataFrame = {
+    val files = filesAsOf(root, version).map(f => s"$root/$f")
+    require(files.nonEmpty, s"version $version resolves to no files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Relative paths of the parquet part-files under `root/$sub`. */
+  def partFiles(root: String, sub: String): Seq[String] = {
+    val dir = Paths.get(root, sub)
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .toSeq.sorted.map(n => s"$sub/$n")
+  }
+}
