@@ -88,6 +88,19 @@ class JoinStateEvictionSpec extends AnyFunSuite {
     assert(fin < peak / 2,
       s"final state $fin >= half of peak $peak - eviction is not " +
         "keeping up with the watermark")
+    // PEAK < HORIZON (r13 verdict #5): horizon = every row ever
+    // admitted to join state (Σ numRowsUpdated); a multi-batch run
+    // with mid-run eviction must never hold the whole horizon at once
+    // (a single-batch drain does exactly that - the documented §6.7
+    // worst case this pin distinguishes). The 100× multi-batch rung
+    // measured peak at 13% of horizon; at 4 sf0.001 batches the bound
+    // is looser but must still be strict.
+    val horizon = progress.flatMap(_.stateOperators.filter(
+      _.operatorName.toLowerCase.contains("join")))
+      .map(_.numRowsUpdated).sum
+    assert(peak < horizon,
+      s"peak state $peak !< horizon $horizon - the run buffered the " +
+        "entire stream at once despite the advancing watermark")
   }
 
   test("hotkey join: eviction survives the non-extractable conjunct") {

@@ -158,6 +158,15 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(removed >= out.count(),
       s"every emitted session should have been evicted from the store " +
         s"(removed=$removed, emitted=${out.count()})")
+    // PEAK < HORIZON (r13 verdict #5): with mid-run eviction the store
+    // must never hold every row ever admitted at once (the single-batch
+    // drain's documented worst case). The 100× multi-batch rung
+    // measured peak at 6.7% of horizon for this operator.
+    val peak = progress.map(_.stateOperators.map(_.numRowsTotal).sum).max
+    val horizon = states.map(_.numRowsUpdated).sum
+    assert(peak < horizon,
+      s"peak state $peak !< horizon $horizon - the advancing watermark " +
+        "never bounded the session store")
   }
 
   test("a late bridging event MERGES two open sessions (MergingSessions)") {
