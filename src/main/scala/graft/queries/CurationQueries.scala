@@ -374,6 +374,71 @@ object CurationQueries {
         .orderBy(col("borda"), col("doc_id")).limit(100)
     })
 
+  private val rankFusionRrf = GraftQuery(
+    name = "pipeline_rank_fusion_rrf",
+    doc = "RECIPROCAL-RANK fusion (RRF, k = 60) - the textbook variant " +
+      "pipeline_rank_fusion's Borda sum stood in for. The r13 doc " +
+      "assumed RRF's 1/(k+rank) floats were not bit-portable; they " +
+      "are: 1/(60+rank) is ONE correctly-rounded IEEE division of " +
+      "exact integers (no transcendental - unlike ln-idf BM25, which " +
+      "genuinely needs tolerance mode), and the three-term sum is " +
+      "evaluated in the same fixed order in both engines, so the RRF " +
+      "score ships under the DEFAULT exact-hash gate. Same three " +
+      "quality signals and the same skew-proof two-phase orderedId " +
+      "ranks as rank_fusion; top-100 by (rrf DESC, doc_id) via " +
+      "TakeOrdered. QueriesSpec pins the two fusions' top sets " +
+      "overlapping (same consensus signal, different weighting of " +
+      "rank gaps).",
+    oracle = Some("""
+      WITH q AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            AS n_dis,
+          CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+        FROM documents),
+      s AS (SELECT doc_id, n_tok,
+          (n_dis * 1000000) // n_tok AS ttr_ppm,
+          (n_stop * 1000000) // n_tok AS stop_ppm FROM q),
+      r AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id)
+            AS BIGINT) AS r_len,
+          CAST(row_number() OVER (ORDER BY ttr_ppm DESC, doc_id)
+            AS BIGINT) AS r_ttr,
+          CAST(row_number() OVER (ORDER BY stop_ppm DESC, doc_id)
+            AS BIGINT) AS r_stop
+        FROM s)
+      SELECT doc_id, r_len, r_ttr, r_stop,
+             (1.0 / (60.0 + r_len) + 1.0 / (60.0 + r_ttr))
+               + 1.0 / (60.0 + r_stop) AS rrf
+      FROM r ORDER BY rrf DESC, doc_id LIMIT 100"""),
+    run = (s, dir) => {
+      import graft.ops.Ids
+      val w = TextOps.tokens(col("text"))
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), size(w).cast(LongType).as("n_tok"),
+          size(array_distinct(w)).cast(LongType).as("n_dis"),
+          TextOps.markerHits(w, Seq("the", "a")).cast(LongType)
+            .as("n_stop"))
+        .withColumn("ttr_ppm", expr("(n_dis * 1000000) div n_tok"))
+        .withColumn("stop_ppm", expr("(n_stop * 1000000) div n_tok"))
+        .select("doc_id", "n_tok", "ttr_ppm", "stop_ppm")
+        .localCheckpoint(true)
+      def rank(key: String, out: String) =
+        Ids.orderedId(base.select(col("doc_id"), col(key)),
+            Seq((-col(key)).as("__neg"), col("doc_id")), out)
+          .select("doc_id", out)
+      // fixed evaluation order mirrors the oracle: (len + ttr) + stop —
+      // three correctly-rounded divisions and two additions, bit-exact
+      def term(c: String) = lit(1.0) / (lit(60.0) + col(c))
+      rank("n_tok", "r_len")
+        .join(rank("ttr_ppm", "r_ttr"), "doc_id")
+        .join(rank("stop_ppm", "r_stop"), "doc_id")
+        .withColumn("rrf",
+          (term("r_len") + term("r_ttr")) + term("r_stop"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(100)
+    })
+
   private val bm25Query = GraftQuery(
     name = "pipeline_bm25_query",
     doc = "MULTI-TERM BM25 retrieval via exact rank fusion - the " +
@@ -674,5 +739,5 @@ object CurationQueries {
 
   val all: Seq[GraftQuery] =
     Seq(bm25Topk, domainAffinity, filterFunnel, rankFusion, bm25Query,
-      curateFull, bm25LnIdf)
+      curateFull, bm25LnIdf, rankFusionRrf)
 }

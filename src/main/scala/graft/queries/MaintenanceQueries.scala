@@ -469,6 +469,45 @@ object MaintenanceQueries {
         .orderBy("user_id")
     })
 
+  private val snapshotCheckpoint = GraftQuery(
+    name = "lake_snapshot_checkpoint",
+    doc = "Manifest-log CHECKPOINT COMPACTION - the replay-cost rung " +
+      "lake_snapshot_manifest documents as next: a checkpoint file " +
+      "folds the log's live file set at v2 (derived state, idempotent " +
+      "atomic-link publication - a lost race is a no-op, not a " +
+      "conflict), and the LATEST read (v3) resolves from checkpoint " +
+      "+ manifest TAIL instead of replaying the whole history - how " +
+      "a real format keeps resolve cost flat as the table ages. " +
+      "Oracle = the full-corpus latest-per-user reconstruction " +
+      "(batches 0..3), so a checkpoint that froze stale state or a " +
+      "tail replay that skipped/duplicated an action fails the hash. " +
+      "ManifestLogSpec pins checkpoint==full-replay equality, " +
+      "idempotent racing publication, and resolution AFTER the folded " +
+      "manifests are pruned (the retention story).",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        value
+                 FROM events),
+      r AS (SELECT user_id, ts_us, event_id, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts_us DESC, event_id DESC) AS rk,
+              COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM e)
+      SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+             value AS last_value, CAST(n_events AS BIGINT) AS n_events
+      FROM r WHERE rk = 1 ORDER BY user_id"""),
+    run = (s, dir) => {
+      import graft.sources.ManifestLog
+      val root = manifestEventsRoot(s, dir)
+      ManifestLog.writeCheckpoint(root, 2) // idempotent per sfDir
+      ManifestLog.readVersion(s, root,
+          ManifestLog.latestVersion(root).get)
+        .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
+          col("latest.event_id").as("last_event_id"),
+          col("latest.value").as("last_value"), col("n_events"))
+        .orderBy("user_id")
+    })
+
   // -------------------------------------------------------------------
   // Snapshot DIFF (CDC between two pinned versions).
   // -------------------------------------------------------------------
@@ -573,5 +612,5 @@ object MaintenanceQueries {
 
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
-    snapshotManifest, incrementalAgg)
+    snapshotManifest, snapshotCheckpoint, incrementalAgg)
 }

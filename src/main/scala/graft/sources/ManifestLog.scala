@@ -63,45 +63,94 @@ object ManifestLog {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Committed versions in ascending order (lexicographic listing of
-    * the zero-padded names — stage temp files are dot-prefixed and
-    * skipped). */
-  def versions(root: String): Seq[Long] = {
+  private val ManifestRe = "^\\d{20}\\.json$".r
+  private val CheckpointRe = "^\\d{20}\\.checkpoint\\.json$".r
+  private def checkpointName(v: Long): String = f"$v%020d.checkpoint.json"
+
+  private def listLog(root: String): Seq[String] = {
     val dir = logDir(root)
     if (!Files.isDirectory(dir)) Seq.empty
     else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+      .map(_.getFileName.toString).toSeq
   }
+
+  /** Committed versions in ascending order (lexicographic listing of
+    * the zero-padded names — stage temp files are dot-prefixed,
+    * checkpoints carry a `.checkpoint` infix; both are skipped). */
+  def versions(root: String): Seq[Long] =
+    listLog(root).filter(n => ManifestRe.matches(n))
+      .map(_.stripSuffix(".json").toLong).sorted
 
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
 
-  /** Live data files as of `version`: REPLAY manifests 0..version,
-    * folding adds and removes in commit order. Throws if `version` was
-    * never committed (a time-travel read must not silently resolve a
-    * neighboring version). */
+  /** Versions with a published checkpoint, ascending. */
+  def checkpointVersions(root: String): Seq[Long] =
+    listLog(root).filter(n => CheckpointRe.matches(n))
+      .map(_.stripSuffix(".checkpoint.json").toLong).sorted
+
+  // self-authored JSON (writers above/below): fields are flat string
+  // arrays, so this scan is a parser for exactly this format
+  private def field(json: String, name: String): Seq[String] = {
+    val m = ("\"" + name + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
+    m.map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  /** CHECKPOINT COMPACTION — fold the log's replay up to `version` into
+    * one snapshot file, so readers replay only the manifest TAIL after
+    * the nearest checkpoint instead of the whole history (the
+    * replay-cost rung a real format's checkpoints exist for; without
+    * one, resolve cost grows with table age forever). A checkpoint is
+    * DERIVED state: every writer computes the identical content from
+    * the immutable manifests, so publication is idempotent — the same
+    * atomic-link protocol as [[commit]] but a lost race is a no-op,
+    * not a conflict. */
+  def writeCheckpoint(root: String, version: Long): Unit = {
+    val files = replay(root, version)
+    val dir = logDir(root)
+    val json = s"""{"version":$version,"files":[""" +
+      files.map(f => "\"" + f + "\"").mkString(",") + "]}"
+    val tmp = Files.createTempFile(dir, s".ckpt-$version-", ".json")
+    Files.writeString(tmp, json)
+    try Files.createLink(dir.resolve(checkpointName(version)), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => () // idempotent
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Replay seeded from the nearest checkpoint ≤ `version` (full
+    * replay from 0 when none): fold the remaining manifests' adds and
+    * removes in commit order. */
+  private def replay(root: String, version: Long): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val ckpt = checkpointVersions(root).filter(_ <= version).lastOption
+    ckpt.foreach { cv =>
+      val json = Files.readString(logDir(root).resolve(checkpointName(cv)))
+      field(json, "files").foreach(live.add)
+    }
+    versions(root)
+      .filter(v => v <= version && ckpt.forall(v > _))
+      .foreach { v =>
+        val json = Files.readString(logDir(root).resolve(manifestName(v)))
+        field(json, "removes").foreach(live.remove)
+        field(json, "adds").foreach(live.add)
+      }
+    live.toSeq
+  }
+
+  /** Live data files as of `version`: checkpoint-seeded log replay.
+    * Throws if `version` was never committed (a time-travel read must
+    * not silently resolve a neighboring version). */
   def filesAsOf(root: String, version: Long): Seq[String] = {
     val vs = versions(root)
-    require(vs.contains(version),
+    // a checkpoint can serve its own version even after the manifests
+    // it folded were pruned (the retention story checkpoints enable)
+    require(vs.contains(version) ||
+      checkpointVersions(root).contains(version),
       s"version $version not in manifest log (have: $vs)")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    vs.takeWhile(_ <= version).foreach { v =>
-      val json = Files.readString(logDir(root).resolve(manifestName(v)))
-      // self-authored JSON (writer above): fields are flat string
-      // arrays, so the scan below is a parser for exactly this format
-      def field(name: String): Seq[String] = {
-        val m = ("\"" + name + "\":\\[([^\\]]*)\\]").r
-          .findFirstMatchIn(json)
-        m.map(_.group(1)).filter(_.nonEmpty)
-          .map(_.split(",").map(_.trim.stripPrefix("\"")
-            .stripSuffix("\"")).toSeq)
-          .getOrElse(Seq.empty)
-      }
-      field("removes").foreach(live.remove)
-      field("adds").foreach(live.add)
-    }
-    live.toSeq
+    replay(root, version)
   }
 
   /** Snapshot read AS OF `version`, resolved through log replay —

@@ -137,6 +137,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("RRF and Borda fusion agree on the consensus signal") {
+    val borda = Registry.byName("pipeline_rank_fusion").run(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val rrf = Registry.byName("pipeline_rank_fusion_rrf").run(spark, dir)
+      .collect()
+    assert(rrf.length == 100)
+    // same three ranks feed both, but RRF is top-heavy (rank 1 vs 2
+    // dwarfs 100 vs 101) while Borda is linear — a MAJORITY of the
+    // top-100 must agree (61/100 on this corpus), identity must not
+    val overlap = rrf.map(_.getLong(0)).count(borda)
+    assert(overlap >= 50, s"fusions diverged: only $overlap/100 shared")
+    // the rrf score is exactly the fixed-order three-term reciprocal sum
+    rrf.foreach { r =>
+      val expected = (1.0 / (60.0 + r.getLong(1)) +
+        1.0 / (60.0 + r.getLong(2))) + 1.0 / (60.0 + r.getLong(3))
+      assert(r.getDouble(4) == expected)
+    }
+  }
+
   test("curate_full: budget binds and bins replay the greedy fold") {
     val rows = Registry.byName("pipeline_curate_full").run(spark, dir)
       .collect()

@@ -69,6 +69,38 @@ class ManifestLogSpec extends AnyFunSuite {
       s"stage temp files leaked: $names")
   }
 
+  test("checkpoint: tail replay == full replay, idempotent, survives " +
+      "manifest pruning") {
+    val root = freshRoot()
+    ManifestLog.commit(root, 0, Seq("data/v0/a.parquet"), Seq.empty,
+      "write")
+    ManifestLog.commit(root, 1, Seq("data/v1/b.parquet"),
+      Seq("data/v0/a.parquet"), "merge")
+    ManifestLog.commit(root, 2, Seq("data/v2/c.parquet"),
+      Seq("data/v1/b.parquet"), "merge")
+    val full2 = ManifestLog.filesAsOf(root, 2)
+    ManifestLog.writeCheckpoint(root, 2)
+    // derived state: racing/repeated publication is a no-op
+    ManifestLog.writeCheckpoint(root, 2)
+    assert(ManifestLog.checkpointVersions(root) == Seq(2L))
+    assert(ManifestLog.filesAsOf(root, 2) == full2,
+      "checkpoint-seeded resolve must equal the full replay")
+    ManifestLog.commit(root, 3, Seq("data/v3/d.parquet"),
+      Seq("data/v2/c.parquet"), "merge")
+    assert(ManifestLog.filesAsOf(root, 3) == Seq("data/v3/d.parquet"),
+      "tail replay after the checkpoint must fold manifest 3")
+    // the retention story: prune the folded manifests; everything at
+    // or after the checkpoint must still resolve
+    (0L to 2L).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        root, "_log", f"$v%020d.json"))
+    }
+    assert(ManifestLog.filesAsOf(root, 2) == full2)
+    assert(ManifestLog.filesAsOf(root, 3) == Seq("data/v3/d.parquet"))
+    // a pruned, non-checkpointed version is GONE and must say so
+    intercept[IllegalArgumentException](ManifestLog.filesAsOf(root, 1))
+  }
+
   test("conflicted writer rebases and commits the next version") {
     val root = freshRoot()
     ManifestLog.commit(root, 0, Seq("data/v0/a.parquet"), Seq.empty,
