@@ -1855,6 +1855,57 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  private val tokenEntropy = GraftQuery(
+    name = "pipeline_token_entropy",
+    doc = "Per-doc SHANNON token entropy H = sum (c/n) * ln(n/c) nats " +
+      "- the information-density quality signal (low entropy = " +
+      "repetitive/templated text; complements quality_repetition's " +
+      "top-bigram fraction with a whole-distribution measure). Second " +
+      "user of TOLERANCE MODE, and the harder case: beyond ln's 1-ULP " +
+      "cross-engine drift, the per-doc SUM of double terms is " +
+      "order-dependent (Spark folds in partition order, DuckDB in its " +
+      "own) - but all terms are POSITIVE, so the condition number is " +
+      "1 and reordering error is bounded by n_distinct*eps ~ 1e-14 " +
+      "relative at 200-token docs: four orders inside the rtol-1e-9 " +
+      "gate at ANY partitioning, every run. The integer columns " +
+      "(n_tok, n_distinct) still compare exactly. Scale: two " +
+      "partial-aggregable groupBys and one doc_id join - the " +
+      "tfidf/vocab shuffle shape, nothing new at 100 TB.",
+    tolerance = Some(1e-9),
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok GROUP BY doc_id, token),
+      dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+             FROM tf GROUP BY doc_id)
+      SELECT d.doc_id, d.n AS n_tok, d.n_distinct,
+             SUM((CAST(f.c AS DOUBLE) / CAST(d.n AS DOUBLE))
+                 * ln(CAST(d.n AS DOUBLE) / CAST(f.c AS DOUBLE)))
+               AS entropy
+      FROM tf f JOIN dl d USING (doc_id)
+      GROUP BY d.doc_id, d.n, d.n_distinct ORDER BY d.doc_id"""),
+    run = (s, dir) => {
+      // tf feeds the doc-length aggregate and the scoring join — cut
+      // once (the tfidf convention)
+      val tf = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val dl = tf.groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+      val cD = col("c").cast(DoubleType)
+      val nD = col("n").cast(DoubleType)
+      tf.join(dl, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(sum((cD / nD) * log(nD / cD)).as("entropy"))
+        .select(col("doc_id"), col("n").as("n_tok"), col("n_distinct"),
+          col("entropy"))
+        .orderBy("doc_id")
+    })
+
   private val qualityRepetition = GraftQuery(
     name = "pipeline_quality_repetition",
     doc = "Repetition-based quality signal (the Gopher-style filter " +
@@ -3838,7 +3889,7 @@ object PipelineQueries {
     scoreWinsorizeGk,
     stratifiedSample, sourceMix, qualityDupFrac, trainingExport,
     corpusClean, embedQuantize,
-    piiScrub, qualityRepetition, decontaminate, decontamBloom,
+    piiScrub, qualityRepetition, tokenEntropy, decontaminate, decontamBloom,
     decontamOverlap,
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,

@@ -89,6 +89,27 @@ class EdgeCorpusSpec extends AnyFunSuite {
     Caches.clearAll(spark)
   }
 
+  test("token entropy: degenerate docs land exactly at zero") {
+    val r = Registry.byName("pipeline_token_entropy").run(spark, dir)
+      .collect()
+    assert(r.length == 30)
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    // single-token-distribution docs: H must be EXACTLY 0.0 (1*ln(1)),
+    // not a rounding residue — the one entropy value both engines owe
+    // bit-exactly even under tolerance mode
+    assert(byId(0L).getDouble(3) == 0.0) // empty text -> [""] once
+    assert(byId(1L).getDouble(3) == 0.0) // "solo"
+    assert(byId(3L).getDouble(3) == 0.0) // 51x the same token
+    // information-theory bounds hold corpus-wide: 0 <= H <= ln(k)
+    r.foreach { x =>
+      val h = x.getDouble(3)
+      assert(h >= 0.0 &&
+        h <= math.log(x.getLong(2).toDouble) + 1e-12,
+        s"entropy out of [0, ln k] for doc ${x.getLong(0)}: $h")
+    }
+    Caches.clearAll(spark)
+  }
+
   test("curate_full degrades to empty when the funnel rejects everything") {
     // every edge doc is under the 30-token quality floor: the composed
     // job must flow an EMPTY survivor set through affinity histograms,
