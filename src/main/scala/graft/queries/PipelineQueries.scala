@@ -926,13 +926,20 @@ object PipelineQueries {
       "sub-token pass ([a-z0-9]+ runs — the alphanumeric-run primitive " +
       "BPE pretokenizers start from) and a chars-per-token compression " +
       "estimate. regexp_extract_all in both engines; the pattern stays " +
-      "in the POSIX-common subset so Java and RE2 dialects agree.",
+      "in the POSIX-common subset so Java and RE2 dialects agree. A doc " +
+      "with ZERO alphanumeric runs (empty text, CJK-only — the r14 " +
+      "edge-corpus sweep caught this as an ANSI DIVIDE_BY_ZERO) has an " +
+      "UNDEFINED compression ratio: NULL in both engines, never a " +
+      "throw or an inf.",
     oracle = Some("""
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens,
-             CAST(length(text) AS DOUBLE) /
-               len(regexp_extract_all(text, '[a-z0-9]+')) AS chars_per_token
+             CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) = 0
+                  THEN NULL
+                  ELSE CAST(length(text) AS DOUBLE) /
+                    len(regexp_extract_all(text, '[a-z0-9]+')) END
+               AS chars_per_token
       FROM documents ORDER BY doc_id"""),
     run = (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), col("text"),
@@ -940,8 +947,9 @@ object PipelineQueries {
         size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
           .cast(LongType).as("n_re_tokens"))
       .select(col("doc_id"), col("n_ws_tokens"), col("n_re_tokens"),
-        (length(col("text")).cast(DoubleType) /
-          col("n_re_tokens").cast(DoubleType)).as("chars_per_token"))
+        when(col("n_re_tokens") === 0L, lit(null).cast(DoubleType))
+          .otherwise(length(col("text")).cast(DoubleType) /
+            col("n_re_tokens").cast(DoubleType)).as("chars_per_token"))
       .orderBy("doc_id"))
 
   private val textLevenshtein = GraftQuery(
