@@ -36,11 +36,20 @@ import org.apache.spark.sql.types._
 object KMeans {
 
   /** Quantized point set: (vec_id, q: array<long>) from an embedding
-    * column of float vectors. */
+    * column of float vectors. Coordinates are CLAMPED to [-1, 1] before
+    * scaling (r14, pathological-embeddings sweep): the int8 design
+    * assumes unit-ish embeddings (|q| ≤ 127 underwrites every overflow
+    * bound in this file), and an un-clamped 1e18 coordinate overflows
+    * the Long floor under ANSI mode — one corrupt vector must degrade
+    * to a saturated ±127, never fail the job. Real corpora sit well
+    * inside the clamp (max |x| = 0.578 across tracked sfs — the sf0.01
+    * differential is hash-unchanged); the oracles replay the identical
+    * LEAST/GREATEST clamp. */
   def quantize(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       transform(col("embedding"),
-        x => floor(x.cast(DoubleType) * 127).cast(LongType)).as("q"))
+        x => floor(least(greatest(x.cast(DoubleType), lit(-1.0)),
+          lit(1.0)) * 127).cast(LongType)).as("q"))
 
   /** Centroids after `iters` Lloyd rounds, k seeded from the first k
     * vec_ids (deterministic farthest-point init would also work; first-k

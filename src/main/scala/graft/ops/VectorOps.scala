@@ -55,10 +55,25 @@ object VectorOps {
     dot(a, b) / (normA * normB)
 
   /** Vectors with precomputed double array + norm: the only per-vector
-    * state the searches need; computed once, reused across every pair. */
+    * state the searches need; computed once, reused across every pair.
+    *
+    * VALIDATION CONTRACT (r14, found by the pathological-embeddings
+    * differential sweep): vectors whose norm is ZERO or NON-FINITE are
+    * DROPPED here — a zero-norm cosine is a division by zero, which
+    * under Spark 4's default ANSI mode throws and FAILS THE WHOLE JOB
+    * from one garbage embedding (the operational defect class of the
+    * r13 WAV-bounds advice), and a NaN/Inf coordinate poisons every
+    * similarity it touches. Dropping at the one prep point keeps every
+    * downstream cosine total; the oracles replay the identical
+    * `nrm > 0 AND nrm < inf` predicate (NaN compares GREATER than
+    * +inf in BOTH engines' total orders, so the same clause excludes
+    * it cross-engine). Real corpora (unit-normalized-ish embeddings)
+    * pass the gate untouched — the full sf0.01 differential is
+    * hash-unchanged by this filter. */
   def prepared(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
     vecs.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0 && col("nrm") < Double.PositiveInfinity)
 
   /** Component i of hyperplane j, as an exact double both engines can
     * reproduce: Knuth multiplicative hash of the flat index mapped to

@@ -366,7 +366,8 @@ object PipelineQueries {
       WITH e AS (SELECT vec_id, label,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
-      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+             WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
@@ -402,7 +403,8 @@ object PipelineQueries {
       WITH e AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
-      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+             WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE),
       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
             FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
@@ -455,7 +457,8 @@ object PipelineQueries {
       WITH e AS (SELECT vec_id, label,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
-      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+             WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE),
       c AS (SELECT label, COUNT(*) AS cell_n FROM n GROUP BY label),
       h AS (SELECT n.*,
               ${VectorOps.subCellSql("vec_id", "cell_n", IvfCellCap)} AS sub
@@ -514,9 +517,11 @@ object PipelineQueries {
       "neighbors); OpsSpec pins banded-probe recall ≥ 0.9 vs the exact " +
       "brute-force top-k.",
     oracle = Some("""
-      WITH e AS (SELECT vec_id,
+      WITH e0 AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
+      e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0
+             WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE),
       planes AS (SELECT j, list_transform(range(0, 64), i ->
                    CAST(((j * 64 + i) * 2654435761) % 4294967296 AS DOUBLE)
                      / 4294967296.0 * 2.0 - 1.0) AS pw
@@ -558,7 +563,8 @@ object PipelineQueries {
       WITH e AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
-      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+             WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE),
       planes AS (SELECT j, list_transform(range(0, 64), i ->
                    CAST(((j * 64 + i) * 2654435761) % 4294967296 AS DOUBLE)
                      / 4294967296.0 * 2.0 - 1.0) AS pw
@@ -727,7 +733,8 @@ object PipelineQueries {
                  WHERE ${Sampling.hash32Sql("vec_id")} <
                    ${Sampling.capThresholdSql(BaselineVecCap,
                      "SELECT COUNT(*) FROM embeddings")}),
-      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+             WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM n a JOIN n b ON a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
@@ -761,7 +768,8 @@ object PipelineQueries {
       WITH e AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
-      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+             WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE)
       SELECT vec_id,
              v[1] / nrm AS first_component,
              list_dot_product(list_transform(v, x -> x / nrm),
@@ -2276,7 +2284,7 @@ object PipelineQueries {
     oracle = Some("""
       WITH d AS (SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS DOUBLE)) AS dv
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS DOUBLE)) AS dv
            FROM embeddings),
       e AS (SELECT vec_id, dv,
               CAST(list_dot_product(dv, dv) AS BIGINT) AS saa FROM d),
@@ -2312,9 +2320,13 @@ object PipelineQueries {
       UNION ALL SELECT CAST(4 AS BIGINT), vec_id, md FROM c4
       ORDER BY round"""),
     run = (s, dir) => {
+      // same clamped int8 quantization as KMeans.quantize (|q| <= 127
+      // underwrites the 64*254^2 magnitude bound above; un-clamped, a
+      // corrupt 1e18 coordinate overflows the Long floor under ANSI)
       val prep = table(s, dir, "embeddings").select(col("vec_id"),
           transform(col("embedding"),
-            x => floor(x.cast(DoubleType) * 127).cast(LongType)).as("qv"))
+            x => floor(least(greatest(x.cast(DoubleType), lit(-1.0)),
+              lit(1.0)) * 127).cast(LongType)).as("qv"))
         .withColumn("saa", aggregate(zip_with(col("qv"), col("qv"),
           (a, b) => a * b), lit(0L), (acc, v) => acc + v))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2362,7 +2374,7 @@ object PipelineQueries {
     oracle = Some("""
       WITH pts AS (SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
            FROM embeddings),
       c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, q AS sv
              FROM pts WHERE vec_id < 8),
@@ -2706,7 +2718,8 @@ object PipelineQueries {
       WITH e AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
-      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+             WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE),
       en AS (SELECT n.* FROM n JOIN documents d ON d.doc_id = n.vec_id
              WHERE d.lang = 'en'),
       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2763,7 +2776,7 @@ object PipelineQueries {
     oracle = Some(s"""
       WITH pts AS (SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
            FROM embeddings),
       c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, q AS sv
              FROM pts WHERE vec_id < 8),
@@ -2819,7 +2832,8 @@ object PipelineQueries {
       e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
-      nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+             WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE),
       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM h a JOIN h b
               ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
@@ -2887,11 +2901,11 @@ object PipelineQueries {
     oracle = Some(s"""
       WITH ptsc AS (SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
            FROM embeddings WHERE vec_id % 10 <> 7),
       ptsb AS (SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
            FROM embeddings WHERE vec_id % 10 = 7),
       c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, q AS sv
              FROM ptsc WHERE vec_id < 8),
@@ -2961,7 +2975,8 @@ object PipelineQueries {
       e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
-      nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+             WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE),
       p AS (SELECT b.vec_id AS id_b, a.vec_id AS id_a,
               list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
             FROM hb b JOIN hc a ON a.cid = b.cid AND a.sub = b.sub
@@ -3082,7 +3097,7 @@ object PipelineQueries {
     oracle = Some("""
       WITH pts AS (SELECT d.lang, e.vec_id,
              list_transform(e.embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
       cg AS (SELECT lang, t.i AS dim, SUM(q[t.i+1]) AS sx, COUNT(*) AS cnt
              FROM pts CROSS JOIN range(0, 64) t(i)

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The r14 vector VALIDATION CONTRACT, pinned where the pathological-
+  * embeddings differential sweep found the crashes: under Spark 4's
+  * default ANSI mode a zero-norm cosine is a thrown DIVIDE_BY_ZERO and
+  * an un-clamped huge coordinate a thrown long overflow — one garbage
+  * embedding failing a 1000-executor job. `VectorOps.prepared` drops
+  * zero/non-finite-norm vectors; `KMeans.quantize` clamps coordinates
+  * to [-1, 1]. Real unit-ish corpora pass both untouched (the full
+  * sf0.01 differential is hash-unchanged). */
+class VectorEdgeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixture = {
+    import spark.implicits._
+    val dim = 8
+    def v(f: Int => Double) = (0 until dim).map(i => f(i).toFloat).toArray
+    Seq(
+      (0L, v(_ => 0.0)),                   // zero vector
+      (1L, v(i => (i % 3) - 1.0)),         // base
+      (2L, v(i => (i % 3) - 1.0)),         // exact duplicate (cos 1)
+      (3L, v(i => -((i % 3) - 1.0))),      // antipodal (cos -1)
+      (4L, v(_ => 1e18)),                  // huge coordinates
+      (5L, v(_ => Float.NaN.toDouble))     // NaN coordinates
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("prepared drops zero- and non-finite-norm vectors, keeps the rest") {
+    val pv = VectorOps.prepared(fixture, "vec_id", "embedding")
+    val kept = pv.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L),
+      s"validation gate kept $kept (want zero vec 0 and NaN vec 5 out)")
+    // downstream cosines are total on the survivors — no ANSI throw,
+    // and the degenerate geometry is exact
+    val a = pv.select(col("vec_id").as("ia"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = pv.select(col("vec_id").as("ib"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val cos = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb"))
+          .as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // sqrt rounding means nrm*nrm != dot by an ulp — the geometry is
+    // exact to ~2 ulps, not bit-exact (the cross-engine compare is
+    // still exact because BOTH engines compute the identical fold)
+    assert(math.abs(cos((1L, 2L)) - 1.0) < 1e-14,
+      "exact duplicate must score cos ~ 1")
+    assert(math.abs(cos((1L, 3L)) + 1.0) < 1e-14,
+      "antipodal must score cos ~ -1")
+    cos.values.foreach(c => assert(!c.isNaN && math.abs(c) <= 1.0 + 1e-14))
+  }
+
+  test("quantize saturates huge and NaN coordinates at +-127") {
+    val q = KMeans.quantize(fixture)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(q(4L).forall(_ == 127L), "1e18 must clamp to 127, not overflow")
+    // NaN clamps through least(greatest(NaN,-1),1): NaN sorts greatest
+    // in BOTH engines' total orders, so least(NaN, 1) = 1 -> 127
+    assert(q(5L).forall(_ == 127L))
+    assert(q(0L).forall(_ == 0L))
+    q.values.flatten.foreach(x => assert(x >= -127L && x <= 127L))
+  }
+}
