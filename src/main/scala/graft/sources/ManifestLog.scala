@@ -29,10 +29,19 @@ import scala.jdk.CollectionConverters._
   *     pinned by ManifestLogSpec's concurrent-writer test.
   *
   * At 100 TB the log is metadata-sized (one small JSON per commit; the
-  * data files never move), reads list one directory, and replay cost is
-  * O(versions × files-per-commit) on the driver — the same posture as
-  * a real format before checkpoint compaction, which would be the next
-  * rung (fold every K manifests into one snapshot file). */
+  * data files never move), reads list one directory, and replay cost
+  * stays flat via [[writeCheckpoint]] (checkpoint-seeded tail replay).
+  *
+  * PORTABILITY CAVEAT (documented, not hidden): the atomic-publish
+  * primitive here is POSIX link(2) — correct on any local/NFS-like
+  * filesystem, but OBJECT STORES have no atomic create-if-absent
+  * rename, which is exactly why the production formats put the commit
+  * race elsewhere (Delta: a per-table LogStore with a conditional-put
+  * or coordination service; Iceberg: an atomic catalog pointer swap).
+  * Porting this log to S3 means swapping `Files.createLink` for a
+  * conditional PUT (If-None-Match) or a catalog CAS — the manifest
+  * format, replay and checkpoint logic are storage-agnostic and carry
+  * over unchanged. */
 object ManifestLog {
 
   /** Optimistic-concurrency loser: `version` was committed by another
