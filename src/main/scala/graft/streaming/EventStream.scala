@@ -1596,7 +1596,17 @@ object EventStream {
     * transformWithState drain. Append mode — each session emits exactly
     * once, so the sink is the answer with no fold. */
   def sessionTimeoutDrained(spark: SparkSession, eventsPath: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    sessionTimeoutDrainedWithProgress(spark, eventsPath,
+      maxFilesPerTrigger)._1
+
+  /** [[sessionTimeoutDrained]] plus per-batch progress — the handle the
+    * multi-batch 100× probe uses to measure TIMER-driven state
+    * eviction (idle sessions leave the store when their event-time
+    * timer fires mid-run, not only at the final commit). */
+  private[graft] def sessionTimeoutDrainedWithProgress(spark: SparkSession,
+      eventsPath: String, maxFilesPerTrigger: Option[Int] = None)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     implicit val ds: SparkSession = rocksDrainSession(spark)
     import ds.implicits._
     val src = eventsStream(ds, eventsPath, maxFilesPerTrigger)
@@ -1612,6 +1622,6 @@ object EventStream {
     // session-sized append output: file sink, not driver memory (the
     // 100x probe measured ~millions of session rows; the memory-sink
     // table was a leading contributor to the single-JVM heap OOM)
-    drainToParquet(out.toDF(), "stream_session_timeout")
+    drainToParquetWithProgress(out.toDF(), "stream_session_timeout")
   }
 }

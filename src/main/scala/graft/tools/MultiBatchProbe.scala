@@ -109,6 +109,9 @@ object MultiBatchProbe {
     report("stream_session_window_mb", () =>
       EventStream.sessionWindowDrainedWithProgress(
         spark, landing, Some(1)))
+    report("stream_session_timeout_mb", () =>
+      EventStream.sessionTimeoutDrainedWithProgress(
+        spark, landing, Some(1)))
     Console.out.flush()
     // halt, don't stop(): RocksDB's JNI logger callback races provider
     // unload during context teardown (SIGABRT in LoggerJniCallback::Logv
