@@ -49,7 +49,15 @@ case class BucketDotExpr(child: Expression, weights: Array[Long])
     var s = 0L
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i)) return null
+      // mirror doGenCode's null branch exactly: when the schema says
+      // containsNull=false a null element is corrupt data — throw in
+      // BOTH execution modes rather than emit a NULL from a declared
+      // non-nullable expression
+      if (a.isNullAt(i)) {
+        if (!nullable) throw new IllegalStateException(
+          "null element in non-nullable bucket array")
+        return null
+      }
       val b = a.getLong(i)
       require(b >= 0 && b < weights.length, s"bucket out of range: $b")
       s += weights(b.toInt)

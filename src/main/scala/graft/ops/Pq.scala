@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PRODUCT QUANTIZATION (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the next compression rung
+  * past int8 scalar quantization (`KMeans.quantize`) and IVF cells
+  * (`pipeline_knn_ivf`): the embedding is split into `m` contiguous
+  * subspaces and each subvector is replaced by the id of its nearest
+  * codeword in a per-subspace codebook, so a dims-float vector
+  * compresses to m small codes and distance to a query is computed
+  * WITHOUT decompression via ADC (asymmetric distance computation) —
+  * per-subspace lookup tables built once per query, then a table-sum
+  * per corpus vector.
+  *
+  * Cross-engine exactness (the KMeans discipline, per subspace):
+  *   - subvectors are int8-quantized first (`KMeans.quantize` clamp +
+  *     floor — bit-identical in any engine);
+  *   - a codeword is EXACTLY (n, Σq): member count + per-dim integer
+  *     sum, never a rounded mean; nearest-codeword compares
+  *     A = Σ_i (n·x_i − s_i)², dist = A/n² — order-independent integer
+  *     numerator, one correctly-rounded double division, ties to the
+  *     lowest cid;
+  *   - an ADC distance is the sum of m such doubles, which IS
+  *     order-dependent — so both engines fold the per-subspace terms
+  *     in the SAME fixed order (sub 0..m−1): Spark aggregates over a
+  *     subspace-sorted array, DuckDB list_reduce's a `list(d ORDER BY
+  *     sub)` — identical IEEE addition sequence, bit-identical sums.
+  *
+  * Scale posture: training touches only (vec_id, sub, subvector) rows —
+  * m·n fixed-width rows, one broadcast of the m·k codebook per Lloyd
+  * round, partial-aggregable everywhere (the KMeans shuffle shape with
+  * `sub` appended to every key). Encoding is one broadcast join.
+  * ADC search shuffles per-(query, neighbor, sub) lookup hits — m rows
+  * per candidate, grouped map-side — and never touches the original
+  * vectors, which is the point: at 100 TB the float embeddings stay in
+  * cold storage and the scan reads m bytes per vector. Codebook
+  * constants are data-bounded at test SFs (k = 16 per subspace over
+  * 500–2000 vectors); production PQ uses k = 256 — the identical plan
+  * with a bigger broadcast, still metadata-sized (m·256 rows).
+  */
+object Pq {
+
+  /** Int8-quantized subvectors: (vec_id, sub, q: array<long>) — `m`
+    * rows per vector, `sd` dims each, from the full quantized vector
+    * (subspace `s` takes dims [s·sd, (s+1)·sd)). */
+  def subPoints(embeddings: DataFrame, m: Int, sd: Int): DataFrame =
+    KMeans.quantize(embeddings)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("q"))
+      .select(col("vec_id"), col("sub").cast(LongType).as("sub"),
+        expr(s"slice(q, sub * $sd + 1, $sd)").as("q"))
+
+  /** Per-subspace codebooks after `iters` Lloyd rounds: (sub, cid, n,
+    * sv) — k codewords per subspace, seeded from the first k vec_ids
+    * (the portable first-k convention of [[KMeans.train]]). A codeword
+    * that loses all members drops out of its subspace only. */
+  def train(pts: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cb = pts.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cid"), lit(1L).as("n"),
+        col("q").as("sv"))
+    for (_ <- 1 to iters) cb = update(assign(pts, cb))
+    cb
+  }
+
+  /** Argmin codeword per (vec_id, sub): broadcast the m·k codebook,
+    * map-side `min_by` argmin — KMeans.assign with `sub` in the join
+    * and group keys. */
+  def assign(pts: DataFrame, codebook: DataFrame): DataFrame =
+    pts.join(broadcast(codebook), "sub")
+      .withColumn("a",
+        aggregate(
+          zip_with(col("q"), col("sv"),
+            (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("dist",
+        col("a").cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("cid"), col("q")),
+        struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("cid"),
+        col("best.q").as("q"))
+
+  /** Update step: exact (n, Σq) per (sub, cid) — KMeans.update keyed by
+    * subspace too. */
+  def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("cid"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("sub", "cid", "dim")
+      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      .groupBy("sub", "cid")
+      .agg(max(col("cnt")).as("n"),
+        transform(array_sort(collect_list(struct(col("dim"), col("sx")))),
+          e => e.getField("sx")).as("sv"))
+
+  /** PQ codes: (vec_id, sub, code) — the m-byte compressed form. */
+  def encode(pts: DataFrame, codebook: DataFrame): DataFrame =
+    assign(pts, codebook)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+
+  /** ADC lookup tables for a query point set: (query_id, sub, cid, d)
+    * — the squared distance from each query subvector to every codeword,
+    * dist = A/n² exactly as in [[assign]]. m·k rows per query:
+    * metadata-sized, broadcastable. */
+  def adcTables(queries: DataFrame, codebook: DataFrame): DataFrame =
+    queries.join(broadcast(codebook), "sub")
+      .withColumn("a",
+        aggregate(
+          zip_with(col("q"), col("sv"),
+            (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
+          lit(0L), (acc, v) => acc + v))
+      .select(col("query_id"), col("sub"), col("cid"),
+        (col("a").cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType)).as("d"))
+
+  /** ADC distance of every (query, corpus vector) pair: join codes to
+    * the broadcast tables on (sub, code) and fold the m per-subspace
+    * terms in FIXED subspace order 0..m−1 — the order both engines
+    * replay, so the double sum is bit-identical. Never touches the
+    * original vectors. */
+  def adcDistances(codes: DataFrame, tables: DataFrame): DataFrame =
+    codes.join(broadcast(tables),
+        codes("sub") === tables("sub") && codes("code") === tables("cid"))
+      .select(codes("vec_id").as("neighbor_id"), col("query_id"),
+        codes("sub").as("sub"), col("d"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("d")))),
+          e => e.getField("d")),
+        lit(0.0d), (acc, v) => acc + v).as("dist"))
+}

@@ -59,11 +59,13 @@ object VectorOps {
     *
     * VALIDATION CONTRACT (r14, found by the pathological-embeddings
     * differential sweep): vectors whose norm is ZERO or NON-FINITE are
-    * DROPPED here — a zero-norm cosine is a division by zero, which
-    * under Spark 4's default ANSI mode throws and FAILS THE WHOLE JOB
-    * from one garbage embedding (the operational defect class of the
-    * r13 WAV-bounds advice), and a NaN/Inf coordinate poisons every
-    * similarity it touches. Dropping at the one prep point keeps every
+    * DROPPED here — a zero-norm cosine is 0/0 double division, which
+    * follows IEEE (ANSI's DIVIDE_BY_ZERO covers integral/decimal
+    * division only) and yields NaN; that NaN, like any NaN/Inf
+    * coordinate, then poisons every similarity it touches and breaks
+    * the cross-engine exact-hash compare (the engines need not agree
+    * on NaN payload/ordering in results). Dropping at the one prep
+    * point keeps every
     * downstream cosine total; the oracles replay the identical
     * `nrm > 0 AND nrm < inf` predicate (NaN compares GREATER than
     * +inf in BOTH engines' total orders, so the same clause excludes

@@ -46,6 +46,10 @@ object CurationQueries {
     val scalars = table(s, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum("dl").as("l_tok")))
+    // partition-less window is INTENTIONAL: it runs over the
+    // .limit(14) term-selection frame (14 rows at any corpus size), so
+    // WindowExec's single-partition warning is noise here, not a
+    // scale risk
     val termW = Window.orderBy(col("df").desc, col("token"))
     val terms = dfr.orderBy(col("df").desc, col("token")).limit(14)
       .withColumn("tr", row_number().over(termW))
@@ -470,10 +474,14 @@ object CurationQueries {
     run = (s, dir) => {
       import graft.ops.SkewWindows
       val scored = bm25Scored(s, dir)
-        .select("term", "doc_id", "score")
-      val ranked = SkewWindows.rankedPrefix(scored, "term",
-          Seq(col("score").desc, col("doc_id")), None, "trank", "__cum")
-        .drop("__cum")
+        .select("term", "doc_id", "score", "df")
+      // cost-based dispatch (r14 verdict #3): df IS the per-term group
+      // size (one postings row per doc containing the term), so the
+      // probe is a max over an existing column — no counting pass
+      val ranked = SkewWindows.rankedPrefixAuto(scored, "term",
+          Seq(col("score").desc, col("doc_id")), None, "trank", "__cum",
+          precomputedCounts = Some((scored, "df")))
+        .drop("__cum", "df")
       val kt = ranked.groupBy("term").agg(max("trank").as("kt"))
       val fill = kt.agg(sum(col("kt") + lit(1L)).as("f"))
       ranked.join(broadcast(kt), "term")
@@ -485,6 +493,48 @@ object CurationQueries {
           (col("f") + col("adj")).as("borda"))
         .orderBy(col("borda"), col("doc_id")).limit(20)
     })
+
+  /** Textbook-BM25 saturation + per-term rank by (sat DESC, doc_id),
+    * shared by pipeline_bm25_lnidf and its exact-hash twin. Ranking by
+    * sat is ranking by score — idf is a positive PER-TERM CONSTANT, so
+    * within a term the real-number orderings are identical — but sat
+    * uses only correctly-rounded IEEE +,-,*,/ over identical inputs in
+    * identical order (no transcendental), so both engines compute
+    * bit-identical sat values and therefore bit-identical ranks. This
+    * closes the r14 ADVICE flaky-gate risk: a 1-ULP ln drift at a rank
+    * or top-5 boundary can no longer flip ordering/membership, because
+    * the ordering never consults ln. Same salted two-phase per-term
+    * top-5 as bm25_topk. */
+  private val Bm25SatCtes = Bm25OracleCtes + """,
+      lsc AS (SELECT t.token AS term, f.doc_id, f.tf, d.dl, t.df,
+          CAST(n.n_docs AS DOUBLE) AS ndd,
+          ((CAST(f.tf AS DOUBLE) * 2.2)
+           / (CAST(f.tf AS DOUBLE) + 1.2 *
+              (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+                / (CAST(l.l_tok AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))))
+            AS sat
+        FROM tf f JOIN terms t USING (token) JOIN dl d USING (doc_id)
+        CROSS JOIN nd n CROSS JOIN lt l),
+      rk2 AS (SELECT *, row_number() OVER (PARTITION BY term
+               ORDER BY sat DESC, doc_id) AS rank FROM lsc)"""
+
+  private def bm25SatRanked(s: SparkSession, dir: String): DataFrame = {
+    val tfD = col("tf").cast(DoubleType)
+    val dlD = col("dl").cast(DoubleType)
+    val avgdl = col("l_tok").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    // parenthesization mirrors the oracle token for token
+    val sat = (tfD * lit(2.2)) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / avgdl)))
+    val w1 = Window.partitionBy(col("term"), pmod(col("doc_id"), lit(32)))
+      .orderBy(col("sat").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("term"))
+      .orderBy(col("sat").desc, col("doc_id"))
+    bm25Joined(s, dir).withColumn("sat", sat)
+      .withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= 5).drop("__rn1")
+      .withColumn("rank", row_number().over(w2).cast(LongType))
+      .filter(col("rank") <= 5)
+  }
 
   private val bm25LnIdf = GraftQuery(
     name = "pipeline_bm25_lnidf",
@@ -502,48 +552,50 @@ object CurationQueries {
       "the driver's exact-hash gate records its rows-only check " +
       "instead of a designed failure. Both engines evaluate the " +
       "IDENTICALLY parenthesized formula, so every difference is " +
-      "transcendental rounding, never algebra. Same salted two-phase " +
-      "per-term top-5 as bm25_topk.",
+      "transcendental rounding, never algebra. r15 (r14 ADVICE): the " +
+      "per-term rank orders by the IEEE-exact saturation factor, not " +
+      "the ln-scaled score - identical real-number ordering (idf is a " +
+      "positive per-term constant), but rank boundaries can no longer " +
+      "flip on a 1-ULP ln drift, and the whole integer+sat skeleton " +
+      "ships under the driver's DEFAULT exact-hash gate as the twin " +
+      "pipeline_bm25_lnidf_ranks. Same salted two-phase per-term " +
+      "top-5 as bm25_topk.",
     tolerance = Some(1e-9),
-    oracle = Some(Bm25OracleCtes + """,
-      lsc AS (SELECT t.token AS term, f.doc_id, f.tf, d.dl, t.df,
-          ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(t.df AS DOUBLE) + 0.5)
-                   / (CAST(t.df AS DOUBLE) + 0.5))
-          * ((CAST(f.tf AS DOUBLE) * 2.2)
-             / (CAST(f.tf AS DOUBLE) + 1.2 *
-                (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
-                  / (CAST(l.l_tok AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))))
-            AS score
-        FROM tf f JOIN terms t USING (token) JOIN dl d USING (doc_id)
-        CROSS JOIN nd n CROSS JOIN lt l),
-      rk2 AS (SELECT *, row_number() OVER (PARTITION BY term
-               ORDER BY score DESC, doc_id) AS rank FROM lsc)
-      SELECT term, doc_id, tf, dl, df, score, CAST(rank AS BIGINT) AS rank
+    oracle = Some(Bm25SatCtes + """
+      SELECT term, doc_id, tf, dl, df,
+        ln(1.0 + (ndd - CAST(df AS DOUBLE) + 0.5)
+                 / (CAST(df AS DOUBLE) + 0.5)) * sat AS score,
+        CAST(rank AS BIGINT) AS rank
       FROM rk2 WHERE rank <= 5 ORDER BY term, rank"""),
     run = (s, dir) => {
-      val j = bm25Joined(s, dir)
       val ndD = col("n_docs").cast(DoubleType)
       val dfD = col("df").cast(DoubleType)
-      val tfD = col("tf").cast(DoubleType)
-      val dlD = col("dl").cast(DoubleType)
-      val avgdl = col("l_tok").cast(DoubleType) / ndD
-      // parenthesization mirrors the oracle token for token: IEEE ops
-      // over identical inputs in identical order, only ln can drift
       val idf = log(lit(1.0) + (ndD - dfD + lit(0.5)) / (dfD + lit(0.5)))
-      val sat = (tfD * lit(2.2)) /
-        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / avgdl)))
-      val scored = j.withColumn("score", idf * sat)
-      val w1 = Window.partitionBy(col("term"), pmod(col("doc_id"), lit(32)))
-        .orderBy(col("score").desc, col("doc_id"))
-      val w2 = Window.partitionBy(col("term"))
-        .orderBy(col("score").desc, col("doc_id"))
-      scored.withColumn("__rn1", row_number().over(w1))
-        .filter(col("__rn1") <= 5).drop("__rn1")
-        .withColumn("rank", row_number().over(w2).cast(LongType))
-        .filter(col("rank") <= 5)
+      bm25SatRanked(s, dir)
+        .withColumn("score", idf * col("sat"))
         .select("term", "doc_id", "tf", "dl", "df", "score", "rank")
         .orderBy("term", "rank")
     })
+
+  private val bm25LnIdfRanks = GraftQuery(
+    name = "pipeline_bm25_lnidf_ranks",
+    doc = "EXACT-HASH TWIN of pipeline_bm25_lnidf (r14 verdict #1): " +
+      "the same plan projecting only its bit-portable columns - the " +
+      "integer inputs (tf, dl, df), the saturation factor (IEEE " +
+      "+,-,*,/ over identical inputs in identical order, no " +
+      "transcendental) and the per-term rank derived from it - so the " +
+      "driver's default exact-hash gate certifies everything about " +
+      "the textbook-BM25 operator except the final ln multiply, which " +
+      "stays under the twin's rtol-1e-9 differential. A defect in " +
+      "tokenization, tf/df/dl, term selection, the saturation " +
+      "algebra, or the two-phase ranking fails THIS row's hash.",
+    oracle = Some(Bm25SatCtes + """
+      SELECT term, doc_id, tf, dl, df, sat, CAST(rank AS BIGINT) AS rank
+      FROM rk2 WHERE rank <= 5 ORDER BY term, rank"""),
+    run = (s, dir) =>
+      bm25SatRanked(s, dir)
+        .select("term", "doc_id", "tf", "dl", "df", "sat", "rank")
+        .orderBy("term", "rank"))
 
   /** Token budget of the composed curation job — binds at every tracked
     * sf (corpora are 27k-270k tokens) so the budget stage always cuts. */
@@ -716,8 +768,10 @@ object CurationQueries {
         .join(sig.select("doc_id", "n_tok"), "doc_id")
         .withColumn("borda", col("r_aff") + col("r_ttr") + col("r_len"))
       // Stage 4 — token budget over the fused order (global inclusive
-      // cumsum, two-phase rankedPrefix under a constant group)
-      val admitted = SkewWindows.rankedPrefix(
+      // cumsum; cost-based: plain window while the survivor frame fits
+      // one task, the two-phase range-layout form beyond — the
+      // constant group makes that the only scalable shape at 100 TB)
+      val admitted = SkewWindows.rankedPrefixAuto(
           fused.withColumn("__g", lit(0L))
             .select("__g", "doc_id", "n_tok", "borda"),
           "__g", Seq(col("borda"), col("doc_id")),
@@ -739,5 +793,5 @@ object CurationQueries {
 
   val all: Seq[GraftQuery] =
     Seq(bm25Topk, domainAffinity, filterFunnel, rankFusion, bm25Query,
-      curateFull, bm25LnIdf, rankFusionRrf)
+      curateFull, bm25LnIdf, bm25LnIdfRanks, rankFusionRrf)
 }

@@ -427,7 +427,12 @@ object MaintenanceQueries {
         val removes =
           if (b == 0) Seq.empty[String]
           else ManifestLog.partFiles(root, s"data/v${b - 1}")
-        ManifestLog.commit(root, b, adds, removes, op = "merge")
+        // auto-checkpoint policy (r14 verdict #4): the commit path
+        // itself maintains the fold (here: at v2) — the explicit
+        // writeCheckpoint in lake_snapshot_checkpoint is then the
+        // idempotent republication the spec pins
+        ManifestLog.commit(root, b, adds, removes, op = "merge",
+          policy = Some(ManifestLog.CheckpointPolicy(every = 2)))
       }
     }
 
@@ -445,9 +450,12 @@ object MaintenanceQueries {
       "oracle as lake_snapshot_read (v2 reconstructed from the change " +
       "log) - a green row proves commit protocol, log replay and " +
       "snapshot isolation end-to-end against ground truth that never " +
-      "saw the log. At 100 TB the log is metadata-sized; checkpoint " +
-      "compaction (fold every K manifests) is the documented next " +
-      "rung.",
+      "saw the log. At 100 TB the log is metadata-sized, and the " +
+      "commit path itself keeps replay cost flat: CheckpointPolicy " +
+      "folds a checkpoint every K winning commits and prunes the " +
+      "manifests behind the previous fold (descending, so a mid-prune " +
+      "reader resolves exactly or fails loudly - never a torn " +
+      "prefix; ManifestLogSpec pins both).",
     oracle = Some("""
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
                         value
@@ -477,13 +485,17 @@ object MaintenanceQueries {
       "atomic-link publication - a lost race is a no-op, not a " +
       "conflict), and the LATEST read (v3) resolves from checkpoint " +
       "+ manifest TAIL instead of replaying the whole history - how " +
-      "a real format keeps resolve cost flat as the table ages. " +
-      "Oracle = the full-corpus latest-per-user reconstruction " +
-      "(batches 0..3), so a checkpoint that froze stale state or a " +
-      "tail replay that skipped/duplicated an action fails the hash. " +
-      "ManifestLogSpec pins checkpoint==full-replay equality, " +
-      "idempotent racing publication, and resolution AFTER the folded " +
-      "manifests are pruned (the retention story).",
+      "a real format keeps resolve cost flat as the table ages. The " +
+      "v2 fold is produced by the commit path's auto CheckpointPolicy " +
+      "(every 2 commits, r14 verdict #4); the explicit writeCheckpoint " +
+      "here is the idempotent derived-state republication. Oracle = " +
+      "the full-corpus latest-per-user reconstruction (batches 0..3), " +
+      "so a checkpoint that froze stale state or a tail replay that " +
+      "skipped/duplicated an action fails the hash. ManifestLogSpec " +
+      "pins checkpoint==full-replay equality, idempotent racing " +
+      "publication, the auto-policy fold+prune cycle, mid-prune " +
+      "reader safety, and the 8-writer race on BOTH the POSIX and " +
+      "CAS-mock stores (r14 verdict #5).",
     oracle = Some("""
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
                         value

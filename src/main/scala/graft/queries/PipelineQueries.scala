@@ -1884,9 +1884,12 @@ object PipelineQueries {
       "1 and reordering error is bounded by n_distinct*eps ~ 1e-14 " +
       "relative at 200-token docs: four orders inside the rtol-1e-9 " +
       "gate at ANY partitioning, every run. The integer columns " +
-      "(n_tok, n_distinct) still compare exactly. Scale: two " +
-      "partial-aggregable groupBys and one doc_id join - the " +
-      "tfidf/vocab shuffle shape, nothing new at 100 TB.",
+      "(n_tok, n_distinct) still compare exactly, and the whole " +
+      "integer skeleton additionally ships under the driver's DEFAULT " +
+      "exact-hash gate as the twin pipeline_token_entropy_exact (r14 " +
+      "verdict #1). Scale: two partial-aggregable groupBys and one " +
+      "doc_id join - the tfidf/vocab shuffle shape, nothing new at " +
+      "100 TB.",
     tolerance = Some(1e-9),
     oracle = Some("""
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -1921,6 +1924,38 @@ object PipelineQueries {
           col("entropy"))
         .orderBy("doc_id")
     })
+
+  private val tokenEntropyExact = GraftQuery(
+    name = "pipeline_token_entropy_exact",
+    doc = "EXACT-HASH TWIN of pipeline_token_entropy (r14 verdict #1): " +
+      "the same tf frame projected onto its bit-portable integer " +
+      "skeleton, plus two exact whole-distribution signals the float " +
+      "entropy cannot ship under the default gate - top_c (the modal " +
+      "token count, quality_repetition's unigram analogue) and c2_sum " +
+      "= sum(c^2), the Simpson/collision mass whose ratio to n^2 is " +
+      "the exact-rational counterpart of entropy's concentration " +
+      "measure. A defect in tokenization or the tf aggregation fails " +
+      "THIS row's hash; the entropy float itself stays under the " +
+      "twin's rtol-1e-9 differential.",
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok GROUP BY doc_id, token)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_c,
+             CAST(SUM(c * c) AS BIGINT) AS c2_sum
+      FROM tf GROUP BY doc_id ORDER BY doc_id"""),
+    run = (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tok"), count(lit(1)).as("n_distinct"),
+          max("c").as("top_c"), sum(col("c") * col("c")).as("c2_sum"))
+        .orderBy("doc_id"))
 
   private val qualityRepetition = GraftQuery(
     name = "pipeline_quality_repetition",
@@ -2425,6 +2460,196 @@ object PipelineQueries {
         .orderBy("cid", "dim")
     })
 
+  /** The PQ CTE chain shared by pipeline_embed_pq and pipeline_pq_recall
+    * (one definition — Spark and DuckDB move together): int8 quantize →
+    * m=8 subspaces × 8 dims → per-subspace Lloyd (k=16 first-k seed,
+    * 2 rounds, the kmeans_train arithmetic keyed by `sub`) → final
+    * codeword assignment as `codes`. */
+  private val PqOracleCtes = """
+      WITH pts AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
+           FROM embeddings),
+      sp AS (SELECT vec_id, t.sub, q[(t.sub*8+1):(t.sub*8+8)] AS q
+             FROM pts CROSS JOIN range(0, 8) t(sub)),
+      c0 AS (SELECT sub, vec_id AS cid, CAST(1 AS BIGINT) AS n, q AS sv
+             FROM sp WHERE vec_id < 16),
+      a1 AS (SELECT p.vec_id, p.sub, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM sp p JOIN c0 c ON c.sub = p.sub CROSS JOIN range(0, 8) t(i)
+             GROUP BY p.vec_id, p.sub, c.cid),
+      b1 AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid, row_number() OVER (
+                 PARTITION BY vec_id, sub
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a1) WHERE rk = 1),
+      e1 AS (SELECT b.sub, b.cid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+               COUNT(*) AS cnt
+             FROM b1 b JOIN sp p ON p.vec_id = b.vec_id AND p.sub = b.sub
+               CROSS JOIN range(0, 8) t(i)
+             GROUP BY b.sub, b.cid, t.i),
+      c1 AS (SELECT sub, cid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+             FROM e1 GROUP BY sub, cid),
+      a2 AS (SELECT p.vec_id, p.sub, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM sp p JOIN c1 c ON c.sub = p.sub CROSS JOIN range(0, 8) t(i)
+             GROUP BY p.vec_id, p.sub, c.cid),
+      b2 AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid, row_number() OVER (
+                 PARTITION BY vec_id, sub
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a2) WHERE rk = 1),
+      e2 AS (SELECT b.sub, b.cid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+               COUNT(*) AS cnt
+             FROM b2 b JOIN sp p ON p.vec_id = b.vec_id AND p.sub = b.sub
+               CROSS JOIN range(0, 8) t(i)
+             GROUP BY b.sub, b.cid, t.i),
+      c2 AS (SELECT sub, cid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+             FROM e2 GROUP BY sub, cid),
+      a3 AS (SELECT p.vec_id, p.sub, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM sp p JOIN c2 c ON c.sub = p.sub CROSS JOIN range(0, 8) t(i)
+             GROUP BY p.vec_id, p.sub, c.cid),
+      codes AS (SELECT vec_id, sub, cid AS code FROM (
+               SELECT vec_id, sub, cid, row_number() OVER (
+                 PARTITION BY vec_id, sub
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a3) WHERE rk = 1)"""
+
+  private val embedPq = GraftQuery(
+    name = "pipeline_embed_pq",
+    doc = "PRODUCT QUANTIZATION (r14 verdict #2, the next ANN rung past " +
+      "int8 + IVF): each 64-dim embedding splits into m=8 contiguous " +
+      "8-dim subspaces; a per-subspace codebook is trained with the " +
+      "SAME integer-exact Lloyd as pipeline_kmeans_train (exact (n, " +
+      "sum-q) codewords, scaled-integer argmin, lowest-cid ties) keyed " +
+      "by subspace, and every subvector is replaced by its nearest " +
+      "codeword id - the vector compresses to 8 small codes and " +
+      "similarity search never touches the floats again (graft.ops.Pq). " +
+      "k=16 codewords/subspace at test SFs (500-2000 vectors); " +
+      "production PQ is k=256 - the identical plan with a bigger " +
+      "(still metadata-sized) codebook broadcast. Training shuffles " +
+      "only fixed-width (sub, cid, dim) rows, one m*k broadcast per " +
+      "round; DuckDB replays quantize, both Lloyd rounds and the " +
+      "final assignment bit for bit.",
+    oracle = Some(PqOracleCtes + """
+      SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub"""),
+    run = (s, dir) => {
+      import graft.ops.Pq
+      val pts = Pq.subPoints(table(s, dir, "embeddings"), m = 8, sd = 8)
+        .localCheckpoint(true) // feeds every Lloyd round + the encode
+      Pq.encode(pts, Pq.train(pts, k = 16, iters = 2))
+        .orderBy("vec_id", "sub")
+    })
+
+  private val pqRecall = GraftQuery(
+    name = "pipeline_pq_recall",
+    doc = "PQ recall audit, symmetric to pipeline_ann_recall/" +
+      "pipeline_ivf_recall: recall@3 of ADC (asymmetric-distance) " +
+      "top-3 under the pipeline_embed_pq codebooks vs the EXACT " +
+      "top-3 by full 64-dim squared distance over the same int8 " +
+      "points and query set (vec_id < 20), one summary row - the " +
+      "measurement isolates pure product-quantization loss (same " +
+      "metric, same quantization, only the subspace factorization " +
+      "approximates). ADC is the PQ payoff made differential: " +
+      "per-query lookup tables (m*k doubles, broadcast) + a " +
+      "(sub, code) join against the 8-byte codes, the float vectors " +
+      "never read; the m per-subspace terms fold in FIXED subspace " +
+      "order so the double sums are bit-identical cross-engine. " +
+      "Exact-integer hit count, single division at the end.",
+    oracle = Some(PqOracleCtes + """,
+      qs AS (SELECT vec_id AS query_id, sub, q FROM sp WHERE vec_id < 20),
+      tba AS (SELECT q.query_id, c.sub, c.cid,
+                SUM((q.q[t.i+1]*c.n - c.sv[t.i+1])
+                  * (q.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+                MAX(c.n) AS n
+              FROM qs q JOIN c2 c ON c.sub = q.sub
+                CROSS JOIN range(0, 8) t(i)
+              GROUP BY q.query_id, c.sub, c.cid),
+      tb AS (SELECT query_id, sub, cid,
+               CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE) AS d FROM tba),
+      adc AS (SELECT t.query_id, cd.vec_id AS neighbor_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(t.d ORDER BY t.sub)), (acc, x) -> acc + x) AS dist
+              FROM codes cd JOIN tb t
+                ON t.sub = cd.sub AND t.cid = cd.code
+                AND cd.vec_id <> t.query_id
+              GROUP BY t.query_id, cd.vec_id),
+      rpq AS (SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+              FROM adc),
+      top3 AS (SELECT query_id, neighbor_id FROM rpq WHERE rank <= 3),
+      exb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                SUM((q.q[t.i+1] - c.q[t.i+1])
+                  * (q.q[t.i+1] - c.q[t.i+1])) AS d2
+              FROM pts q JOIN pts c
+                ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+                CROSS JOIN range(0, 64) t(i)
+              GROUP BY q.vec_id, c.vec_id),
+      rex AS (SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+              FROM exb),
+      ex3 AS (SELECT query_id, neighbor_id FROM rex WHERE rank <= 3),
+      hits AS (SELECT a.query_id, COUNT(*) AS n_hit
+               FROM top3 a JOIN ex3 b
+                 ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY 1)
+      SELECT n_queries, k, n_hits,
+             CAST(n_hits AS DOUBLE) / CAST(n_queries * k AS DOUBLE) AS recall
+      FROM (SELECT (SELECT COUNT(DISTINCT query_id) FROM ex3) AS n_queries,
+                   CAST(3 AS BIGINT) AS k,
+                   CAST((SELECT COALESCE(SUM(n_hit), 0) FROM hits)
+                     AS BIGINT) AS n_hits)"""),
+    run = (s, dir) => {
+      import graft.ops.{KMeans, Pq}
+      val emb = table(s, dir, "embeddings")
+      val pts = Pq.subPoints(emb, m = 8, sd = 8)
+        .localCheckpoint(true) // feeds train, encode AND the query side
+      // tiny (m*k rows) but derived through 2 Lloyd rounds: pin once so
+      // encode + ADC tables don't re-train (kmeans/semanticDedup
+      // convention)
+      val cb = Pq.train(pts, k = 16, iters = 2).localCheckpoint(true)
+      val codes = Pq.encode(pts, cb)
+      val qs = pts.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("sub"), col("q"))
+      val adc = Pq.adcDistances(codes, Pq.adcTables(qs, cb))
+        .filter(col("neighbor_id") =!= col("query_id"))
+      val wA = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("neighbor_id"))
+      val top3 = adc.withColumn("rank", row_number().over(wA))
+        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
+      // exact full-dim int8 baseline: pure-integer distances, the
+      // knnBrute shape over quantized points
+      val full = KMeans.quantize(emb)
+      val q20 = full.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val exd = full.select(col("vec_id").as("neighbor_id"), col("q"))
+        .join(broadcast(q20), col("neighbor_id") =!= col("query_id"))
+        .withColumn("d2", aggregate(
+          zip_with(col("qq"), col("q"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+      val wE = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("neighbor_id"))
+      // exact top-3 feeds the hit join AND the n_queries aggregate:
+      // pin once (annRecall convention)
+      val ex3 = exd.withColumn("rank", row_number().over(wE))
+        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
+        .localCheckpoint(true)
+      val hits = top3.join(ex3, Seq("query_id", "neighbor_id"), "left_semi")
+      ex3.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_queries"), lit(3L).as("k"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) /
+            (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
+    })
+
   private val packSequences = GraftQuery(
     name = "pipeline_pack_sequences",
     doc = "Greedy sequence packing (the batch-assembly step before " +
@@ -2570,8 +2795,11 @@ object PipelineQueries {
       val t = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       val langN = t.groupBy("lang").agg(count(lit(1)).as("__n"))
-      val ranked = graft.ops.SkewWindows.rankedPrefix(t, "lang",
-        Seq(col("n_chars").desc, col("doc_id")), None, "__rank", "__cum")
+      // cost-based dispatch (r14 verdict #3): the bucket rule already
+      // needs per-language counts, so the probe reuses langN for free
+      val ranked = graft.ops.SkewWindows.rankedPrefixAuto(t, "lang",
+        Seq(col("n_chars").desc, col("doc_id")), None, "__rank", "__cum",
+        precomputedCounts = Some((langN, "__n")))
       ranked.join(broadcast(langN), "lang")
         .withColumn("bin",
           graft.ops.SkewWindows.ntileFromRank("__rank", "__n", 4)
@@ -2695,8 +2923,10 @@ object PipelineQueries {
       val t = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      // cost-based dispatch (r14 verdict #3): plain per-language window
+      // below the threshold, two-phase range layout above
       graft.ops.SkewWindows
-        .rankedPrefix(t, "lang", Seq(col("doc_id")),
+        .rankedPrefixAuto(t, "lang", Seq(col("doc_id")),
           Some("n_tokens"), "__rank", "cum_tokens")
         .filter(col("cum_tokens") <= TokenBudget)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
@@ -3318,12 +3548,15 @@ object PipelineQueries {
       ORDER BY doc_id"""),
     run = (s, dir) => {
       val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"))
-      val minCnt = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-        .agg(min(col("cnt")).as("m"))
+      // per-language counts feed the balance floor AND the dispatch
+      // probe (r14 verdict #3) — one aggregate, probe free
+      val langCnt = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val minCnt = langCnt.agg(min(col("cnt")).as("m"))
       graft.ops.SkewWindows
-        .rankedPrefix(docs, "lang",
+        .rankedPrefixAuto(docs, "lang",
           Seq(graft.ops.Sampling.hash32(col("doc_id")), col("doc_id")),
-          None, "pick_rank", "__cum")
+          None, "pick_rank", "__cum",
+          precomputedCounts = Some((langCnt, "cnt")))
         .crossJoin(broadcast(minCnt))
         .filter(col("pick_rank") <= col("m"))
         .select("doc_id", "lang", "pick_rank")
@@ -3875,6 +4108,10 @@ object PipelineQueries {
         .localCheckpoint(true) // feeds 3 branches (tot, ranked, output)
       val tot = broadcast(
         stats.agg(sum("t").as("tt"), count(lit(1)).as("m")))
+      // partition-less window is INTENTIONAL: it runs over the
+      // per-SOURCE stats frame (m = number of corpus sources, a
+      // metadata-sized constant at any data scale), so WindowExec's
+      // single-partition warning is noise here, not a scale risk
       val w = Window.orderBy(col("t"), col("source"))
       val ranked = stats.crossJoin(tot)
         .withColumn("rn", row_number().over(w).cast(LongType))
@@ -3912,11 +4149,13 @@ object PipelineQueries {
     scoreWinsorizeGk,
     stratifiedSample, sourceMix, qualityDupFrac, trainingExport,
     corpusClean, embedQuantize,
-    piiScrub, qualityRepetition, tokenEntropy, decontaminate, decontamBloom,
+    piiScrub, qualityRepetition, tokenEntropy, tokenEntropyExact,
+    decontaminate, decontamBloom,
     decontamOverlap,
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
-    kmeansTrain, diverseCoreset, packSequences, tfidfTopk, zipfSpectrum,
+    kmeansTrain, embedPq, pqRecall, diverseCoreset, packSequences,
+    tfidfTopk, zipfSpectrum,
     curriculumBins,
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
     semanticDedup, ingestSemDedup, multimodalIngest, embedOutliers, dupSpan,

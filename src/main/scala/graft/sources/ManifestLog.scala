@@ -5,6 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Append-only JSON MANIFEST LOG over copy-on-write parquet files — the
   * transaction-log half of a lakehouse table format (the piece
@@ -18,30 +19,34 @@ import scala.jdk.CollectionConverters._
   *     (data-file paths relative to the table root) — a LOG of actions,
   *     not a snapshot, so readers REPLAY entries 0..v to resolve the
   *     live file set as of v;
-  *   - commits are OPTIMISTIC and atomic: the manifest is staged to a
-  *     temp file and published with `Files.createLink` — POSIX link(2)
-  *     fails with EEXIST atomically if the version was already
-  *     committed (a plain rename would silently REPLACE the loser's
-  *     view: rename(2) clobbers). Two writers racing to commit the
-  *     same version → exactly one wins, the other gets [[Conflict]]
-  *     and must re-read the log, rebase, and retry at the next version
-  *     — the whole serializable-writer story of a real table format,
-  *     pinned by ManifestLogSpec's concurrent-writer test.
+  *   - commits are OPTIMISTIC and atomic, through the ONE
+  *     storage-dependent primitive [[LogStore.publish]] (atomic
+  *     create-if-absent; POSIX binds it to link(2), an object store
+  *     binds it to a conditional PUT / catalog CAS — r14 verdict #5).
+  *     Two writers racing to commit the same version → exactly one
+  *     wins, the other gets [[Conflict]] and must re-read the log,
+  *     rebase, and retry at the next version — the whole
+  *     serializable-writer story of a real table format, pinned by
+  *     ManifestLogSpec's concurrent-writer test ON BOTH the POSIX and
+  *     the CAS-mock store.
   *
   * At 100 TB the log is metadata-sized (one small JSON per commit; the
   * data files never move), reads list one directory, and replay cost
-  * stays flat via [[writeCheckpoint]] (checkpoint-seeded tail replay).
+  * stays flat via [[writeCheckpoint]] (checkpoint-seeded tail replay) —
+  * maintained automatically by [[CheckpointPolicy]] (r14 verdict #4):
+  * every K winning commits fold a checkpoint and prune the manifests
+  * already folded by the PREVIOUS checkpoint, so log size and replay
+  * cost are both O(K) for the life of the table.
   *
-  * PORTABILITY CAVEAT (documented, not hidden): the atomic-publish
-  * primitive here is POSIX link(2) — correct on any local/NFS-like
-  * filesystem, but OBJECT STORES have no atomic create-if-absent
-  * rename, which is exactly why the production formats put the commit
-  * race elsewhere (Delta: a per-table LogStore with a conditional-put
-  * or coordination service; Iceberg: an atomic catalog pointer swap).
-  * Porting this log to S3 means swapping `Files.createLink` for a
-  * conditional PUT (If-None-Match) or a catalog CAS — the manifest
-  * format, replay and checkpoint logic are storage-agnostic and carry
-  * over unchanged. */
+  * PRUNE SAFETY (the mid-prune reader): manifests are deleted in
+  * DESCENDING version order, so at every instant the surviving
+  * manifests below the prune horizon form a prefix 0..j. A concurrent
+  * reader of version w therefore either (a) replays an intact prefix /
+  * an intact checkpoint + tail — exact; or (b) finds w missing from the
+  * listing and fails the [[filesAsOf]] membership require — loud. A
+  * SILENT wrong resolution (replay over a gapped prefix, which
+  * ascending-order deletion would permit) cannot occur; pinned by
+  * ManifestLogSpec's torn-prune test. */
 object ManifestLog {
 
   /** Optimistic-concurrency loser: `version` was committed by another
@@ -49,52 +54,64 @@ object ManifestLog {
   final case class Conflict(version: Long) extends RuntimeException(
     s"manifest version $version already committed by a concurrent writer")
 
+  /** Auto-checkpoint policy (r14 verdict #4): after a winning commit of
+    * a version divisible by `every` (and > 0), fold a checkpoint at
+    * that version and prune the manifests at or below the PREVIOUS
+    * checkpoint (they are folded twice over; the tail since the
+    * previous checkpoint stays replayable for time travel).
+    * Checkpoints themselves are never auto-deleted — one tiny file per
+    * K commits, and each keeps its own version resolvable forever. */
+  final case class CheckpointPolicy(every: Long) {
+    require(every > 0, s"checkpoint interval must be positive: $every")
+  }
+
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def manifestName(v: Long): String = f"$v%020d.json"
+  private def checkpointName(v: Long): String = f"$v%020d.checkpoint.json"
 
-  /** Stage + atomically publish the manifest for `version`. Throws
-    * [[Conflict]] (and leaves the log untouched) if that version is
-    * already committed. */
-  def commit(root: String, version: Long, adds: Seq[String],
-      removes: Seq[String], op: String): Unit = {
-    val dir = logDir(root)
-    Files.createDirectories(dir)
+  private val ManifestRe = "^\\d{20}\\.json$".r
+  private val CheckpointRe = "^\\d{20}\\.checkpoint\\.json$".r
+
+  /** The production binding: this table root's `_log/` directory on a
+    * POSIX filesystem. */
+  def storeFor(root: String): LogStore = new PosixLogStore(logDir(root))
+
+  // ---- store-parameterized core (the storage-agnostic protocol) ----
+
+  /** Stage + atomically publish the manifest for `version`; throws
+    * [[Conflict]] (leaving the log untouched) if that version is
+    * already committed. With a `policy`, the winning commit then
+    * maintains the checkpoint + retention invariants. */
+  def commitIn(store: LogStore, version: Long, adds: Seq[String],
+      removes: Seq[String], op: String,
+      policy: Option[CheckpointPolicy] = None): Unit = {
     def arr(fs: Seq[String]) =
       fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
     val json = s"""{"version":$version,"op":"$op",""" +
       s""""adds":${arr(adds)},"removes":${arr(removes)}}"""
-    val tmp = Files.createTempFile(dir, s".stage-$version-", ".json")
-    Files.writeString(tmp, json)
-    try Files.createLink(dir.resolve(manifestName(version)), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw Conflict(version)
-    } finally Files.deleteIfExists(tmp)
+    if (!store.publish(manifestName(version), json)) throw Conflict(version)
+    for (p <- policy if version > 0 && version % p.every == 0) {
+      writeCheckpointIn(store, version)
+      // retention: manifests folded by the PREVIOUS checkpoint are now
+      // folded twice over — prune them, newest first (see prune-safety
+      // note in the object doc)
+      for (prev <- checkpointVersionsIn(store).filter(_ < version)
+             .lastOption;
+           v <- versionsIn(store).filter(_ <= prev).reverse)
+        store.delete(manifestName(v))
+    }
   }
 
-  private val ManifestRe = "^\\d{20}\\.json$".r
-  private val CheckpointRe = "^\\d{20}\\.checkpoint\\.json$".r
-  private def checkpointName(v: Long): String = f"$v%020d.checkpoint.json"
-
-  private def listLog(root: String): Seq[String] = {
-    val dir = logDir(root)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).toSeq
-  }
-
-  /** Committed versions in ascending order (lexicographic listing of
-    * the zero-padded names — stage temp files are dot-prefixed,
-    * checkpoints carry a `.checkpoint` infix; both are skipped). */
-  def versions(root: String): Seq[Long] =
-    listLog(root).filter(n => ManifestRe.matches(n))
+  /** Committed versions in ascending order (stage temp files are
+    * dot-prefixed and already absent from [[LogStore.list]];
+    * checkpoints carry a `.checkpoint` infix and are skipped here). */
+  def versionsIn(store: LogStore): Seq[Long] =
+    store.list().filter(n => ManifestRe.matches(n))
       .map(_.stripSuffix(".json").toLong).sorted
 
-  def latestVersion(root: String): Option[Long] = versions(root).lastOption
-
   /** Versions with a published checkpoint, ascending. */
-  def checkpointVersions(root: String): Seq[Long] =
-    listLog(root).filter(n => CheckpointRe.matches(n))
+  def checkpointVersionsIn(store: LogStore): Seq[Long] =
+    store.list().filter(n => CheckpointRe.matches(n))
       .map(_.stripSuffix(".checkpoint.json").toLong).sorted
 
   // self-authored JSON (writers above/below): fields are flat string
@@ -114,35 +131,28 @@ object ManifestLog {
     * one, resolve cost grows with table age forever). A checkpoint is
     * DERIVED state: every writer computes the identical content from
     * the immutable manifests, so publication is idempotent — the same
-    * atomic-link protocol as [[commit]] but a lost race is a no-op,
-    * not a conflict. */
-  def writeCheckpoint(root: String, version: Long): Unit = {
-    val files = replay(root, version)
-    val dir = logDir(root)
+    * atomic-publish protocol as [[commitIn]] but a lost race is a
+    * no-op, not a conflict. */
+  def writeCheckpointIn(store: LogStore, version: Long): Unit = {
+    val files = replayIn(store, version)
     val json = s"""{"version":$version,"files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]}"
-    val tmp = Files.createTempFile(dir, s".ckpt-$version-", ".json")
-    Files.writeString(tmp, json)
-    try Files.createLink(dir.resolve(checkpointName(version)), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException => () // idempotent
-    } finally Files.deleteIfExists(tmp)
+    store.publish(checkpointName(version), json) // false = lost race, ok
   }
 
   /** Replay seeded from the nearest checkpoint ≤ `version` (full
     * replay from 0 when none): fold the remaining manifests' adds and
     * removes in commit order. */
-  private def replay(root: String, version: Long): Seq[String] = {
+  private def replayIn(store: LogStore, version: Long): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    val ckpt = checkpointVersions(root).filter(_ <= version).lastOption
+    val ckpt = checkpointVersionsIn(store).filter(_ <= version).lastOption
     ckpt.foreach { cv =>
-      val json = Files.readString(logDir(root).resolve(checkpointName(cv)))
-      field(json, "files").foreach(live.add)
+      field(store.read(checkpointName(cv)), "files").foreach(live.add)
     }
-    versions(root)
+    versionsIn(store)
       .filter(v => v <= version && ckpt.forall(v > _))
       .foreach { v =>
-        val json = Files.readString(logDir(root).resolve(manifestName(v)))
+        val json = store.read(manifestName(v))
         field(json, "removes").foreach(live.remove)
         field(json, "adds").foreach(live.add)
       }
@@ -150,17 +160,38 @@ object ManifestLog {
   }
 
   /** Live data files as of `version`: checkpoint-seeded log replay.
-    * Throws if `version` was never committed (a time-travel read must
-    * not silently resolve a neighboring version). */
-  def filesAsOf(root: String, version: Long): Seq[String] = {
-    val vs = versions(root)
+    * Throws if `version` was never committed or has been pruned past
+    * (a time-travel read must not silently resolve a neighboring
+    * version). */
+  def filesAsOfIn(store: LogStore, version: Long): Seq[String] = {
+    val vs = versionsIn(store)
     // a checkpoint can serve its own version even after the manifests
     // it folded were pruned (the retention story checkpoints enable)
     require(vs.contains(version) ||
-      checkpointVersions(root).contains(version),
+      checkpointVersionsIn(store).contains(version),
       s"version $version not in manifest log (have: $vs)")
-    replay(root, version)
+    replayIn(store, version)
   }
+
+  // ---- root-based API (POSIX binding; the callers' surface) ----
+
+  def commit(root: String, version: Long, adds: Seq[String],
+      removes: Seq[String], op: String,
+      policy: Option[CheckpointPolicy] = None): Unit =
+    commitIn(storeFor(root), version, adds, removes, op, policy)
+
+  def versions(root: String): Seq[Long] = versionsIn(storeFor(root))
+
+  def latestVersion(root: String): Option[Long] = versions(root).lastOption
+
+  def checkpointVersions(root: String): Seq[Long] =
+    checkpointVersionsIn(storeFor(root))
+
+  def writeCheckpoint(root: String, version: Long): Unit =
+    writeCheckpointIn(storeFor(root), version)
+
+  def filesAsOf(root: String, version: Long): Seq[String] =
+    filesAsOfIn(storeFor(root), version)
 
   /** Snapshot read AS OF `version`, resolved through log replay —
     * never through path conventions. */
@@ -174,9 +205,9 @@ object ManifestLog {
   /** Relative paths of the parquet part-files under `root/$sub`. */
   def partFiles(root: String, sub: String): Seq[String] = {
     val dir = Paths.get(root, sub)
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .toSeq.sorted.map(n => s"$sub/$n")
+    Using.resource(Files.list(dir))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq).sorted.map(n => s"$sub/$n")
   }
 }

@@ -520,7 +520,12 @@ object EventStream {
     * sequential by contract (each query family drains from one caller
     * at a time). */
   private def drainToTable(spark: SparkSession, df: DataFrame,
-      prefix: String, mode: OutputMode): DataFrame = {
+      prefix: String, mode: OutputMode): DataFrame =
+    drainToTableWithProgress(spark, df, prefix, mode)._1
+
+  private def drainToTableWithProgress(spark: SparkSession, df: DataFrame,
+      prefix: String, mode: OutputMode): (DataFrame,
+        Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     // the memory-sink temp view registers in the session that STARTS
     // the query — the drain session the sources were built on, not the
     // caller's parent session (df.sparkSession is that clone; `spark`
@@ -536,7 +541,7 @@ object EventStream {
     Option(lastDrain.put(prefix, name))
       .filter(_ != name)
       .foreach(session.catalog.dropTempView(_))
-    out
+    (out, q.recentProgress.toSeq)
   }
   private val lastDrain =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -961,10 +966,16 @@ object EventStream {
     * Every emitted stat is order-insensitive (count, min, max, set
     * size), so the processor is correct under any row order and any
     * batch split — no single-batch contract, unlike the session
-    * processors whose gap logic needs event-time order. TTLConfig.NONE
-    * because the drained run is finite; a production deployment sets a
-    * TTL here and the store evicts idle users without a timer sweep. */
-  class UserStatsProcessor
+    * processors whose gap logic needs event-time order. `ttlMs = 0`
+    * (TTLConfig.NONE) for the finite drained runs; a production
+    * deployment passes a TTL — THEIR eviction story, since this state
+    * is key-bounded by construction (one row per user, no horizon to
+    * watermark away): the store expires users idle past the TTL
+    * without a timer sweep, per state primitive, in processing time
+    * (Spark requires TimeMode.ProcessingTime for TTL state). The TTL
+    * rung (tools/TtlProbe + EventStreamSpec's eviction pin) measures
+    * exactly that via stateOperators. */
+  class UserStatsProcessor(ttlMs: Long = 0L)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, TypedUserEvent, UserStatsRow] {
     import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState, MapState}
@@ -972,11 +983,15 @@ object EventStream {
     @transient private var totals: ValueState[UserStatsState] = _
     @transient private var seenTypes: MapState[String, Boolean] = _
 
+    private def ttlConf: org.apache.spark.sql.streaming.TTLConfig =
+      if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else TTLConfig.NONE
+
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       totals = getHandle.getValueState[UserStatsState]("totals",
-        E.product[UserStatsState], TTLConfig.NONE)
+        E.product[UserStatsState], ttlConf)
       seenTypes = getHandle.getMapState[String, Boolean]("seen_types",
-        E.STRING, E.scalaBoolean, TTLConfig.NONE)
+        E.STRING, E.scalaBoolean, ttlConf)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[TypedUserEvent],
@@ -1009,7 +1024,14 @@ object EventStream {
     * under ANY batch split — `maxFilesPerTrigger` exists for the spec
     * that proves exactly that with a real multi-batch run. */
   def userStatsDrained(spark: SparkSession, eventsPath: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    userStatsDrainedWithProgress(spark, eventsPath, maxFilesPerTrigger)._1
+
+  /** [[userStatsDrained]] with the query's per-batch progress. */
+  private[graft] def userStatsDrainedWithProgress(spark: SparkSession,
+      eventsPath: String, maxFilesPerTrigger: Option[Int] = None)
+      : (DataFrame,
+        Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     implicit val ds: SparkSession = rocksDrainSession(spark)
     import ds.implicits._
     val src = eventsStream(ds, eventsPath, maxFilesPerTrigger)
@@ -1020,12 +1042,87 @@ object EventStream {
       .groupByKey(_.user_id)
       .transformWithState(new UserStatsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
-    drainToTable(ds, out.toDF(), "graft_stream_tws", OutputMode.Update())
-      .groupBy("user_id")
+    val (table, progress) = drainToTableWithProgress(ds, out.toDF(),
+      "graft_stream_tws", OutputMode.Update())
+    (userStatsFold(table), progress)
+  }
+
+  private def userStatsFold(table: DataFrame): DataFrame =
+    table.groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"),
         max(col("n_event_types")).as("n_event_types"),
         min(col("first_ts_us")).as("first_ts_us"),
         max(col("last_ts_us")).as("last_ts_us"))
+
+  /** The TTL rung's entry point: [[UserStatsProcessor]] with a per-state
+    * processing-time TTL, run to FULL EXPIRY. TTL state requires
+    * TimeMode.ProcessingTime, and in that mode
+    * `TransformWithStateExec.shouldRunAnotherBatch` is unconditionally
+    * true — `Trigger.AvailableNow` therefore NEVER terminates (measured
+    * before this was written: 4.7k empty micro-batches and counting on
+    * an 8-file landing). The honest production shape is a periodic
+    * trigger anyway, so this drain runs `Trigger.ProcessingTime
+    * (triggerMs)` and stops the query ITSELF once the source is
+    * exhausted and the store reports ZERO state rows — the full
+    * eviction arc (admitted → idle → expired) in one bounded run. The
+    * empty micro-batches between exhaustion and expiry are exactly
+    * where the store's TTL sweep runs; their stateOperators metrics are
+    * the measurement. A TTL changes OUTPUT only if a key is touched
+    * again after expiring (its stats would restart) — on a landing
+    * where each user's events arrive within one batch (tools/TtlProbe's
+    * churn-cohort layout) the result is bit-identical to the no-TTL
+    * run, which probe and spec assert. Progress rows are accumulated by
+    * batchId during the poll (recentProgress alone caps at 100). */
+  private[graft] def userStatsTtlDrainedWithProgress(spark: SparkSession,
+      eventsPath: String, maxFilesPerTrigger: Option[Int],
+      ttlMs: Long, triggerMs: Long = 250L, maxWaitMs: Long = 300000L)
+      : (DataFrame,
+        Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    implicit val ds: SparkSession = rocksDrainSession(spark)
+    import ds.implicits._
+    val src = eventsStream(ds, eventsPath, maxFilesPerTrigger)
+    val out = src
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[TypedUserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+    val name = s"graft_stream_tws_ttl_${drainId.incrementAndGet()}"
+    val q = out.toDF().writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+    val seen = scala.collection.mutable.LinkedHashMap.empty[Long,
+      org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val t0 = System.currentTimeMillis()
+    var done = false
+    var sawData = false
+    while (!done && System.currentTimeMillis() - t0 < maxWaitMs) {
+      Thread.sleep(triggerMs)
+      q.recentProgress.foreach(p => seen.getOrElseUpdate(p.batchId, p))
+      sawData ||= seen.valuesIterator.exists(_.numInputRows > 0)
+      // stop once data has flowed, the source is drained, and the
+      // store has expired every row — the arc this drain measures
+      done = sawData && seen.valuesIterator.toSeq.lastOption.exists(p =>
+        p.numInputRows == 0 && p.stateOperators.nonEmpty &&
+          p.stateOperators.map(_.numRowsTotal).sum == 0)
+    }
+    // stop() interrupts whatever empty micro-batch is in flight; its
+    // aborted commit (CANNOT_COMMIT from the interrupted RocksDB
+    // checkpoint) is post-measurement noise — every DATA batch
+    // committed long before `done` flipped, and the sink table is
+    // already complete
+    try { q.stop(); q.awaitTermination() }
+    catch { case _: Exception => () }
+    q.recentProgress.foreach(p => seen.getOrElseUpdate(p.batchId, p))
+    require(done, s"TTL drain did not reach full expiry in ${maxWaitMs}ms")
+    val table = ds.table(name)
+    Option(lastDrain.put("graft_stream_tws_ttl", name))
+      .filter(_ != name)
+      .foreach(ds.catalog.dropTempView(_))
+    (userStatsFold(table), seen.values.toSeq)
   }
 
   /** Batch-computed per-user snapshot used to BOOTSTRAP streaming state

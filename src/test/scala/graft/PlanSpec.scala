@@ -605,24 +605,32 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("per-language family has no per-language window (skew scale-out)") {
+    import graft.ops.SkewWindows
     // token_budget / class_balance / curriculum_bins: a dominant
-    // language must never funnel through one task — rank/cumsum come
-    // from SkewWindows' range layout + narrow assignment, so the plan
-    // must show NO Window operator and a rangepartitioning exchange
-    // (inside the persisted phase-1 relation)
-    for (q <- Seq("pipeline_token_budget", "pipeline_class_balance",
-        "pipeline_curriculum_bins", "lake_sessionize")) {
-      val df = Registry.byName(q).run(spark, dir)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-      assert(!p.contains("Window ["), s"$q has a window operator:\n$p")
-      val full = df.queryExecution.executedPlan.toString
-      assert(full.contains("rangepartitioning") ||
-        full.contains("REPARTITION_BY_RANGE"),
-        s"$q lost the range layout:\n$full")
-      graft.Caches.clearAll(spark)
-    }
+    // language must never funnel through one task AT SCALE —
+    // rank/cumsum come from SkewWindows' range layout + narrow
+    // assignment. Since r15 these callers go through the COST-BASED
+    // dispatcher (r14 verdict #3), so the scale posture is pinned with
+    // the threshold forced to 0: the plan must show NO Window operator
+    // and a rangepartitioning exchange (inside the persisted phase-1
+    // relation). At test scale the dispatcher legitimately picks the
+    // plain window — the both-branch equality test covers that side.
+    spark.conf.set(SkewWindows.SmallGroupRowsKey, "0")
+    try {
+      for (q <- Seq("pipeline_token_budget", "pipeline_class_balance",
+          "pipeline_curriculum_bins", "lake_sessionize")) {
+        val df = Registry.byName(q).run(spark, dir)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(!p.contains("Window ["), s"$q has a window operator:\n$p")
+        val full = df.queryExecution.executedPlan.toString
+        assert(full.contains("rangepartitioning") ||
+          full.contains("REPARTITION_BY_RANGE"),
+          s"$q lost the range layout:\n$full")
+        graft.Caches.clearAll(spark)
+      }
+    } finally spark.conf.unset(SkewWindows.SmallGroupRowsKey)
   }
 
   test("lake_window_ranks dispatches on group size: plain window on " +
@@ -656,6 +664,31 @@ class PlanSpec extends AnyFunSuite {
       assert(df1.collect().toSeq == df2.collect().toSeq)
     } finally spark.conf.unset(SkewWindows.SmallGroupRowsKey)
     graft.Caches.clearAll(spark)
+  }
+
+  test("every rankedPrefixAuto adopter returns the identical frame on " +
+      "both dispatch branches (r14 verdict #3)") {
+    import graft.ops.SkewWindows
+    // the r15 adopters: lang-keyed budget/balance/bins, the bm25
+    // postings rank (probe = the free df column), and curate_full's
+    // constant-group global cumsum
+    val adopters = Seq("pipeline_token_budget", "pipeline_class_balance",
+      "pipeline_curriculum_bins", "pipeline_bm25_query",
+      "pipeline_curate_full")
+    for (q <- adopters) {
+      val small = Registry.byName(q).run(spark, dir).collect().toSeq
+      assert(SkewWindows.lastAutoBranch == "window",
+        s"$q: expected window branch at test scale")
+      graft.Caches.clearAll(spark)
+      spark.conf.set(SkewWindows.SmallGroupRowsKey, "0")
+      try {
+        val forced = Registry.byName(q).run(spark, dir).collect().toSeq
+        assert(SkewWindows.lastAutoBranch == "twophase",
+          s"$q: threshold 0 did not force the two-phase branch")
+        assert(forced == small, s"$q: branches disagree")
+      } finally spark.conf.unset(SkewWindows.SmallGroupRowsKey)
+      graft.Caches.clearAll(spark)
+    }
   }
 
   test("quality classifier inference is narrow: range exchanges only, " +

@@ -6,10 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** The r14 vector VALIDATION CONTRACT, pinned where the pathological-
-  * embeddings differential sweep found the crashes: under Spark 4's
-  * default ANSI mode a zero-norm cosine is a thrown DIVIDE_BY_ZERO and
-  * an un-clamped huge coordinate a thrown long overflow — one garbage
-  * embedding failing a 1000-executor job. `VectorOps.prepared` drops
+  * embeddings differential sweep found the failures: a zero-norm
+  * cosine is 0/0 double division — IEEE NaN (ANSI DIVIDE_BY_ZERO
+  * covers integral/decimal division only), which poisons every
+  * downstream similarity and the cross-engine exact-hash compare —
+  * and an un-clamped huge coordinate is a thrown long overflow under
+  * ANSI — one garbage embedding failing a 1000-executor job or
+  * silently corrupting its output. `VectorOps.prepared` drops
   * zero/non-finite-norm vectors; `KMeans.quantize` clamps coordinates
   * to [-1, 1]. Real unit-ish corpora pass both untouched (the full
   * sf0.01 differential is hash-unchanged). */

@@ -118,4 +118,92 @@ class ManifestLogSpec extends AnyFunSuite {
       ManifestLog.filesAsOf(root, next - 1), "merge")
     assert(ManifestLog.filesAsOf(root, 2) == Seq("data/v2/mine.parquet"))
   }
+
+  test("the 8-writer race holds on the CAS-mock store: conflict " +
+      "semantics are the protocol's, not link(2)'s (r14 verdict #5)") {
+    val store = new InMemoryLogStore
+    ManifestLog.commitIn(store, 0, Seq("data/v0/base.parquet"), Seq.empty,
+      "write")
+    val n = 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val attempts = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            try {
+              ManifestLog.commitIn(store, 1, Seq(s"data/v1/w$i.parquet"),
+                Seq("data/v0/base.parquet"), "merge")
+              true
+            } catch { case ManifestLog.Conflict(1L) => false }
+          }
+        })
+      }
+      gate.countDown()
+      val wins = attempts.map(_.get()).count(identity)
+      assert(wins == 1, s"expected exactly one winning commit, got $wins")
+    } finally pool.shutdown()
+    assert(ManifestLog.versionsIn(store) == Seq(0L, 1L))
+    val v1 = ManifestLog.filesAsOfIn(store, 1)
+    assert(v1.length == 1 && v1.head.startsWith("data/v1/w"))
+  }
+
+  test("auto-checkpoint policy folds every K commits and prunes " +
+      "manifests behind the previous checkpoint (r14 verdict #4)") {
+    val root = freshRoot()
+    val policy = Some(ManifestLog.CheckpointPolicy(every = 4))
+    // 10 linear commits; each version rewrites the previous file set
+    (0L to 9L).foreach { v =>
+      ManifestLog.commit(root, v, Seq(s"data/v$v/f.parquet"),
+        if (v == 0) Seq.empty else Seq(s"data/v${v - 1}/f.parquet"),
+        "merge", policy)
+    }
+    // checkpoints folded at 4 and 8; the 8-fold pruned manifests <= 4
+    assert(ManifestLog.checkpointVersions(root) == Seq(4L, 8L))
+    assert(ManifestLog.versions(root) == Seq(5L, 6L, 7L, 8L, 9L),
+      "manifests folded by the previous checkpoint must be pruned")
+    // every surviving version resolves exactly; 4 resolves via its own
+    // checkpoint even though its manifest is gone
+    (4L to 9L).foreach { v =>
+      assert(ManifestLog.filesAsOf(root, v) == Seq(s"data/v$v/f.parquet"))
+    }
+    // pruned, checkpoint-less versions fail loudly
+    intercept[IllegalArgumentException](ManifestLog.filesAsOf(root, 3))
+    // the same policy drives the oracle-facing invariant: a fresh
+    // commit keeps resolving (11 % 4 != 0 -> no fold; 12 folds again)
+    (10L to 12L).foreach { v =>
+      ManifestLog.commit(root, v, Seq(s"data/v$v/f.parquet"),
+        Seq(s"data/v${v - 1}/f.parquet"), "merge", policy)
+    }
+    assert(ManifestLog.checkpointVersions(root) == Seq(4L, 8L, 12L))
+    assert(ManifestLog.versions(root) == Seq(9L, 10L, 11L, 12L))
+    assert(ManifestLog.filesAsOf(root, 12) == Seq("data/v12/f.parquet"))
+  }
+
+  test("a reader mid-prune never resolves a torn prefix: descending " +
+      "deletion leaves only exact-or-loud states") {
+    val root = freshRoot()
+    (0L to 5L).foreach { v =>
+      ManifestLog.commit(root, v, Seq(s"data/v$v/f.parquet"),
+        if (v == 0) Seq.empty else Seq(s"data/v${v - 1}/f.parquet"),
+        "merge")
+    }
+    ManifestLog.writeCheckpoint(root, 5)
+    // simulate a pruner dying mid-way through the DESCENDING delete of
+    // manifests 0..5: versions 5 and 4 are gone, 0..3 survive
+    Seq(5L, 4L).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        root, "_log", f"$v%020d.json"))
+    }
+    // intact prefix below the gap: exact full replay
+    (0L to 3L).foreach { v =>
+      assert(ManifestLog.filesAsOf(root, v) == Seq(s"data/v$v/f.parquet"))
+    }
+    // inside the gap, no checkpoint: loud failure, never a silent
+    // resolve over missing manifests
+    intercept[IllegalArgumentException](ManifestLog.filesAsOf(root, 4))
+    // at/after the checkpoint: exact via checkpoint-seeded replay
+    assert(ManifestLog.filesAsOf(root, 5) == Seq("data/v5/f.parquet"))
+  }
 }

@@ -156,4 +156,52 @@ class EventStreamSpec extends AnyFunSuite {
     val j2 = latest.join(sessions, "user_id")
     assert(j2.filter(col("n_sessions") =!= col("exp_sessions")).count() == 0)
   }
+
+  test("TTL eviction on the user-stats processor: idle state fully " +
+      "expires, answers unchanged (r14 verdict #6)") {
+    // churn-cohort landing (TtlProbe's layout at spec scale): each
+    // micro-batch admits one user cohort which then goes idle — the
+    // workload shape processing-time TTL exists for (this corpus's
+    // users span the whole horizon, so a TIME-slice would leave every
+    // key hot forever and TTL would measure nothing)
+    val nFiles = 4
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_ttl_spec").toString
+    val ev = Readers.table(spark, "/root/testdata/sf0.001", "events")
+    val landing = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(work, "landing")).toString
+    (0 until nFiles).foreach { i =>
+      val tmp = s"$work/slice$i"
+      ev.filter(pmod(col("user_id"), lit(nFiles)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(s"$landing/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val (noTtlDf, noTtlProgress) = EventStream.userStatsDrainedWithProgress(
+      spark, landing, Some(1))
+    val expected = noTtlDf.orderBy("user_id").collect().toSeq
+    // retain-everything baseline: final state = every row ever admitted
+    val admitted = noTtlProgress.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).last
+    val (ttlDf, progress) = EventStream.userStatsTtlDrainedWithProgress(
+      spark, landing, Some(1), ttlMs = 1000L)
+    // 1) answers must not depend on eviction: a cohort is touched in
+    //    exactly one batch, so no key can aggregate across an expiry
+    assert(ttlDf.orderBy("user_id").collect().toSeq == expected)
+    val withState = progress.filter(_.stateOperators.nonEmpty)
+    val perBatch = withState.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val removed = withState.map(_.stateOperators.map(_.numRowsRemoved).sum)
+    // 2) the full eviction arc: the drain's stop condition is zero
+    //    state rows, so every row ever admitted was TTL-expired —
+    //    removed equals the no-TTL run's retain-everything final state
+    //    (conservation: added − removed = final = 0)
+    assert(perBatch.last == 0, s"state not fully expired: $perBatch")
+    assert(removed.sum == admitted,
+      s"eviction did not reclaim exactly the admitted state: " +
+        s"removed=${removed.sum} admitted=$admitted perBatch=$perBatch")
+  }
 }
