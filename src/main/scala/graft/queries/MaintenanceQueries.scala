@@ -622,7 +622,191 @@ object MaintenanceQueries {
         .orderBy("day")
     })
 
+  // -------------------------------------------------------------------
+  // Manifest-level DATA SKIPPING + stats-pruned copy-on-write MERGE.
+  // -------------------------------------------------------------------
+
+  /** Relative paths + per-file [min, max] of `statCol` for the parquet
+    * files under `root/$sub`, computed in ONE distributed pass keyed by
+    * `input_file_name()`. The collect is bounded by the FILE count of
+    * the commit (here 8; a production writer emits these stats inline
+    * from its own write buffers and collects nothing). */
+  private def fileStats(s: SparkSession, root: String, sub: String,
+      statCol: String): Map[String, graft.sources.ManifestLog.FileStat] = {
+    import graft.sources.ManifestLog.FileStat
+    s.read.parquet(s"$root/$sub")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statCol)).cast(LongType).as("lo"),
+        max(col(statCol)).cast(LongType).as("hi"))
+      .collect()
+      .map(r => s"$sub/${r.getString(0).split('/').last}" ->
+        FileStat(r.getLong(1), r.getLong(2))).toMap
+  }
+
+  /** Events flattened to the (user_id, event_id, ts_us, value) shape
+    * the manifest tables commit. */
+  private def flatEvents(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+
+  /** A stats-bearing single-commit events table: v0 is the flat events
+    * corpus range-partitioned by user_id into 8 files, committed with
+    * per-file [min, max] user_id stats. Cached per sfDir (table state,
+    * not the measured operator). */
+  private def skippingRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_manifest_skip", dir) { root =>
+      import graft.sources.ManifestLog
+      flatEvents(s, dir).repartitionByRange(8, col("user_id"))
+        .write.parquet(s"$root/data/v0")
+      val adds = ManifestLog.partFiles(root, "data/v0")
+      ManifestLog.commit(root, 0, adds, Seq.empty, op = "write",
+        stats = fileStats(s, root, "data/v0", "user_id"))
+    }
+
+  private val manifestSkipping = GraftQuery(
+    name = "lake_manifest_skipping",
+    doc = "Manifest-level DATA SKIPPING (r15) - the metadata half of " +
+      "predicate pushdown a real table format adds on top of parquet's " +
+      "own row-group pruning: each committed file carries [min, max] " +
+      "stats of its tracked column IN THE MANIFEST (Iceberg manifest " +
+      "entries / Delta stats JSON), and a ranged read resolves the " +
+      "file list by intersecting intervals in the log - zero data IO " +
+      "for the prune decision at any table size, which at 100 TB is " +
+      "the difference between scanning 8 files and 8000. Files " +
+      "committed WITHOUT stats are never skipped (unknown = must-read), " +
+      "so stats stay a pure optimization; stats fold through " +
+      "checkpoints and die with their file's remove (ManifestLogSpec). " +
+      "The exact row-level filter still applies after the prune - the " +
+      "oracle replays the predicate over the WHOLE corpus, so a prune " +
+      "that drops a file it needed fails the hash, not just a plan " +
+      "expectation (the pruned-scan pin lives in ManifestLogSpec).",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             MAX(epoch_ns(ts) // 1000) AS last_ts_us
+      FROM events WHERE user_id BETWEEN 1 AND 8
+      GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = skippingRoot(s, dir)
+      graft.sources.ManifestLog.readVersionWhere(s, root, 0, 1, 8)
+        .filter(col("user_id").between(1, 8))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+          max(col("ts_us")).as("last_ts_us"))
+        .orderBy("user_id")
+    })
+
+  /** The MERGE band: source rows cover users 1..50 (contiguous so the
+    * stats prune is selective), deletes are user_id % 11 == 0 inside
+    * the band, and the base table "onboarded" only user_id % 5 != 0 —
+    * band users at % 5 == 0 arrive as inserts. */
+  private val MergeLo = 1L
+  private val MergeHi = 50L
+
+  /** Copy-on-write MERGE INTO through the manifest log (r15): v0 is the
+    * SCD1 latest-per-user state over batches 0..2 (users % 5 != 0),
+    * range-partitioned with user_id stats; v1 applies the batch-3
+    * source with full merge semantics, REWRITING ONLY the files whose
+    * stats interval intersects the source key band — the untouched
+    * files carry over by identity, never re-read, never re-written
+    * (how Delta/Iceberg MERGE stays affordable on a 100 TB table when
+    * the source touches one key range). Cached per sfDir. */
+  private def mergeCowRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_merge_cow", dir) { root =>
+      import graft.sources.ManifestLog
+      val ev = flatEvents(s, dir)
+      val base = ev.filter(col("event_id") % 4 <= 2 &&
+          col("user_id") % 5 =!= 0)
+        .groupBy("user_id")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("value")))
+          .as("latest"), count(lit(1)).as("n_events"))
+      base.repartitionByRange(8, col("user_id"))
+        .write.parquet(s"$root/data/v0")
+      ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+        Seq.empty, op = "write",
+        stats = fileStats(s, root, "data/v0", "user_id"))
+
+      val source = ev.filter(col("event_id") % 4 === 3 &&
+          col("user_id").between(MergeLo, MergeHi))
+        .groupBy("user_id")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("value")))
+          .as("s_latest"), count(lit(1)).as("s_n"))
+        .withColumn("deleted", col("user_id") % 11 === 0)
+
+      // the COW decision is metadata-only: which v0 files CAN contain a
+      // band key — everything else carries over by identity
+      val touched = ManifestLog.filesMatching(root, 0, MergeLo, MergeHi)
+      val target = s.read.parquet(touched.map(f => s"$root/$f"): _*)
+      // full merge semantics over the touched slice only; target rows
+      // outside the band have no source match and pass through, source
+      // deletes drop matched rows and ignore unmatched ones
+      val merged = target.join(source, Seq("user_id"), "full_outer")
+        .filter(!coalesce(col("deleted"), lit(false)))
+        .select(col("user_id"),
+          when(col("s_latest").isNull, col("latest"))
+            .when(col("latest").isNull, col("s_latest"))
+            .otherwise(greatest(col("latest"), col("s_latest")))
+            .as("latest"),
+          (coalesce(col("n_events"), lit(0L)) +
+            coalesce(col("s_n"), lit(0L))).as("n_events"))
+      merged.repartitionByRange(4, col("user_id"))
+        .write.parquet(s"$root/data/v1")
+      val adds = ManifestLog.partFiles(root, "data/v1")
+      ManifestLog.commit(root, 1, adds, removes = touched, op = "merge",
+        stats = fileStats(s, root, "data/v1", "user_id"))
+    }
+
+  private val mergeCow = GraftQuery(
+    name = "lake_merge_cow",
+    doc = "Stats-pruned copy-on-write MERGE INTO (r15) - the write half " +
+      "of lake_manifest_skipping's read story and the missing MERGE " +
+      "shape between lake_scd2_upsert (full-table rewrite) and " +
+      "lake_snapshot_manifest (append-only versions): matched+delete " +
+      "drops the row, matched updates (latest = max struct, counts " +
+      "add), unmatched source inserts, unmatched-delete is a no-op - " +
+      "and the rewrite touches ONLY the base files whose manifest " +
+      "stats interval intersects the source key band [1, 50]; every " +
+      "other file carries into v1 by identity (ManifestLogSpec pins " +
+      "untouched-file survival and that the prune beat a full " +
+      "rewrite). At 100 TB this is why a keyed MERGE costs " +
+      "O(touched files), not O(table). Oracle reconstructs the merged " +
+      "state per user class from raw events - base-only, updated, " +
+      "deleted, inserted - so wrong merge semantics OR a file the " +
+      "prune wrongly dropped/kept fails the hash.",
+    oracle = Some(s"""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        value FROM events),
+      kept AS (
+        SELECT * FROM e
+        WHERE CASE
+          WHEN user_id % 5 <> 0 AND user_id BETWEEN $MergeLo AND $MergeHi
+               AND user_id % 11 = 0 THEN FALSE
+          WHEN user_id % 5 <> 0 AND user_id BETWEEN $MergeLo AND $MergeHi
+            THEN event_id % 4 <= 3
+          WHEN user_id % 5 <> 0 THEN event_id % 4 <= 2
+          WHEN user_id BETWEEN $MergeLo AND $MergeHi AND user_id % 11 <> 0
+            THEN event_id % 4 = 3
+          ELSE FALSE END),
+      r AS (SELECT user_id, ts_us, event_id, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts_us DESC, event_id DESC) AS rk,
+              COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM kept)
+      SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+             value AS last_value, CAST(n_events AS BIGINT) AS n_events
+      FROM r WHERE rk = 1 ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = mergeCowRoot(s, dir)
+      graft.sources.ManifestLog.readVersion(s, root, 1)
+        .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
+          col("latest.event_id").as("last_event_id"),
+          col("latest.value").as("last_value"), col("n_events"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
-    snapshotManifest, snapshotCheckpoint, incrementalAgg)
+    snapshotManifest, snapshotCheckpoint, manifestSkipping, mergeCow,
+    incrementalAgg)
 }

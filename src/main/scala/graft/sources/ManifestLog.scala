@@ -65,6 +65,17 @@ object ManifestLog {
     require(every > 0, s"checkpoint interval must be positive: $every")
   }
 
+  /** Per-file column statistics carried in the manifest (r15): the
+    * DATA-SKIPPING seam of a real table format (Iceberg manifest
+    * min/max, Delta's stats JSON) at miniature scale — one tracked
+    * column, closed [min, max] per file. A reader with a range
+    * predicate prunes files whose interval cannot intersect it WITHOUT
+    * touching data — the decision is metadata-sized at any table size.
+    * Files committed without stats are never skipped (conservative:
+    * unknown means must-read), so stats are a pure optimization and
+    * can be adopted file-by-file. */
+  final case class FileStat(min: Long, max: Long)
+
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def manifestName(v: Long): String = f"$v%020d.json"
   private def checkpointName(v: Long): String = f"$v%020d.checkpoint.json"
@@ -84,11 +95,19 @@ object ManifestLog {
     * maintains the checkpoint + retention invariants. */
   def commitIn(store: LogStore, version: Long, adds: Seq[String],
       removes: Seq[String], op: String,
-      policy: Option[CheckpointPolicy] = None): Unit = {
+      policy: Option[CheckpointPolicy] = None,
+      stats: Map[String, FileStat] = Map.empty): Unit = {
     def arr(fs: Seq[String]) =
       fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    // stats ride as flat "path|min|max" strings so the self-authored
+    // parser stays one shape; paths never contain '|' (enforced here)
+    require(stats.keySet.forall(f => adds.contains(f) && !f.contains("|")),
+      "stats must describe committed adds with '|'-free paths")
+    val statArr = arr(adds.flatMap(f =>
+      stats.get(f).map(st => s"$f|${st.min}|${st.max}")))
     val json = s"""{"version":$version,"op":"$op",""" +
-      s""""adds":${arr(adds)},"removes":${arr(removes)}}"""
+      s""""adds":${arr(adds)},"removes":${arr(removes)},""" +
+      s""""stats":$statArr}"""
     if (!store.publish(manifestName(version), json)) throw Conflict(version)
     for (p <- policy if version > 0 && version % p.every == 0) {
       writeCheckpointIn(store, version)
@@ -134,29 +153,45 @@ object ManifestLog {
     * atomic-publish protocol as [[commitIn]] but a lost race is a
     * no-op, not a conflict. */
   def writeCheckpointIn(store: LogStore, version: Long): Unit = {
-    val files = replayIn(store, version)
+    val (files, stats) = replayIn(store, version)
+    def q(s: String) = "\"" + s + "\""
     val json = s"""{"version":$version,"files":[""" +
-      files.map(f => "\"" + f + "\"").mkString(",") + "]}"
+      files.map(q).mkString(",") + """],"stats":[""" +
+      files.flatMap(f => stats.get(f).map(st =>
+        q(s"$f|${st.min}|${st.max}"))).mkString(",") + "]}"
     store.publish(checkpointName(version), json) // false = lost race, ok
   }
 
+  private def parseStats(entries: Seq[String]): Map[String, FileStat] =
+    entries.map { e =>
+      val i = e.lastIndexOf('|'); val j = e.lastIndexOf('|', i - 1)
+      e.substring(0, j) ->
+        FileStat(e.substring(j + 1, i).toLong, e.substring(i + 1).toLong)
+    }.toMap
+
   /** Replay seeded from the nearest checkpoint ≤ `version` (full
-    * replay from 0 when none): fold the remaining manifests' adds and
-    * removes in commit order. */
-  private def replayIn(store: LogStore, version: Long): Seq[String] = {
+    * replay from 0 when none): fold the remaining manifests' adds,
+    * removes and per-file stats in commit order. A removed file drops
+    * its stats; a stats-less add has no entry (never skippable). */
+  private def replayIn(store: LogStore,
+      version: Long): (Seq[String], Map[String, FileStat]) = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val stats = scala.collection.mutable.Map.empty[String, FileStat]
     val ckpt = checkpointVersionsIn(store).filter(_ <= version).lastOption
     ckpt.foreach { cv =>
-      field(store.read(checkpointName(cv)), "files").foreach(live.add)
+      val json = store.read(checkpointName(cv))
+      field(json, "files").foreach(live.add)
+      stats ++= parseStats(field(json, "stats"))
     }
     versionsIn(store)
       .filter(v => v <= version && ckpt.forall(v > _))
       .foreach { v =>
         val json = store.read(manifestName(v))
-        field(json, "removes").foreach(live.remove)
+        field(json, "removes").foreach { f => live.remove(f); stats.remove(f) }
         field(json, "adds").foreach(live.add)
+        stats ++= parseStats(field(json, "stats"))
       }
-    live.toSeq
+    (live.toSeq, stats.toMap)
   }
 
   /** Live data files as of `version`: checkpoint-seeded log replay.
@@ -170,15 +205,64 @@ object ManifestLog {
     require(vs.contains(version) ||
       checkpointVersionsIn(store).contains(version),
       s"version $version not in manifest log (have: $vs)")
-    replayIn(store, version)
+    replayIn(store, version)._1
+  }
+
+  /** Live per-file stats as of `version` (files committed without
+    * stats are absent). Same resolution rules as [[filesAsOfIn]]. */
+  def statsAsOfIn(store: LogStore,
+      version: Long): Map[String, FileStat] = {
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    replayIn(store, version)._2
+  }
+
+  /** DATA SKIPPING: the live files as of `version` that can contain a
+    * row with tracked-column value in the CLOSED range [lo, hi] —
+    * files whose [min, max] interval intersects it, plus every file
+    * with no recorded stats (unknown means must-read; pruning is only
+    * ever an optimization, never a correctness decision). The prune
+    * consults manifest metadata only — at 100 TB this is the read
+    * path's first and cheapest filter, ahead of parquet row-group and
+    * page pruning inside the surviving files. */
+  def filesMatchingIn(store: LogStore, version: Long, lo: Long,
+      hi: Long): Seq[String] = {
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    val (files, stats) = replayIn(store, version)
+    require(files.nonEmpty, s"version $version resolves to no files")
+    files.filter(f =>
+      stats.get(f).forall(st => st.max >= lo && st.min <= hi))
   }
 
   // ---- root-based API (POSIX binding; the callers' surface) ----
 
   def commit(root: String, version: Long, adds: Seq[String],
       removes: Seq[String], op: String,
-      policy: Option[CheckpointPolicy] = None): Unit =
-    commitIn(storeFor(root), version, adds, removes, op, policy)
+      policy: Option[CheckpointPolicy] = None,
+      stats: Map[String, FileStat] = Map.empty): Unit =
+    commitIn(storeFor(root), version, adds, removes, op, policy, stats)
+
+  def statsAsOf(root: String, version: Long): Map[String, FileStat] =
+    statsAsOfIn(storeFor(root), version)
+
+  def filesMatching(root: String, version: Long, lo: Long,
+      hi: Long): Seq[String] =
+    filesMatchingIn(storeFor(root), version, lo, hi)
+
+  /** Snapshot read AS OF `version` PRUNED to the files whose stats
+    * interval intersects [lo, hi] — the caller still applies its exact
+    * row-level predicate; the prune only shrinks the scan. Falls back
+    * to every live file when none match (an empty parquet source list
+    * is a reader error, and "nothing can match" still needs a schema). */
+  def readVersionWhere(spark: SparkSession, root: String, version: Long,
+      lo: Long, hi: Long): DataFrame = {
+    val matching = filesMatching(root, version, lo, hi)
+    val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
+    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+  }
 
   def versions(root: String): Seq[Long] = versionsIn(storeFor(root))
 

@@ -313,6 +313,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._1).sum < rows.map(_._2).sum)
   }
 
+  test("manifest skipping pruned the scan; merge COW carried untouched " +
+      "files by identity (r15)") {
+    import graft.sources.ManifestLog
+    // sf0.01 (150 users over 8 range files) so the key bands are
+    // narrower than the table — at sf0.001 every file intersects and
+    // the prune is legitimately total
+    val d01 = "/root/testdata/sf0.01"
+    Registry.byName("lake_manifest_skipping").run(spark, d01).collect()
+    val skipRoot = graft.TempDirs.cachedDir("graft_manifest_skip", d01)(_ =>
+      fail("skipping root must already be built"))
+    val all0 = ManifestLog.filesAsOf(skipRoot, 0)
+    val hit0 = ManifestLog.filesMatching(skipRoot, 0, 1, 8)
+    assert(hit0.nonEmpty && hit0.size < all0.size,
+      s"user band [1,8] must prune the 8-file scan: ${hit0.size}/${all0.size}")
+
+    Registry.byName("lake_merge_cow").run(spark, d01).collect()
+    val cowRoot = graft.TempDirs.cachedDir("graft_merge_cow", d01)(_ =>
+      fail("merge root must already be built"))
+    val base = ManifestLog.filesAsOf(cowRoot, 0)
+    val touched = ManifestLog.filesMatching(cowRoot, 0, 1, 50)
+    val v1 = ManifestLog.filesAsOf(cowRoot, 1).toSet
+    assert(touched.size < base.size,
+      s"the merge band must beat a full rewrite: ${touched.size}/${base.size}")
+    val untouched = base.filterNot(touched.contains)
+    assert(untouched.nonEmpty && untouched.forall(v1.contains),
+      "untouched base files must carry into v1 by identity")
+    assert(touched.forall(f => !v1.contains(f)),
+      "every touched file must be removed by the merge commit")
+  }
+
   test("golden counts on sf0.001") {
     assert(Registry.byName("parity_time_dim").run(spark, dir).count() == 1000)
     assert(Registry.byName("pipeline_dedup_exact").run(spark, dir)

@@ -181,6 +181,52 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.filesAsOf(root, 12) == Seq("data/v12/f.parquet"))
   }
 
+  test("file stats: ranged reads prune by interval, stats-less files " +
+      "are never skipped, removes drop stats, checkpoints fold them " +
+      "(r15 data skipping)") {
+    import ManifestLog.FileStat
+    val root = freshRoot()
+    // v0: three stats-bearing files covering [0,9], [10,19], [20,29],
+    // plus one legacy file committed WITHOUT stats
+    ManifestLog.commit(root, 0,
+      Seq("data/v0/a.parquet", "data/v0/b.parquet", "data/v0/c.parquet",
+        "data/v0/legacy.parquet"), Seq.empty, "write",
+      stats = Map("data/v0/a.parquet" -> FileStat(0, 9),
+        "data/v0/b.parquet" -> FileStat(10, 19),
+        "data/v0/c.parquet" -> FileStat(20, 29)))
+    // the prune keeps intersecting intervals + every unknown-stats file
+    assert(ManifestLog.filesMatching(root, 0, 12, 14) ==
+      Seq("data/v0/b.parquet", "data/v0/legacy.parquet"))
+    // closed-interval boundaries: touching counts as intersecting
+    assert(ManifestLog.filesMatching(root, 0, 9, 10).toSet ==
+      Set("data/v0/a.parquet", "data/v0/b.parquet", "data/v0/legacy.parquet"))
+    // a range nothing matches still returns the must-read files
+    assert(ManifestLog.filesMatching(root, 0, 1000, 2000) ==
+      Seq("data/v0/legacy.parquet"))
+    // v1 rewrites b: its stats must die with the remove, the
+    // replacement's must take over
+    ManifestLog.commit(root, 1, Seq("data/v1/b2.parquet"),
+      Seq("data/v0/b.parquet"), "merge",
+      stats = Map("data/v1/b2.parquet" -> FileStat(10, 24)))
+    assert(ManifestLog.filesMatching(root, 1, 12, 14) ==
+      Seq("data/v0/legacy.parquet", "data/v1/b2.parquet"))
+    assert(ManifestLog.statsAsOf(root, 1) ==
+      Map("data/v0/a.parquet" -> FileStat(0, 9),
+        "data/v0/c.parquet" -> FileStat(20, 29),
+        "data/v1/b2.parquet" -> FileStat(10, 24)))
+    // stats survive checkpoint folding + manifest pruning
+    ManifestLog.writeCheckpoint(root, 1)
+    (0L to 1L).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        root, "_log", f"$v%020d.json"))
+    }
+    assert(ManifestLog.filesMatching(root, 1, 12, 14) ==
+      Seq("data/v0/legacy.parquet", "data/v1/b2.parquet"))
+    // time travel before the rewrite is gone with the manifests: loud
+    intercept[IllegalArgumentException](ManifestLog.filesMatching(
+      root, 0, 12, 14))
+  }
+
   test("a reader mid-prune never resolves a torn prefix: descending " +
       "deletion leaves only exact-or-loud states") {
     val root = freshRoot()
