@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,15 +43,62 @@ import org.apache.spark.sql.types._
   */
 object Pq {
 
+  /** Subspace slicing of an integer vector frame (vec_id, q): `m` rows
+    * per vector, `sd` dims each (subspace `s` takes dims
+    * [s·sd, (s+1)·sd)); `keep` columns ride along unchanged. */
+  def slices(pts: DataFrame, m: Int, sd: Int,
+      keep: Seq[String] = Seq.empty): DataFrame = {
+    val kept = keep.map(col)
+    pts.select(col("vec_id") +: kept :+
+        explode(sequence(lit(0), lit(m - 1))).as("sub") :+ col("q"): _*)
+      .select(col("vec_id") +: kept :+ col("sub").cast(LongType).as("sub") :+
+        expr(s"slice(q, sub * $sd + 1, $sd)").as("q"): _*)
+  }
+
   /** Int8-quantized subvectors: (vec_id, sub, q: array<long>) — `m`
-    * rows per vector, `sd` dims each, from the full quantized vector
-    * (subspace `s` takes dims [s·sd, (s+1)·sd)). */
+    * rows per vector, `sd` dims each, from the full quantized vector. */
   def subPoints(embeddings: DataFrame, m: Int, sd: Int): DataFrame =
-    KMeans.quantize(embeddings)
-      .select(col("vec_id"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("q"))
-      .select(col("vec_id"), col("sub").cast(LongType).as("sub"),
-        expr(s"slice(q, sub * $sd + 1, $sd)").as("q"))
+    slices(KMeans.quantize(embeddings), m, sd)
+
+  /** Portable integer floor division — truncating div + pmod, so both
+    * engines agree for negative sums too. The quotient is exact (the
+    * numerator is a multiple of `n`), so the IEEE divide is exact. */
+  private def floorDiv(s: Column, n: Column): Column =
+    ((s - pmod(s, n)) / n).cast(LongType)
+
+  /** IVF-PQ residuals (the FAISS IVFPQ layout, Jégou et al. §IV):
+    * each point's coordinates relative to its coarse cell's ROUNDED
+    * integer centroid c_i = floor(s_i / n) — rounding once per cell
+    * keeps residuals integer-exact and cross-engine portable (the
+    * exact rational s/n would force per-cell scale factors that a
+    * SHARED residual codebook cannot absorb). Input `assigned` is
+    * KMeans.assign output (vec_id, cid, q); |r_i| ≤ 254. */
+  def residuals(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("q"), col("sv"),
+          (q, sv) => q - floorDiv(sv, col("n"))).as("q"))
+
+  /** The `nprobe` nearest coarse cells per point — the IVF probe list.
+    * Exact centroid distances (A/n², ties to lowest cid); the window
+    * sorts k rows per point (k = cell count, a constant), so the
+    * partition is never skewed regardless of corpus size. */
+  def probeCells(points: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    points.crossJoin(broadcast(centroids))
+      .withColumn("a",
+        aggregate(
+          zip_with(col("q"), col("sv"),
+            (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("dist",
+        col("a").cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id"), col("cid"))
+  }
 
   /** Per-subspace codebooks after `iters` Lloyd rounds: (sub, cid, n,
     * sv) — k codewords per subspace, seeded from the first k vec_ids

@@ -2650,6 +2650,320 @@ object PipelineQueries {
             (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
     })
 
+  /** The IVF-PQ CTE chain shared by pipeline_ivfpq_search and
+    * pipeline_ivfpq_recall — the FAISS IVFPQ layout made differential:
+    * coarse k=8 Lloyd (the pipeline_kmeans_train chain) → final cell
+    * assignment → integer-rounded centroids (portable floor division)
+    * → 64-dim residuals → m=8×8 residual slices → ONE shared k=16
+    * residual codebook (2 Lloyd rounds) → codes; queries (vec_id < 20)
+    * probe their 2 nearest cells and score candidates by fixed-order
+    * ADC folds. */
+  private val IvfPqOracleCtes = """
+      WITH pts AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
+           FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, q AS sv
+             FROM pts WHERE vec_id < 8),
+      a1 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM pts p CROSS JOIN c0 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a1) WHERE rk = 1),
+      e1 AS (SELECT b.cid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+               COUNT(*) AS cnt
+             FROM b1 b JOIN pts p USING (vec_id)
+               CROSS JOIN range(0, 64) t(i)
+             GROUP BY b.cid, t.i),
+      c1 AS (SELECT cid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+             FROM e1 GROUP BY cid),
+      a2 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM pts p CROSS JOIN c1 c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a2) WHERE rk = 1),
+      e2 AS (SELECT b.cid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+               COUNT(*) AS cnt
+             FROM b2 b JOIN pts p USING (vec_id)
+               CROSS JOIN range(0, 64) t(i)
+             GROUP BY b.cid, t.i),
+      cc AS (SELECT cid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+             FROM e2 GROUP BY cid),
+      a3 AS (SELECT p.vec_id, c.cid,
+               SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM pts p CROSS JOIN cc c CROSS JOIN range(0, 64) t(i)
+             GROUP BY p.vec_id, c.cid),
+      b3 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                 AS rk FROM a3) WHERE rk = 1),
+      cen AS (SELECT cid,
+                list_transform(sv,
+                  s -> CAST((s - ((s % n) + n) % n) / n AS BIGINT)) AS cv
+              FROM cc),
+      res AS (SELECT p.vec_id, b.cid,
+                list(p.q[t.i+1] - c.cv[t.i+1] ORDER BY t.i) AS r
+              FROM pts p JOIN b3 b USING (vec_id)
+                JOIN cen c ON c.cid = b.cid CROSS JOIN range(0, 64) t(i)
+              GROUP BY p.vec_id, b.cid),
+      rsp AS (SELECT vec_id, cid AS cell, t.sub,
+                r[(t.sub*8+1):(t.sub*8+8)] AS q
+              FROM res CROSS JOIN range(0, 8) t(sub)),
+      rc0 AS (SELECT sub, vec_id AS kid, CAST(1 AS BIGINT) AS n, q AS sv
+              FROM rsp WHERE vec_id < 16),
+      ra1 AS (SELECT p.vec_id, p.sub, c.kid,
+                SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                  * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+                MAX(c.n) AS n
+              FROM rsp p JOIN rc0 c ON c.sub = p.sub
+                CROSS JOIN range(0, 8) t(i)
+              GROUP BY p.vec_id, p.sub, c.kid),
+      rb1 AS (SELECT vec_id, sub, kid FROM (
+                SELECT vec_id, sub, kid, row_number() OVER (
+                  PARTITION BY vec_id, sub
+                  ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), kid)
+                  AS rk FROM ra1) WHERE rk = 1),
+      re1 AS (SELECT b.sub, b.kid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+                COUNT(*) AS cnt
+              FROM rb1 b JOIN rsp p ON p.vec_id = b.vec_id AND p.sub = b.sub
+                CROSS JOIN range(0, 8) t(i)
+              GROUP BY b.sub, b.kid, t.i),
+      rc1 AS (SELECT sub, kid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+              FROM re1 GROUP BY sub, kid),
+      ra2 AS (SELECT p.vec_id, p.sub, c.kid,
+                SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                  * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+                MAX(c.n) AS n
+              FROM rsp p JOIN rc1 c ON c.sub = p.sub
+                CROSS JOIN range(0, 8) t(i)
+              GROUP BY p.vec_id, p.sub, c.kid),
+      rb2 AS (SELECT vec_id, sub, kid FROM (
+                SELECT vec_id, sub, kid, row_number() OVER (
+                  PARTITION BY vec_id, sub
+                  ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), kid)
+                  AS rk FROM ra2) WHERE rk = 1),
+      re2 AS (SELECT b.sub, b.kid, t.i AS dim, SUM(p.q[t.i+1]) AS sx,
+                COUNT(*) AS cnt
+              FROM rb2 b JOIN rsp p ON p.vec_id = b.vec_id AND p.sub = b.sub
+                CROSS JOIN range(0, 8) t(i)
+              GROUP BY b.sub, b.kid, t.i),
+      rc2 AS (SELECT sub, kid, MAX(cnt) AS n, list(sx ORDER BY dim) AS sv
+              FROM re2 GROUP BY sub, kid),
+      ra3 AS (SELECT p.vec_id, p.sub, c.kid,
+                SUM((p.q[t.i+1]*c.n - c.sv[t.i+1])
+                  * (p.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+                MAX(c.n) AS n
+              FROM rsp p JOIN rc2 c ON c.sub = p.sub
+                CROSS JOIN range(0, 8) t(i)
+              GROUP BY p.vec_id, p.sub, c.kid),
+      rcodes AS (SELECT vec_id, sub, kid AS code FROM (
+                SELECT vec_id, sub, kid, row_number() OVER (
+                  PARTITION BY vec_id, sub
+                  ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), kid)
+                  AS rk FROM ra3) WHERE rk = 1),
+      qp AS (SELECT vec_id AS query_id, q FROM pts WHERE vec_id < 20),
+      pa AS (SELECT q.query_id, c.cid,
+               SUM((q.q[t.i+1]*c.n - c.sv[t.i+1])
+                 * (q.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+               MAX(c.n) AS n
+             FROM qp q CROSS JOIN cc c CROSS JOIN range(0, 64) t(i)
+             GROUP BY q.query_id, c.cid),
+      probe AS (SELECT query_id, cid FROM (
+                SELECT query_id, cid, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
+                  AS rk FROM pa) WHERE rk <= 2),
+      qres AS (SELECT q.query_id, p.cid AS cell,
+                 list(q.q[t.i+1] - c.cv[t.i+1] ORDER BY t.i) AS r
+               FROM qp q JOIN probe p USING (query_id)
+                 JOIN cen c ON c.cid = p.cid CROSS JOIN range(0, 64) t(i)
+               GROUP BY q.query_id, p.cid),
+      qrsp AS (SELECT query_id, cell, t.sub,
+                 r[(t.sub*8+1):(t.sub*8+8)] AS q
+               FROM qres CROSS JOIN range(0, 8) t(sub)),
+      tba AS (SELECT q.query_id, q.cell, c.sub, c.kid AS code,
+                SUM((q.q[t.i+1]*c.n - c.sv[t.i+1])
+                  * (q.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+                MAX(c.n) AS n
+              FROM qrsp q JOIN rc2 c ON c.sub = q.sub
+                CROSS JOIN range(0, 8) t(i)
+              GROUP BY q.query_id, q.cell, c.sub, c.kid),
+      tb AS (SELECT query_id, cell, sub, code,
+               CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE) AS d FROM tba),
+      cand AS (SELECT t.query_id, r.vec_id AS neighbor_id, t.sub, t.d
+               FROM rcodes r JOIN rsp s ON s.vec_id = r.vec_id
+                 AND s.sub = r.sub
+               JOIN tb t ON t.cell = s.cell AND t.sub = r.sub
+                 AND t.code = r.code AND r.vec_id <> t.query_id),
+      adc AS (SELECT query_id, neighbor_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(d ORDER BY sub)), (acc, x) -> acc + x) AS dist
+              FROM cand GROUP BY query_id, neighbor_id),
+      srk AS (SELECT query_id, neighbor_id, dist, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+              FROM adc)"""
+
+  /** Spark side of the shared IVF-PQ stages; returns (pts, cells, cb,
+    * codes) with the reused frames pinned once (kmeans convention). */
+  private def ivfPqStages(s: SparkSession, dir: String) = {
+    import graft.ops.{KMeans, Pq}
+    val pts = KMeans.quantize(table(s, dir, "embeddings"))
+      .localCheckpoint(true) // feeds coarse train, assign AND queries
+    val cells = KMeans.train(pts, k = 8, iters = 2)
+      .localCheckpoint(true) // k tiny rows derived through 2 rounds
+    val assigned = KMeans.assign(pts, cells)
+    val rsp = Pq.slices(Pq.residuals(assigned, cells), m = 8, sd = 8,
+        keep = Seq("cid"))
+      .localCheckpoint(true) // feeds PQ train, encode AND cell lookup
+    val cb = Pq.train(rsp.select("vec_id", "sub", "q"), k = 16, iters = 2)
+      .localCheckpoint(true)
+    // codes rejoin their coarse cell on vec_id — at 100 TB both sides
+    // are co-partitioned by vec_id out of the same shuffle
+    val codes = Pq.encode(rsp.select("vec_id", "sub", "q"), cb)
+      .join(assigned.select(col("vec_id"), col("cid").as("cell")), "vec_id")
+    (pts, cells, cb, codes)
+  }
+
+  /** ADC top-3 per query over the probed cells — the shared search
+    * body of both IVF-PQ queries. */
+  private def ivfPqTop3(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Pq
+    val (pts, cells, cb, codes) = ivfPqStages(s, dir)
+    val qp = pts.filter(col("vec_id") < 20)
+    val probed = Pq.probeCells(qp, cells, nprobe = 2)
+    // query residual AGAINST EACH probed cell: the probed frame is
+    // shaped exactly like a cell assignment, so residuals() applies
+    val qrsp = Pq.slices(
+      Pq.residuals(probed.join(qp, "vec_id"), cells), m = 8, sd = 8,
+      keep = Seq("cid"))
+    // per-(query, cell) lookup tables: nq·nprobe·m·k rows — metadata
+    val tables = qrsp
+      .join(broadcast(cb.withColumnRenamed("cid", "code")), "sub")
+      .withColumn("a",
+        aggregate(
+          zip_with(col("q"), col("sv"),
+            (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
+          lit(0L), (acc, v) => acc + v))
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"),
+        col("sub"), col("code"),
+        (col("a").cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType)).as("d"))
+    // candidates = codes living in a probed cell; exactly one table row
+    // per (query, neighbor, sub), folded in FIXED subspace order so the
+    // dist double is bit-identical cross-engine
+    val adc = codes.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(tables), Seq("cell", "sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("d")))),
+          e => e.getField("d")),
+        lit(0.0d), (acc, v) => acc + v).as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+  }
+
+  private val ivfPqSearch = GraftQuery(
+    name = "pipeline_ivfpq_search",
+    doc = "IVF-PQ SEARCH (r15) - the production billion-scale ANN " +
+      "layout (FAISS IVFPQ; Jegou et al. TPAMI 2011 SIV) composed " +
+      "from the engine's own rungs: coarse k=8 cells trained with the " +
+      "integer-exact Lloyd of pipeline_kmeans_train, per-point " +
+      "RESIDUALS against integer-rounded centroids (portable pure-" +
+      "integer floor division - the exact rational s/n would force " +
+      "per-cell scales a SHARED codebook cannot absorb), one shared " +
+      "m=8 k=16 residual codebook, and queries that probe their " +
+      "nprobe=2 nearest cells and score ONLY those cells' codes via " +
+      "fixed-order ADC table folds - at 100 TB the scan reads " +
+      "nprobe/k of the codes (8 bytes each), never the floats, and " +
+      "the tables stay nq*nprobe*m*k doubles (broadcast). Output " +
+      "top-3 per query incl. the ADC dist double: bit-identical " +
+      "cross-engine because every fold adds correctly-rounded " +
+      "exact-integer quotients in the same subspace order. DuckDB " +
+      "replays the ENTIRE chain - both Lloyds, rounding, residuals, " +
+      "probe, ADC - bit for bit.",
+    oracle = Some(IvfPqOracleCtes + """
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dist
+      FROM srk WHERE rank <= 3 ORDER BY query_id, rank"""),
+    run = (s, dir) =>
+      ivfPqTop3(s, dir)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dist"))
+        .orderBy("query_id", "rank"))
+
+  private val ivfPqRecall = GraftQuery(
+    name = "pipeline_ivfpq_recall",
+    doc = "IVF-PQ recall audit - recall@3 of pipeline_ivfpq_search's " +
+      "probed-ADC top-3 vs the EXACT full-dim int8 top-3 over the " +
+      "same query set, one summary row closing the ANN audit ladder " +
+      "(ann_recall: hyperplane LSH; ivf_recall: exact-dist IVF; " +
+      "pq_recall: whole-corpus ADC; here BOTH approximations at once " +
+      "- cell pruning AND subspace quantization). An IVF-PQ recall " +
+      "below the pq_recall row quantifies the probe loss; below " +
+      "ivf_recall, the quantization loss. Exact-integer hit count, " +
+      "single division at the end.",
+    oracle = Some(IvfPqOracleCtes + """,
+      ivf3 AS (SELECT query_id, neighbor_id FROM srk WHERE rank <= 3),
+      exb AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                SUM((q.q[t.i+1] - c.q[t.i+1])
+                  * (q.q[t.i+1] - c.q[t.i+1])) AS d2
+              FROM qp q JOIN pts c ON c.vec_id <> q.query_id
+                CROSS JOIN range(0, 64) t(i)
+              GROUP BY q.query_id, c.vec_id),
+      rex AS (SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+              FROM exb),
+      ex3 AS (SELECT query_id, neighbor_id FROM rex WHERE rank <= 3),
+      hits AS (SELECT a.query_id, COUNT(*) AS n_hit
+               FROM ivf3 a JOIN ex3 b
+                 ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY 1)
+      SELECT n_queries, k, n_hits,
+             CAST(n_hits AS DOUBLE) / CAST(n_queries * k AS DOUBLE) AS recall
+      FROM (SELECT (SELECT COUNT(DISTINCT query_id) FROM ex3) AS n_queries,
+                   CAST(3 AS BIGINT) AS k,
+                   CAST((SELECT COALESCE(SUM(n_hit), 0) FROM hits)
+                     AS BIGINT) AS n_hits)"""),
+    run = (s, dir) => {
+      import graft.ops.KMeans
+      val ivf3 = ivfPqTop3(s, dir).select("query_id", "neighbor_id")
+      // exact full-dim int8 baseline (the pq_recall shape)
+      val full = KMeans.quantize(table(s, dir, "embeddings"))
+      val q20 = full.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val exd = full.select(col("vec_id").as("neighbor_id"), col("q"))
+        .join(broadcast(q20), col("neighbor_id") =!= col("query_id"))
+        .withColumn("d2", aggregate(
+          zip_with(col("qq"), col("q"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+      val wE = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("neighbor_id"))
+      val ex3 = exd.withColumn("rank", row_number().over(wE))
+        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
+        .localCheckpoint(true) // feeds the hit join AND n_queries
+      val hits = ivf3.join(ex3, Seq("query_id", "neighbor_id"), "left_semi")
+      ex3.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_queries"), lit(3L).as("k"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) /
+            (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
+    })
+
   private val packSequences = GraftQuery(
     name = "pipeline_pack_sequences",
     doc = "Greedy sequence packing (the batch-assembly step before " +
@@ -4154,7 +4468,8 @@ object PipelineQueries {
     decontamOverlap,
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
-    kmeansTrain, embedPq, pqRecall, diverseCoreset, packSequences,
+    kmeansTrain, embedPq, pqRecall, ivfPqSearch, ivfPqRecall,
+    diverseCoreset, packSequences,
     tfidfTopk, zipfSpectrum,
     curriculumBins,
     incrementalIngest, qualityFamiliarity, tokenBudget, knnFiltered,
