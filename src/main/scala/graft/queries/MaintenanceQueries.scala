@@ -650,6 +650,28 @@ object MaintenanceQueries {
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
 
+  /** [[fileStats]] generalized to NAMED columns: per file, [min, max]
+    * of every column in `cols`, one distributed pass. Same bounded
+    * collect (file count of the commit). */
+  private def fileColStats(s: SparkSession, root: String, sub: String,
+      cols: Seq[String])
+      : Map[String, Map[String, graft.sources.ManifestLog.FileStat]] = {
+    import graft.sources.ManifestLog.FileStat
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast(LongType).as(s"lo_$c"),
+      max(col(c)).cast(LongType).as(s"hi_$c")))
+    s.read.parquet(s"$root/$sub")
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        s"$sub/${r.getString(0).split('/').last}" ->
+          cols.map(c => c -> FileStat(
+            r.getLong(r.fieldIndex(s"lo_$c")),
+            r.getLong(r.fieldIndex(s"hi_$c")))).toMap
+      }.toMap
+  }
+
   /** A stats-bearing single-commit events table: v0 is the flat events
     * corpus range-partitioned by user_id into 8 files, committed with
     * per-file [min, max] user_id stats. Cached per sfDir (table state,
@@ -694,6 +716,91 @@ object MaintenanceQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
           max(col("ts_us")).as("last_ts_us"))
+        .orderBy("user_id")
+    })
+
+  /** Closed µs bounds of the multicol box: [2024-01-10, 2024-01-20). */
+  private val BoxTsLo = 1704844800000000L
+  private val BoxTsHi = 1705708800000000L - 1
+
+  /** A Z-ORDER-clustered, colstats-committed events table: the flat
+    * corpus Morton-ordered over 8-bit ranks of (user_id, ts_us) — the
+    * [[zorderedOrdersDir]] interleave — written as 8 files and
+    * committed with per-file [min, max] stats on BOTH columns in the
+    * manifest. The z-layout is what makes two-column stats worth
+    * carrying: each file's interval is tight in BOTH dimensions, so a
+    * conjunctive prune multiplies (1-D clustering leaves the second
+    * column's interval spanning the full domain — its predicate then
+    * never prunes a file). Cached per sfDir. */
+  private def multicolRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_skip_multicol", dir) { root =>
+      import graft.sources.ManifestLog
+      val ev = flatEvents(s, dir)
+      val bounds = ev.agg(
+        min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+        min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val scaled = ev.crossJoin(broadcast(bounds))
+        .withColumn("__zx",
+          expr("(user_id - u0) * 256 div (u1 - u0 + 1)"))
+        // ts spans ~2.6e12 µs: rank by div-first so the multiply can
+        // never overflow a long at any horizon length
+        .withColumn("__zy",
+          expr("(ts_us - t0) div ((t1 - t0) div 256 + 1)"))
+      val morton = (0 until 8).map { i =>
+        shiftleft(shiftright(col("__zx"), i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(
+            shiftleft(shiftright(col("__zy"), i).bitwiseAND(lit(1L)),
+              2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      scaled.withColumn("__z", morton)
+        .repartitionByRange(8, col("__z"))
+        .sortWithinPartitions("__z")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("value"))
+        .write.parquet(s"$root/data/v0")
+      val adds = ManifestLog.partFiles(root, "data/v0")
+      ManifestLog.commit(root, 0, adds, Seq.empty, op = "write",
+        colStats = fileColStats(s, root, "data/v0",
+          Seq("user_id", "ts_us")))
+    }
+
+  private val skippingMulticol = GraftQuery(
+    name = "lake_skipping_multicol",
+    doc = "MULTI-DIMENSIONAL manifest data skipping (r15) - " +
+      "lake_manifest_skipping's single tracked column generalized to " +
+      "NAMED per-column [min, max] stats, composed with the Z-order " +
+      "layout family (lake_zorder_layout): the events corpus is " +
+      "Morton-clustered over (user_id, ts_us) and committed with " +
+      "manifest stats on both columns, and a box query (user band x " +
+      "10-day window) resolves its file list by intersecting BOTH " +
+      "intervals in the log - the conjunction prunes multiplicatively " +
+      "where 1-D stats could only prune on one axis (on a z-layout " +
+      "each file is tight in both dimensions; on a 1-D layout the " +
+      "second column's interval spans the domain and its predicate " +
+      "never prunes). Unknown columns and stats-less files are " +
+      "must-read per predicate, so the prune stays a pure " +
+      "optimization; ManifestLogSpec pins conjunction < best single " +
+      "axis on the z-layout, colstats death on remove, and fold " +
+      "through checkpoints. Oracle replays the box aggregate over the " +
+      "WHOLE raw corpus - a file the prune wrongly dropped fails the " +
+      "hash. At 100 TB this decides 'which 60 of 80,000 files' " +
+      "before any data IO.",
+    oracle = Some(s"""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE user_id BETWEEN 1 AND 8
+        AND epoch_ns(ts) // 1000 BETWEEN $BoxTsLo AND $BoxTsHi
+      GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = multicolRoot(s, dir)
+      graft.sources.ManifestLog.readVersionWhereCols(s, root, 0,
+          Seq(("user_id", 1L, 8L), ("ts_us", BoxTsLo, BoxTsHi)))
+        .filter(col("user_id").between(1, 8) &&
+          col("ts_us").between(BoxTsLo, BoxTsHi))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
         .orderBy("user_id")
     })
 
@@ -808,5 +915,5 @@ object MaintenanceQueries {
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
     snapshotManifest, snapshotCheckpoint, manifestSkipping, mergeCow,
-    incrementalAgg)
+    skippingMulticol, incrementalAgg)
 }

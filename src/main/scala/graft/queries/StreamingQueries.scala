@@ -549,11 +549,45 @@ object StreamingQueries {
       EventStream.sessionWindowDrained(s, s"$dir/events.parquet")
         .orderBy("user_id", "session_start_us"))
 
+  private val streamManifestSink = GraftQuery(
+    name = "stream_manifest_sink",
+    doc = "EXACTLY-ONCE streaming ingest through the manifest log " +
+      "(r15) - the seam where the streaming family meets the " +
+      "lakehouse family (Delta's txn/setTransaction action): each " +
+      "micro-batch (4 event-cohort landing files, maxFilesPerTrigger=" +
+      "1, pinned mtimes) lands parquet files and publishes ONE atomic " +
+      "manifest carrying an (appId, batchId) txn marker; a replayed " +
+      "batch finds its marker IN THE LOG and no-ops. The run then " +
+      "re-executes the ENTIRE stream against a fresh checkpoint - " +
+      "total streaming-checkpoint loss, the replay case batchId-keyed " +
+      "version dirs (stream_foreachbatch_upsert) cannot survive - and " +
+      "requires the log to still end at v3. Oracle: per-user count / " +
+      "decimal-sum / last-ts over the raw events - ANY double-ingest " +
+      "the txn protocol let through doubles a count and fails the " +
+      "hash, as does any batch wrongly skipped. Txn markers fold " +
+      "through checkpoints (CheckpointPolicy every=2 fires mid-run) " +
+      "and survive manifest pruning - ManifestSinkSpec pins both plus " +
+      "the check-then-publish race. At 100 TB: append-only data " +
+      "files, one small JSON per batch, metadata-sized replay.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             MAX(epoch_ns(ts) // 1000) AS last_ts_us
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) =>
+      graft.streaming.ManifestSink.ingested(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"),
+          max(col("ts_us")).as("last_ts_us"))
+        .orderBy("user_id"))
+
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSlidingCounts,
     streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
     streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert,
     streamOuterJoin, streamStreamJoinHotkey, streamTwsUserStats,
     streamSessionTimeout, streamTwsBootstrap, streamStateMigration,
-    streamSessionMigration, streamSessionWindow)
+    streamSessionMigration, streamSessionWindow, streamManifestSink)
 }

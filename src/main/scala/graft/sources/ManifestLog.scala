@@ -76,6 +76,16 @@ object ManifestLog {
     * can be adopted file-by-file. */
   final case class FileStat(min: Long, max: Long)
 
+  /** The full fold of the log up to a version: live files, their
+    * single-column stats, their NAMED-column stats (path → column →
+    * [min, max]; the multi-dimensional skipping seam), and the latest
+    * committed batch per writer appId (the exactly-once txn seam —
+    * Delta's setTransaction / txn action). */
+  final case class Replay(files: Seq[String],
+      stats: Map[String, FileStat],
+      colStats: Map[String, Map[String, FileStat]],
+      txns: Map[String, Long])
+
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def manifestName(v: Long): String = f"$v%020d.json"
   private def checkpointName(v: Long): String = f"$v%020d.checkpoint.json"
@@ -96,18 +106,31 @@ object ManifestLog {
   def commitIn(store: LogStore, version: Long, adds: Seq[String],
       removes: Seq[String], op: String,
       policy: Option[CheckpointPolicy] = None,
-      stats: Map[String, FileStat] = Map.empty): Unit = {
+      stats: Map[String, FileStat] = Map.empty,
+      colStats: Map[String, Map[String, FileStat]] = Map.empty,
+      txn: Option[(String, Long)] = None): Unit = {
     def arr(fs: Seq[String]) =
       fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
     // stats ride as flat "path|min|max" strings so the self-authored
     // parser stays one shape; paths never contain '|' (enforced here)
     require(stats.keySet.forall(f => adds.contains(f) && !f.contains("|")),
       "stats must describe committed adds with '|'-free paths")
+    // colstats ride as "path|col|min|max"; txn as "appId|batchId"
+    require(colStats.forall { case (f, cs) =>
+      adds.contains(f) && !f.contains("|") &&
+        cs.keySet.forall(!_.contains("|")) },
+      "colstats must describe committed adds; paths and columns '|'-free")
+    require(txn.forall { case (app, b) => !app.contains("|") && b >= 0 },
+      "txn appId must be '|'-free with a non-negative batchId")
     val statArr = arr(adds.flatMap(f =>
       stats.get(f).map(st => s"$f|${st.min}|${st.max}")))
+    val colStatArr = arr(adds.flatMap(f =>
+      colStats.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
+        case (c, st) => s"$f|$c|${st.min}|${st.max}" })))
+    val txnArr = arr(txn.toSeq.map { case (app, b) => s"$app|$b" })
     val json = s"""{"version":$version,"op":"$op",""" +
       s""""adds":${arr(adds)},"removes":${arr(removes)},""" +
-      s""""stats":$statArr}"""
+      s""""stats":$statArr,"colstats":$colStatArr,"txn":$txnArr}"""
     if (!store.publish(manifestName(version), json)) throw Conflict(version)
     for (p <- policy if version > 0 && version % p.every == 0) {
       writeCheckpointIn(store, version)
@@ -153,12 +176,19 @@ object ManifestLog {
     * atomic-publish protocol as [[commitIn]] but a lost race is a
     * no-op, not a conflict. */
   def writeCheckpointIn(store: LogStore, version: Long): Unit = {
-    val (files, stats) = replayIn(store, version)
+    val r = replayIn(store, version)
     def q(s: String) = "\"" + s + "\""
     val json = s"""{"version":$version,"files":[""" +
-      files.map(q).mkString(",") + """],"stats":[""" +
-      files.flatMap(f => stats.get(f).map(st =>
-        q(s"$f|${st.min}|${st.max}"))).mkString(",") + "]}"
+      r.files.map(q).mkString(",") + """],"stats":[""" +
+      r.files.flatMap(f => r.stats.get(f).map(st =>
+        q(s"$f|${st.min}|${st.max}"))).mkString(",") +
+      """],"colstats":[""" +
+      r.files.flatMap(f => r.colStats.get(f).toSeq
+        .flatMap(_.toSeq.sortBy(_._1).map { case (c, st) =>
+          q(s"$f|$c|${st.min}|${st.max}") })).mkString(",") +
+      """],"txns":[""" +
+      r.txns.toSeq.sortBy(_._1).map { case (app, b) => q(s"$app|$b") }
+        .mkString(",") + "]}"
     store.publish(checkpointName(version), json) // false = lost race, ok
   }
 
@@ -169,29 +199,60 @@ object ManifestLog {
         FileStat(e.substring(j + 1, i).toLong, e.substring(i + 1).toLong)
     }.toMap
 
+  /** "path|col|min|max" → path → col → stat (path may contain no '|',
+    * enforced at commit, so rightmost-split parsing is unambiguous). */
+  private def parseColStats(
+      entries: Seq[String]): Map[String, Map[String, FileStat]] =
+    entries.map { e =>
+      val i = e.lastIndexOf('|'); val j = e.lastIndexOf('|', i - 1)
+      val k = e.lastIndexOf('|', j - 1)
+      (e.substring(0, k), e.substring(k + 1, j),
+        FileStat(e.substring(j + 1, i).toLong, e.substring(i + 1).toLong))
+    }.groupBy(_._1).view.mapValues(
+      _.map(t => t._2 -> t._3).toMap).toMap
+
+  private def parseTxns(entries: Seq[String]): Seq[(String, Long)] =
+    entries.map { e =>
+      val i = e.lastIndexOf('|')
+      e.substring(0, i) -> e.substring(i + 1).toLong
+    }
+
   /** Replay seeded from the nearest checkpoint ≤ `version` (full
     * replay from 0 when none): fold the remaining manifests' adds,
-    * removes and per-file stats in commit order. A removed file drops
-    * its stats; a stats-less add has no entry (never skippable). */
-  private def replayIn(store: LogStore,
-      version: Long): (Seq[String], Map[String, FileStat]) = {
+    * removes, per-file stats (single- and named-column) and txn
+    * markers in commit order. A removed file drops its stats; a
+    * stats-less add has no entry (never skippable); a writer's txn
+    * folds as the MAX batchId seen (batchIds are monotone per app, so
+    * max = latest even across a checkpoint + tail seam). */
+  private def replayIn(store: LogStore, version: Long): Replay = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.Map.empty[String, FileStat]
+    val colStats =
+      scala.collection.mutable.Map.empty[String, Map[String, FileStat]]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    def foldTxns(entries: Seq[(String, Long)]): Unit =
+      entries.foreach { case (app, b) =>
+        txns(app) = txns.get(app).fold(b)(math.max(_, b)) }
     val ckpt = checkpointVersionsIn(store).filter(_ <= version).lastOption
     ckpt.foreach { cv =>
       val json = store.read(checkpointName(cv))
       field(json, "files").foreach(live.add)
       stats ++= parseStats(field(json, "stats"))
+      colStats ++= parseColStats(field(json, "colstats"))
+      foldTxns(parseTxns(field(json, "txns")))
     }
     versionsIn(store)
       .filter(v => v <= version && ckpt.forall(v > _))
       .foreach { v =>
         val json = store.read(manifestName(v))
-        field(json, "removes").foreach { f => live.remove(f); stats.remove(f) }
+        field(json, "removes").foreach { f =>
+          live.remove(f); stats.remove(f); colStats.remove(f) }
         field(json, "adds").foreach(live.add)
         stats ++= parseStats(field(json, "stats"))
+        colStats ++= parseColStats(field(json, "colstats"))
+        foldTxns(parseTxns(field(json, "txn")))
       }
-    (live.toSeq, stats.toMap)
+    Replay(live.toSeq, stats.toMap, colStats.toMap, txns.toMap)
   }
 
   /** Live data files as of `version`: checkpoint-seeded log replay.
@@ -205,7 +266,7 @@ object ManifestLog {
     require(vs.contains(version) ||
       checkpointVersionsIn(store).contains(version),
       s"version $version not in manifest log (have: $vs)")
-    replayIn(store, version)._1
+    replayIn(store, version).files
   }
 
   /** Live per-file stats as of `version` (files committed without
@@ -215,7 +276,27 @@ object ManifestLog {
     require(versionsIn(store).contains(version) ||
       checkpointVersionsIn(store).contains(version),
       s"version $version not in manifest log")
-    replayIn(store, version)._2
+    replayIn(store, version).stats
+  }
+
+  /** Live per-file NAMED-column stats as of `version`. */
+  def colStatsAsOfIn(store: LogStore,
+      version: Long): Map[String, Map[String, FileStat]] = {
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    replayIn(store, version).colStats
+  }
+
+  /** EXACTLY-ONCE writer seam (Delta's txn action): the highest
+    * batchId this `appId` has ever committed, resolved from the log
+    * itself — so an idempotence decision survives even TOTAL loss of
+    * the writer's own checkpoint. None when the writer never
+    * committed (or the log is empty). */
+  def lastTxnIn(store: LogStore, appId: String): Option[Long] = {
+    val latest =
+      (versionsIn(store) ++ checkpointVersionsIn(store)).maxOption
+    latest.flatMap(v => replayIn(store, v).txns.get(appId))
   }
 
   /** DATA SKIPPING: the live files as of `version` that can contain a
@@ -231,10 +312,33 @@ object ManifestLog {
     require(versionsIn(store).contains(version) ||
       checkpointVersionsIn(store).contains(version),
       s"version $version not in manifest log")
-    val (files, stats) = replayIn(store, version)
-    require(files.nonEmpty, s"version $version resolves to no files")
-    files.filter(f =>
-      stats.get(f).forall(st => st.max >= lo && st.min <= hi))
+    val r = replayIn(store, version)
+    require(r.files.nonEmpty, s"version $version resolves to no files")
+    r.files.filter(f =>
+      r.stats.get(f).forall(st => st.max >= lo && st.min <= hi))
+  }
+
+  /** MULTI-DIMENSIONAL data skipping: the live files as of `version`
+    * that can contain a row satisfying EVERY (column, [lo, hi]) range
+    * in `preds` — a file survives a predicate when its recorded
+    * interval for that column intersects the range, or when it carries
+    * no stats for that column (unknown = must-read, per predicate).
+    * A conjunctive prune over a multi-column-clustered layout
+    * (Z-order/Hilbert) is where named-column stats earn their keep:
+    * 1-D stats leave every file spanning the second key's full
+    * domain, so only ONE predicate of a box can ever prune. */
+  def filesMatchingColsIn(store: LogStore, version: Long,
+      preds: Seq[(String, Long, Long)]): Seq[String] = {
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    val r = replayIn(store, version)
+    require(r.files.nonEmpty, s"version $version resolves to no files")
+    r.files.filter { f =>
+      val cs = r.colStats.getOrElse(f, Map.empty)
+      preds.forall { case (c, lo, hi) =>
+        cs.get(c).forall(st => st.max >= lo && st.min <= hi) }
+    }
   }
 
   // ---- root-based API (POSIX binding; the callers' surface) ----
@@ -242,15 +346,41 @@ object ManifestLog {
   def commit(root: String, version: Long, adds: Seq[String],
       removes: Seq[String], op: String,
       policy: Option[CheckpointPolicy] = None,
-      stats: Map[String, FileStat] = Map.empty): Unit =
-    commitIn(storeFor(root), version, adds, removes, op, policy, stats)
+      stats: Map[String, FileStat] = Map.empty,
+      colStats: Map[String, Map[String, FileStat]] = Map.empty,
+      txn: Option[(String, Long)] = None): Unit =
+    commitIn(storeFor(root), version, adds, removes, op, policy, stats,
+      colStats, txn)
 
   def statsAsOf(root: String, version: Long): Map[String, FileStat] =
     statsAsOfIn(storeFor(root), version)
 
+  def colStatsAsOf(root: String,
+      version: Long): Map[String, Map[String, FileStat]] =
+    colStatsAsOfIn(storeFor(root), version)
+
+  def lastTxn(root: String, appId: String): Option[Long] =
+    lastTxnIn(storeFor(root), appId)
+
   def filesMatching(root: String, version: Long, lo: Long,
       hi: Long): Seq[String] =
     filesMatchingIn(storeFor(root), version, lo, hi)
+
+  def filesMatchingCols(root: String, version: Long,
+      preds: Seq[(String, Long, Long)]): Seq[String] =
+    filesMatchingColsIn(storeFor(root), version, preds)
+
+  /** Snapshot read AS OF `version` pruned by the CONJUNCTION of
+    * named-column range predicates (see [[filesMatchingColsIn]]); the
+    * caller still applies its exact row-level filter. Falls back to
+    * every live file when nothing matches (same reader contract as
+    * [[readVersionWhere]]). */
+  def readVersionWhereCols(spark: SparkSession, root: String,
+      version: Long, preds: Seq[(String, Long, Long)]): DataFrame = {
+    val matching = filesMatchingCols(root, version, preds)
+    val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
+    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+  }
 
   /** Snapshot read AS OF `version` PRUNED to the files whose stats
     * interval intersects [lo, hi] — the caller still applies its exact

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.sources.ManifestLog
+
+/** EXACTLY-ONCE streaming ingest through the manifest log — the seam
+  * where Structured Streaming meets the table format (Delta's
+  * `txn`/setTransaction action, Iceberg's commit-per-checkpoint): each
+  * micro-batch lands its files and commits ONE manifest carrying a
+  * `(appId, batchId)` txn marker, and a batch REPLAY (Spark re-executes
+  * a micro-batch whenever the sink ran but the streaming checkpoint
+  * commit was lost) consults the LOG's latest txn for its appId and
+  * becomes a no-op instead of double-ingesting.
+  *
+  * The idempotence decision lives in the TABLE, not the writer: it
+  * survives even total loss of the streaming checkpoint — the failure
+  * mode `foreachBatchUpsertRun`'s batchId-keyed version dirs cannot
+  * cover (a fresh checkpoint restarts batchIds at 0 and would re-merge
+  * everything). [[ingestRoot]] proves exactly that, end to end: after
+  * the drain it re-runs the WHOLE stream with a brand-new checkpoint —
+  * every batch re-delivers, every commit no-ops via its txn marker —
+  * and the registered query's oracle (each event counted exactly once)
+  * fails on any double-ingest the protocol let through.
+  *
+  * At 100 TB this is the production shape of a streaming lakehouse
+  * writer: per-batch data files are partitioned writes (nothing ever
+  * rewrites), the manifest is one small JSON per batch, replay of the
+  * txn tail is metadata-sized, and CheckpointPolicy keeps it flat as
+  * the stream ages. The txn check-then-publish window is protected by
+  * the log itself: a concurrent duplicate commits through
+  * [[ManifestLog.commitIn]]'s atomic publish, so one wins the version
+  * and the loser rebases — re-checks the txn — and skips
+  * (ManifestSinkSpec pins marker replay across a checkpoint fold). */
+object ManifestSink {
+
+  /** Writer identity recorded in txn markers (one logical stream). */
+  val AppId = "graft_events_ingest"
+
+  private val landingSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("value", DoubleType)))
+
+  /** One micro-batch's commit: land the batch's rows under
+    * `data/b{batchId}`, then publish the next version with the txn
+    * marker — unless the log already carries a marker at or past this
+    * batchId (a replay), in which case do NOTHING. The data write
+    * itself is overwrite-mode: a crash between landing and commit
+    * leaves an orphan dir the retry rewrites in place (uncommitted
+    * files are invisible to log readers, so the orphan is garbage, not
+    * corruption — the same reason real formats need VACUUM). */
+  private[graft] def commitBatch(root: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    if (ManifestLog.lastTxn(root, AppId).exists(_ >= batchId)) return
+    val sub = s"data/b$batchId"
+    batch.write.mode("overwrite").parquet(s"$root/$sub")
+    val adds = ManifestLog.partFiles(root, sub)
+    var committed = false
+    while (!committed) {
+      if (ManifestLog.lastTxn(root, AppId).exists(_ >= batchId)) {
+        committed = true // a concurrent duplicate won the race: done
+      } else {
+        val v = ManifestLog.latestVersion(root).map(_ + 1).getOrElse(0L)
+        try {
+          ManifestLog.commit(root, v, adds, Seq.empty,
+            op = "stream-append",
+            policy = Some(ManifestLog.CheckpointPolicy(every = 2)),
+            txn = Some((AppId, batchId)))
+          committed = true
+        } catch {
+          case ManifestLog.Conflict(_) => () // rebase: re-check txn
+        }
+      }
+    }
+  }
+
+  /** Build (once per sfDir) the manifest-committed events table: 4
+    * event-cohort landing files with pinned ascending mtimes (so
+    * `maxFilesPerTrigger=1` yields the same 4 micro-batches in the
+    * same order on every run), drained through [[commitBatch]], THEN
+    * the full stream re-run against a fresh checkpoint — the
+    * total-checkpoint-loss replay every batch must survive. Returns
+    * the table root. */
+  def ingestRoot(spark: SparkSession, sfDir: String): String =
+    graft.TempDirs.cachedDir("graft_manifest_sink", sfDir) { root =>
+      val ds = EventStream.drainSession(spark)
+      val flat = graft.sources.Readers.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val landing = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "landing")).toString
+      (0 until 4).foreach { i =>
+        val tmp = s"$root/slice$i"
+        flat.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(s"$landing/part-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      def drain(): Unit = {
+        val q = ds.readStream.schema(landingSchema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            commitBatch(root, batch, batchId)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain() // first run: 4 real commits
+      drain() // fresh checkpoint = every batch re-delivered: 4 no-ops
+      val versions = ManifestLog.versions(root) ++
+        ManifestLog.checkpointVersions(root)
+      require(versions.max == 3,
+        s"replayed ingest must not advance the log past v3: $versions")
+    }
+
+  /** The ingested table read through the log at its latest version —
+    * raw events, each exactly once. */
+  def ingested(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ingestRoot(spark, sfDir)
+    ManifestLog.readVersion(spark, root,
+      ManifestLog.latestVersion(root).get)
+  }
+}

@@ -227,6 +227,92 @@ class ManifestLogSpec extends AnyFunSuite {
       root, 0, 12, 14))
   }
 
+  test("named-column stats: conjunctive prune multiplies on a z-grid, " +
+      "unknown column/file is must-read, removes drop colstats, " +
+      "checkpoints fold them (r15 multicol skipping)") {
+    import ManifestLog.FileStat
+    val root = freshRoot()
+    // the z-layout shape in miniature: a 2x2 quadrant grid — each file
+    // tight in BOTH x and y (what Morton clustering buys), plus one
+    // file with x-only stats and one with none
+    def q(n: String, x: FileStat, y: FileStat) =
+      s"data/v0/$n.parquet" -> Map("x" -> x, "y" -> y)
+    ManifestLog.commit(root, 0,
+      Seq("data/v0/q00.parquet", "data/v0/q01.parquet",
+        "data/v0/q10.parquet", "data/v0/q11.parquet",
+        "data/v0/xonly.parquet", "data/v0/legacy.parquet"),
+      Seq.empty, "write",
+      colStats = Map(
+        q("q00", FileStat(0, 9), FileStat(0, 9)),
+        q("q01", FileStat(0, 9), FileStat(10, 19)),
+        q("q10", FileStat(10, 19), FileStat(0, 9)),
+        q("q11", FileStat(10, 19), FileStat(10, 19)),
+        "data/v0/xonly.parquet" -> Map("x" -> FileStat(0, 9))))
+    // box = lower-left quadrant: x alone keeps 2 quadrants (+ the
+    // 2 must-reads), y alone keeps 2 (+ xonly has no y stats → kept),
+    // the conjunction keeps exactly 1 quadrant (+ must-reads) —
+    // strictly better than the best single axis
+    val boxX = Seq(("x", 2L, 7L)); val boxY = Seq(("y", 2L, 7L))
+    assert(ManifestLog.filesMatchingCols(root, 0, boxX).toSet ==
+      Set("data/v0/q00.parquet", "data/v0/q01.parquet",
+        "data/v0/xonly.parquet", "data/v0/legacy.parquet"))
+    assert(ManifestLog.filesMatchingCols(root, 0, boxY).toSet ==
+      Set("data/v0/q00.parquet", "data/v0/q10.parquet",
+        "data/v0/xonly.parquet", "data/v0/legacy.parquet"))
+    assert(ManifestLog.filesMatchingCols(root, 0, boxX ++ boxY).toSet ==
+      Set("data/v0/q00.parquet", "data/v0/xonly.parquet",
+        "data/v0/legacy.parquet"))
+    // a predicate on a column nobody tracked prunes nothing
+    assert(ManifestLog.filesMatchingCols(root, 0,
+      Seq(("z", 5L, 6L))).size == 6)
+    // a rewrite drops the removed file's colstats with it
+    ManifestLog.commit(root, 1, Seq("data/v1/q00b.parquet"),
+      Seq("data/v0/q00.parquet"), "merge",
+      colStats = Map("data/v1/q00b.parquet" ->
+        Map("x" -> FileStat(0, 4), "y" -> FileStat(0, 4))))
+    assert(!ManifestLog.colStatsAsOf(root, 1)
+      .contains("data/v0/q00.parquet"))
+    // colstats survive checkpoint folding + manifest pruning
+    ManifestLog.writeCheckpoint(root, 1)
+    (0L to 1L).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        root, "_log", f"$v%020d.json"))
+    }
+    assert(ManifestLog.filesMatchingCols(root, 1, boxX ++ boxY).toSet ==
+      Set("data/v1/q00b.parquet", "data/v0/xonly.parquet",
+        "data/v0/legacy.parquet"))
+  }
+
+  test("txn markers: latest batch per appId folds as max, survives " +
+      "checkpoint + prune, independent per writer (r15 exactly-once)") {
+    val root = freshRoot()
+    assert(ManifestLog.lastTxn(root, "ingest").isEmpty)
+    ManifestLog.commit(root, 0, Seq("data/b0/f.parquet"), Seq.empty,
+      "stream-append", txn = Some(("ingest", 0L)))
+    ManifestLog.commit(root, 1, Seq("data/b1/f.parquet"), Seq.empty,
+      "stream-append", txn = Some(("ingest", 1L)))
+    // a second, independent writer interleaves without clobbering
+    ManifestLog.commit(root, 2, Seq("data/c5/f.parquet"), Seq.empty,
+      "stream-append", txn = Some(("compactor", 5L)))
+    assert(ManifestLog.lastTxn(root, "ingest").contains(1L))
+    assert(ManifestLog.lastTxn(root, "compactor").contains(5L))
+    assert(ManifestLog.lastTxn(root, "unknown").isEmpty)
+    // the idempotence decision must survive checkpoint + prune of the
+    // manifests that carried the markers (total-checkpoint-loss replay
+    // arrives AFTER the log has been compacted)
+    ManifestLog.writeCheckpoint(root, 2)
+    (0L to 2L).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        root, "_log", f"$v%020d.json"))
+    }
+    assert(ManifestLog.lastTxn(root, "ingest").contains(1L))
+    assert(ManifestLog.lastTxn(root, "compactor").contains(5L))
+    // post-compaction commits keep folding on top of the checkpoint
+    ManifestLog.commit(root, 3, Seq("data/b2/f.parquet"), Seq.empty,
+      "stream-append", txn = Some(("ingest", 2L)))
+    assert(ManifestLog.lastTxn(root, "ingest").contains(2L))
+  }
+
   test("a reader mid-prune never resolves a torn prefix: descending " +
       "deletion leaves only exact-or-loud states") {
     val root = freshRoot()
