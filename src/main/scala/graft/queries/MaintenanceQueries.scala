@@ -719,9 +719,121 @@ object MaintenanceQueries {
         .orderBy("user_id")
     })
 
+  /** A 6-merge manifest table whose retention policy (checkpoint every
+    * 2, prune behind the previous fold) has made versions 0-1
+    * UNRESOLVABLE, plus a crashed writer's landed-but-never-committed
+    * file — then VACUUMED. The builder asserts the sweep deleted
+    * exactly the two garbage classes (rewrites pruned past + the
+    * orphan) and nothing else, loudly, before any query reads the
+    * table. Cached per sfDir. */
+  private def vacuumRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_vacuum", dir) { root =>
+      import graft.sources.ManifestLog
+      val ev = flatEvents(s, dir)
+      (0 to 5).foreach { b =>
+        val batch = ev.filter(col("event_id") % 6 === b)
+          .groupBy("user_id")
+          .agg(max(struct(col("ts_us"), col("event_id"), col("value")))
+            .as("latest"), count(lit(1)).as("n_events"))
+        val merged =
+          if (b == 0) batch
+          else ManifestLog.readVersion(s, root, b - 1).unionByName(batch)
+            .groupBy("user_id")
+            .agg(max(col("latest")).as("latest"),
+              sum(col("n_events")).as("n_events"))
+        merged.write.mode("overwrite").parquet(s"$root/data/v$b")
+        val adds = ManifestLog.partFiles(root, s"data/v$b")
+        val removes =
+          if (b == 0) Seq.empty[String]
+          else ManifestLog.partFiles(root, s"data/v${b - 1}")
+        ManifestLog.commit(root, b, adds, removes, op = "merge",
+          policy = Some(ManifestLog.CheckpointPolicy(every = 2)))
+      }
+      // the crashed writer: landed, never committed
+      val orphan = java.nio.file.Paths.get(root, "data/b9/orphan.parquet")
+      java.nio.file.Files.createDirectories(orphan.getParent)
+      java.nio.file.Files.createFile(orphan)
+      val swept = ManifestLog.vacuum(root)
+      require(swept.contains("data/b9/orphan.parquet") &&
+        swept.forall(f => f.startsWith("data/v0/") ||
+          f.startsWith("data/v1/") || f.startsWith("data/b9/")),
+        s"vacuum swept the wrong files: $swept")
+      require(swept.exists(_.startsWith("data/v0/")),
+        "retention made v0 unresolvable; its rewritten files must be GC'd")
+    }
+
+  private val vacuumQuery = GraftQuery(
+    name = "lake_vacuum",
+    doc = "ORPHAN-FILE VACUUM (r15) - the GC half of the manifest " +
+      "log's retention story: after CheckpointPolicy pruning has made " +
+      "versions 0-1 unresolvable, their rewritten-away data files are " +
+      "unreachable through ANY surviving manifest or checkpoint - as " +
+      "is a crashed writer's landed-but-never-committed file - yet " +
+      "all hold disk until swept. vacuum() keeps the union of live " +
+      "sets over every RESOLVABLE version, so every read that worked " +
+      "before works after, byte-identical (ManifestLogSpec pins the " +
+      "sweep set exactly; the builder requires both garbage classes " +
+      "were swept and nothing else). The query reads the latest " +
+      "version AFTER the sweep against the full-corpus latest-per-" +
+      "user oracle - a vacuum that ate a referenced file fails the " +
+      "hash, not an expectation. At 100 TB compaction+merge churn " +
+      "makes unswept garbage rival the table's live size; the sweep " +
+      "decision is metadata-only (log replay), the IO is one listing.",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        value
+                 FROM events),
+      r AS (SELECT user_id, ts_us, event_id, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts_us DESC, event_id DESC) AS rk,
+              COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM e)
+      SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+             value AS last_value, CAST(n_events AS BIGINT) AS n_events
+      FROM r WHERE rk = 1 ORDER BY user_id"""),
+    run = (s, dir) => {
+      import graft.sources.ManifestLog
+      val root = vacuumRoot(s, dir)
+      ManifestLog.readVersion(s, root,
+          ManifestLog.latestVersion(root).get)
+        .select(col("user_id"), col("latest.ts_us").as("last_ts_us"),
+          col("latest.event_id").as("last_event_id"),
+          col("latest.value").as("last_value"), col("n_events"))
+        .orderBy("user_id")
+    })
+
   /** Closed µs bounds of the multicol box: [2024-01-10, 2024-01-20). */
   private val BoxTsLo = 1704844800000000L
   private val BoxTsHi = 1705708800000000L - 1
+
+  /** Per-file bloom SIDECARS over `bloomCol` for the parquet files
+    * under `root/$sub`: one distributed pass collects each file's
+    * distinct values; the driver folds them into m-bit arrays
+    * (m ≈ 16 bits/value, k = 4) and writes one immutable sidecar per
+    * file BESIDE the data, returning the manifest refs. The collect is
+    * bounded by the size of the index being built (files × ndv); a
+    * production writer emits the bits from its own write buffers and
+    * collects nothing. */
+  private def fileBlooms(s: SparkSession, root: String, sub: String,
+      bloomCol: String)
+      : Map[String, Map[String, graft.sources.ManifestLog.BloomRef]] = {
+    import graft.sources.{FileBloom, ManifestLog}
+    s.read.parquet(s"$root/$sub")
+      .groupBy(input_file_name().as("f"))
+      .agg(collect_set(col(bloomCol)).as("vs"))
+      .collect()
+      .map { r =>
+        val rel = s"$sub/${r.getString(0).split('/').last}"
+        val vs = r.getSeq[Long](1)
+        val m = FileBloom.sizeFor(vs.size)
+        val bits = FileBloom.build(vs.iterator, m, k = 4)
+        val sidecar = s"$rel.bloom"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, sidecar), bits)
+        rel -> Map(bloomCol -> ManifestLog.BloomRef(bloomCol, sidecar,
+          m, 4))
+      }.toMap
+  }
 
   /** A Z-ORDER-clustered, colstats-committed events table: the flat
     * corpus Morton-ordered over 8-bit ranks of (user_id, ts_us) — the
@@ -759,9 +871,14 @@ object MaintenanceQueries {
           col("value"))
         .write.parquet(s"$root/data/v0")
       val adds = ManifestLog.partFiles(root, "data/v0")
+      // one commit, two index classes: range stats on the clustered
+      // box columns, bloom sidecars on the UNclustered event_id (the
+      // point-lookup column range stats cannot serve — every file's
+      // event_id interval spans nearly the whole domain here)
       ManifestLog.commit(root, 0, adds, Seq.empty, op = "write",
         colStats = fileColStats(s, root, "data/v0",
-          Seq("user_id", "ts_us")))
+          Seq("user_id", "ts_us")),
+        blooms = fileBlooms(s, root, "data/v0", "event_id"))
     }
 
   private val skippingMulticol = GraftQuery(
@@ -802,6 +919,39 @@ object MaintenanceQueries {
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("sum_value"))
         .orderBy("user_id")
+    })
+
+  private val skippingBloom = GraftQuery(
+    name = "lake_skipping_bloom",
+    doc = "BLOOM-SIDECAR point-lookup skipping (r15) - the index " +
+      "class beyond min/max: the multicol table is Z-clustered on " +
+      "(user_id, ts_us), so a point lookup on event_id intersects " +
+      "every file's [min, max] and range stats prune NOTHING; each " +
+      "file instead carries a bloom filter over its event_ids as an " +
+      "immutable SIDECAR beside the data (Iceberg's puffin layout - " +
+      "the manifest records only (column, path, m, k), constant " +
+      "metadata per file, because an in-manifest bloom would grow the " +
+      "log with the data). Deterministic double hashing (two " +
+      "splitmix64 finalizers, m~16 bits/value, k=4): a false positive " +
+      "wastes one read, never an answer - the exact row predicate " +
+      "still applies, and the oracle checks ROWS over the whole raw " +
+      "corpus, so a bloom that wrongly ruled out the containing file " +
+      "fails the hash. Refs die with their file's remove and fold " +
+      "through checkpoints (ManifestLogSpec). At 100 TB: KBs of " +
+      "sidecar per file read only by survivors of the earlier " +
+      "metadata prunes, against GBs of data per skipped file.",
+    oracle = Some("""
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+             CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id = 137 ORDER BY event_id"""),
+    run = (s, dir) => {
+      val root = multicolRoot(s, dir)
+      graft.sources.ManifestLog.readVersionPoint(s, root, 0,
+          "event_id", 137L)
+        .filter(col("event_id") === 137L)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("value"))
+        .orderBy("event_id")
     })
 
   /** The MERGE band: source rows cover users 1..50 (contiguous so the
@@ -915,5 +1065,5 @@ object MaintenanceQueries {
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
     snapshotManifest, snapshotCheckpoint, manifestSkipping, mergeCow,
-    skippingMulticol, incrementalAgg)
+    skippingMulticol, skippingBloom, vacuumQuery, incrementalAgg)
 }

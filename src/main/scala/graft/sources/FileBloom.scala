@@ -1,0 +1,54 @@
+package graft.sources
+
+/** Deterministic per-file BLOOM FILTER for manifest-level point-lookup
+  * skipping — the "beyond min/max" index class real formats ship as
+  * SIDECAR files (Iceberg's puffin, Delta's bloom index directories,
+  * parquet's own column blooms): range stats prune on the CLUSTERED
+  * column(s), but a point lookup on an UNclustered column intersects
+  * every file's [min, max] and range stats prune nothing — a bloom
+  * answers "definitely absent" per file instead.
+  *
+  * Self-authored double hashing (two splitmix64 finalizers) so both
+  * the build and the membership test are bit-deterministic across
+  * engines and JVMs: position_i = (h1 + i·h2) mod m. False positives
+  * cost a wasted read, never a wrong answer (the exact row predicate
+  * still applies); false negatives cannot occur for inserted values. */
+object FileBloom {
+
+  /** splitmix64 finalizer (Steele et al., public constants). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Bit positions of `v` in an m-bit filter (m a power of two), k
+    * probes by double hashing; h2 forced odd so all k positions are
+    * distinct mod m. */
+  def positions(v: Long, m: Int, k: Int): Array[Int] = {
+    val h1 = mix(v)
+    val h2 = mix(h1) | 1L
+    Array.tabulate(k)(i => (((h1 + i * h2) % m + m) % m).toInt)
+  }
+
+  /** Smallest power-of-two bit count giving ~16 bits per distinct
+    * value (fp ≈ 0.2% at k = 4), floored at 1024. */
+  def sizeFor(ndv: Long): Int = {
+    var m = 1024
+    while (m < ndv * 16 && m < (1 << 28)) m <<= 1
+    m
+  }
+
+  def build(values: Iterator[Long], m: Int, k: Int): Array[Byte] = {
+    val bits = new Array[Byte](m / 8)
+    values.foreach { v =>
+      positions(v, m, k).foreach(p => bits(p >> 3) =
+        (bits(p >> 3) | (1 << (p & 7))).toByte)
+    }
+    bits
+  }
+
+  def mightContain(bits: Array[Byte], m: Int, k: Int, v: Long): Boolean =
+    positions(v, m, k).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+}

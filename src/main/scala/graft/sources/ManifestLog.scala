@@ -76,14 +76,27 @@ object ManifestLog {
     * can be adopted file-by-file. */
   final case class FileStat(min: Long, max: Long)
 
+  /** A per-file bloom-filter SIDECAR reference carried in the manifest
+    * (r15): the manifest records only (column, sidecar path, m, k) —
+    * constant metadata per file at any data size — while the bit
+    * array itself lives in a sidecar file beside the data (Iceberg's
+    * puffin layout; an in-manifest bloom would grow the LOG with the
+    * DATA, which is the one thing a manifest must never do). Sidecars
+    * are immutable and written before the commit that references
+    * them, like data files. */
+  final case class BloomRef(column: String, sidecar: String, m: Int,
+      k: Int)
+
   /** The full fold of the log up to a version: live files, their
     * single-column stats, their NAMED-column stats (path → column →
-    * [min, max]; the multi-dimensional skipping seam), and the latest
-    * committed batch per writer appId (the exactly-once txn seam —
-    * Delta's setTransaction / txn action). */
+    * [min, max]; the multi-dimensional skipping seam), their bloom
+    * sidecar refs (path → column → ref; the point-lookup seam), and
+    * the latest committed batch per writer appId (the exactly-once
+    * txn seam — Delta's setTransaction / txn action). */
   final case class Replay(files: Seq[String],
       stats: Map[String, FileStat],
       colStats: Map[String, Map[String, FileStat]],
+      blooms: Map[String, Map[String, BloomRef]],
       txns: Map[String, Long])
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
@@ -108,6 +121,7 @@ object ManifestLog {
       policy: Option[CheckpointPolicy] = None,
       stats: Map[String, FileStat] = Map.empty,
       colStats: Map[String, Map[String, FileStat]] = Map.empty,
+      blooms: Map[String, Map[String, BloomRef]] = Map.empty,
       txn: Option[(String, Long)] = None): Unit = {
     def arr(fs: Seq[String]) =
       fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
@@ -115,11 +129,17 @@ object ManifestLog {
     // parser stays one shape; paths never contain '|' (enforced here)
     require(stats.keySet.forall(f => adds.contains(f) && !f.contains("|")),
       "stats must describe committed adds with '|'-free paths")
-    // colstats ride as "path|col|min|max"; txn as "appId|batchId"
+    // colstats ride as "path|col|min|max"; blooms as
+    // "path|col|sidecar|m|k"; txn as "appId|batchId"
     require(colStats.forall { case (f, cs) =>
       adds.contains(f) && !f.contains("|") &&
         cs.keySet.forall(!_.contains("|")) },
       "colstats must describe committed adds; paths and columns '|'-free")
+    require(blooms.forall { case (f, bs) =>
+      adds.contains(f) && !f.contains("|") && bs.forall { case (c, r) =>
+        !c.contains("|") && !r.sidecar.contains("|") && r.m > 0 &&
+          (r.m & (r.m - 1)) == 0 && r.k > 0 } },
+      "blooms must describe committed adds; '|'-free; m a power of two")
     require(txn.forall { case (app, b) => !app.contains("|") && b >= 0 },
       "txn appId must be '|'-free with a non-negative batchId")
     val statArr = arr(adds.flatMap(f =>
@@ -127,10 +147,14 @@ object ManifestLog {
     val colStatArr = arr(adds.flatMap(f =>
       colStats.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
         case (c, st) => s"$f|$c|${st.min}|${st.max}" })))
+    val bloomArr = arr(adds.flatMap(f =>
+      blooms.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
+        case (c, r) => s"$f|$c|${r.sidecar}|${r.m}|${r.k}" })))
     val txnArr = arr(txn.toSeq.map { case (app, b) => s"$app|$b" })
     val json = s"""{"version":$version,"op":"$op",""" +
       s""""adds":${arr(adds)},"removes":${arr(removes)},""" +
-      s""""stats":$statArr,"colstats":$colStatArr,"txn":$txnArr}"""
+      s""""stats":$statArr,"colstats":$colStatArr,""" +
+      s""""blooms":$bloomArr,"txn":$txnArr}"""
     if (!store.publish(manifestName(version), json)) throw Conflict(version)
     for (p <- policy if version > 0 && version % p.every == 0) {
       writeCheckpointIn(store, version)
@@ -186,6 +210,10 @@ object ManifestLog {
       r.files.flatMap(f => r.colStats.get(f).toSeq
         .flatMap(_.toSeq.sortBy(_._1).map { case (c, st) =>
           q(s"$f|$c|${st.min}|${st.max}") })).mkString(",") +
+      """],"blooms":[""" +
+      r.files.flatMap(f => r.blooms.get(f).toSeq
+        .flatMap(_.toSeq.sortBy(_._1).map { case (c, b) =>
+          q(s"$f|$c|${b.sidecar}|${b.m}|${b.k}") })).mkString(",") +
       """],"txns":[""" +
       r.txns.toSeq.sortBy(_._1).map { case (app, b) => q(s"$app|$b") }
         .mkString(",") + "]}"
@@ -217,6 +245,19 @@ object ManifestLog {
       e.substring(0, i) -> e.substring(i + 1).toLong
     }
 
+  /** "path|col|sidecar|m|k" → path → col → ref ('|'-free fields,
+    * enforced at commit, make rightmost-split parsing unambiguous). */
+  private def parseBlooms(
+      entries: Seq[String]): Map[String, Map[String, BloomRef]] =
+    entries.map { e =>
+      val i = e.lastIndexOf('|'); val j = e.lastIndexOf('|', i - 1)
+      val k = e.lastIndexOf('|', j - 1); val l = e.lastIndexOf('|', k - 1)
+      (e.substring(0, l), e.substring(l + 1, k),
+        BloomRef(e.substring(l + 1, k), e.substring(k + 1, j),
+          e.substring(j + 1, i).toInt, e.substring(i + 1).toInt))
+    }.groupBy(_._1).view.mapValues(
+      _.map(t => t._2 -> t._3).toMap).toMap
+
   /** Replay seeded from the nearest checkpoint ≤ `version` (full
     * replay from 0 when none): fold the remaining manifests' adds,
     * removes, per-file stats (single- and named-column) and txn
@@ -229,6 +270,8 @@ object ManifestLog {
     val stats = scala.collection.mutable.Map.empty[String, FileStat]
     val colStats =
       scala.collection.mutable.Map.empty[String, Map[String, FileStat]]
+    val blooms =
+      scala.collection.mutable.Map.empty[String, Map[String, BloomRef]]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     def foldTxns(entries: Seq[(String, Long)]): Unit =
       entries.foreach { case (app, b) =>
@@ -239,6 +282,7 @@ object ManifestLog {
       field(json, "files").foreach(live.add)
       stats ++= parseStats(field(json, "stats"))
       colStats ++= parseColStats(field(json, "colstats"))
+      blooms ++= parseBlooms(field(json, "blooms"))
       foldTxns(parseTxns(field(json, "txns")))
     }
     versionsIn(store)
@@ -246,13 +290,16 @@ object ManifestLog {
       .foreach { v =>
         val json = store.read(manifestName(v))
         field(json, "removes").foreach { f =>
-          live.remove(f); stats.remove(f); colStats.remove(f) }
+          live.remove(f); stats.remove(f); colStats.remove(f)
+          blooms.remove(f) }
         field(json, "adds").foreach(live.add)
         stats ++= parseStats(field(json, "stats"))
         colStats ++= parseColStats(field(json, "colstats"))
+        blooms ++= parseBlooms(field(json, "blooms"))
         foldTxns(parseTxns(field(json, "txn")))
       }
-    Replay(live.toSeq, stats.toMap, colStats.toMap, txns.toMap)
+    Replay(live.toSeq, stats.toMap, colStats.toMap, blooms.toMap,
+      txns.toMap)
   }
 
   /** Live data files as of `version`: checkpoint-seeded log replay.
@@ -341,16 +388,67 @@ object ManifestLog {
     }
   }
 
+  /** Live per-file bloom sidecar refs as of `version`. */
+  def bloomsAsOfIn(store: LogStore,
+      version: Long): Map[String, Map[String, BloomRef]] = {
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    replayIn(store, version).blooms
+  }
+
   // ---- root-based API (POSIX binding; the callers' surface) ----
+
+  /** POINT-LOOKUP data skipping: the live files as of `version` whose
+    * bloom sidecar for `column` does not rule out `value` — plus every
+    * file without a bloom for that column (must-read). Range stats
+    * cannot serve this lookup when `column` is not the clustered key
+    * (every file's [min, max] spans the domain); the bloom answers
+    * "definitely absent" per file at the cost of reading m/8 sidecar
+    * bytes for the survivors of any earlier metadata prune — at
+    * 100 TB that is KBs of index per file against GBs of data. A
+    * false positive wastes a read; the exact row predicate still
+    * decides membership (the oracle checks rows, never the prune). */
+  def filesMatchingPoint(root: String, version: Long, column: String,
+      value: Long): Seq[String] = {
+    val store = storeFor(root)
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    val r = replayIn(store, version)
+    require(r.files.nonEmpty, s"version $version resolves to no files")
+    r.files.filter { f =>
+      r.blooms.getOrElse(f, Map.empty).get(column).forall { ref =>
+        val bits = Files.readAllBytes(Paths.get(root, ref.sidecar))
+        FileBloom.mightContain(bits, ref.m, ref.k, value)
+      }
+    }
+  }
+
+  /** Snapshot read AS OF `version` pruned to the files whose bloom for
+    * `column` might contain `value` (see [[filesMatchingPoint]]); the
+    * caller still applies the exact equality predicate. Falls back to
+    * every live file when nothing matches. */
+  def readVersionPoint(spark: SparkSession, root: String, version: Long,
+      column: String, value: Long): DataFrame = {
+    val matching = filesMatchingPoint(root, version, column, value)
+    val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
+    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+  }
 
   def commit(root: String, version: Long, adds: Seq[String],
       removes: Seq[String], op: String,
       policy: Option[CheckpointPolicy] = None,
       stats: Map[String, FileStat] = Map.empty,
       colStats: Map[String, Map[String, FileStat]] = Map.empty,
+      blooms: Map[String, Map[String, BloomRef]] = Map.empty,
       txn: Option[(String, Long)] = None): Unit =
     commitIn(storeFor(root), version, adds, removes, op, policy, stats,
-      colStats, txn)
+      colStats, blooms, txn)
+
+  def bloomsAsOf(root: String,
+      version: Long): Map[String, Map[String, BloomRef]] =
+    bloomsAsOfIn(storeFor(root), version)
 
   def statsAsOf(root: String, version: Long): Map[String, FileStat] =
     statsAsOfIn(storeFor(root), version)
@@ -414,6 +512,48 @@ object ManifestLog {
     val files = filesAsOf(root, version).map(f => s"$root/$f")
     require(files.nonEmpty, s"version $version resolves to no files")
     spark.read.parquet(files: _*)
+  }
+
+  /** ORPHAN-FILE GC — the VACUUM of a real table format. Deletes the
+    * parquet data files under `root` that NO resolvable version
+    * references: a crashed writer's landed-but-never-committed files,
+    * and rewritten files whose every referencing manifest has been
+    * pruned behind a checkpoint. Both are invisible to every possible
+    * reader (data files are only ever reachable THROUGH the log), yet
+    * hold disk forever without a sweep — at 100 TB compaction+merge
+    * churn makes this sweep the difference between a table's size and
+    * its history's size.
+    *
+    * SAFETY: the keep-set is the union of live sets over EVERY
+    * resolvable version (all surviving manifests + all checkpoints),
+    * plus every bloom sidecar those versions reference — so every
+    * read, time travel and point prune that worked before the vacuum
+    * works after it, byte-identical (pinned by ManifestLogSpec).
+    * Only `*.parquet` data files and `*.bloom` sidecars are
+    * candidates (logs and markers are never touched). Returns the
+    * deleted relative paths, sorted. */
+  def vacuum(root: String): Seq[String] = {
+    val store = storeFor(root)
+    val resolvable =
+      (versionsIn(store) ++ checkpointVersionsIn(store)).distinct.sorted
+    val replays = resolvable.map(v => replayIn(store, v))
+    val keep: Set[String] = replays.flatMap(_.files).toSet ++
+      replays.flatMap(_.blooms.valuesIterator.flatMap(
+        _.valuesIterator.map(_.sidecar)))
+    val rootPath = Paths.get(root)
+    val logRoot = logDir(root)
+    val orphans = Using.resource(Files.walk(rootPath)) {
+      _.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.startsWith(logRoot))
+        .filter { p => val n = p.getFileName.toString
+          n.endsWith(".parquet") || n.endsWith(".bloom") }
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => rootPath.relativize(p).toString)
+        .filterNot(keep)
+        .toSeq
+    }.sorted
+    orphans.foreach(f => Files.deleteIfExists(rootPath.resolve(f)))
+    orphans
   }
 
   /** Relative paths of the parquet part-files under `root/$sub`. */

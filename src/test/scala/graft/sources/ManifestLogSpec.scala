@@ -313,6 +313,106 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.lastTxn(root, "ingest").contains(2L))
   }
 
+  test("bloom sidecars: no false negatives ever, point prune keeps " +
+      "might-contain + bloom-less files, refs die with removes and " +
+      "fold through checkpoints (r15 point skipping)") {
+    import ManifestLog.BloomRef
+    val root = freshRoot()
+    val m = 1024; val k = 4
+    def sidecar(rel: String, values: Seq[Long]): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        FileBloom.build(values.iterator, m, k))
+    }
+    // determinism + the bloom contract on the raw primitive
+    val vals = (0L until 500L).map(_ * 7919L)
+    val bits = FileBloom.build(vals.iterator, 8192, k)
+    assert(vals.forall(FileBloom.mightContain(bits, 8192, k, _)),
+      "an inserted value must never be ruled out")
+    assert(bits.sameElements(FileBloom.build(vals.iterator, 8192, k)),
+      "same values, same bits — bit-deterministic build")
+    // two files with disjoint value sets + one legacy file, no bloom
+    sidecar("data/v0/a.bloom", Seq(1L, 2L, 3L))
+    sidecar("data/v0/b.bloom", Seq(100L, 200L, 300L))
+    ManifestLog.commit(root, 0,
+      Seq("data/v0/a.parquet", "data/v0/b.parquet",
+        "data/v0/legacy.parquet"), Seq.empty, "write",
+      blooms = Map(
+        "data/v0/a.parquet" ->
+          Map("id" -> BloomRef("id", "data/v0/a.bloom", m, k)),
+        "data/v0/b.parquet" ->
+          Map("id" -> BloomRef("id", "data/v0/b.bloom", m, k))))
+    // the containing file always survives; the bloom-less file is
+    // must-read; the other file is (deterministically, here) pruned
+    assert(ManifestLog.filesMatchingPoint(root, 0, "id", 2L) ==
+      Seq("data/v0/a.parquet", "data/v0/legacy.parquet"))
+    assert(ManifestLog.filesMatchingPoint(root, 0, "id", 200L) ==
+      Seq("data/v0/b.parquet", "data/v0/legacy.parquet"))
+    // a column nobody indexed prunes nothing
+    assert(ManifestLog.filesMatchingPoint(root, 0, "other", 2L)
+      .size == 3)
+    // refs die with their file's remove...
+    ManifestLog.commit(root, 1, Seq.empty,
+      Seq("data/v0/a.parquet"), "delete")
+    assert(!ManifestLog.bloomsAsOf(root, 1).contains("data/v0/a.parquet"))
+    // ...and survive checkpoint folding + manifest pruning
+    ManifestLog.writeCheckpoint(root, 1)
+    (0L to 1L).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        root, "_log", f"$v%020d.json"))
+    }
+    assert(ManifestLog.filesMatchingPoint(root, 1, "id", 200L) ==
+      Seq("data/v0/b.parquet", "data/v0/legacy.parquet"))
+  }
+
+  test("vacuum deletes exactly the unreachable parquet files: crashed-" +
+      "writer orphans and rewrites pruned past, never anything any " +
+      "resolvable version references (r15 GC)") {
+    val root = freshRoot()
+    def touch(rel: String): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.createFile(p)
+    }
+    // v0: two files (a carries a bloom sidecar); v1 rewrites a -> a2;
+    // a crashed writer landed data/b9 but never committed; a stray
+    // non-parquet marker rides along and must survive any sweep
+    Seq("data/v0/a.parquet", "data/v0/a.parquet.bloom",
+      "data/v0/keep.parquet",
+      "data/v1/a2.parquet", "data/b9/orphan.parquet",
+      "data/v0/_SUCCESS").foreach(touch)
+    ManifestLog.commit(root, 0,
+      Seq("data/v0/a.parquet", "data/v0/keep.parquet"), Seq.empty, "write",
+      blooms = Map("data/v0/a.parquet" -> Map("id" ->
+        ManifestLog.BloomRef("id", "data/v0/a.parquet.bloom", 1024, 4))))
+    ManifestLog.commit(root, 1, Seq("data/v1/a2.parquet"),
+      Seq("data/v0/a.parquet"), "merge")
+    // both versions resolvable: only the crashed writer's file is GC'd
+    // (a's sidecar is still referenced by resolvable v0)
+    assert(ManifestLog.vacuum(root) == Seq("data/b9/orphan.parquet"))
+    assert(ManifestLog.filesAsOf(root, 0).toSet ==
+      Set("data/v0/a.parquet", "data/v0/keep.parquet"))
+    // checkpoint v1 and prune manifest 0: v0 is no longer resolvable,
+    // so the rewritten-away a.parquet AND its bloom sidecar become
+    // garbage — and ONLY they
+    ManifestLog.writeCheckpoint(root, 1)
+    (0L to 0L).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        root, "_log", f"$v%020d.json"))
+    }
+    assert(ManifestLog.vacuum(root) ==
+      Seq("data/v0/a.parquet", "data/v0/a.parquet.bloom"))
+    // everything still resolvable reads identically post-vacuum
+    assert(ManifestLog.filesAsOf(root, 1).toSet ==
+      Set("data/v0/keep.parquet", "data/v1/a2.parquet"))
+    // the marker file was never a candidate
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data/v0/_SUCCESS")))
+    // idempotent: a second sweep finds nothing
+    assert(ManifestLog.vacuum(root).isEmpty)
+  }
+
   test("a reader mid-prune never resolves a torn prefix: descending " +
       "deletion leaves only exact-or-loud states") {
     val root = freshRoot()
