@@ -954,6 +954,41 @@ object MaintenanceQueries {
         .orderBy("event_id")
     })
 
+  private val cdcIncremental = GraftQuery(
+    name = "lake_cdc_incremental",
+    doc = "INCREMENTAL CHANGE-FEED READ (r15) - the consumption half " +
+      "of the exactly-once sink: a downstream consumer that has " +
+      "processed up to version 1 of stream_manifest_sink's table " +
+      "reads ONLY the version tail (1, 3] - changesBetween resolves " +
+      "each tail version's adds from its manifest (metadata first), " +
+      "then reads just those files' data stamped with " +
+      "_commit_version (Delta's startingVersion read / Iceberg " +
+      "incremental scan, correct as a row feed because the sink's " +
+      "commits are append-only; rewriting tables diff snapshots - " +
+      "lake_snapshot_diff - instead). A tail pruned past the " +
+      "consumer's cursor FAILS LOUDLY (never silently skips actions; " +
+      "the consumer re-bootstraps from a snapshot). Oracle: the sink " +
+      "lands event_id%4 cohorts as batches committing versions 0-3, " +
+      "so the tail (1,3] is exactly cohorts 2-3, reconstructed from " +
+      "raw events with versions_seen = distinct cohorts per user. At " +
+      "100 TB the consumer reads two batches' files, never the table.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_new,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(COUNT(DISTINCT event_id % 4) AS BIGINT) AS versions_seen
+      FROM events WHERE event_id % 4 IN (2, 3)
+      GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      import graft.sources.ManifestLog
+      import graft.streaming.ManifestSink
+      val root = ManifestSink.ingestRoot(s, dir)
+      ManifestLog.readChanges(s, root, from = 1, to = 3)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_new"), dsum(col("value")).as("sum_value"),
+          countDistinct(col("_commit_version")).as("versions_seen"))
+        .orderBy("user_id")
+    })
+
   /** The MERGE band: source rows cover users 1..50 (contiguous so the
     * stats prune is selective), deletes are user_id % 11 == 0 inside
     * the band, and the base table "onboarded" only user_id % 5 != 0 —
@@ -1065,5 +1100,6 @@ object MaintenanceQueries {
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
     snapshotManifest, snapshotCheckpoint, manifestSkipping, mergeCow,
-    skippingMulticol, skippingBloom, vacuumQuery, incrementalAgg)
+    skippingMulticol, skippingBloom, vacuumQuery, cdcIncremental,
+    incrementalAgg)
 }

@@ -388,6 +388,29 @@ object ManifestLog {
     }
   }
 
+  /** INCREMENTAL CHANGE READ — the actions committed in versions
+    * (`from`, `to`], per version in commit order: the consumption
+    * shape of a change-data feed (Delta's startingVersion read /
+    * Iceberg's incremental scan). A downstream consumer that has
+    * processed up to `from` reads ONLY the tail's adds/removes —
+    * metadata first, then just the added files' data — instead of
+    * re-reading the table. Requires every manifest in the range to
+    * still exist (a tail pruned past `from` must fail loudly, never
+    * silently skip actions — re-bootstrap from a snapshot instead). */
+  def changesBetweenIn(store: LogStore, from: Long,
+      to: Long): Seq[(Long, Seq[String], Seq[String])] = {
+    require(from <= to, s"empty change range: ($from, $to]")
+    val have = versionsIn(store).filter(v => v > from && v <= to)
+    val want = (from + 1) to to
+    require(have == want,
+      s"change range ($from, $to] has pruned/missing manifests " +
+        s"(have: $have) — re-bootstrap from a snapshot")
+    have.map { v =>
+      val json = store.read(manifestName(v))
+      (v, field(json, "adds"), field(json, "removes"))
+    }
+  }
+
   /** Live per-file bloom sidecar refs as of `version`. */
   def bloomsAsOfIn(store: LogStore,
       version: Long): Map[String, Map[String, BloomRef]] = {
@@ -449,6 +472,32 @@ object ManifestLog {
   def bloomsAsOf(root: String,
       version: Long): Map[String, Map[String, BloomRef]] =
     bloomsAsOfIn(storeFor(root), version)
+
+  def changesBetween(root: String, from: Long,
+      to: Long): Seq[(Long, Seq[String], Seq[String])] =
+    changesBetweenIn(storeFor(root), from, to)
+
+  /** The rows ADDED in versions (`from`, `to`] with their commit
+    * version as `_commit_version` — the data half of the incremental
+    * read, correct as a row-level change feed for APPEND-ONLY commits
+    * (a rewriting commit's adds contain carried rows too; consumers of
+    * rewriting tables diff snapshots — `lake_snapshot_diff` — or need
+    * per-row CDC columns, which this miniature format does not carry). */
+  def readChanges(spark: SparkSession, root: String, from: Long,
+      to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val perVersion = changesBetween(root, from, to).collect {
+      case (v, adds, _) if adds.nonEmpty =>
+        spark.read.parquet(adds.map(f => s"$root/$f"): _*)
+          .withColumn("_commit_version", lit(v))
+    }
+    require(perVersion.nonEmpty,
+      s"no added files in ($from, $to] — nothing to read")
+    perVersion.reduce(_.unionByName(_))
+      .select(col("_commit_version") +:
+        perVersion.head.columns.filter(_ != "_commit_version")
+          .map(col).toSeq: _*)
+  }
 
   def statsAsOf(root: String, version: Long): Map[String, FileStat] =
     statsAsOfIn(storeFor(root), version)

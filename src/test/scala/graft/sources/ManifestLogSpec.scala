@@ -413,6 +413,29 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.vacuum(root).isEmpty)
   }
 
+  test("incremental change read: the tail's actions per version in " +
+      "order; a pruned tail fails loudly, never skips (r15 CDC)") {
+    val root = freshRoot()
+    ManifestLog.commit(root, 0, Seq("data/v0/a.parquet"), Seq.empty,
+      "write")
+    ManifestLog.commit(root, 1, Seq("data/v1/b.parquet"), Seq.empty,
+      "stream-append")
+    ManifestLog.commit(root, 2, Seq("data/v2/c.parquet"),
+      Seq("data/v0/a.parquet"), "merge")
+    assert(ManifestLog.changesBetween(root, 0, 2) == Seq(
+      (1L, Seq("data/v1/b.parquet"), Seq.empty),
+      (2L, Seq("data/v2/c.parquet"), Seq("data/v0/a.parquet"))))
+    // a cursor behind the retention horizon must re-bootstrap, not
+    // silently lose version 1's actions
+    ManifestLog.writeCheckpoint(root, 2)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      root, "_log", f"${1L}%020d.json"))
+    intercept[IllegalArgumentException](
+      ManifestLog.changesBetween(root, 0, 2))
+    // the surviving tail after the cursor is still consumable
+    assert(ManifestLog.changesBetween(root, 1, 2).map(_._1) == Seq(2L))
+  }
+
   test("a reader mid-prune never resolves a torn prefix: descending " +
       "deletion leaves only exact-or-loud states") {
     val root = freshRoot()
