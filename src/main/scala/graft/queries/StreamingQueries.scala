@@ -583,11 +583,48 @@ object StreamingQueries {
           max(col("ts_us")).as("last_ts_us"))
         .orderBy("user_id"))
 
+  private val streamCdcSource = GraftQuery(
+    name = "stream_cdc_source",
+    doc = "DataSource-V2 STREAMING SOURCE over the manifest log's " +
+      "version tail (r15) - offsets ARE versions: a custom " +
+      "MicroBatchStream (with SupportsAdmissionControl and native " +
+      "Trigger.AvailableNow support) plans each micro-batch as the " +
+      "files ADDED by the next maxVersionsPerTrigger=1 versions of " +
+      "stream_manifest_sink's table, read by executor-side parquet " +
+      "Group readers and stamped _commit_version - so the streaming " +
+      "consumer is driven by the same LOG that drives every snapshot " +
+      "read (a landed-but-never-committed file is invisible here " +
+      "exactly as it is there), not by directory listings. The drain " +
+      "runs 4 REAL micro-batches (one per committed version; " +
+      "ManifestCdcSourceSpec pins the batch count, per-batch rows, " +
+      "cursor semantics, and that a REWRITING commit fails loudly " +
+      "rather than replaying as a row feed). Oracle: per-user " +
+      "count/decimal-sum with versions_seen = distinct cohorts, over " +
+      "the raw events - a version skipped, double-admitted, or " +
+      "mis-stamped fails the hash. At 100 TB each trigger reads one " +
+      "batch's files; admission control, not table size, bounds it.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(COUNT(DISTINCT event_id % 4) AS BIGINT) AS versions_seen
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = graft.streaming.ManifestSink.ingestRoot(s, dir)
+      val (rows, _) = graft.streaming.ManifestSink.cdcDrained(s, root)
+      rows.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"),
+          countDistinct(col("_commit_version")).as("versions_seen"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSlidingCounts,
     streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
     streamDedupWatermarked, streamSessionRows, streamForeachBatchUpsert,
     streamOuterJoin, streamStreamJoinHotkey, streamTwsUserStats,
     streamSessionTimeout, streamTwsBootstrap, streamStateMigration,
-    streamSessionMigration, streamSessionWindow, streamManifestSink)
+    streamSessionMigration, streamSessionWindow, streamManifestSink,
+    streamCdcSource)
 }

@@ -1,0 +1,269 @@
+package graft.sources.cdc
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ManifestLog
+
+/** A real DataSource-V2 STREAMING SOURCE over the manifest log's
+  * version tail — the binding §8.3.1-5 named as the one manifest
+  * surface without one. Offsets ARE versions: each micro-batch reads
+  * the files ADDED by versions (start, end], stamped with
+  * `_commit_version` — so the streaming consumer of a manifest table
+  * is driven by the same log replaying everything else, not by
+  * directory listings (a file landed but never committed is invisible
+  * here exactly as it is to snapshot reads).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft.sources.cdc.ManifestCdcProvider")
+  *     .option("path", tableRoot)
+  *     .option("startingVersion", "-1")      // exclusive cursor
+  *     .option("maxVersionsPerTrigger", "1") // admission control
+  *     .load()
+  * }}}
+  *
+  * Contracts (all loud, never silent):
+  *   - APPEND-ONLY feed: a version with removes in range throws —
+  *     rewriting commits cannot be replayed as a row feed without
+  *     per-row CDC images (consumers of rewriting tables diff
+  *     snapshots instead; same stance as `ManifestLog.readChanges`).
+  *   - a tail pruned past the cursor throws via `changesBetween`'s
+  *     dense-range require (re-bootstrap from a snapshot).
+  *   - schema is inferred from the parquet FOOTER of the first added
+  *     file and supports flat required/optional primitive columns
+  *     (INT32/INT64/FLOAT/DOUBLE/BOOLEAN/BINARY-UTF8) — the miniature
+  *     source does its own columnar-free Group decoding, documented
+  *     as such; anything fancier belongs to the real parquet scan.
+  *
+  * Admission control: `maxVersionsPerTrigger` caps each batch's
+  * version span (the multi-batch drain the spec + registered query
+  * exercise); Trigger.AvailableNow is supported natively by pinning
+  * the latest version at stream start and draining to exactly it. */
+class ManifestCdcProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ManifestCdc.schemaFor(ManifestCdc.rootOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ManifestCdcTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+private[cdc] object ManifestCdc {
+  def rootOf(options: CaseInsensitiveStringMap): String = {
+    val r = options.get("path")
+    require(r != null, "manifest CDC source requires option 'path'")
+    r
+  }
+
+  /** Data schema from the first added file's footer + _commit_version. */
+  def schemaFor(root: String): StructType = {
+    val latest = ManifestLog.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest CDC source: empty log at $root"))
+    val firstAdd = ManifestLog.changesBetween(root, -1L, latest)
+      .flatMap(_._2).headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest CDC source: no added files at $root"))
+    val msg = footerSchema(s"$root/$firstAdd")
+    StructType(dataFields(msg) :+
+      StructField("_commit_version", LongType, nullable = false))
+  }
+
+  def footerSchema(abs: String): MessageType = {
+    val in = HadoopInputFile.fromPath(new HPath(abs), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  def dataFields(msg: MessageType): Seq[StructField] =
+    (0 until msg.getFieldCount).map { i =>
+      val f = msg.getType(i)
+      require(f.isPrimitive,
+        s"manifest CDC source supports flat primitive columns; got $f")
+      val p = f.asPrimitiveType()
+      val dt = p.getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT64 => LongType
+        case PrimitiveType.PrimitiveTypeName.INT32 => IntegerType
+        case PrimitiveType.PrimitiveTypeName.DOUBLE => DoubleType
+        case PrimitiveType.PrimitiveTypeName.FLOAT => FloatType
+        case PrimitiveType.PrimitiveTypeName.BOOLEAN => BooleanType
+        case PrimitiveType.PrimitiveTypeName.BINARY => StringType
+        case other => throw new IllegalArgumentException(
+          s"unsupported parquet primitive $other in CDC source")
+      }
+      StructField(f.getName, dt,
+        nullable = p.getRepetition !=
+          org.apache.parquet.schema.Type.Repetition.REQUIRED)
+    }
+}
+
+private[cdc] class ManifestCdcTable(schema: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String =
+    s"manifest_cdc(${ManifestCdc.rootOf(options)})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(
+      caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ManifestCdcScan(schema, options)
+    }
+}
+
+private[cdc] class ManifestCdcScan(schema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = schema
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new ManifestCdcStream(ManifestCdc.rootOf(options),
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+}
+
+/** Offset = highest version already admitted (exclusive cursor). */
+private[cdc] case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[cdc] class ManifestCdcStream(root: String, startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  require(maxVersionsPerTrigger.forall(_ > 0),
+    "maxVersionsPerTrigger must be positive")
+
+  // pinned by prepareForTriggerAvailableNow so an AvailableNow drain
+  // stops at the version set that existed when the drain began
+  @volatile private var availableNowCap: Option[Long] = None
+
+  private def latestVersion: Long =
+    ManifestLog.latestVersion(root).getOrElse(startingVersion)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(latestVersion)
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val avail = availableNowCap.fold(latestVersion)(math.min(_, latestVersion))
+    val to = maxVersionsPerTrigger.fold(avail)(m => math.min(avail, from + m))
+    VersionOffset(math.max(from, to))
+  }
+
+  override def reportLatestOffset(): Offset = VersionOffset(latestVersion)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val to = end.asInstanceOf[VersionOffset].version
+    if (from >= to) return Array.empty
+    ManifestLog.changesBetween(root, from, to).flatMap {
+      case (v, adds, removes) =>
+        require(removes.isEmpty,
+          s"version $v rewrites files — not replayable as an " +
+            "append-only row feed; consume rewrites via snapshot diff")
+        adds.map(f => CdcInputPartition(s"$root/$f", v))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(""""version"\s*:\s*(-?\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(
+        throw new IllegalArgumentException(s"bad offset json: $json")))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[cdc] case class CdcInputPartition(absPath: String,
+    version: Long) extends InputPartition
+
+private[cdc] class CdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcInputPartition]
+    new CdcPartitionReader(p.absPath, p.version)
+  }
+}
+
+/** Plain row-by-row Group decoding of one added parquet file — the
+  * miniature source's executor-side reader (no vectorization, no
+  * pruning; those belong to the real parquet scan — the point here is
+  * the STREAMING PROTOCOL being driven by the log). */
+private[cdc] class CdcPartitionReader(absPath: String, version: Long)
+    extends PartitionReader[InternalRow] {
+  private val conf = new Configuration()
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new GroupReadSupport(), new HPath(absPath))
+    .withConf(conf).build()
+  private val msg = ManifestCdc.footerSchema(absPath)
+  private val n = msg.getFieldCount
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val out = new Array[Any](n + 1)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (current.getFieldRepetitionCount(i) == 0) null
+        else msg.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveType.PrimitiveTypeName.INT64 =>
+            current.getLong(i, 0)
+          case PrimitiveType.PrimitiveTypeName.INT32 =>
+            current.getInteger(i, 0)
+          case PrimitiveType.PrimitiveTypeName.DOUBLE =>
+            current.getDouble(i, 0)
+          case PrimitiveType.PrimitiveTypeName.FLOAT =>
+            current.getFloat(i, 0)
+          case PrimitiveType.PrimitiveTypeName.BOOLEAN =>
+            current.getBoolean(i, 0)
+          case PrimitiveType.PrimitiveTypeName.BINARY =>
+            UTF8String.fromBytes(current.getBinary(i, 0).getBytes)
+          case other => throw new IllegalStateException(
+            s"unsupported primitive $other")
+        }
+      i += 1
+    }
+    out(n) = version
+    new GenericInternalRow(out)
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -130,4 +130,38 @@ object ManifestSink {
     ManifestLog.readVersion(spark, root,
       ManifestLog.latestVersion(root).get)
   }
+
+  private val cdcDrainId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drained streaming read of a manifest table THROUGH the DSv2
+    * version-tail source ([[graft.sources.cdc.ManifestCdcProvider]]):
+    * `maxVersionsPerTrigger` versions admitted per micro-batch,
+    * Trigger.AvailableNow pinned to the log's version set at start.
+    * FILE sink, not memory: the feed is data-sized (it IS the table's
+    * rows), and an append-mode memory sink would hold all of it on
+    * the driver — measured OOM at the 100× rung. Returns the read-back
+    * rows (data columns + `_commit_version`) and the run's progress
+    * (one entry per real micro-batch — the spec pins batch count and
+    * per-batch rows). */
+  def cdcDrained(spark: SparkSession, root: String,
+      startingVersion: Long = -1L, maxVersionsPerTrigger: Long = 1L)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val ds = EventStream.drainSession(spark)
+    val df = ds.readStream
+      .format(classOf[graft.sources.cdc.ManifestCdcProvider].getName)
+      .option("path", root)
+      .option("startingVersion", startingVersion.toString)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+      .load()
+    val out = graft.TempDirs.deleteOnExit(java.nio.file.Files
+      .createTempDirectory(s"graft_cdc_out_${cdcDrainId.incrementAndGet()}"))
+      .toString
+    val q = df.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (ds.read.parquet(s"$out/data"), q.recentProgress.toSeq)
+  }
 }

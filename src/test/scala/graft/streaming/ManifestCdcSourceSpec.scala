@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestLog
+
+/** The DSv2 version-tail source's streaming protocol: version-grained
+  * admission (one real micro-batch per version under
+  * maxVersionsPerTrigger=1), the exclusive startingVersion cursor,
+  * correct _commit_version stamping, and the loud append-only
+  * contract on rewriting commits. */
+class ManifestCdcSourceSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("AvailableNow drain admits one version per micro-batch and " +
+      "stamps rows with their committing version") {
+    val root = ManifestSink.ingestRoot(spark, dir)
+    val (rows, progress) = ManifestSink.cdcDrained(spark, root)
+    // 4 committed versions -> 4 real (row-carrying) micro-batches
+    val real = progress.filter(_.numInputRows > 0)
+    assert(real.size == 4,
+      s"expected 4 real micro-batches, got ${real.size}")
+    // the sink landed event_id % 4 cohorts as batches committing
+    // versions 0..3 in landing-file order: every row's stamp must
+    // equal its cohort
+    val bad = rows.filter(col("_commit_version") =!=
+      pmod(col("event_id"), lit(4))).count()
+    assert(bad == 0, s"$bad rows stamped with the wrong commit version")
+    // and the feed is exactly the ingested table, row for row
+    val want = ManifestSink.ingested(spark, dir).count()
+    assert(rows.count() == want)
+  }
+
+  test("startingVersion is an exclusive cursor: only the tail flows") {
+    val root = ManifestSink.ingestRoot(spark, dir)
+    val (rows, progress) = ManifestSink.cdcDrained(spark, root,
+      startingVersion = 1L)
+    assert(progress.count(_.numInputRows > 0) == 2)
+    assert(rows.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // cohorts 2 and 3 only
+    val bad = rows.filter(pmod(col("event_id"), lit(4)) < 2).count()
+    assert(bad == 0)
+  }
+
+  test("a rewriting commit in range fails the stream loudly - an " +
+      "append-only row feed must never silently replay a rewrite") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_rewrite").toString
+    val one = spark.range(1).select(
+      col("id").as("user_id"), col("id").as("event_id"),
+      col("id").as("ts_us"), col("id").cast("double").as("value"))
+    one.write.parquet(s"$root/data/b0")
+    ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/b0"),
+      Seq.empty, "write")
+    one.write.parquet(s"$root/data/b1")
+    ManifestLog.commit(root, 1, ManifestLog.partFiles(root, "data/b1"),
+      removes = ManifestLog.partFiles(root, "data/b0"), op = "merge")
+    val e = intercept[Exception](ManifestSink.cdcDrained(spark, root))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("rewrites files")),
+      s"expected the append-only contract error, got: ${messages(e)}")
+  }
+}
