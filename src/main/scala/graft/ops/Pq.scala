@@ -60,6 +60,50 @@ object Pq {
   def subPoints(embeddings: DataFrame, m: Int, sd: Int): DataFrame =
     slices(KMeans.quantize(embeddings), m, sd)
 
+  /** OPQ-lite dimension permutation (the integer-exact slice of OPQ's
+    * idea): plain PQ slices CONTIGUOUS dims, so a few high-variance
+    * dims can land in one subspace and starve the rest — its codebook
+    * then spends all k codewords on that subspace's spread while
+    * others' dims go underfit. Full OPQ learns a rotation (float
+    * matrix work the exact-hash gate cannot make bit-portable);
+    * the permutation variant rebalances with integer arithmetic only:
+    * rank dims by the exact variance SURROGATE n·Σx² − (Σx)² (the
+    * variance numerator — same argsort, no division) and deal ranks
+    * to subspaces in SNAKE order (pos even: left-to-right; pos odd:
+    * right-to-left), so every subspace receives one dim from each
+    * variance octile. Returns (dim, sub, pos): a 64-row frame —
+    * metadata, broadcast to apply. Ties rank by dim, so both engines
+    * produce the identical permutation. */
+  def snakeMapping(quantized: DataFrame, m: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("dim")) // 64 rows: one-task window is the point
+    quantized.select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg((count(lit(1)) * sum(col("x") * col("x")) -
+        sum(col("x")) * sum(col("x"))).as("v"))
+      .withColumn("r", row_number().over(w).cast(LongType) - 1)
+      .select(col("dim").cast(LongType).as("dim"),
+        when((col("r") / m).cast(LongType) % 2 === 0, col("r") % m)
+          .otherwise(lit(m - 1) - col("r") % m).as("sub"),
+        (col("r") / m).cast(LongType).as("pos"))
+  }
+
+  /** Permuted int8 subvectors: (vec_id, sub, q) under a (dim, sub,
+    * pos) mapping — [[subPoints]] with the subspace assignment coming
+    * from the broadcast mapping instead of contiguous slicing. The
+    * output feeds [[train]]/[[encode]]/[[adcTables]] UNCHANGED: the
+    * permutation is pure input layout, invisible to the PQ machinery
+    * (exactly as OPQ's rotation is to FAISS's). */
+  def permutedSubPoints(embeddings: DataFrame,
+      mapping: DataFrame): DataFrame =
+    KMeans.quantize(embeddings)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "x")))
+      .join(broadcast(mapping), "dim")
+      .groupBy("vec_id", "sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("x")))),
+        e => e.getField("x")).as("q"))
+
   /** Portable integer floor division — truncating div + pmod, so both
     * engines agree for negative sums too. The quotient is exact (the
     * numerator is a multiple of `n`), so the IEEE divide is exact. */

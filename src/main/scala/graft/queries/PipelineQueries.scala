@@ -2465,13 +2465,11 @@ object PipelineQueries {
     * m=8 subspaces × 8 dims → per-subspace Lloyd (k=16 first-k seed,
     * 2 rounds, the kmeans_train arithmetic keyed by `sub`) → final
     * codeword assignment as `codes`. */
-  private val PqOracleCtes = """
-      WITH pts AS (SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
-           FROM embeddings),
-      sp AS (SELECT vec_id, t.sub, q[(t.sub*8+1):(t.sub*8+8)] AS q
-             FROM pts CROSS JOIN range(0, 8) t(sub)),
+  /** Per-subspace Lloyd chain (c0 → codes), shared verbatim by the
+    * plain-PQ and permuted-PQ (OPQ-lite) oracles — both define `sp`
+    * (vec_id, sub, q) upstream and the chain is layout-blind, exactly
+    * like the Spark-side `Pq.train/encode`. */
+  private val PqChainCtes = """
       c0 AS (SELECT sub, vec_id AS cid, CAST(1 AS BIGINT) AS n, q AS sv
              FROM sp WHERE vec_id < 16),
       a1 AS (SELECT p.vec_id, p.sub, c.cid,
@@ -2521,6 +2519,37 @@ object PipelineQueries {
                  PARTITION BY vec_id, sub
                  ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
                  AS rk FROM a3) WHERE rk = 1)"""
+
+  private val PqOracleCtes = """
+      WITH pts AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
+           FROM embeddings),
+      sp AS (SELECT vec_id, t.sub, q[(t.sub*8+1):(t.sub*8+8)] AS q
+             FROM pts CROSS JOIN range(0, 8) t(sub)),""" + PqChainCtes
+
+  /** The OPQ-lite prefix: exact variance surrogate per dim, snake
+    * assignment of ranked dims to subspaces, permuted `sp` — the same
+    * chain follows. */
+  private val OpqOracleCtes = """
+      WITH pts AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
+           FROM embeddings),
+      dv AS (SELECT t.i AS dim,
+               COUNT(*) * SUM(q[t.i+1] * q[t.i+1])
+                 - SUM(q[t.i+1]) * SUM(q[t.i+1]) AS v
+             FROM pts CROSS JOIN range(0, 64) t(i) GROUP BY t.i),
+      rk AS (SELECT dim, row_number() OVER (ORDER BY v DESC, dim) - 1 AS r
+             FROM dv),
+      mp AS (SELECT dim,
+               CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                    ELSE 7 - r % 8 END AS sub,
+               r // 8 AS pos
+             FROM rk),
+      sp AS (SELECT p.vec_id, m.sub, list(p.q[m.dim+1] ORDER BY m.pos) AS q
+             FROM pts p CROSS JOIN mp m GROUP BY p.vec_id, m.sub),""" +
+    PqChainCtes
 
   private val embedPq = GraftQuery(
     name = "pipeline_embed_pq",
@@ -2658,6 +2687,133 @@ object PipelineQueries {
     * residual codebook (2 Lloyd rounds) → codes; queries (vec_id < 20)
     * probe their 2 nearest cells and score candidates by fixed-order
     * ADC folds. */
+  private val embedOpq = GraftQuery(
+    name = "pipeline_embed_opq",
+    doc = "OPQ-LITE product quantization (r15, SURVEY 8.3.1-4's " +
+      "named integer-exact variant): plain PQ slices CONTIGUOUS dims, " +
+      "so high-variance dims can pile into one subspace and starve " +
+      "the rest; full OPQ fixes this with a learned ROTATION - float " +
+      "matrix work no exact-hash gate can make bit-portable - while " +
+      "the permutation variant rebalances with integers only: rank " +
+      "dims by the exact variance surrogate n*sum(x^2) - (sum x)^2 " +
+      "(same argsort as variance, no division), deal ranks to the 8 " +
+      "subspaces in SNAKE order so each receives one dim per variance " +
+      "octile, then run the UNCHANGED PQ machinery on the permuted " +
+      "layout (Pq.snakeMapping/permutedSubPoints - the permutation is " +
+      "pure input layout, invisible to train/encode, exactly as OPQ's " +
+      "rotation is to FAISS). DuckDB replays the variance ranking, " +
+      "the snake, and both Lloyd rounds bit for bit; ties rank by " +
+      "dim so both engines permute identically.",
+    oracle = Some(OpqOracleCtes + """
+      SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub"""),
+    run = (s, dir) => {
+      import graft.ops.{KMeans, Pq}
+      val emb = table(s, dir, "embeddings")
+      val mapping = Pq.snakeMapping(KMeans.quantize(emb), m = 8)
+        .localCheckpoint(true) // 64 rows derived through a global sort
+      val pts = Pq.permutedSubPoints(emb, mapping)
+        .localCheckpoint(true) // feeds every Lloyd round + the encode
+      Pq.encode(pts, Pq.train(pts, k = 16, iters = 2))
+        .orderBy("vec_id", "sub")
+    })
+
+  private val opqRecall = GraftQuery(
+    name = "pipeline_opq_recall",
+    doc = "OPQ-lite recall audit - recall@3 of ADC top-3 under the " +
+      "PERMUTED codebooks (pipeline_embed_opq) vs the exact full-dim " +
+      "int8 top-3 over the same query set (vec_id < 20), one summary " +
+      "row directly comparable to pipeline_pq_recall's: the delta " +
+      "between the two rows IS what variance rebalancing buys (or " +
+      "costs) on this corpus, holding metric, quantization, k and m " +
+      "fixed. The exact baseline is permutation-invariant (squared " +
+      "distance is a sum over dims in any order), so only the ADC " +
+      "side moves. Same fixed-subspace-order fold, exact-integer hit " +
+      "count, single division at the end.",
+    oracle = Some(OpqOracleCtes + """,
+      qs AS (SELECT vec_id AS query_id, sub, q FROM sp WHERE vec_id < 20),
+      tba AS (SELECT q.query_id, c.sub, c.cid,
+                SUM((q.q[t.i+1]*c.n - c.sv[t.i+1])
+                  * (q.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
+                MAX(c.n) AS n
+              FROM qs q JOIN c2 c ON c.sub = q.sub
+                CROSS JOIN range(0, 8) t(i)
+              GROUP BY q.query_id, c.sub, c.cid),
+      tb AS (SELECT query_id, sub, cid,
+               CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE) AS d FROM tba),
+      adc AS (SELECT t.query_id, cd.vec_id AS neighbor_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(t.d ORDER BY t.sub)), (acc, x) -> acc + x) AS dist
+              FROM codes cd JOIN tb t
+                ON t.sub = cd.sub AND t.cid = cd.code
+                AND cd.vec_id <> t.query_id
+              GROUP BY t.query_id, cd.vec_id),
+      rpq AS (SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+              FROM adc),
+      top3 AS (SELECT query_id, neighbor_id FROM rpq WHERE rank <= 3),
+      exb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                SUM((q.q[t.i+1] - c.q[t.i+1])
+                  * (q.q[t.i+1] - c.q[t.i+1])) AS d2
+              FROM pts q JOIN pts c
+                ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+                CROSS JOIN range(0, 64) t(i)
+              GROUP BY q.vec_id, c.vec_id),
+      rex AS (SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+              FROM exb),
+      ex3 AS (SELECT query_id, neighbor_id FROM rex WHERE rank <= 3),
+      hits AS (SELECT a.query_id, COUNT(*) AS n_hit
+               FROM top3 a JOIN ex3 b
+                 ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY 1)
+      SELECT n_queries, k, n_hits,
+             CAST(n_hits AS DOUBLE) / CAST(n_queries * k AS DOUBLE) AS recall
+      FROM (SELECT (SELECT COUNT(DISTINCT query_id) FROM ex3) AS n_queries,
+                   CAST(3 AS BIGINT) AS k,
+                   CAST((SELECT COALESCE(SUM(n_hit), 0) FROM hits)
+                     AS BIGINT) AS n_hits)"""),
+    run = (s, dir) => {
+      import graft.ops.{KMeans, Pq}
+      val emb = table(s, dir, "embeddings")
+      val mapping = Pq.snakeMapping(KMeans.quantize(emb), m = 8)
+        .localCheckpoint(true)
+      val pts = Pq.permutedSubPoints(emb, mapping)
+        .localCheckpoint(true) // feeds train, encode AND the query side
+      val cb = Pq.train(pts, k = 16, iters = 2).localCheckpoint(true)
+      val codes = Pq.encode(pts, cb)
+      val qs = pts.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("sub"), col("q"))
+      val adc = Pq.adcDistances(codes, Pq.adcTables(qs, cb))
+        .filter(col("neighbor_id") =!= col("query_id"))
+      val wA = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("neighbor_id"))
+      val top3 = adc.withColumn("rank", row_number().over(wA))
+        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
+      // exact full-dim baseline: permutation-invariant, same as
+      // pq_recall's (the audit pair must share it for the delta to
+      // mean anything)
+      val full = KMeans.quantize(emb)
+      val q20 = full.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val exd = full.select(col("vec_id").as("neighbor_id"), col("q"))
+        .join(broadcast(q20), col("neighbor_id") =!= col("query_id"))
+        .withColumn("d2", aggregate(
+          zip_with(col("qq"), col("q"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+      val wE = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("neighbor_id"))
+      val ex3 = exd.withColumn("rank", row_number().over(wE))
+        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
+        .localCheckpoint(true)
+      val hits = top3.join(ex3, Seq("query_id", "neighbor_id"), "left_semi")
+      ex3.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_queries"), lit(3L).as("k"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) /
+            (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
+    })
+
   private val IvfPqOracleCtes = """
       WITH pts AS (SELECT vec_id,
              list_transform(embedding,
@@ -4468,7 +4624,8 @@ object PipelineQueries {
     decontamOverlap,
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
-    kmeansTrain, embedPq, pqRecall, ivfPqSearch, ivfPqRecall,
+    kmeansTrain, embedPq, pqRecall, embedOpq, opqRecall,
+    ivfPqSearch, ivfPqRecall,
     diverseCoreset, packSequences,
     tfidfTopk, zipfSpectrum,
     curriculumBins,
