@@ -51,4 +51,50 @@ object FileBloom {
 
   def mightContain(bits: Array[Byte], m: Int, k: Int, v: Long): Boolean =
     positions(v, m, k).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+
+  /** DISTRIBUTED bloom build as a Spark typed Aggregator: executors
+    * fold values into per-partition bit arrays and merge by OR, so the
+    * driver receives only each group's FINAL m/8 bytes — never the
+    * values (the production writer shape; the earlier build collected
+    * per-file distinct values, bounded but value-sized). The filter
+    * size `m` rides as the second input column so one aggregation can
+    * build differently-sized blooms per group; the buffer sizes itself
+    * lazily from the first row and merge checks the sizes agree. */
+  final class BitsAgg extends org.apache.spark.sql.expressions
+      .Aggregator[(Long, Int), Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(buf: Array[Byte],
+        in: (Long, Int)): Array[Byte] = {
+      val (v, m) = in
+      val b = if (buf.isEmpty) new Array[Byte](m / 8) else buf
+      require(b.length == m / 8,
+        s"bloom size mismatch within one group: ${b.length * 8} vs $m")
+      positions(v, m, 4).foreach(p =>
+        b(p >> 3) = (b(p >> 3) | (1 << (p & 7))).toByte)
+      b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else {
+        require(a.length == b.length, "bloom size mismatch across partitions")
+        val out = new Array[Byte](a.length)
+        var i = 0
+        while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
+        out
+      }
+    override def finish(buf: Array[Byte]): Array[Byte] = buf
+    override def bufferEncoder
+        : org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** The [[BitsAgg]] as an untyped column function: bits(value, m). */
+  def bitsAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new BitsAgg,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt))
 }
