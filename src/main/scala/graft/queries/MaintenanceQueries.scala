@@ -960,6 +960,76 @@ object MaintenanceQueries {
         .orderBy("event_id")
     })
 
+  /** A log-committed OPTIMIZE target: v0 commits the flat events as 16
+    * deliberately-small hash-partitioned files (the small-file problem
+    * a streaming writer creates), each with user_id stats; v1 is the
+    * OPTIMIZE — the same rows bin-packed into 4 range-clustered files,
+    * committed as remove(16)+add(4) with RECOMPUTED stats, data
+    * identical by construction. While v0 stays resolvable its files
+    * must survive any sweep, so the builder completes the maintenance
+    * arc the way a real table does: checkpoint v1, prune v0's manifest
+    * (retention), then VACUUM — and requires exactly the 16 superseded
+    * smalls were reclaimed. Cached per sfDir. */
+  private def optimizeRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_optimize", dir) { root =>
+      import graft.sources.ManifestLog
+      val ev = flatEvents(s, dir)
+      ev.repartition(16, col("event_id"))
+        .write.parquet(s"$root/data/v0")
+      val smalls = ManifestLog.partFiles(root, "data/v0")
+      require(smalls.size == 16, s"expected 16 small files: $smalls")
+      ManifestLog.commit(root, 0, smalls, Seq.empty, op = "write",
+        stats = fileStats(s, root, "data/v0", "user_id"))
+      // OPTIMIZE: same rows, 4 range-clustered files, stats recomputed
+      ManifestLog.readVersion(s, root, 0)
+        .repartitionByRange(4, col("user_id"))
+        .write.parquet(s"$root/data/v1")
+      val packed = ManifestLog.partFiles(root, "data/v1")
+      require(packed.size < smalls.size,
+        s"optimize must reduce file count: ${packed.size}")
+      ManifestLog.commit(root, 1, packed, removes = smalls,
+        op = "optimize", stats = fileStats(s, root, "data/v1", "user_id"))
+      // retention + GC: fold v1, prune v0's manifest, reclaim smalls
+      ManifestLog.writeCheckpoint(root, 1)
+      graft.sources.ManifestLog.storeFor(root).delete(f"${0L}%020d.json")
+      val swept = ManifestLog.vacuum(root)
+      require(swept.toSet == smalls.toSet,
+        s"vacuum must reclaim exactly the 16 superseded files: $swept")
+    }
+
+  private val optimizeCompact = GraftQuery(
+    name = "lake_optimize_compact",
+    doc = "Log-committed OPTIMIZE (r15) - the small-file compaction a " +
+      "streaming writer's output needs, done THROUGH the manifest log " +
+      "the way Delta's OPTIMIZE does: v0 commits 16 deliberately tiny " +
+      "files (with per-file user_id stats), v1 bin-packs the same " +
+      "rows into 4 range-clustered files as one remove(16)+add(4) " +
+      "commit with RECOMPUTED stats - readers of v1 see identical " +
+      "data with 4x fewer tasks and TIGHT stats intervals (the " +
+      "hash-partitioned smalls each span the full user domain, so " +
+      "data skipping was useless before the optimize and selective " +
+      "after). The builder then runs the full maintenance arc: " +
+      "checkpoint v1, prune v0's manifest, vacuum - and requires the " +
+      "16 superseded files were reclaimed exactly. The query reads " +
+      "the optimized version against the raw-corpus oracle, so a " +
+      "compaction that lost/duplicated a row or a vacuum that ate a " +
+      "live file fails the hash. At 100 TB this loop IS the table's " +
+      "steady state: ingest makes small files, optimize re-clusters, " +
+      "retention prunes, GC reclaims.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             MAX(epoch_ns(ts) // 1000) AS last_ts_us
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = optimizeRoot(s, dir)
+      graft.sources.ManifestLog.readVersion(s, root, 1)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+          max(col("ts_us")).as("last_ts_us"))
+        .orderBy("user_id")
+    })
+
   private val cdcIncremental = GraftQuery(
     name = "lake_cdc_incremental",
     doc = "INCREMENTAL CHANGE-FEED READ (r15) - the consumption half " +
@@ -1106,6 +1176,6 @@ object MaintenanceQueries {
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
     snapshotManifest, snapshotCheckpoint, manifestSkipping, mergeCow,
-    skippingMulticol, skippingBloom, vacuumQuery, cdcIncremental,
-    incrementalAgg)
+    skippingMulticol, skippingBloom, vacuumQuery, optimizeCompact,
+    cdcIncremental, incrementalAgg)
 }
