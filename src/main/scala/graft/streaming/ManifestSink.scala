@@ -144,7 +144,8 @@ object ManifestSink {
     * (one entry per real micro-batch — the spec pins batch count and
     * per-batch rows). */
   def cdcDrained(spark: SparkSession, root: String,
-      startingVersion: Long = -1L, maxVersionsPerTrigger: Long = 1L)
+      startingVersion: Long = -1L, maxVersionsPerTrigger: Long = 1L,
+      workDir: Option[String] = None)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val ds = EventStream.drainSession(spark)
     val df = ds.readStream
@@ -153,9 +154,12 @@ object ManifestSink {
       .option("startingVersion", startingVersion.toString)
       .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
       .load()
-    val out = graft.TempDirs.deleteOnExit(java.nio.file.Files
-      .createTempDirectory(s"graft_cdc_out_${cdcDrainId.incrementAndGet()}"))
-      .toString
+    // an explicit workDir pins checkpoint + sink across calls — the
+    // RESTART shape (run, stop, more commits, resume from the same
+    // checkpoint); default is a fresh drain
+    val out = workDir.getOrElse(graft.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory(
+        s"graft_cdc_out_${cdcDrainId.incrementAndGet()}")).toString)
     val q = df.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .format("parquet").option("path", s"$out/data")

@@ -45,6 +45,36 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("offsets persist across restarts: resuming from the same " +
+      "checkpoint admits only versions committed since, no duplicates") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_restart").toString
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_cdc_restart_work").toString
+    def landCommit(v: Long, ids: Seq[Long]): Unit = {
+      import spark.implicits._
+      ids.map(i => (i, i, i, i.toDouble))
+        .toDF("user_id", "event_id", "ts_us", "value")
+        .write.parquet(s"$root/data/b$v")
+      ManifestLog.commit(root, v, ManifestLog.partFiles(root, s"data/b$v"),
+        Seq.empty, "stream-append")
+    }
+    landCommit(0, Seq(1L, 2L)); landCommit(1, Seq(3L))
+    val (r1, _) = ManifestSink.cdcDrained(spark, root,
+      workDir = Some(work))
+    assert(r1.count() == 3)
+    // the stream stopped; the table keeps moving
+    landCommit(2, Seq(4L, 5L))
+    val (r2, p2) = ManifestSink.cdcDrained(spark, root,
+      workDir = Some(work))
+    // resume admitted ONLY version 2 — its 2 rows, exactly once
+    assert(p2.map(_.numInputRows).sum == 2,
+      s"restart must admit only the new version's rows: $p2")
+    val got = r2.select("event_id", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L), (5L, 2L)))
+  }
+
   test("a rewriting commit in range fails the stream loudly - an " +
       "append-only row feed must never silently replay a rewrite") {
     val root = java.nio.file.Files
