@@ -106,6 +106,12 @@ object ManifestLog {
   private val ManifestRe = "^\\d{20}\\.json$".r
   private val CheckpointRe = "^\\d{20}\\.checkpoint\\.json$".r
 
+  /** True iff the flat manifest format can round-trip `s`: no field
+    * ('|'), element (','), quote ('"') or field-terminator (']')
+    * delimiter — enforced on every committed string (r15 advice). */
+  private[sources] def flatSafe(s: String): Boolean =
+    !s.exists(c => c == '|' || c == ',' || c == '"' || c == ']')
+
   /** The production binding: this table root's `_log/` directory on a
     * POSIX filesystem. */
   def storeFor(root: String): LogStore = new PosixLogStore(logDir(root))
@@ -125,23 +131,35 @@ object ManifestLog {
       txn: Option[(String, Long)] = None): Unit = {
     def arr(fs: Seq[String]) =
       fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    // EVERY string the self-authored flat format carries must be
+    // round-trippable by its parser: fields are '|'-delimited,
+    // elements ','-delimited, strings '"'-quoted, and the field regex
+    // stops at the first ']' — a path/column/appId containing any of
+    // those four chars would serialize fine and then silently
+    // mis-split on replay, corrupting the live set. Rejecting them at
+    // commit time keeps the corruption loud at the write (r15 advice).
+    // Spark part-file names never contain them; this guards the
+    // PUBLIC commit API against arbitrary caller strings.
+    require((adds ++ removes).forall(flatSafe),
+      "committed paths must not contain '|', ',', '\"' or ']' — " +
+        "the flat manifest format cannot round-trip them")
     // stats ride as flat "path|min|max" strings so the self-authored
-    // parser stays one shape; paths never contain '|' (enforced here)
-    require(stats.keySet.forall(f => adds.contains(f) && !f.contains("|")),
-      "stats must describe committed adds with '|'-free paths")
+    // parser stays one shape
+    require(stats.keySet.forall(adds.contains),
+      "stats must describe committed adds")
     // colstats ride as "path|col|min|max"; blooms as
     // "path|col|sidecar|m|k"; txn as "appId|batchId"
     require(colStats.forall { case (f, cs) =>
-      adds.contains(f) && !f.contains("|") &&
-        cs.keySet.forall(!_.contains("|")) },
-      "colstats must describe committed adds; paths and columns '|'-free")
+      adds.contains(f) && cs.keySet.forall(flatSafe) },
+      "colstats must describe committed adds with round-trippable columns")
     require(blooms.forall { case (f, bs) =>
-      adds.contains(f) && !f.contains("|") && bs.forall { case (c, r) =>
-        !c.contains("|") && !r.sidecar.contains("|") && r.m > 0 &&
+      adds.contains(f) && bs.forall { case (c, r) =>
+        flatSafe(c) && flatSafe(r.sidecar) && r.m > 0 &&
           (r.m & (r.m - 1)) == 0 && r.k > 0 } },
-      "blooms must describe committed adds; '|'-free; m a power of two")
-    require(txn.forall { case (app, b) => !app.contains("|") && b >= 0 },
-      "txn appId must be '|'-free with a non-negative batchId")
+      "blooms must describe committed adds; round-trippable fields; " +
+        "m a power of two")
+    require(txn.forall { case (app, b) => flatSafe(app) && b >= 0 },
+      "txn appId must be round-trippable with a non-negative batchId")
     val statArr = arr(adds.flatMap(f =>
       stats.get(f).map(st => s"$f|${st.min}|${st.max}")))
     val colStatArr = arr(adds.flatMap(f =>
@@ -580,8 +598,16 @@ object ManifestLog {
     * works after it, byte-identical (pinned by ManifestLogSpec).
     * Only `*.parquet` data files and `*.bloom` sidecars are
     * candidates (logs and markers are never touched). Returns the
-    * deleted relative paths, sorted. */
-  def vacuum(root: String): Seq[String] = {
+    * deleted relative paths, sorted.
+    *
+    * `exclude` lists root-relative directory prefixes the sweep must
+    * not enter — for roots that co-locate NON-table files with the
+    * table (a streaming ingest's landing dir holds the stream's
+    * SOURCE parquet under the same root; sweeping it would delete
+    * the input and break any later resume — r15 advice). The table's
+    * own data files are never excludable by accident: callers pass
+    * only their known side-directory names. */
+  def vacuum(root: String, exclude: Seq[String] = Seq.empty): Seq[String] = {
     val store = storeFor(root)
     val resolvable =
       (versionsIn(store) ++ checkpointVersionsIn(store)).distinct.sorted
@@ -598,6 +624,8 @@ object ManifestLog {
           n.endsWith(".parquet") || n.endsWith(".bloom") }
         .filterNot(_.getFileName.toString.startsWith("."))
         .map(p => rootPath.relativize(p).toString)
+        .filterNot(rel => exclude.exists(e =>
+          rel == e || rel.startsWith(e + "/")))
         .filterNot(keep)
         .toSeq
     }.sorted

@@ -76,16 +76,26 @@ private[cdc] object ManifestCdc {
     r
   }
 
-  /** Data schema from the first added file's footer + _commit_version. */
+  /** Data schema from a live file's footer + _commit_version.
+    *
+    * Resolved through the latest RESOLVABLE version's live set
+    * (checkpoint-seeded replay — prune-tolerant), NOT through
+    * `changesBetween(root, -1, latest)`: the change replay requires
+    * every manifest 0..latest to exist, and a paired [[graft.streaming
+    * .ManifestSink]] table prunes manifests behind its checkpoints, so
+    * schema inference via the full change history would throw at
+    * load() for ANY startingVersion — even one whose tail is fully
+    * intact (r15 advice). */
   def schemaFor(root: String): StructType = {
-    val latest = ManifestLog.latestVersion(root).getOrElse(
-      throw new IllegalArgumentException(
-        s"manifest CDC source: empty log at $root"))
-    val firstAdd = ManifestLog.changesBetween(root, -1L, latest)
-      .flatMap(_._2).headOption.getOrElse(
+    val store = ManifestLog.storeFor(root)
+    val latest = (ManifestLog.versionsIn(store) ++
+      ManifestLog.checkpointVersionsIn(store)).maxOption.getOrElse(
         throw new IllegalArgumentException(
-          s"manifest CDC source: no added files at $root"))
-    val msg = footerSchema(s"$root/$firstAdd")
+          s"manifest CDC source: empty log at $root"))
+    val firstLive = ManifestLog.filesAsOfIn(store, latest)
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        s"manifest CDC source: no live files at $root as of v$latest"))
+    val msg = footerSchema(s"$root/$firstLive")
     StructType(dataFields(msg) :+
       StructField("_commit_version", LongType, nullable = false))
   }

@@ -46,19 +46,29 @@ object ManifestSink {
     StructField("ts_us", LongType),
     StructField("value", DoubleType)))
 
-  /** One micro-batch's commit: land the batch's rows under
-    * `data/b{batchId}`, then publish the next version with the txn
-    * marker — unless the log already carries a marker at or past this
-    * batchId (a replay), in which case do NOTHING. The data write
-    * itself is overwrite-mode: a crash between landing and commit
-    * leaves an orphan dir the retry rewrites in place (uncommitted
-    * files are invisible to log readers, so the orphan is garbage, not
-    * corruption — the same reason real formats need VACUUM). */
+  /** One micro-batch's commit: land the batch's rows under a
+    * UNIQUE-per-attempt directory `data/b{batchId}-{attempt}`, then
+    * publish the next version with the txn marker — unless the log
+    * already carries a marker at or past this batchId (a replay), in
+    * which case do NOTHING.
+    *
+    * NEVER-REUSE-PATHS (r15 advice): an earlier shape landed with
+    * mode("overwrite") into the deterministic `data/b{batchId}` — a
+    * zombie second driver replaying the same batch past the early txn
+    * check would re-overwrite that directory with differently-named
+    * part files, deleting part files a concurrent winner had just
+    * committed into the manifest. The log's atomic publish protects
+    * only the MANIFEST race, not a data overwrite, so the data path
+    * itself must be unique per attempt (the rule every real format
+    * follows: data files are immutable, losers become orphans). A
+    * crash between landing and commit — or a lost txn race — leaves
+    * an orphan dir invisible to every log reader; [[ManifestLog.vacuum]]
+    * reclaims it (exclude the landing dir: see [[vacuumIngest]]). */
   private[graft] def commitBatch(root: String, batch: DataFrame,
       batchId: Long): Unit = {
     if (ManifestLog.lastTxn(root, AppId).exists(_ >= batchId)) return
-    val sub = s"data/b$batchId"
-    batch.write.mode("overwrite").parquet(s"$root/$sub")
+    val sub = s"data/b$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
+    batch.write.mode("errorifexists").parquet(s"$root/$sub")
     val adds = ManifestLog.partFiles(root, sub)
     var committed = false
     while (!committed) {
@@ -78,6 +88,17 @@ object ManifestSink {
       }
     }
   }
+
+  /** The one non-table directory an ingest root co-locates with the
+    * table: the stream's SOURCE landing files. A sweep must never
+    * enter it — vacuuming the input breaks any later resume. */
+  val NonTableDirs: Seq[String] = Seq("landing")
+
+  /** GC an ingest root safely: sweep crashed-attempt orphans (the
+    * unique per-attempt dirs [[commitBatch]] abandons on a lost txn
+    * race) without touching the landing dir the stream reads from. */
+  def vacuumIngest(root: String): Seq[String] =
+    ManifestLog.vacuum(root, exclude = NonTableDirs)
 
   /** Build (once per sfDir) the manifest-committed events table: 4
     * event-cohort landing files with pinned ascending mtimes (so

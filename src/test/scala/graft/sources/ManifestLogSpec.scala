@@ -413,6 +413,66 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.vacuum(root).isEmpty)
   }
 
+  test("commit rejects every string the flat format cannot round-trip " +
+      "— corruption stays loud at write time, never silent at replay " +
+      "(r15 advice)") {
+    val root = freshRoot()
+    // the format's own delimiters: '|' (field), ',' (element),
+    // '"' (quote), ']' (field terminator) — each would serialize fine
+    // and mis-split on replay if admitted
+    for (bad <- Seq("data/a|b.parquet", "data/a,b.parquet",
+        "data/a\"b.parquet", "data/a]b.parquet")) {
+      intercept[IllegalArgumentException](
+        ManifestLog.commit(root, 0, Seq(bad), Seq.empty, "write"))
+      // removes are serialized through the same arrays
+      intercept[IllegalArgumentException](
+        ManifestLog.commit(root, 0, Seq("data/ok.parquet"), Seq(bad),
+          "write"))
+    }
+    // colstat column names and txn appIds ride the same flat strings
+    intercept[IllegalArgumentException](
+      ManifestLog.commit(root, 0, Seq("data/ok.parquet"), Seq.empty,
+        "write", colStats = Map("data/ok.parquet" ->
+          Map("x,y" -> ManifestLog.FileStat(0, 1)))))
+    intercept[IllegalArgumentException](
+      ManifestLog.commit(root, 0, Seq("data/ok.parquet"), Seq.empty,
+        "write", txn = Some(("app\"1", 0L))))
+    // nothing was committed by any rejected attempt; a clean commit
+    // at the same version then round-trips exactly
+    assert(ManifestLog.versions(root).isEmpty)
+    ManifestLog.commit(root, 0, Seq("data/ok.parquet"), Seq.empty, "write")
+    assert(ManifestLog.filesAsOf(root, 0) == Seq("data/ok.parquet"))
+  }
+
+  test("vacuum skips caller-excluded side directories: a co-located " +
+      "streaming landing dir survives the sweep while true orphans " +
+      "still go (r15 advice)") {
+    val root = freshRoot()
+    def touch(rel: String): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.createFile(p)
+    }
+    // a committed table file, a crashed-attempt orphan, and the
+    // stream's SOURCE input under landing/ — unreferenced by the log
+    // by design, and exactly what an unscoped sweep would eat
+    Seq("data/v0/a.parquet", "data/b9-dead/orphan.parquet",
+      "landing/part-0.parquet", "landing/part-1.parquet").foreach(touch)
+    ManifestLog.commit(root, 0, Seq("data/v0/a.parquet"), Seq.empty,
+      "write")
+    assert(ManifestLog.vacuum(root, exclude = Seq("landing")) ==
+      Seq("data/b9-dead/orphan.parquet"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "landing/part-0.parquet")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "landing/part-1.parquet")))
+    // the exclusion is a prefix on PATH SEGMENTS, not a substring:
+    // a data file whose name merely starts with "landing" is swept
+    touch("landingzone.parquet")
+    assert(ManifestLog.vacuum(root, exclude = Seq("landing")) ==
+      Seq("landingzone.parquet"))
+  }
+
   test("incremental change read: the tail's actions per version in " +
       "order; a pruned tail fails loudly, never skips (r15 CDC)") {
     val root = freshRoot()

@@ -75,6 +75,45 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L), (5L, 2L)))
   }
 
+  test("schema inference survives retention pruning: a table whose " +
+      "manifest head is pruned behind a checkpoint still loads, an " +
+      "intact-tail cursor drains, a pruned-past cursor fails loudly " +
+      "(r15 advice)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_pruned").toString
+    val policy = Some(ManifestLog.CheckpointPolicy(every = 2))
+    def landCommit(v: Long, ids: Seq[Long]): Unit = {
+      import spark.implicits._
+      ids.map(i => (i, i, i, i.toDouble))
+        .toDF("user_id", "event_id", "ts_us", "value")
+        .write.parquet(s"$root/data/b$v")
+      ManifestLog.commit(root, v, ManifestLog.partFiles(root, s"data/b$v"),
+        Seq.empty, "stream-append", policy)
+    }
+    // 6 commits under every=2 retention: the v4 fold prunes manifests
+    // 0..2 (folded by checkpoint 2, itself behind checkpoint 4)
+    (0L to 5L).foreach(v => landCommit(v, Seq(v * 10, v * 10 + 1)))
+    assert(ManifestLog.versions(root) == Seq(3L, 4L, 5L),
+      "fixture must actually prune the manifest head")
+    // the old schemaFor replayed changes from -1 and threw here for
+    // ANY startingVersion; inference must come from the latest
+    // resolvable version's live files instead
+    val (rows, _) = ManifestSink.cdcDrained(spark, root,
+      startingVersion = 3L)
+    assert(rows.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
+    assert(rows.count() == 4)
+    // a cursor whose tail is pruned still fails LOUDLY at planning —
+    // prune tolerance must never become silent action loss
+    val e = intercept[Exception](
+      ManifestSink.cdcDrained(spark, root, startingVersion = -1L))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("pruned/missing manifests")),
+      s"expected the dense-range error, got: ${messages(e)}")
+  }
+
   test("a rewriting commit in range fails the stream loudly - an " +
       "append-only row feed must never silently replay a rewrite") {
     val root = java.nio.file.Files

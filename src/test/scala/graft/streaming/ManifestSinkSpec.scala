@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -55,10 +57,63 @@ class ManifestSinkSpec extends AnyFunSuite {
       "stream-append", txn = Some((ManifestSink.AppId, 7L)))
     ManifestSink.commitBatch(root, rows(1), 7)
     assert(ManifestLog.versions(root) == Seq(0L))
-    // and the slow copy never even landed data (early txn check)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(root, "data", "b7")))
+    // and the slow copy never even landed data (early txn check):
+    // no attempt dir for batch 7 exists at all
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val landed =
+      if (!java.nio.file.Files.isDirectory(dataDir)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(dataDir)
+        try s.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally s.close()
+      }
+    assert(!landed.exists(_.startsWith("b7-")),
+      s"slow copy landed data despite the marker: $landed")
     assert(ManifestLog.filesAsOf(root, 0) == Seq("data/b7/f.parquet"))
+  }
+
+  test("zombie replay of one batch never deletes committed data: " +
+      "attempts land unique never-reused paths, exactly one commits, " +
+      "the loser is an orphan vacuumIngest reclaims (r15 advice)") {
+    val root = freshRoot()
+    // two drivers replaying the same batch, both past the early txn
+    // check (the marker is not yet visible to either): with the old
+    // deterministic data/b0 overwrite the loser's re-write deleted
+    // the winner's just-committed part files; unique attempt dirs
+    // make the loser's landing garbage instead of corruption
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val attempts = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            gate.await()
+            ManifestSink.commitBatch(root, rows(10L + i), 0)
+          }
+        })
+      }
+      gate.countDown()
+      attempts.foreach(_.get())
+    } finally pool.shutdown()
+    // exactly one version, one marker
+    assert(ManifestLog.versions(root) == Seq(0L))
+    assert(ManifestLog.lastTxn(root, ManifestSink.AppId).contains(0L))
+    // the attempt dir is unique-per-attempt (never-reuse-paths pin)
+    val committed = ManifestLog.filesAsOf(root, 0)
+    assert(committed.forall(_.matches("data/b0-[0-9a-f]{8}/.+\\.parquet")),
+      s"committed paths must be unique attempt dirs: $committed")
+    // every committed file EXISTS — no overwrite ate the winner's data
+    committed.foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, f)),
+        s"manifest references a missing file: $f")
+    }
+    assert(ManifestLog.readVersion(spark, root, 0).count() == 1)
+    // any losing attempt's landing is unreferenced garbage the scoped
+    // vacuum reclaims; the committed read is byte-identical after
+    val swept = ManifestSink.vacuumIngest(root)
+    assert(swept.forall(f => !committed.contains(f)),
+      s"vacuum must never sweep referenced files: $swept")
+    assert(ManifestLog.readVersion(spark, root, 0).count() == 1)
   }
 
   test("drained ingest + full fresh-checkpoint replay equals the " +
