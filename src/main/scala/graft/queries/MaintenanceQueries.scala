@@ -702,7 +702,12 @@ object MaintenanceQueries {
       "The exact row-level filter still applies after the prune - the " +
       "oracle replays the predicate over the WHOLE corpus, so a prune " +
       "that drops a file it needed fails the hash, not just a plan " +
-      "expectation (the pruned-scan pin lives in ManifestLogSpec).",
+      "expectation. Since r16 the prune happens INSIDE Catalyst " +
+      "planning: the read goes through ManifestFileIndex, the query's " +
+      "own pushed-down BETWEEN becomes the file prune (no pre-" +
+      "resolution helper), pinned scan-shape and file-count in " +
+      "ManifestFileIndexSpec; the metadata-only prune helpers stay " +
+      "pinned in ManifestLogSpec.",
     oracle = Some("""
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -711,7 +716,12 @@ object MaintenanceQueries {
       GROUP BY user_id ORDER BY user_id"""),
     run = (s, dir) => {
       val root = skippingRoot(s, dir)
-      graft.sources.ManifestLog.readVersionWhere(s, root, 0, 1, 8)
+      // the BETWEEN below is the whole story: it pushes down into the
+      // ManifestFileIndex, which intersects it with the manifest's
+      // per-file [min, max] during planning — files outside the band
+      // never reach the scan
+      graft.sources.ManifestLog.readVersionIndexed(s, root, 0,
+          statsColumn = Some("user_id"))
         .filter(col("user_id").between(1, 8))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
@@ -904,7 +914,9 @@ object MaintenanceQueries {
       "must-read per predicate, so the prune stays a pure " +
       "optimization; ManifestLogSpec pins conjunction < best single " +
       "axis on the z-layout, colstats death on remove, and fold " +
-      "through checkpoints. Oracle replays the box aggregate over the " +
+      "through checkpoints; since r16 the prune runs INSIDE Catalyst " +
+      "planning via ManifestFileIndex (scan shape + file count pinned " +
+      "in ManifestFileIndexSpec). Oracle replays the box aggregate over the " +
       "WHOLE raw corpus - a file the prune wrongly dropped fails the " +
       "hash. At 100 TB this decides 'which 60 of 80,000 files' " +
       "before any data IO.",
@@ -917,8 +929,10 @@ object MaintenanceQueries {
       GROUP BY user_id ORDER BY user_id"""),
     run = (s, dir) => {
       val root = multicolRoot(s, dir)
-      graft.sources.ManifestLog.readVersionWhereCols(s, root, 0,
-          Seq(("user_id", 1L, 8L), ("ts_us", BoxTsLo, BoxTsHi)))
+      // both BETWEENs push down into the ManifestFileIndex; the
+      // conjunctive prune over the z-layout's named colstats happens
+      // inside Catalyst planning (r16), no pre-resolution pass
+      graft.sources.ManifestLog.readVersionIndexed(s, root, 0)
         .filter(col("user_id").between(1, 8) &&
           col("ts_us").between(BoxTsLo, BoxTsHi))
         .groupBy("user_id")

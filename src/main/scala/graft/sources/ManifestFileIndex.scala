@@ -1,0 +1,163 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.{DataFrame, GraftRelationBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.ManifestLog.FileStat
+
+/** One live data file as the manifest log resolved it: root-relative
+  * path, on-disk length, and the per-column [min, max] stats the
+  * manifest carries for it (empty = never skippable). */
+final case class ManifestFileEntry(relPath: String, size: Long,
+    stats: Map[String, FileStat] = Map.empty,
+    modificationTime: Long = 0L)
+
+/** A [[FileIndex]] planned ENTIRELY from the manifest log — the
+  * metadata layer a real table format puts under Spark's scan (Delta's
+  * TahoeFileIndex, Iceberg's scan planning): the file list is the
+  * log's resolved live set, never a directory listing, and the
+  * manifest's per-file column stats answer Catalyst's pushed-down data
+  * filters DURING PLANNING, so a predicate prunes files inside the
+  * optimizer (composing with partition pruning, DPP and AQE) instead
+  * of in a pre-resolution helper the caller must remember to use.
+  *
+  * Two properties carry the 100 TB story:
+  *   - resolve cost is metadata-sized: no filesystem listing ever runs
+  *     (`listFiles` filters an in-memory array; the 100k-file rung in
+  *     ManifestFileIndexSpec pins flat cost), and the entries' sizes
+  *     feed `sizeInBytes` so join-side broadcast decisions see the
+  *     TRUE post-prune scan size;
+  *   - pruning is conservative by construction: only range predicates
+  *     over integral columns WITH recorded stats ever drop a file;
+  *     unknown columns, stats-less files, casts, and non-range
+  *     predicates all keep the file (must-read) — correctness never
+  *     depends on the prune, and the registered queries' oracles
+  *     replay predicates over the whole corpus so a wrong drop fails
+  *     the row hash, not a plan expectation. */
+final class ManifestFileIndex(root: String,
+    entries: Seq[ManifestFileEntry]) extends FileIndex {
+  require(entries.nonEmpty, "a manifest scan needs at least one file")
+
+  private val statuses: Array[(FileStatus, Map[String, FileStat])] =
+    entries.map { e =>
+      val p = new Path(new java.io.File(root, e.relPath).toURI)
+      (new FileStatus(e.size, false, 1, 128L * 1024 * 1024,
+        e.modificationTime, p), e.stats)
+    }.toArray
+
+  override def rootPaths: Seq[Path] =
+    Seq(new Path(new java.io.File(root).toURI))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def sizeInBytes: Long = entries.iterator.map(_.size).sum
+
+  override def inputFiles: Array[String] =
+    statuses.map(_._1.getPath.toString)
+
+  override def refresh(): Unit = ()
+
+  /** The planning-time prune: intersect the conjunctive ranges Catalyst
+    * pushed down with each file's manifest stats. A file survives a
+    * predicate when its recorded interval intersects the range or it
+    * has no stats for that column. */
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val preds = ManifestFileIndex.ranges(dataFilters)
+    val kept =
+      if (preds.isEmpty) statuses.map(_._1)
+      else statuses.collect { case (st, stats)
+        if preds.forall { case (c, (lo, hi)) =>
+          stats.get(c).forall(s => s.max >= lo && s.min <= hi) } => st }
+    Seq(PartitionDirectory(InternalRow.empty, kept))
+  }
+}
+
+object ManifestFileIndex {
+
+  /** Per-column closed [lo, hi] bounds implied by `filters` —
+    * CONSERVATIVE extraction: only shapes whose range semantics are
+    * unambiguous contribute (attr-vs-integral-literal comparisons,
+    * `In` sets, conjunctions); everything else — casts, disjunctions,
+    * non-integral types, expressions over multiple columns — is
+    * ignored, which can only ever keep more files. Multiple bounds on
+    * one column intersect; a contradictory conjunction yields an
+    * empty interval that correctly drops every stats-bearing file. */
+  private[sources] def ranges(
+      filters: Seq[Expression]): Map[String, (Long, Long)] = {
+    val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def add(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bounds(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    // saturating neighbors: x > MAX has no successor — saturate rather
+    // than wrap (keeps the prune conservative at the domain edges)
+    def succ(v: Long) = if (v == Long.MaxValue) v else v + 1
+    def pred(v: Long) = if (v == Long.MinValue) v else v - 1
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(a, b) => walk(a); walk(b)
+      case EqualTo(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, v, v))
+      case EqualTo(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, v, v))
+      case GreaterThan(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, succ(v), Long.MaxValue))
+      case GreaterThan(l, a: Attribute) => // v > a  ≡  a < v
+        lit(l).foreach(v => add(a.name, Long.MinValue, pred(v)))
+      case GreaterThanOrEqual(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, v, Long.MaxValue))
+      case GreaterThanOrEqual(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, Long.MinValue, v))
+      case LessThan(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, Long.MinValue, pred(v)))
+      case LessThan(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, succ(v), Long.MaxValue))
+      case LessThanOrEqual(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, Long.MinValue, v))
+      case LessThanOrEqual(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, v, Long.MaxValue))
+      case In(a: Attribute, vs) if vs.nonEmpty =>
+        val ls = vs.map(lit)
+        if (ls.forall(_.isDefined)) {
+          val longs = ls.flatten
+          add(a.name, longs.min, longs.max)
+        }
+      case _ => ()
+    }
+    filters.foreach(walk)
+    bounds.toMap
+  }
+
+  /** Plan a parquet scan over `entries` through a [[ManifestFileIndex]]:
+    * schema from ONE footer via the format's own `inferSchema` (flat
+    * cost at any file count — manifest tables have one schema by
+    * construction), relation built directly (no DataSource resolution,
+    * no InMemoryFileIndex, no listing). */
+  def read(spark: SparkSession, root: String,
+      entries: Seq[ManifestFileEntry]): DataFrame = {
+    val index = new ManifestFileIndex(root, entries)
+    val format = new ParquetFileFormat
+    val probe = index.listFiles(Nil, Nil).head.files.head.fileStatus
+    val dataSchema = format
+      .inferSchema(spark, Map.empty[String, String], Seq(probe))
+      .getOrElse(throw new IllegalStateException(
+        s"cannot infer schema from ${probe.getPath}"))
+    val relation = HadoopFsRelation(index, new StructType(), dataSchema,
+      None, format, Map.empty[String, String])(spark)
+    GraftRelationBridge.ofRows(spark,
+      LogicalRelation(relation, isStreaming = false))
+  }
+}

@@ -474,7 +474,7 @@ object ManifestLog {
       column: String, value: Long): DataFrame = {
     val matching = filesMatchingPoint(root, version, column, value)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    readFilesIndexed(spark, root, files)
   }
 
   def commit(root: String, version: Long, adds: Seq[String],
@@ -544,7 +544,7 @@ object ManifestLog {
       version: Long, preds: Seq[(String, Long, Long)]): DataFrame = {
     val matching = filesMatchingCols(root, version, preds)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    readFilesIndexed(spark, root, files, colStatsAsOf(root, version))
   }
 
   /** Snapshot read AS OF `version` PRUNED to the files whose stats
@@ -556,8 +556,53 @@ object ManifestLog {
       lo: Long, hi: Long): DataFrame = {
     val matching = filesMatching(root, version, lo, hi)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    readFilesIndexed(spark, root, files)
   }
+
+  /** Snapshot read AS OF `version` planned through a
+    * [[ManifestFileIndex]] — the production read path (r15 verdict #1):
+    * Spark's scan plans DIRECTLY from the log's resolved live set (no
+    * directory listing, no InMemoryFileIndex), and the manifest's
+    * per-file column stats ride into the index so Catalyst's
+    * pushed-down data filters prune files DURING PLANNING — the same
+    * prune [[filesMatchingColsIn]] offers pre-resolution, but composed
+    * with the optimizer (filter pushdown, DPP, AQE) and applied
+    * automatically to ANY predicate the query writes, not just the
+    * ones the caller remembered to pass.
+    *
+    * `statsColumn` names the column the version's SINGLE-column stats
+    * ([[FileStat]] without a name) describe, mapping them into the
+    * index; named colstats always ride. */
+  def readVersionIndexed(spark: SparkSession, root: String, version: Long,
+      statsColumn: Option[String] = None): DataFrame = {
+    val store = storeFor(root)
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    val r = replayIn(store, version)
+    require(r.files.nonEmpty, s"version $version resolves to no files")
+    val entries = r.files.map { f =>
+      val merged = r.colStats.getOrElse(f, Map.empty[String, FileStat]) ++
+        statsColumn.flatMap(c => r.stats.get(f).map(c -> _))
+      entryFor(root, f, merged)
+    }
+    ManifestFileIndex.read(spark, root, entries)
+  }
+
+  private def entryFor(root: String, rel: String,
+      stats: Map[String, FileStat]): ManifestFileEntry = {
+    val p = Paths.get(root, rel)
+    ManifestFileEntry(rel, Files.size(p), stats,
+      Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** Index-planned scan over an explicit pre-resolved file list (the
+    * legacy prune helpers' read half). */
+  private def readFilesIndexed(spark: SparkSession, root: String,
+      files: Seq[String],
+      stats: Map[String, Map[String, FileStat]] = Map.empty): DataFrame =
+    ManifestFileIndex.read(spark, root,
+      files.map(f => entryFor(root, f, stats.getOrElse(f, Map.empty))))
 
   def versions(root: String): Seq[Long] = versionsIn(storeFor(root))
 
@@ -573,13 +618,13 @@ object ManifestLog {
     filesAsOfIn(storeFor(root), version)
 
   /** Snapshot read AS OF `version`, resolved through log replay —
-    * never through path conventions. */
+    * never through path conventions. Plans through the manifest's own
+    * [[ManifestFileIndex]] (see [[readVersionIndexed]]); any named
+    * colstats the version carries prune pushed-down predicates at
+    * planning time. */
   def readVersion(spark: SparkSession, root: String,
-      version: Long): DataFrame = {
-    val files = filesAsOf(root, version).map(f => s"$root/$f")
-    require(files.nonEmpty, s"version $version resolves to no files")
-    spark.read.parquet(files: _*)
-  }
+      version: Long): DataFrame =
+    readVersionIndexed(spark, root, version)
 
   /** ORPHAN-FILE GC — the VACUUM of a real table format. Deletes the
     * parquet data files under `root` that NO resolvable version

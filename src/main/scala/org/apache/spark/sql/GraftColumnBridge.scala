@@ -12,3 +12,15 @@ object GraftColumnBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 }
+
+/** Bridge into `private[sql]` Dataset construction for graft's custom
+  * [[org.apache.spark.sql.execution.datasources.FileIndex]]-backed
+  * relations (the manifest-log snapshot reader) — the same pattern the
+  * published lakehouse formats use to plan their scans from their own
+  * transaction log instead of directory listings. */
+object GraftRelationBridge {
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
