@@ -226,6 +226,47 @@ private[cdc] class CdcReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[CdcInputPartition]
     new CdcPartitionReader(p.absPath, p.version)
   }
+
+  // VECTORIZED batch path (r15 verdict #3): the per-batch file set
+  // flows through Spark's own VectorizedParquetRecordReader instead
+  // of row-by-row Group decoding — columnar decode, batch hand-off,
+  // and `_commit_version` riding as a CONSTANT partition column the
+  // reader stamps per batch (zero per-row work). The row reader above
+  // stays as the engine-mandated fallback for contexts that decline
+  // columnar reads.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[CdcInputPartition]
+    new CdcColumnarReader(p.absPath, p.version)
+  }
+}
+
+/** One added file decoded through the real vectorized parquet reader:
+  * `next()` advances a whole ColumnarBatch (4096 rows), and the
+  * commit version is a constant partition column materialized once
+  * per batch — the decode path the miniature Group reader documented
+  * as "belongs to the real parquet scan" now actually is it. The CDC
+  * schema contract (flat required/optional primitives, checked at
+  * inferSchema) keeps the two paths' supported type set identical. */
+private[cdc] class CdcColumnarReader(absPath: String, version: Long)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+
+  private val reader = new VectorizedParquetRecordReader(false, 4096)
+  reader.initialize(absPath, null) // null = every column, file order
+  reader.initBatch(
+    StructType(Seq(StructField("_commit_version", LongType,
+      nullable = false))),
+    new GenericInternalRow(Array[Any](version)))
+  reader.enableReturningBatches()
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.resultBatch()
+  override def close(): Unit = reader.close()
 }
 
 /** Plain row-by-row Group decoding of one added parquet file — the
