@@ -126,6 +126,35 @@ object Bench {
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] detail written to $detailPath")
 
+    // per-round archive (r15 verdict #6): a full run ALSO writes
+    // BENCH_DETAIL_r{N}.json next to the driver's BENCH_r{N}.json so
+    // rounds stop clobbering each other's per-query history. N is
+    // inferred from the committed BENCH_r*.json files in CWD (the
+    // driver saves round N-1's summary before round N benches); if
+    // none are visible (dev run from elsewhere) the archive is skipped
+    // — the primary detail file above is always written.
+    if (only.isEmpty) {
+      try {
+        val cwd = java.nio.file.Paths.get(".").toAbsolutePath
+        val re = "BENCH_r(\\d+)\\.json".r
+        val s = java.nio.file.Files.list(cwd)
+        val last =
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.flatMap(p =>
+              re.findFirstMatchIn(p.getFileName.toString)
+                .map(_.group(1).toInt)).maxOption
+          } finally s.close()
+        last.foreach { n =>
+          val p = cwd.resolve(f"BENCH_DETAIL_r${n + 1}%02d.json")
+          java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+          System.err.println(s"[bench] round archive written to $p")
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] round archive skipped: $e")
+      }
+    }
+
     val headline = Seq(
       "parity_songplays_star", "parity_join_twokey", "parity_partitioned_write",
       "lake_agg_pricing", "lake_star_revenue", "lake_join_bigbig",
