@@ -1079,6 +1079,77 @@ object MaintenanceQueries {
         .orderBy("user_id")
     })
 
+  private val cdcRowImages = GraftQuery(
+    name = "lake_cdc_rowimages",
+    doc = "ROW-LEVEL CHANGE FEED with _change_type images (r16, r15 " +
+      "verdict #4) - the feed lake_cdc_incremental explicitly cannot " +
+      "serve: REWRITING commits replayed as per-row " +
+      "insert / delete / update_preimage / update_postimage images " +
+      "(Delta's Change Data Feed columns), reconstructed from the " +
+      "log's own file-level actions - no stored change files. Per " +
+      "version, the rows of the commit's REMOVED files full-outer " +
+      "join the rows of its ADDED files on the key (null-safe), " +
+      "classify once, and carried-unchanged rows vanish; rows in " +
+      "files the commit never touched are read by NEITHER side, so " +
+      "a commit rewriting 2 of 80,000 files reads 4 files - the " +
+      "reason this is log-driven, not snapshot-diff-driven, at " +
+      "100 TB. v0 (no removes) degenerates to a zero-join " +
+      "all-inserts scan. Feed = versions (-1, 3] of the SCD1 " +
+      "manifest table: v0 inserts every user, v1-v3 rewrites emit " +
+      "pre+post pairs for users whose latest-event state moved and " +
+      "inserts for first-seen users. Oracle reconstructs all four " +
+      "snapshots from the raw change log and replays the same " +
+      "classification - an image with the wrong type, side, or " +
+      "version fails the hash. Delete images (impossible under SCD1) " +
+      "are pinned by ManifestChangeImagesSpec on a table with real " +
+      "deletes, along with the pruned-tail loud failure.",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        value, event_id % 4 AS b FROM events),
+      st AS (SELECT v.b_max AS v, user_id,
+               MAX(struct_pack(ts_us := ts_us, event_id := event_id,
+                               value := value)) AS latest,
+               COUNT(*) AS n_events
+             FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) v(b_max)
+             WHERE e.b <= v.b_max GROUP BY 1, 2),
+      j AS (SELECT COALESCE(n.v, o.v + 1) AS v,
+                   COALESCE(n.user_id, o.user_id) AS user_id,
+                   CASE WHEN o.user_id IS NULL THEN 'insert'
+                        WHEN n.user_id IS NULL THEN 'delete'
+                        WHEN n.latest <> o.latest OR
+                             n.n_events <> o.n_events THEN 'update'
+                        ELSE 'none' END AS cls,
+                   o.latest AS ol, o.n_events AS oe,
+                   n.latest AS nl, n.n_events AS ne
+            FROM st n FULL JOIN (SELECT * FROM st WHERE v <= 2) o
+              ON n.v = o.v + 1 AND n.user_id = o.user_id),
+      f AS (
+        SELECT v, user_id, 'insert' AS ct, nl AS img, ne AS nev
+        FROM j WHERE cls = 'insert'
+        UNION ALL
+        SELECT v, user_id, 'delete', ol, oe FROM j WHERE cls = 'delete'
+        UNION ALL
+        SELECT v, user_id, 'update_preimage', ol, oe
+        FROM j WHERE cls = 'update'
+        UNION ALL
+        SELECT v, user_id, 'update_postimage', nl, ne
+        FROM j WHERE cls = 'update')
+      SELECT CAST(v AS BIGINT) AS _commit_version, user_id,
+             ct AS _change_type, img.ts_us AS ts_us,
+             img.event_id AS event_id, CAST(img.value AS DOUBLE) AS value,
+             CAST(nev AS BIGINT) AS n_events
+      FROM f ORDER BY _commit_version, user_id, _change_type"""),
+    run = (s, dir) => {
+      val root = manifestEventsRoot(s, dir)
+      graft.sources.ManifestLog
+        .readChangeImages(s, root, from = -1, to = 3, keys = Seq("user_id"))
+        .select(col("_commit_version"), col("user_id"),
+          col("_change_type"), col("latest.ts_us").as("ts_us"),
+          col("latest.event_id").as("event_id"),
+          col("latest.value").as("value"), col("n_events"))
+        .orderBy("_commit_version", "user_id", "_change_type")
+    })
+
   /** The MERGE band: source rows cover users 1..50 (contiguous so the
     * stats prune is selective), deletes are user_id % 11 == 0 inside
     * the band, and the base table "onboarded" only user_id % 5 != 0 —
@@ -1191,5 +1262,5 @@ object MaintenanceQueries {
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
     snapshotManifest, snapshotCheckpoint, manifestSkipping, mergeCow,
     skippingMulticol, skippingBloom, vacuumQuery, optimizeCompact,
-    cdcIncremental, incrementalAgg)
+    cdcIncremental, cdcRowImages, incrementalAgg)
 }

@@ -517,6 +517,98 @@ object ManifestLog {
           .map(col).toSeq: _*)
   }
 
+  /** ROW-LEVEL CHANGE FEED with `_change_type` images (r15 verdict #4)
+    * — the missing half of [[readChanges]], correct for REWRITING
+    * commits too: for each version v in (`from`, `to`], the rows of
+    * v's REMOVED files (the pre state the commit retired) full-outer
+    * join the rows of its ADDED files on `keys`, and every key
+    * classifies as exactly one of
+    *
+    *   - `insert`           (post image; key absent from the removed rows)
+    *   - `delete`           (pre image; key absent from the added rows)
+    *   - `update_preimage` + `update_postimage` (both images; payload
+    *                         differs between the sides)
+    *
+    * while rows CARRIED unchanged through the rewrite produce nothing —
+    * the per-row change-data-feed consumers need (Delta's CDF
+    * `_change_type` column) reconstructed from the log's file-level
+    * actions, no stored change files required.
+    *
+    * Why this is log-driven, not snapshot-driven: only the files the
+    * commit TOUCHED are read (a commit rewriting 2 of 80,000 files
+    * reads 4 files, never two table snapshots), the join shuffles only
+    * those rows once per version, and rows in untouched files appear
+    * on neither side — which is exactly the "unchanged" answer. For an
+    * append-only commit (no removes) the join degenerates to a
+    * zero-shuffle all-inserts scan; a delete-only commit to
+    * all-deletes. Null-safe key equality keeps null keys paired.
+    *
+    * Output: `keys` ++ payload columns (from the image side) ++
+    * `_change_type` ++ `_commit_version`. Requires every manifest in
+    * the range (same loud pruned-tail contract as [[changesBetween]]).
+    * `keys` must identify a row within a version for the images to be
+    * row-accurate (the same requirement Delta's MERGE puts on its
+    * match condition). */
+  def readChangeImages(spark: SparkSession, root: String, from: Long,
+      to: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "change images need at least one key column")
+    val perVersion = changesBetween(root, from, to).collect {
+      case (v, adds, removes) if adds.nonEmpty || removes.nonEmpty =>
+        def side(files: Seq[String]) =
+          if (files.isEmpty) None
+          else Some(readFilesIndexed(spark, root, files))
+        val (post, pre) = (side(adds), side(removes))
+        val payload = (post.orElse(pre)).get.columns.filterNot(keys.contains)
+        def img(df: DataFrame, tpe: String) = df.select(
+          (keys.map(col) :+
+            struct(payload.map(col): _*).as("__img") :+
+            lit(tpe).as("_change_type")): _*)
+        val images = (pre, post) match {
+          case (None, Some(p)) => img(p, "insert") // append-only commit
+          case (Some(p), None) => img(p, "delete") // delete-only commit
+          case (Some(preDf), Some(postDf)) =>
+            val o = img(preDf, "o").withColumnRenamed("__img", "__pre")
+              .drop("_change_type").alias("o")
+            val n = img(postDf, "n").withColumnRenamed("__img", "__post")
+              .drop("_change_type").alias("n")
+            val cond = keys.map(k => col(s"o.$k") <=> col(s"n.$k"))
+              .reduce(_ && _)
+            n.join(o, cond, "full_outer")
+              // carried-unchanged rows (both sides, equal payload)
+              // drop here — before the explode doubles anything
+              .filter(col("o.__pre").isNull || col("n.__post").isNull ||
+                col("o.__pre") =!= col("n.__post"))
+              .select(
+                (keys.map(k =>
+                  coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) :+
+                  explode(
+                    when(col("o.__pre").isNull, array(
+                      struct(lit("insert").as("_change_type"),
+                        col("n.__post").as("__img"))))
+                    .when(col("n.__post").isNull, array(
+                      struct(lit("delete").as("_change_type"),
+                        col("o.__pre").as("__img"))))
+                    .otherwise(array(
+                      struct(lit("update_preimage").as("_change_type"),
+                        col("o.__pre").as("__img")),
+                      struct(lit("update_postimage").as("_change_type"),
+                        col("n.__post").as("__img"))))).as("__i")): _*)
+              .select((keys.map(col) :+ col("__i.__img").as("__img") :+
+                col("__i._change_type").as("_change_type")): _*)
+          case (None, None) => throw new IllegalStateException("unreachable")
+        }
+        images.withColumn("_commit_version", lit(v))
+    }
+    require(perVersion.nonEmpty,
+      s"no file actions in ($from, $to] — nothing to image")
+    perVersion.reduce(_.unionByName(_))
+      .select((keys.map(col) ++
+        perVersion.head.select(col("__img.*")).columns.map(c =>
+          col(s"__img.$c").as(c)) ++
+        Seq(col("_change_type"), col("_commit_version"))): _*)
+  }
+
   def statsAsOf(root: String, version: Long): Map[String, FileStat] =
     statsAsOfIn(storeFor(root), version)
 

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-level change images reconstructed from the log's file actions
+  * (r15 verdict #4): every `_change_type` class including the DELETE
+  * images the registered SCD1 query can never produce, carried-row
+  * suppression, the append-only fast path, and the loud pruned-tail
+  * contract inherited from changesBetween. */
+class ManifestChangeImagesSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  /** v0 inserts ids 1..4; v1 rewrites the whole file: id 2's payload
+    * changes, id 3 is DELETED, id 5 arrives, ids 1 and 4 carry
+    * unchanged; v2 appends ids 6..7 without removing anything. */
+  private def fixture(): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_images").toString
+    import spark.implicits._
+    def land(sub: String, rows: Seq[(Long, String, Long)]): Seq[String] = {
+      rows.toDF("id", "payload", "amount")
+        .coalesce(1).write.parquet(s"$root/$sub")
+      ManifestLog.partFiles(root, sub)
+    }
+    val f0 = land("data/v0", Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+    ManifestLog.commit(root, 0, f0, Seq.empty, "write")
+    val f1 = land("data/v1", Seq((1L, "a", 10L), (2L, "B", 21L),
+      (4L, "d", 40L), (5L, "e", 50L)))
+    ManifestLog.commit(root, 1, f1, f0, "merge")
+    val f2 = land("data/v2", Seq((6L, "f", 60L), (7L, "g", 70L)))
+    ManifestLog.commit(root, 2, f2, Seq.empty, "append")
+    root
+  }
+
+  test("all four image classes materialize correctly; carried rows " +
+      "produce nothing; appends skip the join") {
+    val root = fixture()
+    val feed = ManifestLog.readChangeImages(spark, root, -1, 2,
+      keys = Seq("id"))
+    val got = feed.select("_commit_version", "id", "_change_type",
+        "payload", "amount")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(got == Seq(
+      // v0: initial inserts (no removes — the zero-join path)
+      (0L, 1L, "insert", "a", 10L),
+      (0L, 2L, "insert", "b", 20L),
+      (0L, 3L, "insert", "c", 30L),
+      (0L, 4L, "insert", "d", 40L),
+      // v1: update pair for 2, DELETE image for 3, insert for 5 —
+      // and NOTHING for the carried-unchanged 1 and 4
+      (1L, 2L, "update_postimage", "B", 21L),
+      (1L, 2L, "update_preimage", "b", 20L),
+      (1L, 3L, "delete", "c", 30L),
+      (1L, 5L, "insert", "e", 50L),
+      // v2: append-only commit — inserts only
+      (2L, 6L, "insert", "f", 60L),
+      (2L, 7L, "insert", "g", 70L)))
+  }
+
+  test("a cursor mid-feed reads only its tail; the feed REPLAYS to " +
+      "the post-snapshot (insert+update_post-delete == filesAsOf)") {
+    val root = fixture()
+    val tail = ManifestLog.readChangeImages(spark, root, 0, 2,
+      keys = Seq("id"))
+    assert(tail.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // the consumer invariant: folding the whole feed reproduces the
+    // latest snapshot exactly (last image per key wins; deletes drop)
+    val feed = ManifestLog.readChangeImages(spark, root, -1, 2,
+      keys = Seq("id"))
+    val folded = feed
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("_commit_version").desc)))
+      .filter(col("rk") === 1 && col("_change_type") =!= "delete")
+      .select("id", "payload", "amount")
+    val snapshot = ManifestLog.readVersion(spark, root, 2)
+      .select("id", "payload", "amount")
+    assert(folded.exceptAll(snapshot).isEmpty &&
+      snapshot.exceptAll(folded).isEmpty,
+      "replaying the feed must reconstruct the latest snapshot")
+  }
+
+  test("a pruned tail fails loudly — images are never silently " +
+      "reconstructed over missing actions") {
+    val root = fixture()
+    ManifestLog.writeCheckpoint(root, 2)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      root, "_log", f"${1L}%020d.json"))
+    intercept[IllegalArgumentException](
+      ManifestLog.readChangeImages(spark, root, -1, 2, keys = Seq("id")))
+    // the intact tail past the gap still serves
+    assert(ManifestLog.readChangeImages(spark, root, 1, 2,
+      keys = Seq("id")).count() == 2)
+  }
+}
