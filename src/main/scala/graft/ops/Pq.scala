@@ -96,7 +96,15 @@ object Pq {
     * (exactly as OPQ's rotation is to FAISS's). */
   def permutedSubPoints(embeddings: DataFrame,
       mapping: DataFrame): DataFrame =
-    KMeans.quantize(embeddings)
+    permutedSlices(KMeans.quantize(embeddings), mapping)
+
+  /** [[permutedSubPoints]] over an ALREADY-integer vector frame
+    * (vec_id, q: array<long>) — the permuted twin of [[slices]], for
+    * corpora that are integer at the source (the anisotropic audit
+    * fixture) rather than quantized floats. */
+  def permutedSlices(quantized: DataFrame,
+      mapping: DataFrame): DataFrame =
+    quantized
       .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "x")))
       .join(broadcast(mapping), "dim")
       .groupBy("vec_id", "sub")

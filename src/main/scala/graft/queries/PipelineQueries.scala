@@ -92,6 +92,34 @@ object PipelineQueries {
   private val BaselineVecCap = 4000L
   private val BaselinePairCap = 5000L
 
+  /** Embeddings restricted to the deterministic ≤[[BaselineVecCap]]
+    * hash slice — the r8 cap-gate, applied in r16 to the three
+    * registry-scale recall audits (pq/opq/ivfpq) whose exact
+    * baselines scan the corpus per query: above every tracked sf the
+    * gate keeps 100% of vectors (full exact audit); beyond, the audit
+    * sample stays cap-bounded while the production queries they grade
+    * (embed_pq / embed_opq / ivfpq_search) remain full-corpus. */
+  private def cappedEmb(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val thr = Sampling.capThreshold(BaselineVecCap, emb.count())
+    emb.filter(Sampling.hash32(col("vec_id")) < lit(thr))
+  }
+
+  /** DuckDB twin of [[cappedEmb]] spliced into a shared oracle CTE
+    * chain: rewrites the chain's base `FROM embeddings` relation to
+    * the identical hash slice, so the differential check replays the
+    * gate exactly at every scale. Loud if the chain's shape drifts. */
+  private def vecCapGated(ctes: String): String = {
+    val gated = ctes.replace("FROM embeddings)",
+      s"""FROM embeddings
+             WHERE ${Sampling.hash32Sql("vec_id")} <
+               ${Sampling.capThresholdSql(BaselineVecCap,
+                 "SELECT COUNT(*) FROM embeddings")})""")
+    require(gated != ctes,
+      "cap-gate rewrite found no 'FROM embeddings)' base relation")
+    gated
+  }
+
   /** docShingles over the deterministic ≤cap document slice (the
     * baseline gate). Filter runs BEFORE tokenize/shingle so the gated
     * query never materializes shingles it will drop. */
@@ -2520,22 +2548,29 @@ object PipelineQueries {
                  ORDER BY CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE), cid)
                  AS rk FROM a3) WHERE rk = 1)"""
 
-  private val PqOracleCtes = """
+  /** Int8-quantized pts head over the float embeddings — the shared
+    * base relation of the PQ/OPQ oracle chains. */
+  private val QuantPtsCte = """
       WITH pts AS (SELECT vec_id,
              list_transform(embedding,
                x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
-           FROM embeddings),
+           FROM embeddings),"""
+
+  /** Contiguous subspace slicing + the Lloyd chain — source-blind:
+    * composes with ANY `pts` head (quantized floats above, or the
+    * integer anisotropic fixture below). */
+  private val PqSpChainCtes = """
       sp AS (SELECT vec_id, t.sub, q[(t.sub*8+1):(t.sub*8+8)] AS q
              FROM pts CROSS JOIN range(0, 8) t(sub)),""" + PqChainCtes
+
+  private val PqOracleCtes = QuantPtsCte + PqSpChainCtes
 
   /** The OPQ-lite prefix: exact variance surrogate per dim, snake
     * assignment of ranked dims to subspaces, permuted `sp` — the same
     * chain follows. */
-  private val OpqOracleCtes = """
-      WITH pts AS (SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0), 1.0) * 127) AS BIGINT)) AS q
-           FROM embeddings),
+  /** Variance-snake permutation + permuted slicing + the Lloyd chain —
+    * source-blind like [[PqSpChainCtes]]. */
+  private val OpqMapChainCtes = """
       dv AS (SELECT t.i AS dim,
                COUNT(*) * SUM(q[t.i+1] * q[t.i+1])
                  - SUM(q[t.i+1]) * SUM(q[t.i+1]) AS v
@@ -2550,6 +2585,45 @@ object PipelineQueries {
       sp AS (SELECT p.vec_id, m.sub, list(p.q[m.dim+1] ORDER BY m.pos) AS q
              FROM pts p CROSS JOIN mp m GROUP BY p.vec_id, m.sub),""" +
     PqChainCtes
+
+  private val OpqOracleCtes = QuantPtsCte + OpqMapChainCtes
+
+  /** ANISOTROPIC integer corpus (r15 verdict #5) — the fixture on
+    * which the OPQ permutation has something to fix: dimension d of
+    * vector i is the shared 32-bit hash of (i·64 + d) folded into
+    * [-A(d), A(d)] with the amplitude ladder A(d) = 127 div (1 + d),
+    * so per-dim variance falls ~(1+d)⁻² and CONTIGUOUS subspace 0
+    * holds ~4000× the variance of subspace 7 — plain PQ spends all 16
+    * codewords of the tail subspaces on near-constant dims while
+    * subspace 0 underfits; the snake permutation deals one dim from
+    * each variance octile to every subspace. Integer-exact end to end
+    * (hash, ladder, fold), so the exact-hash gate replays it bit for
+    * bit; cap-gated like every recall audit. The ISOTROPIC pair
+    * (pipeline_pq_recall / pipeline_opq_recall, real embeddings)
+    * stays registered as the control where the permutation is ~free. */
+  private val AnisoPtsCte = s"""
+      WITH pts AS (SELECT vec_id, list_transform(range(0, 64), d -> CAST(
+             ((((vec_id * 64 + d) % 1000000007 + 1000000007) % 1000000007)
+               * 2654435761) % 4294967296
+               % (2 * (127 // (1 + d)) + 1) - (127 // (1 + d)) AS BIGINT)) AS q
+           FROM embeddings
+           WHERE ${Sampling.hash32Sql("vec_id")} <
+             ${Sampling.capThresholdSql(BaselineVecCap,
+               "SELECT COUNT(*) FROM embeddings")}),"""
+
+  private val AnisoPqOracleCtes = AnisoPtsCte + PqSpChainCtes
+  private val AnisoOpqOracleCtes = AnisoPtsCte + OpqMapChainCtes
+
+  /** Spark twin of [[AnisoPtsCte]]'s value formula (`div` is Spark
+    * SQL's integer division, `//` DuckDB's — same semantics on the
+    * non-negative operands here). */
+  private def anisoPts(s: SparkSession, dir: String): DataFrame =
+    cappedEmb(s, dir).select(col("vec_id"))
+      .withColumn("q", expr(
+        """transform(sequence(0, 63), d -> CAST(
+             ((((vec_id * 64 + d) % 1000000007 + 1000000007) % 1000000007)
+               * 2654435761) % 4294967296
+               % (2 * (127 div (1 + d)) + 1) - (127 div (1 + d)) AS BIGINT))"""))
 
   private val embedPq = GraftQuery(
     name = "pipeline_embed_pq",
@@ -2577,22 +2651,13 @@ object PipelineQueries {
         .orderBy("vec_id", "sub")
     })
 
-  private val pqRecall = GraftQuery(
-    name = "pipeline_pq_recall",
-    doc = "PQ recall audit, symmetric to pipeline_ann_recall/" +
-      "pipeline_ivf_recall: recall@3 of ADC (asymmetric-distance) " +
-      "top-3 under the pipeline_embed_pq codebooks vs the EXACT " +
-      "top-3 by full 64-dim squared distance over the same int8 " +
-      "points and query set (vec_id < 20), one summary row - the " +
-      "measurement isolates pure product-quantization loss (same " +
-      "metric, same quantization, only the subspace factorization " +
-      "approximates). ADC is the PQ payoff made differential: " +
-      "per-query lookup tables (m*k doubles, broadcast) + a " +
-      "(sub, code) join against the 8-byte codes, the float vectors " +
-      "never read; the m per-subspace terms fold in FIXED subspace " +
-      "order so the double sums are bit-identical cross-engine. " +
-      "Exact-integer hit count, single division at the end.",
-    oracle = Some(PqOracleCtes + """,
+  /** The recall@3 measurement tail shared VERBATIM by all four ADC
+    * recall audits (pq/opq × isotropic/anisotropic): per-query ADC
+    * lookup tables from the chain's `c2`/`codes`, top-3 vs the exact
+    * full-dim top-3 over `pts`, exact-integer hit count, single
+    * division at the end. Source-blind — composes with any
+    * pts-head + chain prefix. */
+  private val AdcRecallTailSql = """,
       qs AS (SELECT vec_id AS query_id, sub, q FROM sp WHERE vec_id < 20),
       tba AS (SELECT q.query_id, c.sub, c.cid,
                 SUM((q.q[t.i+1]*c.n - c.sv[t.i+1])
@@ -2635,48 +2700,80 @@ object PipelineQueries {
       FROM (SELECT (SELECT COUNT(DISTINCT query_id) FROM ex3) AS n_queries,
                    CAST(3 AS BIGINT) AS k,
                    CAST((SELECT COALESCE(SUM(n_hit), 0) FROM hits)
-                     AS BIGINT) AS n_hits)"""),
+                     AS BIGINT) AS n_hits)"""
+
+  /** ADC top-3 per query under codebooks trained on `pts`
+    * (vec_id, sub, q) — the shared approximate side of the ADC
+    * recall audits (train → encode → per-query tables → ranked ADC). */
+  private def adcRecallTop3(pts: DataFrame): DataFrame = {
+    import graft.ops.Pq
+    // tiny (m*k rows) but derived through 2 Lloyd rounds: pin once so
+    // encode + ADC tables don't re-train
+    val cb = Pq.train(pts, k = 16, iters = 2).localCheckpoint(true)
+    val codes = Pq.encode(pts, cb)
+    val qs = pts.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("sub"), col("q"))
+    val adc = Pq.adcDistances(codes, Pq.adcTables(qs, cb))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(wA))
+      .filter(col("rank") <= 3).select("query_id", "neighbor_id")
+  }
+
+  /** recall@3 summary row: approximate `top3` vs the exact full-dim
+    * top-3 over integer points `full` (vec_id, q) — pure-integer
+    * distances, exact hit count, one division. Shared by every
+    * recall audit. */
+  private def recallRow(top3: DataFrame, full: DataFrame): DataFrame = {
+    val q20 = full.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val exd = full.select(col("vec_id").as("neighbor_id"), col("q"))
+      .join(broadcast(q20), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qq"), col("q"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    // exact top-3 feeds the hit join AND the n_queries aggregate:
+    // pin once (annRecall convention)
+    val ex3 = exd.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 3).select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    val hits = top3.join(ex3, Seq("query_id", "neighbor_id"), "left_semi")
+    ex3.agg(countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_queries"), lit(3L).as("k"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) /
+          (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
+  }
+
+  private val pqRecall = GraftQuery(
+    name = "pipeline_pq_recall",
+    doc = "PQ recall audit, symmetric to pipeline_ann_recall/" +
+      "pipeline_ivf_recall: recall@3 of ADC (asymmetric-distance) " +
+      "top-3 under the pipeline_embed_pq codebooks vs the EXACT " +
+      "top-3 by full 64-dim squared distance over the same int8 " +
+      "points and query set (vec_id < 20), one summary row - the " +
+      "measurement isolates pure product-quantization loss (same " +
+      "metric, same quantization, only the subspace factorization " +
+      "approximates). ADC is the PQ payoff made differential: " +
+      "per-query lookup tables (m*k doubles, broadcast) + a " +
+      "(sub, code) join against the 8-byte codes, the float vectors " +
+      "never read; the m per-subspace terms fold in FIXED subspace " +
+      "order so the double sums are bit-identical cross-engine. " +
+      "Exact-integer hit count, single division at the end. " +
+      "Cap-gated (r16, the r8 convention): the whole audit runs on " +
+      "the deterministic <=4000-vector hash slice - 100% of vectors " +
+      "at every tracked sf (full exact audit), cap-bounded beyond, " +
+      "while the production queries it grades stay full-corpus.",
+    oracle = Some(vecCapGated(PqOracleCtes) + AdcRecallTailSql),
     run = (s, dir) => {
       import graft.ops.{KMeans, Pq}
-      val emb = table(s, dir, "embeddings")
+      val emb = cappedEmb(s, dir) // audit slice (r8 cap-gate, r16)
       val pts = Pq.subPoints(emb, m = 8, sd = 8)
         .localCheckpoint(true) // feeds train, encode AND the query side
-      // tiny (m*k rows) but derived through 2 Lloyd rounds: pin once so
-      // encode + ADC tables don't re-train (kmeans/semanticDedup
-      // convention)
-      val cb = Pq.train(pts, k = 16, iters = 2).localCheckpoint(true)
-      val codes = Pq.encode(pts, cb)
-      val qs = pts.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("sub"), col("q"))
-      val adc = Pq.adcDistances(codes, Pq.adcTables(qs, cb))
-        .filter(col("neighbor_id") =!= col("query_id"))
-      val wA = Window.partitionBy(col("query_id"))
-        .orderBy(col("dist"), col("neighbor_id"))
-      val top3 = adc.withColumn("rank", row_number().over(wA))
-        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
-      // exact full-dim int8 baseline: pure-integer distances, the
-      // knnBrute shape over quantized points
-      val full = KMeans.quantize(emb)
-      val q20 = full.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      val exd = full.select(col("vec_id").as("neighbor_id"), col("q"))
-        .join(broadcast(q20), col("neighbor_id") =!= col("query_id"))
-        .withColumn("d2", aggregate(
-          zip_with(col("qq"), col("q"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v))
-      val wE = Window.partitionBy(col("query_id"))
-        .orderBy(col("d2"), col("neighbor_id"))
-      // exact top-3 feeds the hit join AND the n_queries aggregate:
-      // pin once (annRecall convention)
-      val ex3 = exd.withColumn("rank", row_number().over(wE))
-        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
-        .localCheckpoint(true)
-      val hits = top3.join(ex3, Seq("query_id", "neighbor_id"), "left_semi")
-      ex3.agg(countDistinct(col("query_id")).as("n_queries"))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-        .select(col("n_queries"), lit(3L).as("k"), col("n_hits"),
-          (col("n_hits").cast(DoubleType) /
-            (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
+      recallRow(adcRecallTop3(pts), KMeans.quantize(emb))
     })
 
   /** The IVF-PQ CTE chain shared by pipeline_ivfpq_search and
@@ -2728,90 +2825,64 @@ object PipelineQueries {
       "fixed. The exact baseline is permutation-invariant (squared " +
       "distance is a sum over dims in any order), so only the ADC " +
       "side moves. Same fixed-subspace-order fold, exact-integer hit " +
-      "count, single division at the end.",
-    oracle = Some(OpqOracleCtes + """,
-      qs AS (SELECT vec_id AS query_id, sub, q FROM sp WHERE vec_id < 20),
-      tba AS (SELECT q.query_id, c.sub, c.cid,
-                SUM((q.q[t.i+1]*c.n - c.sv[t.i+1])
-                  * (q.q[t.i+1]*c.n - c.sv[t.i+1])) AS a,
-                MAX(c.n) AS n
-              FROM qs q JOIN c2 c ON c.sub = q.sub
-                CROSS JOIN range(0, 8) t(i)
-              GROUP BY q.query_id, c.sub, c.cid),
-      tb AS (SELECT query_id, sub, cid,
-               CAST(a AS DOUBLE) / CAST(n*n AS DOUBLE) AS d FROM tba),
-      adc AS (SELECT t.query_id, cd.vec_id AS neighbor_id,
-                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list(t.d ORDER BY t.sub)), (acc, x) -> acc + x) AS dist
-              FROM codes cd JOIN tb t
-                ON t.sub = cd.sub AND t.cid = cd.code
-                AND cd.vec_id <> t.query_id
-              GROUP BY t.query_id, cd.vec_id),
-      rpq AS (SELECT query_id, neighbor_id, row_number() OVER (
-                PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
-              FROM adc),
-      top3 AS (SELECT query_id, neighbor_id FROM rpq WHERE rank <= 3),
-      exb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                SUM((q.q[t.i+1] - c.q[t.i+1])
-                  * (q.q[t.i+1] - c.q[t.i+1])) AS d2
-              FROM pts q JOIN pts c
-                ON q.vec_id < 20 AND c.vec_id <> q.vec_id
-                CROSS JOIN range(0, 64) t(i)
-              GROUP BY q.vec_id, c.vec_id),
-      rex AS (SELECT query_id, neighbor_id, row_number() OVER (
-                PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
-              FROM exb),
-      ex3 AS (SELECT query_id, neighbor_id FROM rex WHERE rank <= 3),
-      hits AS (SELECT a.query_id, COUNT(*) AS n_hit
-               FROM top3 a JOIN ex3 b
-                 ON a.query_id = b.query_id
-                 AND a.neighbor_id = b.neighbor_id
-               GROUP BY 1)
-      SELECT n_queries, k, n_hits,
-             CAST(n_hits AS DOUBLE) / CAST(n_queries * k AS DOUBLE) AS recall
-      FROM (SELECT (SELECT COUNT(DISTINCT query_id) FROM ex3) AS n_queries,
-                   CAST(3 AS BIGINT) AS k,
-                   CAST((SELECT COALESCE(SUM(n_hit), 0) FROM hits)
-                     AS BIGINT) AS n_hits)"""),
+      "count, single division at the end. Cap-gated like " +
+      "pipeline_pq_recall (r16) - the audit PAIR shares the slice so " +
+      "the delta stays apples-to-apples at every scale.",
+    oracle = Some(vecCapGated(OpqOracleCtes) + AdcRecallTailSql),
     run = (s, dir) => {
       import graft.ops.{KMeans, Pq}
-      val emb = table(s, dir, "embeddings")
+      val emb = cappedEmb(s, dir) // audit slice (r8 cap-gate, r16)
       val mapping = Pq.snakeMapping(KMeans.quantize(emb), m = 8)
         .localCheckpoint(true)
       val pts = Pq.permutedSubPoints(emb, mapping)
         .localCheckpoint(true) // feeds train, encode AND the query side
-      val cb = Pq.train(pts, k = 16, iters = 2).localCheckpoint(true)
-      val codes = Pq.encode(pts, cb)
-      val qs = pts.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("sub"), col("q"))
-      val adc = Pq.adcDistances(codes, Pq.adcTables(qs, cb))
-        .filter(col("neighbor_id") =!= col("query_id"))
-      val wA = Window.partitionBy(col("query_id"))
-        .orderBy(col("dist"), col("neighbor_id"))
-      val top3 = adc.withColumn("rank", row_number().over(wA))
-        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
-      // exact full-dim baseline: permutation-invariant, same as
-      // pq_recall's (the audit pair must share it for the delta to
-      // mean anything)
-      val full = KMeans.quantize(emb)
-      val q20 = full.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      val exd = full.select(col("vec_id").as("neighbor_id"), col("q"))
-        .join(broadcast(q20), col("neighbor_id") =!= col("query_id"))
-        .withColumn("d2", aggregate(
-          zip_with(col("qq"), col("q"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v))
-      val wE = Window.partitionBy(col("query_id"))
-        .orderBy(col("d2"), col("neighbor_id"))
-      val ex3 = exd.withColumn("rank", row_number().over(wE))
-        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
-        .localCheckpoint(true)
-      val hits = top3.join(ex3, Seq("query_id", "neighbor_id"), "left_semi")
-      ex3.agg(countDistinct(col("query_id")).as("n_queries"))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-        .select(col("n_queries"), lit(3L).as("k"), col("n_hits"),
-          (col("n_hits").cast(DoubleType) /
-            (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
+      // exact baseline is permutation-invariant, same as pq_recall's
+      // (the audit pair must share it for the delta to mean anything)
+      recallRow(adcRecallTop3(pts), KMeans.quantize(emb))
+    })
+
+  private val pqRecallAniso = GraftQuery(
+    name = "pipeline_pq_recall_aniso",
+    doc = "Plain-PQ recall on the ANISOTROPIC fixture (r16, r15 " +
+      "verdict #5) - the CONTROL side of the pair that demonstrates " +
+      "what the OPQ permutation buys: dimension variance falls " +
+      "~(1+d)^-2 (integer hash ladder, A(d) = 127 div (1+d)), so " +
+      "contiguous slicing hands subspace 0 ~4000x subspace 7's " +
+      "variance - its 16 codewords underfit the dominant dims while " +
+      "the tail subspaces' codewords quantize near-constants. Same " +
+      "chain, same k/m, same exact full-dim baseline and query set " +
+      "as pipeline_opq_recall_aniso; the recall GAP between the two " +
+      "rows is the permutation's measured effect (the isotropic " +
+      "pq/opq pair on real embeddings stays registered as the " +
+      "no-effect control). Cap-gated audit slice; integer-exact end " +
+      "to end.",
+    oracle = Some(AnisoPqOracleCtes + AdcRecallTailSql),
+    run = (s, dir) => {
+      import graft.ops.Pq
+      val base = anisoPts(s, dir).localCheckpoint(true)
+      val pts = Pq.slices(base, m = 8, sd = 8).localCheckpoint(true)
+      recallRow(adcRecallTop3(pts), base)
+    })
+
+  private val opqRecallAniso = GraftQuery(
+    name = "pipeline_opq_recall_aniso",
+    doc = "OPQ-lite recall on the ANISOTROPIC fixture - the " +
+      "demonstration row (r15 verdict #5): the variance-snake " +
+      "permutation deals one dim from each variance octile to every " +
+      "subspace, so each codebook spends its 16 codewords mostly on " +
+      "its one dominant dim instead of 8 of them at once - recall@3 " +
+      "must come out ABOVE pipeline_pq_recall_aniso's (pinned by " +
+      "PackingKMeansSpec with the measured pair), closing the OPQ story the " +
+      "isotropic control cannot show. Identical exact baseline " +
+      "(squared distance is permutation-invariant), identical query " +
+      "set, cap-gated slice, integer-exact.",
+    oracle = Some(AnisoOpqOracleCtes + AdcRecallTailSql),
+    run = (s, dir) => {
+      import graft.ops.Pq
+      val base = anisoPts(s, dir).localCheckpoint(true)
+      val mapping = Pq.snakeMapping(base, m = 8).localCheckpoint(true)
+      val pts = Pq.permutedSlices(base, mapping).localCheckpoint(true)
+      recallRow(adcRecallTop3(pts), base)
     })
 
   private val IvfPqOracleCtes = """
@@ -2973,9 +3044,14 @@ object PipelineQueries {
 
   /** Spark side of the shared IVF-PQ stages; returns (pts, cells, cb,
     * codes) with the reused frames pinned once (kmeans convention). */
-  private def ivfPqStages(s: SparkSession, dir: String) = {
+  // `capped = true` builds the index over the audit slice (cappedEmb,
+  // r8 cap-gate): used only by the recall audit; the search query
+  // stays full-corpus
+  private def ivfPqStages(s: SparkSession, dir: String,
+      capped: Boolean = false) = {
     import graft.ops.{KMeans, Pq}
-    val pts = KMeans.quantize(table(s, dir, "embeddings"))
+    val src = if (capped) cappedEmb(s, dir) else table(s, dir, "embeddings")
+    val pts = KMeans.quantize(src)
       .localCheckpoint(true) // feeds coarse train, assign AND queries
     val cells = KMeans.train(pts, k = 8, iters = 2)
       .localCheckpoint(true) // k tiny rows derived through 2 rounds
@@ -2994,9 +3070,10 @@ object PipelineQueries {
 
   /** ADC top-3 per query over the probed cells — the shared search
     * body of both IVF-PQ queries. */
-  private def ivfPqTop3(s: SparkSession, dir: String): DataFrame = {
+  private def ivfPqTop3(s: SparkSession, dir: String,
+      capped: Boolean = false): DataFrame = {
     import graft.ops.Pq
-    val (pts, cells, cb, codes) = ivfPqStages(s, dir)
+    val (pts, cells, cb, codes) = ivfPqStages(s, dir, capped)
     val qp = pts.filter(col("vec_id") < 20)
     val probed = Pq.probeCells(qp, cells, nprobe = 2)
     // query residual AGAINST EACH probed cell: the probed frame is
@@ -3071,8 +3148,11 @@ object PipelineQueries {
       "- cell pruning AND subspace quantization). An IVF-PQ recall " +
       "below the pq_recall row quantifies the probe loss; below " +
       "ivf_recall, the quantization loss. Exact-integer hit count, " +
-      "single division at the end.",
-    oracle = Some(IvfPqOracleCtes + """,
+      "single division at the end. Cap-gated like pipeline_pq_recall " +
+      "(r16): the whole audit - index build, probes AND exact " +
+      "baseline - runs on the shared <=4000-vector slice; " +
+      "pipeline_ivfpq_search stays full-corpus.",
+    oracle = Some(vecCapGated(IvfPqOracleCtes) + """,
       ivf3 AS (SELECT query_id, neighbor_id FROM srk WHERE rank <= 3),
       exb AS (SELECT q.query_id, c.vec_id AS neighbor_id,
                 SUM((q.q[t.i+1] - c.q[t.i+1])
@@ -3097,27 +3177,11 @@ object PipelineQueries {
                      AS BIGINT) AS n_hits)"""),
     run = (s, dir) => {
       import graft.ops.KMeans
-      val ivf3 = ivfPqTop3(s, dir).select("query_id", "neighbor_id")
-      // exact full-dim int8 baseline (the pq_recall shape)
-      val full = KMeans.quantize(table(s, dir, "embeddings"))
-      val q20 = full.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      val exd = full.select(col("vec_id").as("neighbor_id"), col("q"))
-        .join(broadcast(q20), col("neighbor_id") =!= col("query_id"))
-        .withColumn("d2", aggregate(
-          zip_with(col("qq"), col("q"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v))
-      val wE = Window.partitionBy(col("query_id"))
-        .orderBy(col("d2"), col("neighbor_id"))
-      val ex3 = exd.withColumn("rank", row_number().over(wE))
-        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
-        .localCheckpoint(true) // feeds the hit join AND n_queries
-      val hits = ivf3.join(ex3, Seq("query_id", "neighbor_id"), "left_semi")
-      ex3.agg(countDistinct(col("query_id")).as("n_queries"))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-        .select(col("n_queries"), lit(3L).as("k"), col("n_hits"),
-          (col("n_hits").cast(DoubleType) /
-            (col("n_queries") * lit(3L)).cast(DoubleType)).as("recall"))
+      val ivf3 = ivfPqTop3(s, dir, capped = true)
+        .select("query_id", "neighbor_id")
+      // exact full-dim int8 baseline (the pq_recall shape), over the
+      // SAME audit slice as the probed side
+      recallRow(ivf3, KMeans.quantize(cappedEmb(s, dir)))
     })
 
   private val packSequences = GraftQuery(
@@ -4625,6 +4689,7 @@ object PipelineQueries {
     multimodalMeta,
     multimodalDecode, multimodalResize, multimodalAudio, multimodalVideo,
     kmeansTrain, embedPq, pqRecall, embedOpq, opqRecall,
+    pqRecallAniso, opqRecallAniso,
     ivfPqSearch, ivfPqRecall,
     diverseCoreset, packSequences,
     tfidfTopk, zipfSpectrum,
