@@ -1079,6 +1079,51 @@ object MaintenanceQueries {
         .orderBy("user_id")
     })
 
+  private val joinDfp = GraftQuery(
+    name = "lake_join_dfp",
+    doc = "DYNAMIC FILE PRUNING (r16) - the manifest-level member of " +
+      "the runtime-pruning family: lake_join_dpp prunes partition " +
+      "DIRECTORIES when the join key IS the layout key, " +
+      "lake_join_bloom prunes ROWS at the scan when it is not; this " +
+      "prunes FILES of an unpartitioned manifest table from the dim " +
+      "side's runtime key set (Delta's dynamic file pruning), " +
+      "composing BOTH metadata index classes per file: range stats " +
+      "rule a file out when no key lands in its [min, max], the " +
+      "bloom sidecar rules it out when every key is definitely " +
+      "absent, files carrying neither stay must-read. The dim is " +
+      "broadcast-sized by definition (it would be broadcast for the " +
+      "join anyway) and the key collect is LOUDLY bounded - a dim " +
+      "that outgrows the bound belongs to the row-level bloom " +
+      "filter instead. The join still applies exact equality, so a " +
+      "bloom false positive costs one file's IO, never a row; the " +
+      "oracle replays the join over the RAW corpus, so a file " +
+      "wrongly pruned fails the hash. At 100 TB: the dim picks " +
+      "dozens of files out of 80,000 before any fact IO - on the " +
+      "z-clustered fixture the event_id blooms do the work range " +
+      "stats cannot (every file's event_id interval spans the " +
+      "domain).",
+    oracle = Some("""
+      SELECT c.c_mktsegment AS c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON e.event_id = c.c_custkey
+      WHERE c.c_custkey % 500 = 7
+      GROUP BY 1 ORDER BY c_mktsegment"""),
+    run = (s, dir) => {
+      import graft.sources.ManifestLog
+      val root = multicolRoot(s, dir)
+      val dim = table(s, dir, "customer")
+        .filter(col("c_custkey") % 500 === 7)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val fact = ManifestLog.readVersionKeys(s, root, 0, "event_id",
+        dim.select(col("c_custkey")))
+      fact.join(broadcast(dim), fact("event_id") === dim("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment")
+    })
+
   private val cdcRowImages = GraftQuery(
     name = "lake_cdc_rowimages",
     doc = "ROW-LEVEL CHANGE FEED with _change_type images (r16, r15 " +
@@ -1262,5 +1307,5 @@ object MaintenanceQueries {
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
     snapshotManifest, snapshotCheckpoint, manifestSkipping, mergeCow,
     skippingMulticol, skippingBloom, vacuumQuery, optimizeCompact,
-    cdcIncremental, cdcRowImages, incrementalAgg)
+    cdcIncremental, cdcRowImages, joinDfp, incrementalAgg)
 }

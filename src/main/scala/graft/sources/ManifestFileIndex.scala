@@ -135,6 +135,24 @@ object ManifestFileIndex {
           val longs = ls.flatten
           add(a.name, longs.min, longs.max)
         }
+      // large IN lists arrive optimized to InSet (raw values, not
+      // Literals); a null in the set or a non-integral type keeps the
+      // whole predicate out (conservative)
+      case InSet(a: Attribute, hset) if hset.nonEmpty =>
+        val longs = hset.toSeq.collect {
+          case v: java.lang.Byte => v.longValue
+          case v: java.lang.Short => v.longValue
+          case v: java.lang.Integer => v.longValue
+          case v: java.lang.Long => v.longValue
+        }
+        if (longs.size == hset.size) add(a.name, longs.min, longs.max)
+      // null-safe equality against a non-null literal prunes like
+      // EqualTo; `a <=> NULL` contributes nothing (stats cannot
+      // answer null membership)
+      case EqualNullSafe(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, v, v))
+      case EqualNullSafe(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, v, v))
       case _ => ()
     }
     filters.foreach(walk)

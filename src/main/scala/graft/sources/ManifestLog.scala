@@ -466,6 +466,67 @@ object ManifestLog {
     }
   }
 
+  /** DYNAMIC FILE PRUNING (r16) — the dim-driven sibling of
+    * [[filesMatchingColsIn]]: the live files as of `version` that can
+    * contain ANY of `keys` in `column`, decided from the manifest's
+    * metadata indexes with BOTH classes composing per file:
+    *
+    *   - range stats rule a file out when NO key lands in its
+    *     [min, max] interval;
+    *   - a bloom sidecar rules it out when EVERY key is definitely
+    *     absent (bits read once per file, KBs);
+    *   - a file carrying neither index for `column` is must-read.
+    *
+    * This is the file-level analogue of dynamic partition pruning
+    * for a join whose key is NOT the layout key (Delta's dynamic file
+    * pruning): the dim side's key set — known only at runtime — picks
+    * the fact files, so a fact⋈dim on a 100 TB unpartitioned table
+    * reads the files that can match, not the table. The key set is
+    * the join's SMALL side by definition (it would be broadcast
+    * anyway); callers bound it — see [[readVersionKeys]]. */
+  def filesMatchingKeysIn(store: LogStore, root: String, version: Long,
+      column: String, keys: Seq[Long]): Seq[String] = {
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    require(keys.nonEmpty, "dynamic file pruning needs a non-empty key set")
+    val r = replayIn(store, version)
+    require(r.files.nonEmpty, s"version $version resolves to no files")
+    val sorted = keys.distinct.sorted
+    r.files.filter { f =>
+      val statsMaybe = r.colStats.getOrElse(f, Map.empty).get(column)
+        .forall(st => sorted.exists(k => k >= st.min && k <= st.max))
+      lazy val bloomMaybe = r.blooms.getOrElse(f, Map.empty).get(column)
+        .forall { ref =>
+          val bits = Files.readAllBytes(Paths.get(root, ref.sidecar))
+          sorted.exists(k => FileBloom.mightContain(bits, ref.m, ref.k, k))
+        }
+      statsMaybe && bloomMaybe // each class can independently rule out
+    }
+  }
+
+  /** Snapshot read AS OF `version` pruned by a RUNTIME key set from
+    * `keys` (one column of join keys — the dim side of a fact⋈dim):
+    * collects the distinct keys (loudly bounded by `maxKeys`; the dim
+    * side of a dynamic-file-pruning join is broadcast-sized by
+    * definition, and a dim that outgrows the bound should use the
+    * row-level bloom filter — graft.ops.RuntimeFilters — instead),
+    * prunes files through [[filesMatchingKeysIn]], and plans the
+    * survivors through the manifest index. The join itself still
+    * applies exact equality — the prune only shrinks the scan, so
+    * false positives cost IO, never correctness. */
+  def readVersionKeys(spark: SparkSession, root: String, version: Long,
+      column: String, keys: DataFrame, maxKeys: Int = 100000): DataFrame = {
+    val k = keys.distinct().collect().map(_.getLong(0)).toSeq
+    require(k.size <= maxKeys,
+      s"dim key set has ${k.size} keys (> $maxKeys) — too large for " +
+        "file-level pruning; use a row-level runtime bloom filter instead")
+    val matching =
+      filesMatchingKeysIn(storeFor(root), root, version, column, k)
+    val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
+    readFilesIndexed(spark, root, files, colStatsAsOf(root, version))
+  }
+
   /** Snapshot read AS OF `version` pruned to the files whose bloom for
     * `column` might contain `value` (see [[filesMatchingPoint]]); the
     * caller still applies the exact equality predicate. Falls back to

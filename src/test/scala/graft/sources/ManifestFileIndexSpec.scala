@@ -183,6 +183,45 @@ class ManifestFileIndexSpec extends AnyFunSuite {
       unmapped.filter(col("user_id") === 25L).count())
   }
 
+  test("optimized predicate shapes prune too: InSet (large IN lists) " +
+      "and null-safe equality; null-bearing sets stay conservative") {
+    val u = attr("user_id")
+    def r(es: Expression*) = ManifestFileIndex.ranges(es)
+    assert(r(InSet(u, Set[Any](7L, 3L, 9L))) ==
+      Map("user_id" -> (3L, 9L)))
+    assert(r(InSet(u, Set[Any](5, 2, 8))) == Map("user_id" -> (2L, 8L)))
+    // a null or non-integral member keeps the predicate out entirely
+    assert(r(InSet(u, Set[Any](3L, null))).isEmpty)
+    assert(r(InSet(u, Set[Any](3L, "x"))).isEmpty)
+    assert(r(EqualNullSafe(u, Literal(5L))) == Map("user_id" -> (5L, 5L)))
+    assert(r(EqualNullSafe(Literal(5L), u)) == Map("user_id" -> (5L, 5L)))
+    // a <=> NULL asks about null membership — stats cannot answer it
+    assert(r(EqualNullSafe(u, Literal(null,
+      org.apache.spark.sql.types.LongType))).isEmpty)
+  }
+
+  test("readVersionKeys: a runtime dim key set prunes files through " +
+      "the manifest, rows stay exact, an oversized dim fails loudly") {
+    val root = statsTable()
+    import spark.implicits._
+    // dim keys 3 and 25 live in files f0 and f2; the legacy file is
+    // must-read — 3 of 5 files survive the prune
+    val dim = Seq(3L, 25L).toDF("k")
+    val df = ManifestLog.readVersionKeys(spark, root, 0, "user_id", dim)
+    assert(scanOf(df).selectedPartitions.totalNumberOfFiles == 3)
+    // the read is the PRUNED snapshot; the join's exact equality is
+    // the caller's job — replay it and check rows
+    val got = df.filter(col("user_id").isin(3L, 25L))
+      .select("user_id", "amount").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).sorted.toSeq
+    assert(got == Seq((3L, 300L), (25L, 2500L)))
+    // loud bound: the dim side must stay broadcast-sized
+    intercept[IllegalArgumentException] {
+      ManifestLog.readVersionKeys(spark, root, 0, "user_id",
+        spark.range(10).toDF("k").select(col("k")), maxKeys = 5)
+    }
+  }
+
   test("100k-file manifest: resolve + planning-time prune is " +
       "metadata-flat (no filesystem touched)") {
     val entries = (0 until 100000).map { i =>

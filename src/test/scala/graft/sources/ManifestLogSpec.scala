@@ -366,6 +366,54 @@ class ManifestLogSpec extends AnyFunSuite {
       Seq("data/v0/b.parquet", "data/v0/legacy.parquet"))
   }
 
+  test("dynamic file pruning: stats and blooms compose per file, each " +
+      "class can independently rule out, index-less files are " +
+      "must-read, containing files always survive (r16 DFP)") {
+    import ManifestLog.{BloomRef, FileStat}
+    val root = freshRoot()
+    val m = 1024; val k = 4
+    def sidecar(rel: String, values: Seq[Long]): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, FileBloom.build(values.iterator, m, k))
+    }
+    // a: stats [0,9] + bloom {1,2,3}; b: stats [10,19] + bloom
+    // {11,12}; c: stats only [20,29]; legacy: no indexes at all
+    sidecar("data/a.bloom", Seq(1L, 2L, 3L))
+    sidecar("data/b.bloom", Seq(11L, 12L))
+    ManifestLog.commit(root, 0,
+      Seq("data/a.parquet", "data/b.parquet", "data/c.parquet",
+        "data/legacy.parquet"), Seq.empty, "write",
+      colStats = Map(
+        "data/a.parquet" -> Map("id" -> FileStat(0, 9)),
+        "data/b.parquet" -> Map("id" -> FileStat(10, 19)),
+        "data/c.parquet" -> Map("id" -> FileStat(20, 29))),
+      blooms = Map(
+        "data/a.parquet" -> Map("id" -> BloomRef("id", "data/a.bloom", m, k)),
+        "data/b.parquet" -> Map("id" -> BloomRef("id", "data/b.bloom", m, k))))
+    val store = ManifestLog.storeFor(root)
+    def prune(keys: Long*): Set[String] =
+      ManifestLog.filesMatchingKeysIn(store, root, 0, "id", keys)
+        .toSet
+    // key 2: a survives (stats hit + bloom maybe), b pruned by STATS,
+    // c pruned by stats, legacy must-read
+    assert(prune(2L) == Set("data/a.parquet", "data/legacy.parquet"))
+    // key 15: inside b's stats but NOT in its bloom — the bloom class
+    // rules it out where stats alone could not (deterministic here)
+    assert(prune(15L) == Set("data/legacy.parquet"))
+    // key 25: c has stats only — stats hit keeps it (no bloom to veto)
+    assert(prune(25L) == Set("data/c.parquet", "data/legacy.parquet"))
+    // multi-key dim: union semantics — ANY key can keep a file
+    assert(prune(2L, 11L, 25L) == Set("data/a.parquet", "data/b.parquet",
+      "data/c.parquet", "data/legacy.parquet"))
+    // a key nothing matches: only the must-read file remains
+    assert(prune(5000L) == Set("data/legacy.parquet"))
+    // an unindexed column prunes nothing
+    assert(ManifestLog.filesMatchingKeysIn(store, root, 0, "other",
+      Seq(2L)).size == 4)
+    intercept[IllegalArgumentException](prune())
+  }
+
   test("vacuum deletes exactly the unreachable parquet files: crashed-" +
       "writer orphans and rewrites pruned past, never anything any " +
       "resolvable version references (r15 GC)") {
