@@ -132,8 +132,10 @@ object Bench {
     // inferred from the committed BENCH_r*.json files in CWD (the
     // driver saves round N-1's summary before round N benches); if
     // none are visible (dev run from elsewhere) the archive is skipped
-    // — the primary detail file above is always written.
-    if (only.isEmpty) {
+    // — the primary detail file above is always written. An explicit
+    // SPARK_GRAFT_BENCH_DETAIL override marks a probe/skew run — those
+    // must never overwrite the round's sf0.1 archive either.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_DETAIL")) {
       try {
         val cwd = java.nio.file.Paths.get(".").toAbsolutePath
         val re = "BENCH_r(\\d+)\\.json".r
