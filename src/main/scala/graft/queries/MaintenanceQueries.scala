@@ -1079,6 +1079,87 @@ object MaintenanceQueries {
         .orderBy("user_id")
     })
 
+  /** A HIVE-PARTITIONED manifest table: the flat events corpus written
+    * `partitionBy(cohort)` (cohort = event_id % 4) under data/v0 and
+    * committed through the log — partition values ride in the `k=v`
+    * path segments, partition DISCOVERY is the log's file list (zero
+    * directory listings at read). Cached per sfDir. */
+  private def hivePartRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_hive_manifest", dir) { root =>
+      import graft.sources.ManifestLog
+      flatEvents(s, dir)
+        .withColumn("cohort", pmod(col("event_id"), lit(4)))
+        .repartition(2, col("user_id"))
+        .write.partitionBy("cohort").parquet(s"$root/data/v0")
+      ManifestLog.commit(root, 0,
+        ManifestLog.partFilesRecursive(root, "data/v0"), Seq.empty,
+        op = "write")
+    }
+
+  private val snapshotPartitioned = GraftQuery(
+    name = "lake_snapshot_partitioned",
+    doc = "HIVE-PARTITIONED manifest snapshot read (r16) - the layout " +
+      "axis the manifest family lacked: data files live under k=v " +
+      "partition directories, the partition COLUMN comes from the " +
+      "path (appended to the footer schema exactly as a listed hive " +
+      "table's), but partition DISCOVERY is the log's resolved file " +
+      "list through ManifestFileIndex - no directory listing at any " +
+      "table size, and a static partition predicate prunes whole " +
+      "partitions inside listFiles (pinned: 1 of 4 partitions " +
+      "survives, in ManifestFileIndexSpec). The filter below IS the " +
+      "prune; the oracle replays the cohort predicate over the raw " +
+      "corpus, so a partition wrongly pruned or wrongly parsed fails " +
+      "the hash.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id % 4 = 2
+      GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = hivePartRoot(s, dir)
+      graft.sources.ManifestLog.readVersionHive(s, root, 0)
+        .filter(col("cohort") === 2)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
+  private val dppManifest = GraftQuery(
+    name = "lake_join_dpp_manifest",
+    doc = "DYNAMIC PARTITION PRUNING on a manifest table (r16) - " +
+      "lake_join_dpp's runtime prune composed with the log-planned " +
+      "scan: the fact side is the hive-partitioned manifest table " +
+      "(partition discovery = log replay, never a listing), the dim's " +
+      "matching cohorts are only known at runtime, and Catalyst's own " +
+      "PartitionPruning rule turns the broadcast dim into a dynamic " +
+      "partition filter on the ManifestFileIndex scan - Spark " +
+      "re-filters the index's PartitionDirectories with the runtime " +
+      "predicate, so the composition needs NOTHING from the index " +
+      "beyond honest partition values (PlanSpec pins " +
+      "dynamicpruning on this scan). The dim (c_nationkey IN (2,6), " +
+      "both = 2 mod 4) selects exactly one of four partitions at " +
+      "runtime. Oracle replays the join over the raw corpus.",
+    oracle = Some("""
+      WITH d AS (SELECT DISTINCT c_nationkey % 4 AS cohort
+                 FROM customer WHERE c_nationkey IN (2, 6))
+      SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN d ON e.event_id % 4 = d.cohort
+      GROUP BY 1 ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = hivePartRoot(s, dir)
+      val fact = graft.sources.ManifestLog.readVersionHive(s, root, 0)
+      val dim = table(s, dir, "customer")
+        .filter(col("c_nationkey").isin(2, 6))
+        .select(pmod(col("c_nationkey"), lit(4)).as("cohort")).distinct()
+      fact.join(broadcast(dim), "cohort")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
   private val joinDfp = GraftQuery(
     name = "lake_join_dfp",
     doc = "DYNAMIC FILE PRUNING (r16) - the manifest-level member of " +
@@ -1307,5 +1388,6 @@ object MaintenanceQueries {
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
     snapshotManifest, snapshotCheckpoint, manifestSkipping, mergeCow,
     skippingMulticol, skippingBloom, vacuumQuery, optimizeCompact,
-    cdcIncremental, cdcRowImages, joinDfp, incrementalAgg)
+    cdcIncremental, cdcRowImages, joinDfp, snapshotPartitioned,
+    dppManifest, incrementalAgg)
 }

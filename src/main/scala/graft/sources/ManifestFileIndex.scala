@@ -41,20 +41,44 @@ final case class ManifestFileEntry(relPath: String, size: Long,
   *     replay predicates over the whole corpus so a wrong drop fails
   *     the row hash, not a plan expectation. */
 final class ManifestFileIndex(root: String,
-    entries: Seq[ManifestFileEntry]) extends FileIndex {
+    entries: Seq[ManifestFileEntry],
+    override val partitionSchema: StructType = new StructType())
+    extends FileIndex {
   require(entries.nonEmpty, "a manifest scan needs at least one file")
 
-  private val statuses: Array[(FileStatus, Map[String, FileStat])] =
+  /** Partition values parsed from the file's hive-style `k=v` path
+    * segments in `partitionSchema` order — the layout half of a
+    * partitioned manifest table (values ride in paths, exactly as a
+    * real format records them). */
+  private def partValues(rel: String): Seq[Any] =
+    if (partitionSchema.isEmpty) Seq.empty
+    else {
+      val kv = rel.split('/').iterator.filter(_.contains('=')).map { s =>
+        val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
+      }.toMap
+      partitionSchema.fields.toSeq.map { f =>
+        val raw = kv.getOrElse(f.name, throw new IllegalArgumentException(
+          s"file $rel missing hive partition segment '${f.name}='"))
+        f.dataType match {
+          case org.apache.spark.sql.types.LongType => raw.toLong
+          case org.apache.spark.sql.types.IntegerType => raw.toInt
+          case org.apache.spark.sql.types.StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+          case dt => throw new IllegalArgumentException(
+            s"unsupported manifest partition type $dt for ${f.name}")
+        }
+      }
+    }
+
+  private val statuses: Array[(FileStatus, Map[String, FileStat], Seq[Any])] =
     entries.map { e =>
       val p = new Path(new java.io.File(root, e.relPath).toURI)
       (new FileStatus(e.size, false, 1, 128L * 1024 * 1024,
-        e.modificationTime, p), e.stats)
+        e.modificationTime, p), e.stats, partValues(e.relPath))
     }.toArray
 
   override def rootPaths: Seq[Path] =
     Seq(new Path(new java.io.File(root).toURI))
-
-  override def partitionSchema: StructType = new StructType()
 
   override def sizeInBytes: Long = entries.iterator.map(_.size).sum
 
@@ -63,19 +87,41 @@ final class ManifestFileIndex(root: String,
 
   override def refresh(): Unit = ()
 
-  /** The planning-time prune: intersect the conjunctive ranges Catalyst
-    * pushed down with each file's manifest stats. A file survives a
-    * predicate when its recorded interval intersects the range or it
-    * has no stats for that column. */
+  /** The planning-time prune, both halves:
+    *
+    *   - DATA filters intersect Catalyst's pushed-down ranges with
+    *     each file's manifest stats (a file survives a predicate when
+    *     its interval intersects or it has no stats for that column);
+    *   - PARTITION filters evaluate against the path-parsed partition
+    *     values per directory — the static half of partition pruning;
+    *     the DYNAMIC half (DPP) needs nothing from us: Spark's scan
+    *     node re-filters the returned PartitionDirectories with the
+    *     runtime predicate, so a broadcast dim prunes this index's
+    *     partitions exactly as it prunes a listed hive table's.
+    *
+    * Filters that reference non-partition columns or carry plan
+    * subqueries are ignored here (conservative — the scan still
+    * applies them to rows). */
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val preds = ManifestFileIndex.ranges(dataFilters)
     val kept =
-      if (preds.isEmpty) statuses.map(_._1)
-      else statuses.collect { case (st, stats)
-        if preds.forall { case (c, (lo, hi)) =>
-          stats.get(c).forall(s => s.max >= lo && s.min <= hi) } => st }
-    Seq(PartitionDirectory(InternalRow.empty, kept))
+      if (preds.isEmpty) statuses.toSeq
+      else statuses.toSeq.filter { case (_, stats, _) =>
+        preds.forall { case (c, (lo, hi)) =>
+          stats.get(c).forall(s => s.max >= lo && s.min <= hi) } }
+    if (partitionSchema.isEmpty) {
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+    } else {
+      val pred = ManifestFileIndex.boundPartitionPredicate(
+        partitionFilters, partitionSchema)
+      kept.groupBy(_._3).toSeq.collect {
+        case (values, group)
+            if pred.forall(_.eval(InternalRow.fromSeq(values))) =>
+          PartitionDirectory(InternalRow.fromSeq(values),
+            group.map(_._1).toArray)
+      }
+    }
   }
 }
 
@@ -159,21 +205,46 @@ object ManifestFileIndex {
     bounds.toMap
   }
 
+  /** The static half of partition pruning: bind the partition filters
+    * that reference ONLY partition columns and carry no plan
+    * subqueries (DPP's DynamicPruningExpression is evaluated later by
+    * the scan node) against the partition-values row layout. */
+  private[sources] def boundPartitionPredicate(
+      partitionFilters: Seq[Expression],
+      partitionSchema: StructType): Option[BasePredicate] =
+    partitionFilters
+      .filter { f =>
+        f.references.forall(a =>
+          partitionSchema.fieldNames.contains(a.name)) &&
+          !f.exists(_.isInstanceOf[PlanExpression[_]])
+      }
+      .reduceOption(And)
+      .map { e =>
+        Predicate.createInterpreted(e.transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fieldIndex(a.name)
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        })
+      }
+
   /** Plan a parquet scan over `entries` through a [[ManifestFileIndex]]:
     * schema from ONE footer via the format's own `inferSchema` (flat
     * cost at any file count — manifest tables have one schema by
     * construction), relation built directly (no DataSource resolution,
-    * no InMemoryFileIndex, no listing). */
+    * no InMemoryFileIndex, no listing). A non-empty `partitionSchema`
+    * appends hive-style path-partition columns to the output, with
+    * static AND dynamic partition pruning composing at the scan. */
   def read(spark: SparkSession, root: String,
-      entries: Seq[ManifestFileEntry]): DataFrame = {
-    val index = new ManifestFileIndex(root, entries)
+      entries: Seq[ManifestFileEntry],
+      partitionSchema: StructType = new StructType()): DataFrame = {
+    val index = new ManifestFileIndex(root, entries, partitionSchema)
     val format = new ParquetFileFormat
     val probe = index.listFiles(Nil, Nil).head.files.head.fileStatus
     val dataSchema = format
       .inferSchema(spark, Map.empty[String, String], Seq(probe))
       .getOrElse(throw new IllegalStateException(
         s"cannot infer schema from ${probe.getPath}"))
-    val relation = HadoopFsRelation(index, new StructType(), dataSchema,
+    val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, format, Map.empty[String, String])(spark)
     GraftRelationBridge.ofRows(spark,
       LogicalRelation(relation, isStreaming = false))

@@ -742,6 +742,50 @@ object ManifestLog {
     ManifestFileIndex.read(spark, root, entries)
   }
 
+  /** Snapshot read of a HIVE-PARTITIONED manifest table (r16): the
+    * live files' `k=v` path segments become partition columns
+    * (LongType when every value parses as a long, StringType
+    * otherwise), appended to the data schema exactly as a listed hive
+    * table's would be — but the partition discovery is the LOG's file
+    * list, zero directory listings. Static partition predicates prune
+    * inside [[ManifestFileIndex.listFiles]]; DYNAMIC partition pruning
+    * (a broadcast dim's runtime keys) composes at the scan node with
+    * no extra work, because Spark re-filters the index's
+    * PartitionDirectories with the runtime predicate — the
+    * lake_join_dpp shape on a manifest table. Requires every live
+    * file to carry the same partition segments in the same order. */
+  def readVersionHive(spark: SparkSession, root: String, version: Long,
+      statsColumn: Option[String] = None): DataFrame = {
+    val store = storeFor(root)
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    val r = replayIn(store, version)
+    require(r.files.nonEmpty, s"version $version resolves to no files")
+    def segs(f: String): Seq[(String, String)] =
+      f.split('/').toSeq.filter(_.contains('=')).map { s =>
+        val i = s.indexOf('='); (s.substring(0, i), s.substring(i + 1))
+      }
+    val names = segs(r.files.head).map(_._1)
+    require(names.nonEmpty,
+      s"no hive partition segments in ${r.files.head} — use readVersion")
+    require(r.files.forall(f => segs(f).map(_._1) == names),
+      "every live file must carry the same partition segments")
+    val schema = org.apache.spark.sql.types.StructType(names.map { n =>
+      val vals = r.files.map(f => segs(f).toMap.apply(n))
+      val longs = vals.forall(v => scala.util.Try(v.toLong).isSuccess)
+      org.apache.spark.sql.types.StructField(n,
+        if (longs) org.apache.spark.sql.types.LongType
+        else org.apache.spark.sql.types.StringType, nullable = false)
+    })
+    val entries = r.files.map { f =>
+      val merged = r.colStats.getOrElse(f, Map.empty[String, FileStat]) ++
+        statsColumn.flatMap(c => r.stats.get(f).map(c -> _))
+      entryFor(root, f, merged)
+    }
+    ManifestFileIndex.read(spark, root, entries, schema)
+  }
+
   private def entryFor(root: String, rel: String,
       stats: Map[String, FileStat]): ManifestFileEntry = {
     val p = Paths.get(root, rel)
@@ -829,6 +873,21 @@ object ManifestLog {
     }.sorted
     orphans.foreach(f => Files.deleteIfExists(rootPath.resolve(f)))
     orphans
+  }
+
+  /** Relative paths of ALL parquet part-files under `root/$sub`,
+    * recursively — the commit helper for hive-partitioned writes
+    * (`partitionBy` lays part files under `k=v` subdirectories). */
+  def partFilesRecursive(root: String, sub: String): Seq[String] = {
+    val rootPath = Paths.get(root)
+    Using.resource(Files.walk(Paths.get(root, sub))) {
+      _.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => rootPath.relativize(p).toString)
+        .toSeq
+    }.sorted
   }
 
   /** Relative paths of the parquet part-files under `root/$sub`. */
