@@ -46,6 +46,9 @@ object Registry {
     graft.queries.ExtendedQueries.all ++
     graft.queries.ScalarQueries.all ++
     graft.queries.MaintenanceQueries.all ++
+    graft.queries.MorQueries.all ++
+    graft.queries.WriterQueries.all ++
+    graft.queries.EvolutionQueries.all ++
     graft.queries.SqlTextQueries.all ++
     graft.queries.CoverageQueries.all ++
     graft.queries.PipelineQueries.all ++

@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.sources.ManifestLog
+import graft.sources.Readers.table
+
+/** MERGE-ON-READ operators over the manifest log (r16): deletion
+  * vectors — the row-change mechanism real formats use when rewriting
+  * data files is too expensive (Delta deletion vectors, Iceberg
+  * position deletes). `lake_merge_cow` is the copy-on-write pole of
+  * this trade (rewrite the touched files, reads stay pure scans);
+  * these queries exercise the merge-on-read pole (commit dead-row
+  * sidecars, reads anti-join them out) plus the compaction that moves
+  * a table back: delete → upsert → DV-threshold rewrite, each version
+  * oracle-checked against a raw-corpus replay in DuckDB. */
+object MorQueries {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def flatEvents(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+
+  /** Deleted by the v1 MOR delete: a user band (stats-prunable — only
+    * the files whose manifest interval meets it are scanned) crossed
+    * with a row predicate stats cannot see. */
+  private val DelLo = 3L
+  private val DelHi = 6L
+
+  /** Upserted by the v2 MOR merge. Overlaps the delete band on
+    * purpose: post-images are computed from the v1 MERGE-ON-READ read
+    * (already-dead rows produce none) while the DV build scans raw
+    * files (re-matching a dead row unions a no-op into the vector) —
+    * so the composed oracle is simply "delete rule, then correction
+    * rule over the survivors". Starts at 4 so the band is populated
+    * at every tracked sf (sf0.001 has users 0..14). */
+  private val MrgLo = 4L
+  private val MrgHi = 60L
+
+  /** The merge-on-read version ladder, cached per sfDir:
+    *
+    *   - v0 WRITE: flat events range-partitioned by user_id into 8
+    *     files, committed with per-file user_id colstats;
+    *   - v1 DELETE (merge-on-read): rows of users [3, 6] with
+    *     event_id % 7 == 0 die by DELETION VECTOR — no data file is
+    *     touched (the builder asserts zero adds/removes and that only
+    *     stats-intersecting files grew a sidecar);
+    *   - v2 MERGE (merge-on-read upsert): events of users [4, 60]
+    *     with event_id % 5 == 0 get value += 1000 — old rows die by
+    *     DV (union-merged per file), post-image rows land as ONE new
+    *     appended file, both in a single atomic commit;
+    *   - v3 OPTIMIZE (DV compaction): every file whose vector crossed
+    *     the threshold is rewritten WITHOUT its dead rows and the
+    *     vectors drop — the rewrite that bounds the read path's
+    *     anti-join tax (the builder asserts the live state carries no
+    *     vectors after it).
+    *
+    * Each rung stays time-travelable: v1 still reads with only the
+    * delete applied, v0 with nothing. */
+  def morRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_mor", dir) { root =>
+      // v0: stats-bearing base
+      flatEvents(s, dir).repartitionByRange(8, col("user_id"))
+        .write.parquet(s"$root/data/v0")
+      val colStats = s.read.parquet(s"$root/data/v0")
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+        .collect()
+        .map(r => s"data/v0/${r.getString(0).split('/').last}" ->
+          Map("user_id" -> ManifestLog.FileStat(r.getLong(1), r.getLong(2))))
+        .toMap
+      ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+        Seq.empty, op = "write", colStats = colStats)
+
+      // v1: MOR delete — sidecars only, data files untouched
+      val dvs1 = ManifestLog.deleteWhereMor(s, root, 0, 1,
+        col("user_id").between(DelLo, DelHi) && col("event_id") % 7 === 0)
+      val bandFiles = ManifestLog.filesAsOf(root, 0).filter(f =>
+        colStats(f)("user_id").min <= DelHi &&
+          colStats(f)("user_id").max >= DelLo)
+      require(dvs1.nonEmpty && dvs1.keySet.subsetOf(bandFiles.toSet),
+        s"MOR delete must sidecar only stats-intersecting files: $dvs1")
+      require(ManifestLog.filesAsOf(root, 1) ==
+        ManifestLog.filesAsOf(root, 0),
+        "a MOR delete must not add or remove data files")
+
+      // v2: MOR merge — DV-delete the matched rows, append post-images
+      val matched = col("user_id").between(MrgLo, MrgHi) &&
+        col("event_id") % 5 === 0
+      ManifestLog.readVersion(s, root, 1).filter(matched)
+        .withColumn("value", col("value") + 1000.0)
+        .coalesce(1)
+        .write.parquet(s"$root/data/v2")
+      val cs1 = ManifestLog.colStatsAsOf(root, 1)
+      val candidates = ManifestLog.filesAsOf(root, 1).filter(f =>
+        cs1.getOrElse(f, Map.empty).get("user_id")
+          .forall(st => st.max >= MrgLo && st.min <= MrgHi))
+      val dvs2 =
+        if (candidates.isEmpty) Map.empty[String, ManifestLog.DvRef]
+        else ManifestLog.buildDvs(s, root, 1, 2, candidates,
+          _.filter(matched))
+      ManifestLog.commit(root, 2,
+        adds = ManifestLog.partFiles(root, "data/v2"), removes = Seq.empty,
+        op = "merge", dvs = dvs2)
+
+      // v3: DV compaction — rewrite vectored files, vectors drop
+      val rewritten = ManifestLog.compactDvs(s, root, 2, 3)
+      require(rewritten.nonEmpty, "compaction must rewrite vectored files")
+      require(ManifestLog.dvsAsOf(root, 3).isEmpty,
+        "compaction must drop every deletion vector from the live state")
+    }
+
+  private val deleteDv = GraftQuery(
+    name = "lake_delete_dv",
+    doc = "MERGE-ON-READ DELETE via deletion vectors (r16) - the row-" +
+      "delete mechanism that rewrites NOTHING: the commit records one " +
+      "sidecar of dead row indexes per touched file (Delta deletion " +
+      "vectors / Iceberg position deletes) and the data files stay " +
+      "byte-identical, where lake_merge_cow's copy-on-write DELETE " +
+      "would rewrite every touched file whole. Candidates are stats-" +
+      "pruned from the predicate's extractable range (only files whose " +
+      "manifest user_id interval meets [3,6] are even scanned - the " +
+      "builder asserts no other file grew a sidecar); the read path " +
+      "anti-joins (_metadata.file_path, _metadata.row_index) against " +
+      "the decoded vectors with the DV side BROADCAST - deleted-rows-" +
+      "sized, never table-sized, so the join is zero-shuffle at any " +
+      "table size (ManifestDvSpec pins the plan shape). At 100 TB " +
+      "this is why deleting 0.01% of rows costs KBs of sidecar, not " +
+      "TBs of rewrite. Oracle replays the delete over the raw corpus " +
+      "- a vector that killed or spared the wrong row fails the hash; " +
+      "time travel to v0 (pre-delete) stays exact (ManifestDvSpec).",
+    oracle = Some(s"""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE NOT (user_id BETWEEN $DelLo AND $DelHi AND event_id % 7 = 0)
+      GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = morRoot(s, dir)
+      ManifestLog.readVersion(s, root, 1)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
+  private val mergeMor = GraftQuery(
+    name = "lake_merge_mor",
+    doc = "MERGE-ON-READ UPSERT (r16) - lake_merge_cow's trade " +
+      "reversed: matched rows (users [4,60], event_id % 5 = 0) die " +
+      "by deletion vector (union-merged into each file's existing " +
+      "vector, so the v1 delete stays applied) and the post-image " +
+      "rows (value += 1000) land as ONE appended file - a single " +
+      "atomic commit carrying adds AND dvs, with every base data " +
+      "file still byte-identical. Cost is O(matched rows + appended " +
+      "file) versus copy-on-write's O(touched files rewritten); the " +
+      "price is the read-side anti-join, which is why write-heavy / " +
+      "trickle-update tables choose MOR and scan-heavy tables choose " +
+      "COW - this engine now offers both poles over the same log. " +
+      "Oracle composes both versions' rules over the raw corpus " +
+      "(delete band gone, merge band corrected) - double-killed or " +
+      "double-applied rows fail the per-user hash.",
+    oracle = Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id,
+               CASE WHEN user_id BETWEEN $MrgLo AND $MrgHi
+                         AND event_id % 5 = 0
+                    THEN value + 1000.0 ELSE value END AS value
+        FROM events
+        WHERE NOT (user_id BETWEEN $DelLo AND $DelHi AND event_id % 7 = 0))
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = morRoot(s, dir)
+      ManifestLog.readVersion(s, root, 2)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
+  private val dvCompaction = GraftQuery(
+    name = "lake_dv_compaction",
+    doc = "DELETION-VECTOR COMPACTION (r16) - the maintenance op that " +
+      "bounds merge-on-read's read tax: every file whose vector " +
+      "crossed the dead-row threshold is rewritten WITHOUT its dead " +
+      "rows (one MOR-filtered scan of exactly those files) and the " +
+      "commit swaps old-for-new, dropping the vectors - the builder " +
+      "asserts the live state carries none after it. This is the " +
+      "rewrite real formats trigger once anti-join input stops being " +
+      "'small' (Delta's DV size threshold); without it a trickle-" +
+      "delete table pays an ever-growing join against an ever-" +
+      "growing dead set. Content is invariant by construction - the " +
+      "oracle is the SAME composed replay as lake_merge_mor, so a " +
+      "compaction that dropped a live row or resurrected a dead one " +
+      "fails the hash; v2 (pre-compaction, vectors still applied) " +
+      "and v1/v0 stay exactly readable (ManifestDvSpec).",
+    oracle = Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id,
+               CASE WHEN user_id BETWEEN $MrgLo AND $MrgHi
+                         AND event_id % 5 = 0
+                    THEN value + 1000.0 ELSE value END AS value
+        FROM events
+        WHERE NOT (user_id BETWEEN $DelLo AND $DelHi AND event_id % 7 = 0))
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = morRoot(s, dir)
+      ManifestLog.readVersion(s, root, 3)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
+  private val cdcMor = GraftQuery(
+    name = "lake_cdc_rowimages_mor",
+    doc = "Row-level change feed over MERGE-ON-READ commits (r16) - " +
+      "lake_cdc_rowimages extended to the DV world, where the " +
+      "file-action-only reconstruction is WRONG twice over: a DV-only " +
+      "commit touches no files (the feed would emit nothing for a " +
+      "delete), and a later compaction's removed files still CONTAIN " +
+      "the dead rows (the feed would re-emit every earlier delete). " +
+      "The feed therefore threads the VECTOR STATE through the " +
+      "version walk: pre-images = retired files MINUS their already-" +
+      "dead rows, PLUS the rows each commit's new vectors killed " +
+      "(new-minus-old sidecar delta, decoded distributed, broadcast " +
+      "semi join - delta-sized, never table-sized); post-images = " +
+      "added files minus same-commit vectors. Result: the v1 MOR " +
+      "delete emits exactly its delete images, the v2 MOR merge " +
+      "emits update_preimage/update_postimage pairs (the DV kill and " +
+      "the appended post-row meet on the key), and the v3 compaction " +
+      "emits NOTHING - a pure layout change (ManifestDvFeedSpec pins " +
+      "all three plus the baseline-resolvability contract). Oracle " +
+      "rebuilds every image class from the raw corpus.",
+    oracle = Some(s"""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        value FROM events),
+      del AS (SELECT user_id, event_id, ts_us, value,
+                     'delete' AS change_type, 1 AS v
+              FROM e
+              WHERE user_id BETWEEN $DelLo AND $DelHi AND event_id % 7 = 0),
+      m AS (SELECT * FROM e
+            WHERE user_id BETWEEN $MrgLo AND $MrgHi AND event_id % 5 = 0
+              AND NOT (user_id BETWEEN $DelLo AND $DelHi
+                       AND event_id % 7 = 0)),
+      up AS (SELECT user_id, event_id, ts_us, value,
+                    'update_preimage' AS change_type, 2 AS v FROM m
+             UNION ALL
+             SELECT user_id, event_id, ts_us, value + 1000.0,
+                    'update_postimage', 2 FROM m)
+      SELECT event_id, user_id, ts_us, CAST(value AS DOUBLE) AS value,
+             change_type, CAST(v AS BIGINT) AS commit_version
+      FROM (SELECT * FROM del UNION ALL SELECT * FROM up)
+      ORDER BY commit_version, event_id, change_type"""),
+    run = (s, dir) => {
+      val root = morRoot(s, dir)
+      ManifestLog.readChangeImages(s, root, 0, 3, keys = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("value"), col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy("commit_version", "event_id", "change_type")
+    })
+
+  val all: Seq[GraftQuery] =
+    Seq(deleteDv, mergeMor, dvCompaction, cdcMor)
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.sources.{ManifestLog, SinglePassWriter}
+import graft.sources.Readers.table
+
+/** The SINGLE-PASS stats-bearing writer as a registered operator
+  * (r16; closes SURVEY §8.3.1-3): the manifest tables so far computed
+  * their committed stats/blooms with a read-back pass after the
+  * write; this family commits a table whose metadata was folded
+  * INSIDE the write loop — one job, one pass — and then proves both
+  * index classes serve reads exactly (range prune + bloom point
+  * prune), against raw-corpus oracles. */
+object WriterQueries {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def flatEvents(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+
+  /** A table committed ENTIRELY by the single-pass writer: 8
+    * range-partitioned files, per-file [min, max] on user_id AND
+    * ts_us, a bloom sidecar over event_id — all folded in the write
+    * tasks' row loop, zero read-back IO. The builder cross-validates
+    * the pass's stats against an independent read-back aggregation
+    * (they must be identical) before any query reads the table. */
+  def singlePassRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_singlepass", dir) { root =>
+      SinglePassWriter.writeCommit(
+        flatEvents(s, dir).repartitionByRange(8, col("user_id")),
+        root, "data/v0", 0, statsCols = Seq("user_id", "ts_us"),
+        bloomCol = Some("event_id"))
+      // cross-validation: the write loop's stats == the read-back's
+      val readBack = ManifestLog.readVersion(s, root, 0)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+        .collect()
+        .map(r => s"data/v0/${r.getString(0).split('/').last}" ->
+          ManifestLog.FileStat(r.getLong(1), r.getLong(2))).toMap
+      val committed = ManifestLog.colStatsAsOf(root, 0)
+        .view.mapValues(_("user_id")).toMap
+      require(committed == readBack,
+        s"single-pass stats diverge from read-back: $committed vs $readBack")
+    }
+
+  private val writeSinglePass = GraftQuery(
+    name = "lake_write_singlepass",
+    doc = "SINGLE-PASS stats-bearing write (r16; closes SURVEY " +
+      "8.3.1-3): the production writer shape - each task streams its " +
+      "partition through a parquet writer while folding row count, " +
+      "per-column [min,max] (user_id AND ts_us) and the event_id " +
+      "bloom's distinct set IN THE SAME LOOP, lands the bloom sidecar " +
+      "before the task ends, and the driver commits only file-count-" +
+      "sized summaries - where every earlier stats commit paid a " +
+      "read-back aggregation pass (input_file_name groupBy) AFTER the " +
+      "write, doubling the job's IO. At 100 TB that read-back is a " +
+      "second scan of the table; here the committed table is servable " +
+      "by every manifest index class the moment the commit publishes. " +
+      "The builder cross-validates pass-computed stats against an " +
+      "independent read-back (must be identical); the query then " +
+      "range-prunes through the planning-time index exactly as " +
+      "lake_manifest_skipping does, against the raw-corpus oracle - " +
+      "a wrong min/max that dropped a needed file fails the hash. " +
+      "SinglePassWriterSpec pins round-trip fidelity, null handling, " +
+      "exact-ndv bloom sizing, and loud unsupported-type rejection.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             MAX(epoch_ns(ts) // 1000) AS last_ts_us
+      FROM events WHERE user_id BETWEEN 1 AND 8
+      GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = singlePassRoot(s, dir)
+      ManifestLog.readVersion(s, root, 0)
+        .filter(col("user_id").between(1, 8))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          max(col("ts_us")).as("last_ts_us"))
+        .orderBy("user_id")
+    })
+
+  private val singlePassBloom = GraftQuery(
+    name = "lake_singlepass_bloom",
+    doc = "Point lookup over the single-pass writer's EXECUTOR-BUILT " +
+      "bloom sidecars: the same definitely-absent prune as " +
+      "lake_skipping_bloom, but the filters were sized by the write " +
+      "loop's EXACT per-file distinct count (the read-back builder " +
+      "could only size from the row-count upper bound) and written " +
+      "from the task that wrote the data - no second pass, no driver " +
+      "bytes beyond the commit metadata. A filter that false-" +
+      "negatived the containing file would silently drop the row; " +
+      "the raw-corpus oracle fails the hash instead.",
+    oracle = Some("""
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+             CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id = 4211 ORDER BY event_id"""),
+    run = (s, dir) => {
+      val root = singlePassRoot(s, dir)
+      ManifestLog.readVersionPoint(s, root, 0, "event_id", 4211L)
+        .filter(col("event_id") === 4211L)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("value"))
+        .orderBy("event_id")
+    })
+
+  val all: Seq[GraftQuery] = Seq(writeSinglePass, singlePassBloom)
+}

@@ -234,16 +234,24 @@ object ManifestFileIndex {
     * no InMemoryFileIndex, no listing). A non-empty `partitionSchema`
     * appends hive-style path-partition columns to the output, with
     * static AND dynamic partition pruning composing at the scan. */
+  /** `declaredSchema` (r16) overrides footer inference — the
+    * schema-evolution seam: when the manifest log carries a declared
+    * table schema, files written under an OLDER (narrower) schema
+    * surface NULL for the columns they predate, exactly as a real
+    * format's additive evolution reads (parquet's reader resolves
+    * requested-but-absent columns to null per file; no mergeSchema
+    * footer sweep, which at 100k files is a listing-scale job). */
   def read(spark: SparkSession, root: String,
       entries: Seq[ManifestFileEntry],
-      partitionSchema: StructType = new StructType()): DataFrame = {
+      partitionSchema: StructType = new StructType(),
+      declaredSchema: Option[StructType] = None): DataFrame = {
     val index = new ManifestFileIndex(root, entries, partitionSchema)
     val format = new ParquetFileFormat
     val probe = index.listFiles(Nil, Nil).head.files.head.fileStatus
-    val dataSchema = format
+    val dataSchema = declaredSchema.getOrElse(format
       .inferSchema(spark, Map.empty[String, String], Seq(probe))
       .getOrElse(throw new IllegalStateException(
-        s"cannot infer schema from ${probe.getPath}"))
+        s"cannot infer schema from ${probe.getPath}")))
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, format, Map.empty[String, String])(spark)
     GraftRelationBridge.ofRows(spark,

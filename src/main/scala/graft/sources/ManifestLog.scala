@@ -76,6 +76,23 @@ object ManifestLog {
     * can be adopted file-by-file. */
   final case class FileStat(min: Long, max: Long)
 
+  /** A per-file DELETION VECTOR sidecar reference (r16) — the
+    * merge-on-read half of the row-change story (Delta's deletion
+    * vectors, Iceberg's position deletes): instead of rewriting a
+    * whole data file to drop a few rows (copy-on-write, `lake_merge_cow`),
+    * a delete commits a SIDECAR of the file's dead row indexes and the
+    * data file stays byte-identical on disk. The manifest carries only
+    * (sidecar path, dead-row count) — constant metadata per file — and
+    * the read path filters `(file, _metadata.row_index)` pairs against
+    * the vectors. A later DV for the same file REPLACES the earlier one
+    * (each new vector is written as the union of the old and the newly
+    * dead rows, so "latest wins" is exact); a file's remove drops its
+    * DV. At 100 TB this is why deleting 0.01% of rows costs KBs of
+    * sidecar instead of re-writing TBs of parquet; the DV's size is the
+    * read path's tax, so compaction rewrites a file once its vector
+    * outgrows a threshold ([[compactDvs]]). */
+  final case class DvRef(sidecar: String, nDeleted: Long)
+
   /** A per-file bloom-filter SIDECAR reference carried in the manifest
     * (r15): the manifest records only (column, sidecar path, m, k) —
     * constant metadata per file at any data size — while the bit
@@ -97,7 +114,9 @@ object ManifestLog {
       stats: Map[String, FileStat],
       colStats: Map[String, Map[String, FileStat]],
       blooms: Map[String, Map[String, BloomRef]],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      dvs: Map[String, DvRef] = Map.empty,
+      schemaDdl: Option[String] = None)
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def manifestName(v: Long): String = f"$v%020d.json"
@@ -128,7 +147,10 @@ object ManifestLog {
       stats: Map[String, FileStat] = Map.empty,
       colStats: Map[String, Map[String, FileStat]] = Map.empty,
       blooms: Map[String, Map[String, BloomRef]] = Map.empty,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      dvs: Map[String, DvRef] = Map.empty,
+      commitMs: Option[Long] = None,
+      schemaDdl: Option[String] = None): Unit = {
     def arr(fs: Seq[String]) =
       fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
     // EVERY string the self-authored flat format carries must be
@@ -160,6 +182,14 @@ object ManifestLog {
         "m a power of two")
     require(txn.forall { case (app, b) => flatSafe(app) && b >= 0 },
       "txn appId must be round-trippable with a non-negative batchId")
+    // dvs target files that are ALREADY LIVE (a merge-on-read delete
+    // touches no data files), so membership in `adds` is NOT required;
+    // a dv for a file this same commit removes would be dead on arrival
+    require(dvs.forall { case (f, d) =>
+      flatSafe(f) && flatSafe(d.sidecar) && d.nDeleted > 0 &&
+        !removes.contains(f) },
+      "dvs need round-trippable paths, a positive dead-row count, and " +
+        "must not target a file this commit removes")
     val statArr = arr(adds.flatMap(f =>
       stats.get(f).map(st => s"$f|${st.min}|${st.max}")))
     val colStatArr = arr(adds.flatMap(f =>
@@ -169,10 +199,20 @@ object ManifestLog {
       blooms.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
         case (c, r) => s"$f|$c|${r.sidecar}|${r.m}|${r.k}" })))
     val txnArr = arr(txn.toSeq.map { case (app, b) => s"$app|$b" })
+    val dvArr = arr(dvs.toSeq.sortBy(_._1).map {
+      case (f, d) => s"$f|${d.sidecar}|${d.nDeleted}" })
+    require(commitMs.forall(_ >= 0), "commit timestamp must be >= 0")
+    val atArr = arr(commitMs.toSeq.map(_.toString))
+    // schema DDL carries every delimiter the flat format cannot
+    // round-trip (commas, quotes, brackets) — base64 the whole string
+    val schemaArr = arr(schemaDdl.toSeq.map(d =>
+      java.util.Base64.getEncoder.encodeToString(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
     val json = s"""{"version":$version,"op":"$op",""" +
       s""""adds":${arr(adds)},"removes":${arr(removes)},""" +
       s""""stats":$statArr,"colstats":$colStatArr,""" +
-      s""""blooms":$bloomArr,"txn":$txnArr}"""
+      s""""blooms":$bloomArr,"txn":$txnArr,"dvs":$dvArr,""" +
+      s""""at":$atArr,"schema":$schemaArr}"""
     if (!store.publish(manifestName(version), json)) throw Conflict(version)
     for (p <- policy if version > 0 && version % p.every == 0) {
       writeCheckpointIn(store, version)
@@ -234,7 +274,14 @@ object ManifestLog {
           q(s"$f|$c|${b.sidecar}|${b.m}|${b.k}") })).mkString(",") +
       """],"txns":[""" +
       r.txns.toSeq.sortBy(_._1).map { case (app, b) => q(s"$app|$b") }
-        .mkString(",") + "]}"
+        .mkString(",") + """],"dvs":[""" +
+      r.files.flatMap(f => r.dvs.get(f).map(d =>
+        q(s"$f|${d.sidecar}|${d.nDeleted}"))).mkString(",") +
+      """],"schema":[""" +
+      r.schemaDdl.map(d => q(java.util.Base64.getEncoder
+        .encodeToString(d.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)))).getOrElse("") +
+      "]}"
     store.publish(checkpointName(version), json) // false = lost race, ok
   }
 
@@ -256,6 +303,15 @@ object ManifestLog {
         FileStat(e.substring(j + 1, i).toLong, e.substring(i + 1).toLong))
     }.groupBy(_._1).view.mapValues(
       _.map(t => t._2 -> t._3).toMap).toMap
+
+  /** "path|sidecar|n" → path → dv ref (rightmost-split, '|'-free
+    * fields enforced at commit). */
+  private def parseDvs(entries: Seq[String]): Map[String, DvRef] =
+    entries.map { e =>
+      val i = e.lastIndexOf('|'); val j = e.lastIndexOf('|', i - 1)
+      e.substring(0, j) ->
+        DvRef(e.substring(j + 1, i), e.substring(i + 1).toLong)
+    }.toMap
 
   private def parseTxns(entries: Seq[String]): Seq[(String, Long)] =
     entries.map { e =>
@@ -291,6 +347,12 @@ object ManifestLog {
     val blooms =
       scala.collection.mutable.Map.empty[String, Map[String, BloomRef]]
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    val dvs = scala.collection.mutable.Map.empty[String, DvRef]
+    var schemaDdl: Option[String] = None
+    def foldSchema(entries: Seq[String]): Unit =
+      entries.lastOption.foreach(b64 => schemaDdl = Some(new String(
+        java.util.Base64.getDecoder.decode(b64),
+        java.nio.charset.StandardCharsets.UTF_8)))
     def foldTxns(entries: Seq[(String, Long)]): Unit =
       entries.foreach { case (app, b) =>
         txns(app) = txns.get(app).fold(b)(math.max(_, b)) }
@@ -302,6 +364,8 @@ object ManifestLog {
       colStats ++= parseColStats(field(json, "colstats"))
       blooms ++= parseBlooms(field(json, "blooms"))
       foldTxns(parseTxns(field(json, "txns")))
+      dvs ++= parseDvs(field(json, "dvs"))
+      foldSchema(field(json, "schema"))
     }
     versionsIn(store)
       .filter(v => v <= version && ckpt.forall(v > _))
@@ -309,16 +373,48 @@ object ManifestLog {
         val json = store.read(manifestName(v))
         field(json, "removes").foreach { f =>
           live.remove(f); stats.remove(f); colStats.remove(f)
-          blooms.remove(f) }
+          blooms.remove(f); dvs.remove(f) }
         field(json, "adds").foreach(live.add)
         stats ++= parseStats(field(json, "stats"))
         colStats ++= parseColStats(field(json, "colstats"))
         blooms ++= parseBlooms(field(json, "blooms"))
         foldTxns(parseTxns(field(json, "txn")))
+        // a later DV REPLACES the file's earlier one (each vector is
+        // written as old ∪ newly-dead, so last-wins is exact); a later
+        // declared SCHEMA likewise supersedes (additive evolution)
+        dvs ++= parseDvs(field(json, "dvs"))
+        foldSchema(field(json, "schema"))
       }
     Replay(live.toSeq, stats.toMap, colStats.toMap, blooms.toMap,
-      txns.toMap)
+      txns.toMap, dvs.toMap, schemaDdl)
   }
+
+  /** TIMESTAMP time travel (r16) — `AS OF TIMESTAMP` resolved to a
+    * version: the latest commit whose recorded wall-clock `commitMs`
+    * is <= `tsMs` (Delta's timestamp_as_of contract: "the table as it
+    * was then"). Resolution scans the SURVIVING manifests' "at"
+    * fields — metadata-sized, no data IO; versions pruned behind a
+    * checkpoint are no longer time-addressable (the same retention
+    * contract as [[changesBetweenIn]] — pin a VERSION for reads that
+    * must outlive retention), and commits that recorded no timestamp
+    * are skipped. Throws when `tsMs` predates every timestamped
+    * commit — "before the table existed" must be loud, never a silent
+    * earliest-version read. */
+  def versionAtTimestampIn(store: LogStore, tsMs: Long): Long = {
+    val stamped = versionsIn(store).flatMap { v =>
+      field(store.read(manifestName(v)), "at").headOption
+        .map(at => v -> at.toLong)
+    }
+    require(stamped.nonEmpty, "no timestamped commits in the log")
+    val eligible = stamped.filter(_._2 <= tsMs)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMs predates the earliest timestamped commit " +
+        s"(at ${stamped.head._2}) — nothing existed to read")
+    eligible.map(_._1).max
+  }
+
+  def versionAtTimestamp(root: String, tsMs: Long): Long =
+    versionAtTimestampIn(storeFor(root), tsMs)
 
   /** Live data files as of `version`: checkpoint-seeded log replay.
     * Throws if `version` was never committed or has been pruned past
@@ -524,7 +620,8 @@ object ManifestLog {
     val matching =
       filesMatchingKeysIn(storeFor(root), root, version, column, k)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files, colStatsAsOf(root, version))
+    readFilesIndexed(spark, root, files, colStatsAsOf(root, version),
+      dvsAsOf(root, version))
   }
 
   /** Snapshot read AS OF `version` pruned to the files whose bloom for
@@ -535,7 +632,7 @@ object ManifestLog {
       column: String, value: Long): DataFrame = {
     val matching = filesMatchingPoint(root, version, column, value)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files)
+    readFilesIndexed(spark, root, files, dvs = dvsAsOf(root, version))
   }
 
   def commit(root: String, version: Long, adds: Seq[String],
@@ -544,9 +641,25 @@ object ManifestLog {
       stats: Map[String, FileStat] = Map.empty,
       colStats: Map[String, Map[String, FileStat]] = Map.empty,
       blooms: Map[String, Map[String, BloomRef]] = Map.empty,
-      txn: Option[(String, Long)] = None): Unit =
+      txn: Option[(String, Long)] = None,
+      dvs: Map[String, DvRef] = Map.empty,
+      commitMs: Option[Long] = None,
+      schemaDdl: Option[String] = None): Unit =
     commitIn(storeFor(root), version, adds, removes, op, policy, stats,
-      colStats, blooms, txn)
+      colStats, blooms, txn, dvs, commitMs, schemaDdl)
+
+  /** Live per-file deletion-vector refs as of `version` (files without
+    * a DV are absent — every row is live). */
+  def dvsAsOfIn(store: LogStore, version: Long): Map[String, DvRef] = {
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    val r = replayIn(store, version)
+    r.dvs.filter { case (f, _) => r.files.contains(f) }
+  }
+
+  def dvsAsOf(root: String, version: Long): Map[String, DvRef] =
+    dvsAsOfIn(storeFor(root), version)
 
   def bloomsAsOf(root: String,
       version: Long): Map[String, Map[String, BloomRef]] =
@@ -610,16 +723,107 @@ object ManifestLog {
     * `keys` must identify a row within a version for the images to be
     * row-accurate (the same requirement Delta's MERGE puts on its
     * match condition). */
+  /** The rows of `files` at exactly the row indexes each file's NEW
+    * vector added over its OLD one — a MOR delete's per-row death
+    * certificates, read as a broadcast SEMI join against the delta
+    * pairs (decoded distributed, one task per sidecar, delta-sized
+    * never table-sized). `entries`: file → (new sidecar, old sidecar
+    * or empty). */
+  private def readDvDeltaRows(spark: SparkSession, root: String,
+      entries: Seq[(String, String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val pairs = entries.map { case (f, newSc, oldSc) =>
+      (scanPath(root, f),
+        new java.io.File(root, newSc).getAbsolutePath,
+        if (oldSc.isEmpty) ""
+        else new java.io.File(root, oldSc).getAbsolutePath)
+    }
+    val delta = spark.createDataset(pairs)
+      .flatMap { case (dataPath, newSc, oldSc) =>
+        val fresh = decodeDv(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(newSc)))
+        val old: Set[Long] =
+          if (oldSc.isEmpty) Set.empty
+          else decodeDv(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(oldSc))).toSet
+        fresh.iterator.filterNot(old).map(i => (dataPath, i))
+      }.toDF("__dv_f", "__dv_idx")
+    val scan = ManifestFileIndex.read(spark, root,
+      entries.map(e => entryFor(root, e._1, Map.empty)))
+    scan
+      .join(broadcast(delta),
+        col("_metadata.file_path") === col("__dv_f") &&
+          col("_metadata.row_index") === col("__dv_idx"),
+        "left_semi")
+  }
+
   def readChangeImages(spark: SparkSession, root: String, from: Long,
       to: Long, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "change images need at least one key column")
-    val perVersion = changesBetween(root, from, to).collect {
-      case (v, adds, removes) if adds.nonEmpty || removes.nonEmpty =>
-        def side(files: Seq[String]) =
-          if (files.isEmpty) None
-          else Some(readFilesIndexed(spark, root, files))
-        val (post, pre) = (side(adds), side(removes))
+    val store = storeFor(root)
+    // The DV baseline: pre-images must exclude rows that were ALREADY
+    // dead before the range (a compaction would otherwise re-emit
+    // every earlier MOR delete as a fresh one), so the walk threads
+    // the vector state from `from` forward. A negative `from` starts
+    // before the table existed (empty state); otherwise `from` must
+    // be resolvable — without its state the feed cannot know which
+    // removed rows were alive (loud, like every pruned-tail read).
+    var dvState: Map[String, DvRef] =
+      if (from >= 0 && (versionsIn(store).contains(from) ||
+          checkpointVersionsIn(store).contains(from)))
+        replayIn(store, from).dvs
+      else if (from < 0) Map.empty
+      else {
+        // unresolvable baseline: exact ONLY for a table that has
+        // never used vectors. Any DV state that outlived retention is
+        // folded into a surviving checkpoint (the policy checkpoints
+        // before it prunes), so "no dv field anywhere in surviving
+        // metadata" proves the empty baseline — otherwise loud.
+        val dvVisible =
+          (versionsIn(store).iterator.map(v =>
+            field(store.read(manifestName(v)), "dvs")) ++
+            checkpointVersionsIn(store).iterator.map(cv =>
+              field(store.read(checkpointName(cv)), "dvs")))
+            .exists(_.nonEmpty)
+        require(!dvVisible,
+          s"change-image baseline $from not resolvable and the log " +
+            "carries deletion vectors — pre-images cannot be " +
+            "classified; re-bootstrap from a snapshot")
+        Map.empty
+      }
+    val perVersion = changesBetween(root, from, to).flatMap {
+      case (v, adds, removes) =>
+        val dvEntries = parseDvs(field(
+          store.read(manifestName(v)), "dvs"))
+        // pre side, two sources: rows of the files this commit
+        // RETIRED (minus their already-dead rows), and rows this
+        // commit's new VECTORS killed in files that stay live
+        val preRemoved =
+          if (removes.isEmpty) None
+          else Some(readFilesIndexed(spark, root, removes,
+            dvs = dvState.filter { case (f, _) => removes.contains(f) }))
+        val preDelta =
+          if (dvEntries.isEmpty) None
+          else Some(readDvDeltaRows(spark, root,
+            dvEntries.toSeq.sortBy(_._1).map { case (f, ref) =>
+              (f, ref.sidecar,
+                dvState.get(f).map(_.sidecar).getOrElse("")) }))
+        dvState = (dvState -- removes) ++ dvEntries
+        // post side: rows of the files this commit ADDED, minus any
+        // vector the same commit put on them
+        val post =
+          if (adds.isEmpty) None
+          else Some(readFilesIndexed(spark, root, adds,
+            dvs = dvState.filter { case (f, _) => adds.contains(f) }))
+        val pre = (preRemoved, preDelta) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }
+        if (pre.isEmpty && post.isEmpty) None
+        else Some((v, pre, post))
+    }.map { case (v, pre, post) =>
         val payload = (post.orElse(pre)).get.columns.filterNot(keys.contains)
         def img(df: DataFrame, tpe: String) = df.select(
           (keys.map(col) :+
@@ -697,7 +901,8 @@ object ManifestLog {
       version: Long, preds: Seq[(String, Long, Long)]): DataFrame = {
     val matching = filesMatchingCols(root, version, preds)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files, colStatsAsOf(root, version))
+    readFilesIndexed(spark, root, files, colStatsAsOf(root, version),
+      dvsAsOf(root, version))
   }
 
   /** Snapshot read AS OF `version` PRUNED to the files whose stats
@@ -709,7 +914,7 @@ object ManifestLog {
       lo: Long, hi: Long): DataFrame = {
     val matching = filesMatching(root, version, lo, hi)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files)
+    readFilesIndexed(spark, root, files, dvs = dvsAsOf(root, version))
   }
 
   /** Snapshot read AS OF `version` planned through a
@@ -739,7 +944,11 @@ object ManifestLog {
         statsColumn.flatMap(c => r.stats.get(f).map(c -> _))
       entryFor(root, f, merged)
     }
-    ManifestFileIndex.read(spark, root, entries)
+    applyDvs(spark, root,
+      ManifestFileIndex.read(spark, root, entries,
+        declaredSchema = r.schemaDdl.map(
+          org.apache.spark.sql.types.StructType.fromDDL)),
+      r.dvs.filter { case (f, _) => r.files.contains(f) })
   }
 
   /** Snapshot read of a HIVE-PARTITIONED manifest table (r16): the
@@ -783,7 +992,9 @@ object ManifestLog {
         statsColumn.flatMap(c => r.stats.get(f).map(c -> _))
       entryFor(root, f, merged)
     }
-    ManifestFileIndex.read(spark, root, entries, schema)
+    applyDvs(spark, root,
+      ManifestFileIndex.read(spark, root, entries, schema),
+      r.dvs.filter { case (f, _) => r.files.contains(f) })
   }
 
   private def entryFor(root: String, rel: String,
@@ -794,12 +1005,186 @@ object ManifestLog {
   }
 
   /** Index-planned scan over an explicit pre-resolved file list (the
-    * legacy prune helpers' read half). */
+    * legacy prune helpers' read half), merge-on-read-filtered when any
+    * of the files carries a deletion vector. */
   private def readFilesIndexed(spark: SparkSession, root: String,
       files: Seq[String],
-      stats: Map[String, Map[String, FileStat]] = Map.empty): DataFrame =
-    ManifestFileIndex.read(spark, root,
-      files.map(f => entryFor(root, f, stats.getOrElse(f, Map.empty))))
+      stats: Map[String, Map[String, FileStat]] = Map.empty,
+      dvs: Map[String, DvRef] = Map.empty): DataFrame =
+    applyDvs(spark, root,
+      ManifestFileIndex.read(spark, root,
+        files.map(f => entryFor(root, f, stats.getOrElse(f, Map.empty)))),
+      dvs.filter { case (f, _) => files.contains(f) })
+
+  /** The abs-path string a [[ManifestFileIndex]] scan reports in
+    * `_metadata.file_path` for the live file `rel` — the SAME
+    * construction the index uses for its FileStatus, so DV joins and
+    * builders key on scan-reported identity, never on a re-derived
+    * format. */
+  private def scanPath(root: String, rel: String): String =
+    new org.apache.hadoop.fs.Path(
+      new java.io.File(root, rel).toURI).toString
+
+  /** MERGE-ON-READ row filter: drop each file's DV-dead rows from
+    * `base` (a [[ManifestFileIndex]]-planned scan over exactly the
+    * files keyed in `dvs` plus any DV-less ones) by anti-joining
+    * `(_metadata.file_path, _metadata.row_index)` against the decoded
+    * vectors. The DV side is read DISTRIBUTED — each task decodes its
+    * own sidecar's 8-byte big-endian indexes — and BROADCAST: its row
+    * count is the TABLE'S DELETED-ROW count, not its size (the
+    * asymmetry merge-on-read exists for), so the anti join is a
+    * zero-shuffle broadcast hash join at any table size. A table whose
+    * dead-row count outgrows broadcast range is overdue for
+    * [[compactDvs]] — the same threshold rule real formats apply. */
+  private def applyDvs(spark: SparkSession, root: String,
+      base: DataFrame, dvs: Map[String, DvRef]): DataFrame = {
+    if (dvs.isEmpty) return base
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val pairs = dvs.toSeq.map { case (f, d) =>
+      (scanPath(root, f),
+        new java.io.File(root, d.sidecar).getAbsolutePath)
+    }
+    val dead = spark.createDataset(pairs).flatMap { case (dataPath, sc) =>
+      val buf = java.nio.ByteBuffer.wrap(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sc)))
+      Iterator.continually(buf).takeWhile(_.hasRemaining)
+        .map(b => (dataPath, b.getLong))
+    }.toDF("__dv_f", "__dv_idx")
+    base.join(broadcast(dead),
+      col("_metadata.file_path") === col("__dv_f") &&
+        col("_metadata.row_index") === col("__dv_idx"),
+      "left_anti")
+  }
+
+  /** DV sidecar codec: sorted distinct row indexes as 8-byte
+    * big-endian longs — deterministic bytes for a given dead set, so
+    * sidecar writes are idempotent under task retry. (A production
+    * format would compress — roaring bitmaps in Delta — but the
+    * CONTRACT is identical: an immutable sidecar enumerating dead row
+    * positions, replaced whole on each delete.) */
+  private[sources] def encodeDv(indexes: Array[Long]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(indexes.length * 8)
+    indexes.foreach(buf.putLong)
+    buf.array()
+  }
+
+  private[sources] def decodeDv(bytes: Array[Byte]): Array[Long] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(buf.getLong)
+  }
+
+  /** Build deletion vectors for the rows of `candidates` (live data
+    * files of `version`) selected by `doomed` — the shared write half
+    * of every merge-on-read mutation. `doomed` receives the candidate
+    * scan with `__f`/`__idx` identity columns appended and must only
+    * FILTER it (a predicate, a semi join against a source) — never
+    * project them away. Per matched file, one task merges the file's
+    * existing vector with the fresh dead rows (new DV = old ∪ new, so
+    * the committed "last wins" replacement is exact), writes the
+    * sidecar `<file>.v<newVersion>.dv` beside the data (never-reuse
+    * naming: each version's vector is a NEW immutable sidecar; the old
+    * one stays for time travel until vacuum), and the driver receives
+    * only file-count-sized (path, sidecar, n) summaries to commit.
+    * Scales as O(matched rows): untouched files are never scanned
+    * (callers stats-prune candidates first), no data file is ever
+    * rewritten, and sidecar IO happens on the executors. */
+  def buildDvs(spark: SparkSession, root: String, version: Long,
+      newVersion: Long, candidates: Seq[String],
+      doomed: DataFrame => DataFrame): Map[String, DvRef] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    require(candidates.nonEmpty, "buildDvs needs candidate files")
+    val r = replayIn(storeFor(root), version)
+    require(candidates.forall(r.files.contains),
+      "DV candidates must be live files of the read version")
+    // scan WITHOUT the MOR filter: already-dead rows that re-match
+    // simply union into the new vector (old ∪ new dedups them)
+    val scan = ManifestFileIndex.read(spark, root,
+      candidates.map(f =>
+        entryFor(root, f, r.colStats.getOrElse(f, Map.empty))))
+    val matched = doomed(
+        scan.withColumn("__f", col("_metadata.file_path"))
+          .withColumn("__idx", col("_metadata.row_index")))
+      .select(col("__f"), col("__idx")).as[(String, Long)]
+    val absToRel = candidates.map(f => scanPath(root, f) -> f).toMap
+    val oldDv: Map[String, String] = candidates.flatMap(f =>
+      r.dvs.get(f).map(d => f -> d.sidecar)).toMap
+    matched.groupByKey(_._1)
+      .mapGroups { (abs, it) =>
+        val rel = absToRel(abs)
+        val fresh = it.map(_._2).toArray
+        val old = oldDv.get(rel).map(sc => decodeDv(
+            java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(root, sc))))
+          .getOrElse(Array.empty[Long])
+        val all = (old ++ fresh).distinct.sorted
+        val sidecar = s"$rel.v$newVersion.dv"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, sidecar), encodeDv(all))
+        (rel, sidecar, all.length.toLong)
+      }
+      .collect()
+      .map { case (rel, sc, n) => rel -> DvRef(sc, n) }.toMap
+  }
+
+  /** MERGE-ON-READ DELETE (r16) — `DELETE FROM t WHERE p` that rewrites
+    * NOTHING: candidate files are stats-pruned from the predicate's
+    * extractable ranges (a file whose manifest interval cannot satisfy
+    * `p` is never even scanned), [[buildDvs]] turns the matching rows
+    * into per-file vectors, and the commit records only the DV refs —
+    * no adds, no removes, data files byte-identical. Cost is
+    * O(candidate-file scan + matched rows); the copy-on-write
+    * alternative (`lake_merge_cow`) pays a full rewrite of every
+    * touched file. Reads of `newVersion` see the rows gone; reads of
+    * `version` still see them (the old sidecar, or none, is what that
+    * version references). Returns the committed refs. */
+  def deleteWhereMor(spark: SparkSession, root: String, version: Long,
+      newVersion: Long, predicate: org.apache.spark.sql.Column,
+      policy: Option[CheckpointPolicy] = None): Map[String, DvRef] = {
+    val r = replayIn(storeFor(root), version)
+    val ranges = ManifestFileIndex.ranges(Seq(
+      org.apache.spark.sql.GraftColumnBridge.expression(predicate)))
+    val candidates = r.files.filter { f =>
+      val cs = r.colStats.getOrElse(f, Map.empty)
+      ranges.forall { case (c, (lo, hi)) =>
+        cs.get(c).forall(st => st.max >= lo && st.min <= hi) }
+    }
+    val dvs =
+      if (candidates.isEmpty) Map.empty[String, DvRef]
+      else buildDvs(spark, root, version, newVersion, candidates,
+        _.filter(predicate))
+    commit(root, newVersion, Seq.empty, Seq.empty, op = "delete",
+      policy = policy, dvs = dvs)
+    dvs
+  }
+
+  /** DV COMPACTION — the maintenance half of merge-on-read: files
+    * whose vector has accumulated at least `minDead` dead rows are
+    * rewritten WITHOUT them (one MOR-filtered scan of exactly those
+    * files) and the commit swaps old-for-new, dropping the vectors.
+    * This bounds the read path's DV tax: a table format that only
+    * ever appends vectors eventually pays more in anti-join input
+    * than a rewrite would cost — Delta applies the same
+    * threshold-triggered rewrite. The rewritten files carry no stats
+    * (conservative must-read) — re-cluster with OPTIMIZE to restore
+    * skipping. Returns the new files (empty = nothing crossed the
+    * threshold, no commit). */
+  def compactDvs(spark: SparkSession, root: String, version: Long,
+      newVersion: Long, minDead: Long = 1L,
+      policy: Option[CheckpointPolicy] = None): Seq[String] = {
+    val r = replayIn(storeFor(root), version)
+    val doomed = r.files.filter(f =>
+      r.dvs.get(f).exists(_.nDeleted >= minDead))
+    if (doomed.isEmpty) return Seq.empty
+    val sub = s"data/c$newVersion"
+    readFilesIndexed(spark, root, doomed, r.colStats, r.dvs)
+      .write.parquet(s"$root/$sub")
+    val adds = partFiles(root, sub)
+    commit(root, newVersion, adds, removes = doomed, op = "rewrite",
+      policy = policy)
+    adds
+  }
 
   def versions(root: String): Seq[Long] = versionsIn(storeFor(root))
 
@@ -856,14 +1241,19 @@ object ManifestLog {
     val replays = resolvable.map(v => replayIn(store, v))
     val keep: Set[String] = replays.flatMap(_.files).toSet ++
       replays.flatMap(_.blooms.valuesIterator.flatMap(
-        _.valuesIterator.map(_.sidecar)))
+        _.valuesIterator.map(_.sidecar))) ++
+      // each resolvable version's MOR reads need ITS deletion vectors
+      // (live files only — a dv whose file was removed is dead weight)
+      replays.flatMap(r => r.dvs.collect {
+        case (f, d) if r.files.contains(f) => d.sidecar })
     val rootPath = Paths.get(root)
     val logRoot = logDir(root)
     val orphans = Using.resource(Files.walk(rootPath)) {
       _.iterator().asScala
         .filter(p => Files.isRegularFile(p) && !p.startsWith(logRoot))
         .filter { p => val n = p.getFileName.toString
-          n.endsWith(".parquet") || n.endsWith(".bloom") }
+          n.endsWith(".parquet") || n.endsWith(".bloom") ||
+            n.endsWith(".dv") }
         .filterNot(_.getFileName.toString.startsWith("."))
         .map(p => rootPath.relativize(p).toString)
         .filterNot(rel => exclude.exists(e =>

@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The single-pass stats-bearing writer (r16; SURVEY §8.3.1-3): one
+  * job writes the data files AND commits their manifest metadata —
+  * no read-back pass. Pins round-trip fidelity (rows + types + nulls),
+  * stats == read-back equality, exact-ndv bloom sizing + membership,
+  * empty-partition handling, and loud unsupported-type rejection. */
+class SinglePassWriterSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def newRoot(): String = graft.TempDirs.deleteOnExit(
+    Files.createTempDirectory("graft_spw")).toString
+
+  test("round trip: rows, types and nulls survive; stats equal an " +
+      "independent read-back; blooms answer membership") {
+    import spark.implicits._
+    val root = newRoot()
+    val df = (0L until 100L).map { i =>
+      (i, if (i % 10 == 0) None else Some(i * 3),
+        i / 7.0, s"s$i", i % 2 == 0)
+    }.toDF("k", "opt", "d", "s", "b")
+      .repartitionByRange(4, col("k"))
+    val summaries = SinglePassWriter.writeCommit(df, root, "data/v0", 0,
+      statsCols = Seq("k"), bloomCol = Some("k"))
+    assert(summaries.size == 4 && summaries.map(_.n).sum == 100)
+    val back = ManifestLog.readVersion(spark, root, 0)
+    assert(back.count() == 100)
+    // content identical, nulls included
+    assert(back.orderBy("k").collect().toSeq ==
+      df.orderBy("k").collect().toSeq)
+    // stats: pass-computed == read-back-computed
+    val readBack = back.groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi")).collect()
+      .map(r => s"data/v0/${r.getString(0).split('/').last}" ->
+        ManifestLog.FileStat(r.getLong(1), r.getLong(2))).toMap
+    assert(ManifestLog.colStatsAsOf(root, 0)
+      .view.mapValues(_("k")).toMap == readBack)
+    // blooms: every inserted key is contained; the point prune keeps
+    // exactly the one range-partitioned file for an existing key
+    val hit = ManifestLog.filesMatchingPoint(root, 0, "k", 42L)
+    assert(hit.size == 1)
+    assert(ManifestLog.readVersionPoint(spark, root, 0, "k", 42L)
+      .filter(col("k") === 42L).count() == 1)
+    // range prune serves the planning-time index
+    val pruned = ManifestLog.filesMatchingCols(root, 0,
+      Seq(("k", 0L, 20L)))
+    assert(pruned.size == 1, pruned)
+  }
+
+  test("empty partitions write no file; stats skip null-only values") {
+    import spark.implicits._
+    val root = newRoot()
+    val df = Seq((1L, Option.empty[Long]), (2L, Some(5L)))
+      .toDF("k", "v").repartition(8)
+    val summaries = SinglePassWriter.writeCommit(df, root, "data/v0", 0,
+      statsCols = Seq("k"))
+    assert(summaries.size <= 2, "empty partitions must not land files")
+    assert(ManifestLog.readVersion(spark, root, 0).count() == 2)
+  }
+
+  test("unsupported column and non-integral stats columns fail loud") {
+    import spark.implicits._
+    val root = newRoot()
+    intercept[IllegalArgumentException] {
+      SinglePassWriter.writeCommit(
+        Seq((1L, BigDecimal(1))).toDF("k", "dec"), root, "d", 0)
+    }
+    intercept[IllegalArgumentException] {
+      SinglePassWriter.writeCommit(
+        Seq((1L, 1.5)).toDF("k", "d"), root, "d", 0,
+        statsCols = Seq("d"))
+    }
+  }
+}
