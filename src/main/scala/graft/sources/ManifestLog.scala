@@ -525,6 +525,27 @@ object ManifestLog {
     }
   }
 
+  /** The deletion-vector entries committed per version in
+    * (`from`, `to`] — the DV half of [[changesBetweenIn]] (same loud
+    * dense-range contract), for consumers that must know a version
+    * changed ROWS without touching files: an append-only row feed
+    * cannot replay a DV commit and must reject it, a change-image
+    * feed turns its delta into delete images. */
+  def dvChangesBetweenIn(store: LogStore, from: Long,
+      to: Long): Seq[(Long, Map[String, DvRef])] = {
+    require(from <= to, s"empty change range: ($from, $to]")
+    val have = versionsIn(store).filter(v => v > from && v <= to)
+    val want = (from + 1) to to
+    require(have == want,
+      s"change range ($from, $to] has pruned/missing manifests " +
+        s"(have: $have) — re-bootstrap from a snapshot")
+    have.map(v => v -> parseDvs(field(store.read(manifestName(v)), "dvs")))
+  }
+
+  def dvChangesBetween(root: String, from: Long,
+      to: Long): Seq[(Long, Map[String, DvRef])] =
+    dvChangesBetweenIn(storeFor(root), from, to)
+
   /** Live per-file bloom sidecar refs as of `version`. */
   def bloomsAsOfIn(store: LogStore,
       version: Long): Map[String, Map[String, BloomRef]] = {

@@ -196,6 +196,18 @@ private[cdc] class ManifestCdcStream(root: String, startingVersion: Long,
     val from = start.asInstanceOf[VersionOffset].version
     val to = end.asInstanceOf[VersionOffset].version
     if (from >= to) return Array.empty
+    // a deletion-vector commit changes ROWS without touching files —
+    // invisible to the file-action walk below, so it must be rejected
+    // as loudly as a rewrite (silently emitting nothing would corrupt
+    // every downstream consumer of the feed); MOR tables are consumed
+    // via readChangeImages, which replays vector deltas as delete
+    // images
+    val dvVersions = ManifestLog.dvChangesBetween(root, from, to)
+      .collect { case (v, dvs) if dvs.nonEmpty => v }
+    require(dvVersions.isEmpty,
+      s"versions $dvVersions commit deletion vectors — not replayable " +
+        "as an append-only row feed; consume merge-on-read tables via " +
+        "the change-image feed")
     ManifestLog.changesBetween(root, from, to).flatMap {
       case (v, adds, removes) =>
         require(removes.isEmpty,

@@ -134,4 +134,24 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("rewrites files")),
       s"expected the append-only contract error, got: ${messages(e)}")
   }
+
+  test("a deletion-vector commit in range fails the stream loudly - " +
+      "it changes rows without touching files, so the file-action " +
+      "walk would otherwise silently emit nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_dv").toString
+    val rows = spark.range(10).select(
+      col("id").as("user_id"), col("id").as("event_id"),
+      col("id").as("ts_us"), col("id").cast("double").as("value"))
+    rows.coalesce(1).write.parquet(s"$root/data/b0")
+    ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/b0"),
+      Seq.empty, "write")
+    ManifestLog.deleteWhereMor(spark, root, 0, 1, col("user_id") === 3L)
+    val e = intercept[Exception](ManifestSink.cdcDrained(spark, root))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("deletion vectors")),
+      s"expected the DV contract error, got: ${messages(e)}")
+  }
 }
