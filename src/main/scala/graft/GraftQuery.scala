@@ -49,6 +49,7 @@ object Registry {
     graft.queries.MorQueries.all ++
     graft.queries.WriterQueries.all ++
     graft.queries.EvolutionQueries.all ++
+    graft.queries.ConcurrencyQueries.all ++
     graft.queries.SqlTextQueries.all ++
     graft.queries.CoverageQueries.all ++
     graft.queries.PipelineQueries.all ++

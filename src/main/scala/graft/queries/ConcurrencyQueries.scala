@@ -1,0 +1,106 @@
+package graft.queries
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.sources.ManifestLog
+import graft.sources.Readers.table
+
+/** Multi-writer commit protocol as a registered operator (r16): the
+  * serializable-commit loop every real table format runs, driven by
+  * genuinely concurrent writers and then oracle-checked — the final
+  * STATE is deterministic (a set union) even though the version ORDER
+  * the race produces is not, which is exactly the property optimistic
+  * concurrency is supposed to deliver. */
+object ConcurrencyQueries {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def flatEvents(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+
+  /** Four event slices landed sequentially (the data jobs), then four
+    * THREADS race their commits through [[ManifestLog.commitSerializable]]
+    * from the same snapshot (-1). Every thread's first target collides
+    * with a winner except one; the losers rebase (blind appends are
+    * logically disjoint) and re-publish the same adds — the builder
+    * requires a dense version range 0..3 and the union live set. */
+  def concurrentRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_concurrent", dir) { root =>
+      val ev = flatEvents(s, dir)
+      val adds = (0 to 3).map { i =>
+        ev.filter(col("event_id") % 4 === i).coalesce(2)
+          .write.parquet(s"$root/data/t$i")
+        ManifestLog.partFiles(root, s"data/t$i")
+      }
+      val latch = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(4)
+      val versions =
+        new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      (0 to 3).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            latch.await()
+            versions.add(ManifestLog.commitSerializable(root,
+              readVersion = -1L, adds = adds(i), removes = Seq.empty,
+              op = "append"))
+          }
+        })
+      }
+      latch.countDown()
+      pool.shutdown()
+      require(pool.awaitTermination(120, TimeUnit.SECONDS),
+        "racing committers did not finish")
+      val vs = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(versions).asScala.toSeq.sorted
+      require(vs == (0L to 3L),
+        s"4 racing appenders must take versions 0..3, got $vs")
+      require(ManifestLog.filesAsOf(root, 3).toSet ==
+        adds.flatten.toSet,
+        "the final live set must be the union of every txn's adds")
+    }
+
+  private val concurrentAppend = GraftQuery(
+    name = "lake_concurrent_append",
+    doc = "OPTIMISTIC MULTI-WRITER COMMIT (r16) - the serializable " +
+      "transaction loop of a real table format (Delta's " +
+      "OptimisticTransaction / Iceberg's commit retry) driven by four " +
+      "genuinely concurrent threads appending from the same snapshot: " +
+      "exactly one wins each version via the atomic publish, losers " +
+      "REBASE - the winners' actions are checked against the loser's " +
+      "read/write footprint (manifest metadata only) and a blind " +
+      "append is disjoint from everything, so the SAME actions " +
+      "re-publish at the next version with zero recomputation; a " +
+      "winner that had removed or vectored a footprint file would " +
+      "instead raise LogicalConflict (every rule pinned in " +
+      "CommitProtocolSpec). The builder requires the race produced a " +
+      "dense version range and the union live set; the query reads " +
+      "the final snapshot against the whole-corpus oracle - " +
+      "commit-order nondeterminism must be invisible in the state, " +
+      "which is the entire point of optimistic concurrency. At " +
+      "100 TB this is what lets ingest, compaction and GC share one " +
+      "table without a coordinator: conflicts are detected from " +
+      "metadata, never by locking the data.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = concurrentRoot(s, dir)
+      ManifestLog.readVersion(s, root,
+          ManifestLog.latestVersion(root).get)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
+  val all: Seq[GraftQuery] = Seq(concurrentAppend)
+}

@@ -109,11 +109,17 @@ object MorQueries {
         adds = ManifestLog.partFiles(root, "data/v2"), removes = Seq.empty,
         op = "merge", dvs = dvs2)
 
-      // v3: DV compaction — rewrite vectored files, vectors drop
-      val rewritten = ManifestLog.compactDvs(s, root, 2, 3)
+      // v3: DV compaction — rewrite vectored files WITH fresh stats
+      // (the single-pass rewrite restores the skipping the old files'
+      // stats provided), vectors drop
+      val rewritten = ManifestLog.compactDvs(s, root, 2, 3,
+        statsCols = Seq("user_id"))
       require(rewritten.nonEmpty, "compaction must rewrite vectored files")
       require(ManifestLog.dvsAsOf(root, 3).isEmpty,
         "compaction must drop every deletion vector from the live state")
+      require(rewritten.forall(f => ManifestLog.colStatsAsOf(root, 3)
+          .get(f).exists(_.contains("user_id"))),
+        "single-pass compaction must re-commit user_id stats")
     }
 
   private val deleteDv = GraftQuery(

@@ -54,6 +54,17 @@ object ManifestLog {
   final case class Conflict(version: Long) extends RuntimeException(
     s"manifest version $version already committed by a concurrent writer")
 
+  /** A SEMANTIC loser (r16): a concurrent winner's actions overlap
+    * this transaction's read or write set, so re-publishing the same
+    * actions at a later version would serialize to a wrong history —
+    * retrying cannot help; the transaction must re-derive its outputs
+    * from a fresh snapshot. (The physical [[Conflict]] is retriable;
+    * this one is not — the distinction every optimistic table format
+    * draws.) */
+  final case class LogicalConflict(version: Long, detail: String)
+    extends RuntimeException(
+      s"serializable conflict with winning commit $version: $detail")
+
   /** Auto-checkpoint policy (r14 verdict #4): after a winning commit of
     * a version divisible by `every` (and > 0), fold a checkpoint at
     * that version and prune the manifests at or below the PREVIOUS
@@ -523,6 +534,80 @@ object ManifestLog {
       val json = store.read(manifestName(v))
       (v, field(json, "adds"), field(json, "removes"))
     }
+  }
+
+  /** OPTIMISTIC SERIALIZABLE COMMIT (r16) — the multi-writer protocol
+    * over the raw [[commitIn]] primitive, the loop every real table
+    * format's transaction runs (Delta's OptimisticTransaction,
+    * Iceberg's commit retry): the transaction did its work against
+    * snapshot `readVersion` and now publishes its actions at
+    * `readVersion + 1`. When a concurrent winner already took that
+    * version, the loser does NOT abort — it checks the winners'
+    * actions in (`readVersion`, latest] against its own footprint and
+    *
+    *   - REBASES (re-publishes the SAME actions at latest+1, no
+    *     recomputation) when every winner is logically disjoint:
+    *     nobody removed or vectored a file this txn read (`readFiles`),
+    *     is removing, or is vectoring — the blind-append-vs-anything
+    *     case that dominates real write traffic;
+    *   - throws [[LogicalConflict]] when a winner's removes or DVs
+    *     overlap that footprint: the txn's outputs were derived from
+    *     state a winner has since changed, so its actions are stale
+    *     and must be re-derived from a fresh snapshot.
+    *
+    * Isolation level is WRITE-SERIALIZABLE (Delta's default): winner
+    * APPENDS never conflict with a reader's snapshot — a txn that
+    * must serialize against appends too passes the whole live set as
+    * `readFiles`. Returns the version actually committed. The
+    * conflict check reads only manifest metadata; `maxRetries` bounds
+    * pathological rebase storms (each retry means another writer WON
+    * — the log never stalls, someone always makes progress). */
+  def commitSerializable(root: String, readVersion: Long,
+      adds: Seq[String], removes: Seq[String], op: String,
+      readFiles: Set[String] = Set.empty,
+      policy: Option[CheckpointPolicy] = None,
+      stats: Map[String, FileStat] = Map.empty,
+      colStats: Map[String, Map[String, FileStat]] = Map.empty,
+      blooms: Map[String, Map[String, BloomRef]] = Map.empty,
+      txn: Option[(String, Long)] = None,
+      dvs: Map[String, DvRef] = Map.empty,
+      commitMs: Option[Long] = None,
+      schemaDdl: Option[String] = None,
+      maxRetries: Int = 20): Long = {
+    val store = storeFor(root)
+    val footprint: Set[String] =
+      readFiles ++ removes ++ dvs.keySet
+    var target = readVersion + 1
+    var attempts = 0
+    var committed = -1L
+    while (committed < 0) {
+      try {
+        commitIn(store, target, adds, removes, op, policy, stats,
+          colStats, blooms, txn, dvs, commitMs, schemaDdl)
+        committed = target
+      } catch {
+        case Conflict(_) =>
+          attempts += 1
+          require(attempts <= maxRetries,
+            s"gave up after $maxRetries rebases — every attempt lost " +
+              "to a concurrent winner")
+          val latest = versionsIn(store).max
+          changesBetweenIn(store, readVersion, latest).foreach {
+            case (v, _, wRemoves) =>
+              val overlap = wRemoves.toSet.intersect(footprint)
+              if (overlap.nonEmpty) throw LogicalConflict(v,
+                s"winner removed files this txn depends on: $overlap")
+          }
+          dvChangesBetweenIn(store, readVersion, latest).foreach {
+            case (v, wDvs) =>
+              val overlap = wDvs.keySet.intersect(footprint)
+              if (overlap.nonEmpty) throw LogicalConflict(v,
+                s"winner vectored files this txn depends on: $overlap")
+          }
+          target = latest + 1
+      }
+    }
+    committed
   }
 
   /** The deletion-vector entries committed per version in
@@ -1187,24 +1272,37 @@ object ManifestLog {
     * This bounds the read path's DV tax: a table format that only
     * ever appends vectors eventually pays more in anti-join input
     * than a rewrite would cost — Delta applies the same
-    * threshold-triggered rewrite. The rewritten files carry no stats
-    * (conservative must-read) — re-cluster with OPTIMIZE to restore
-    * skipping. Returns the new files (empty = nothing crossed the
-    * threshold, no commit). */
+    * threshold-triggered rewrite. With `statsCols`, the rewrite goes
+    * through [[SinglePassWriter.writeFiles]] so the compacted files
+    * re-enter the commit WITH fresh [min, max] stats from the rewrite
+    * pass itself — compaction restores the skipping the vectors'
+    * files were committed with, at zero extra IO. Without it the new
+    * files carry no stats (conservative must-read). Returns the new
+    * files (empty = nothing crossed the threshold, no commit). */
   def compactDvs(spark: SparkSession, root: String, version: Long,
       newVersion: Long, minDead: Long = 1L,
-      policy: Option[CheckpointPolicy] = None): Seq[String] = {
+      policy: Option[CheckpointPolicy] = None,
+      statsCols: Seq[String] = Seq.empty): Seq[String] = {
     val r = replayIn(storeFor(root), version)
     val doomed = r.files.filter(f =>
       r.dvs.get(f).exists(_.nDeleted >= minDead))
     if (doomed.isEmpty) return Seq.empty
     val sub = s"data/c$newVersion"
-    readFilesIndexed(spark, root, doomed, r.colStats, r.dvs)
-      .write.parquet(s"$root/$sub")
-    val adds = partFiles(root, sub)
-    commit(root, newVersion, adds, removes = doomed, op = "rewrite",
-      policy = policy)
-    adds
+    val live = readFilesIndexed(spark, root, doomed, r.colStats, r.dvs)
+    if (statsCols.isEmpty) {
+      live.write.parquet(s"$root/$sub")
+      val adds = partFiles(root, sub)
+      commit(root, newVersion, adds, removes = doomed, op = "rewrite",
+        policy = policy)
+      adds
+    } else {
+      val summaries = SinglePassWriter.writeFiles(live, root, sub,
+        statsCols)
+      commit(root, newVersion, adds = summaries.map(_.rel),
+        removes = doomed, op = "rewrite", policy = policy,
+        colStats = SinglePassWriter.colStatsOf(summaries, statsCols))
+      summaries.map(_.rel)
+    }
   }
 
   def versions(root: String): Seq[Long] = versionsIn(storeFor(root))

@@ -72,6 +72,38 @@ object SinglePassWriter {
       version: Long, statsCols: Seq[String] = Seq.empty,
       bloomCol: Option[String] = None, op: String = "write",
       policy: Option[CheckpointPolicy] = None): Seq[FileSummary] = {
+    val summaries = writeFiles(df, root, sub, statsCols, bloomCol)
+    ManifestLog.commit(root, version, adds = summaries.map(_.rel),
+      removes = Seq.empty, op = op, policy = policy,
+      colStats = colStatsOf(summaries, statsCols),
+      blooms = bloomsOf(summaries, bloomCol))
+    summaries
+  }
+
+  /** The committed-metadata views of a pass's summaries — exposed so
+    * composite commits (a compaction's remove+add, a merge) can fold
+    * single-pass-written files into their own single atomic commit. */
+  def colStatsOf(summaries: Seq[FileSummary],
+      statsCols: Seq[String]): Map[String, Map[String, FileStat]] =
+    summaries.map(s => s.rel ->
+      statsCols.indices.map(k =>
+        statsCols(k) -> FileStat(s.los(k), s.his(k))).toMap)
+      .filter(_._2.nonEmpty).toMap
+
+  def bloomsOf(summaries: Seq[FileSummary],
+      bloomCol: Option[String]): Map[String, Map[String, BloomRef]] =
+    bloomCol match {
+      case Some(c) => summaries.filter(_.bloomM > 0).map(s =>
+        s.rel -> Map(c -> BloomRef(c, s"${s.rel}.bloom", s.bloomM, 4)))
+        .toMap
+      case None => Map.empty
+    }
+
+  /** The write pass alone: land the files + sidecars, fold the
+    * metadata, publish NOTHING — the caller owns the commit. */
+  def writeFiles(df: DataFrame, root: String, sub: String,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCol: Option[String] = None): Seq[FileSummary] = {
     val schema = df.schema
     val message: MessageType = new MessageType("spark_schema",
       schema.fields.map(parquetType): _*)
@@ -155,19 +187,6 @@ object SinglePassWriter {
     }(Encoders.product[FileSummary]).collect().toSeq.sortBy(_.rel)
 
     require(summaries.nonEmpty, "single-pass write produced no files")
-    val colStats = summaries.map(s => s.rel ->
-      statsCols.indices.map(k =>
-        statsCols(k) -> FileStat(s.los(k), s.his(k))).toMap)
-      .filter(_._2.nonEmpty).toMap
-    val blooms = bloomCol match {
-      case Some(c) => summaries.filter(_.bloomM > 0).map(s =>
-        s.rel -> Map(c -> BloomRef(c, s"${s.rel}.bloom", s.bloomM, 4)))
-        .toMap
-      case None => Map.empty[String, Map[String, BloomRef]]
-    }
-    ManifestLog.commit(root, version, adds = summaries.map(_.rel),
-      removes = Seq.empty, op = op, policy = policy,
-      colStats = colStats, blooms = blooms)
     summaries
   }
 }

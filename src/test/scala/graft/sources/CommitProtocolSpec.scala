@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import ManifestLog.{DvRef, LogicalConflict}
+
+/** The optimistic serializable commit protocol (r16): losers of the
+  * physical version race REBASE when winners are logically disjoint
+  * and fail with LogicalConflict when a winner removed or vectored a
+  * file in their footprint. Pins: the racing-appenders case (all
+  * succeed, one version each, union state), the single-writer rebase,
+  * every conflict rule (remove-vs-read, remove-vs-remove, dv-vs-read,
+  * remove-vs-dv), and append-vs-reader write-serializable tolerance. */
+class CommitProtocolSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def newRoot(): String = graft.TempDirs.deleteOnExit(
+    Files.createTempDirectory("graft_ser")).toString
+
+  /** Lands a one-row parquet file under `sub` and returns its paths. */
+  private def land(root: String, sub: String, k: Long): Seq[String] = {
+    import spark.implicits._
+    Seq((k, k * 10L)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$root/$sub")
+    ManifestLog.partFiles(root, sub)
+  }
+
+  test("8 racing blind appenders: every txn commits exactly once, " +
+      "the final state is the union, and versions are a dense range") {
+    val root = newRoot()
+    val adds = (0 until 8).map(i => land(root, s"data/t$i", i.toLong))
+    val latch = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(8)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    (0 until 8).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          latch.await()
+          got.add(ManifestLog.commitSerializable(root, readVersion = -1L,
+            adds = adds(i), removes = Seq.empty, op = "append"))
+        }
+      })
+    }
+    latch.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    val versions = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(got).asScala.toSeq.sorted
+    assert(versions == (0L to 7L), s"got $versions")
+    assert(ManifestLog.filesAsOf(root, 7).toSet == adds.flatten.toSet)
+  }
+
+  test("a loser with a disjoint footprint rebases the SAME actions " +
+      "to the next free version — no recomputation") {
+    val root = newRoot()
+    val a = land(root, "data/a", 1L)
+    // writer W read snapshot -1 and prepared an append; meanwhile two
+    // other commits land
+    ManifestLog.commit(root, 0, land(root, "data/x", 2L), Seq.empty, "w")
+    ManifestLog.commit(root, 1, land(root, "data/y", 3L), Seq.empty, "w")
+    val v = ManifestLog.commitSerializable(root, readVersion = -1L,
+      adds = a, removes = Seq.empty, op = "append")
+    assert(v == 2L)
+    assert(ManifestLog.filesAsOf(root, 2).size == 3)
+  }
+
+  test("winner REMOVES a file in the loser's footprint → " +
+      "LogicalConflict for readers, removers and vector writers") {
+    val root = newRoot()
+    val f = land(root, "data/v0", 1L)
+    ManifestLog.commit(root, 0, f, Seq.empty, "write")
+    // the winner compacts f away
+    ManifestLog.commit(root, 1, land(root, "data/v1", 1L), removes = f,
+      op = "rewrite")
+    // loser 1: computed FROM f (readFiles) — stale
+    intercept[LogicalConflict] {
+      ManifestLog.commitSerializable(root, readVersion = 0L,
+        adds = land(root, "data/d1", 9L), removes = Seq.empty,
+        op = "append", readFiles = f.toSet)
+    }
+    // loser 2: also removing f — double rewrite
+    intercept[LogicalConflict] {
+      ManifestLog.commitSerializable(root, readVersion = 0L,
+        adds = land(root, "data/d2", 9L), removes = f, op = "rewrite")
+    }
+    // loser 3: vectoring f — vector computed against a retired file
+    intercept[LogicalConflict] {
+      ManifestLog.commitSerializable(root, readVersion = 0L,
+        adds = Seq.empty, removes = Seq.empty, op = "delete",
+        dvs = Map(f.head -> DvRef(s"${f.head}.v9.dv", 1)))
+    }
+  }
+
+  test("winner VECTORS a file in the loser's footprint → " +
+      "LogicalConflict; disjoint appends still rebase past it") {
+    val root = newRoot()
+    val f = land(root, "data/v0", 5L)
+    ManifestLog.commit(root, 0, f, Seq.empty, "write")
+    ManifestLog.deleteWhereMor(spark, root, 0, 1, col("k") === 5L)
+    // loser read f at v0 — the winner's DV invalidated those rows
+    intercept[LogicalConflict] {
+      ManifestLog.commitSerializable(root, readVersion = 0L,
+        adds = land(root, "data/d", 9L), removes = Seq.empty,
+        op = "append", readFiles = f.toSet)
+    }
+    // write-serializable: a blind append never conflicts with the DV
+    val v = ManifestLog.commitSerializable(root, readVersion = 0L,
+      adds = land(root, "data/ok", 9L), removes = Seq.empty,
+      op = "append")
+    assert(v == 2L)
+  }
+}
