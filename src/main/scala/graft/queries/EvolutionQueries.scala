@@ -122,5 +122,76 @@ object EvolutionQueries {
       ManifestLog.readVersion(s, root, v).orderBy("user_id")
     })
 
-  val all: Seq[GraftQuery] = Seq(evolution, byTimestamp)
+  /** A constraint-guarded table: v0 declares two CHECK constraints
+    * with its initial data; a clean batch validates and appends at
+    * v1; a poisoned batch (null values, negative user_ids) FAILS
+    * validation loudly and the builder requires nothing landed from
+    * it. Cached per sfDir. */
+  def checkedRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_checked", dir) { root =>
+      val ev = flatEvents(s, dir)
+      val constraints = Seq(
+        "value_present" -> "value IS NOT NULL",
+        "user_nonneg" -> "user_id >= 0")
+      val base = ev.filter(col("event_id") % 4 <= 1)
+      ManifestLog.requireSatisfies(base, constraints.toMap)
+      base.coalesce(2).write.parquet(s"$root/data/v0")
+      ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+        Seq.empty, op = "write", checks = Some(constraints))
+      // a clean append validates against the set IN FORCE at its
+      // snapshot, then commits through the serializable protocol
+      val batch = ev.filter(col("event_id") % 4 >= 2)
+      ManifestLog.requireSatisfies(batch, ManifestLog.checksAsOf(root, 0))
+      batch.coalesce(2).write.parquet(s"$root/data/v1")
+      ManifestLog.commitSerializable(root, readVersion = 0,
+        adds = ManifestLog.partFiles(root, "data/v1"),
+        removes = Seq.empty, op = "append")
+      // the poisoned batch must die at validation, before any land
+      val poison = ev.limit(10)
+        .withColumn("value",
+          when(col("event_id") % 2 === 0, col("value")))
+        .withColumn("user_id", col("user_id") * -1 - 1)
+      val err = scala.util.Try(
+        ManifestLog.requireSatisfies(poison,
+          ManifestLog.checksAsOf(root, 1)))
+      require(err.isFailure &&
+        err.failed.get.getMessage.contains("value_present") &&
+        err.failed.get.getMessage.contains("user_nonneg"),
+        s"poisoned batch must fail BOTH constraints: $err")
+      require(ManifestLog.latestVersion(root).contains(1L),
+        "a failed validation must commit nothing")
+    }
+
+  private val checkConstraint = GraftQuery(
+    name = "lake_check_constraint",
+    doc = "LOG-CARRIED CHECK CONSTRAINTS (r16) - Delta-style table " +
+      "invariants: commits declare named SQL predicates in the " +
+      "manifest (base64, latest declaration wins, folded through " +
+      "checkpoints like the schema), and every write validates its " +
+      "batch against the set IN FORCE at its snapshot with ONE " +
+      "aggregate pass counting all constraints' violations together " +
+      "- SQL CHECK semantics (NULL passes, FALSE violates), loud " +
+      "abort naming each failed constraint and its row count BEFORE " +
+      "anything lands. The builder proves the full arc: guarded " +
+      "initial write, clean append through the serializable commit " +
+      "protocol, and a poisoned batch (nulls + negative ids) that " +
+      "dies at validation with BOTH constraints named and zero " +
+      "effect on the log. At 100 TB the validation is one scan of " +
+      "the BATCH (never the table) and the governance decision is " +
+      "manifest metadata. Oracle aggregates the whole raw corpus - " +
+      "the two clean generations must reassemble it exactly.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = checkedRoot(s, dir)
+      ManifestLog.readVersion(s, root, 1)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
+  val all: Seq[GraftQuery] = Seq(evolution, byTimestamp, checkConstraint)
 }

@@ -583,6 +583,48 @@ object StreamingQueries {
           max(col("ts_us")).as("last_ts_us"))
         .orderBy("user_id"))
 
+  private val streamSinkPoint = GraftQuery(
+    name = "stream_sink_point",
+    doc = "INDEXED reads over the STREAMING-ingested table (r16): " +
+      "stream_manifest_sink's micro-batches now land through the " +
+      "single-pass writer, so each batch's commit carries per-file " +
+      "[min,max] user_id/ts_us stats AND event_id bloom sidecars " +
+      "folded inside the write loop itself - the streaming table is " +
+      "servable by every manifest index class the moment a batch " +
+      "commits, with zero read-back IO on the hot ingest path (the " +
+      "production property: a streaming lakehouse writer that lands " +
+      "unindexed files forces every downstream read to full-scan " +
+      "until the next OPTIMIZE). This query point-looks-up one " +
+      "event_id through the bloom prune and range-filters a user " +
+      "band through the planning-time stats prune, over the table " +
+      "the exactly-once replay protocol built - so the oracle " +
+      "(raw-corpus replay) also re-proves no batch was double-" +
+      "ingested into the index path. At 100 TB: the prune decides " +
+      "'which of the stream's thousands of batch files' from " +
+      "metadata + KB sidecars, never from data.",
+    oracle = Some("""
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+             CAST(value AS DOUBLE) AS value
+      FROM events
+      WHERE event_id = 2024 OR
+            (user_id BETWEEN 2 AND 3 AND event_id % 97 = 0)
+      ORDER BY event_id"""),
+    run = (s, dir) => {
+      val root = graft.streaming.ManifestSink.ingestRoot(s, dir)
+      val latest = graft.sources.ManifestLog.latestVersion(root).get
+      val point = graft.sources.ManifestLog
+        .readVersionPoint(s, root, latest, "event_id", 2024L)
+        .filter(col("event_id") === 2024L)
+      val band = graft.sources.ManifestLog
+        .readVersionIndexed(s, root, latest)
+        .filter(col("user_id").between(2, 3) &&
+          col("event_id") % 97 === 0)
+      point.unionByName(band).distinct()
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("value"))
+        .orderBy("event_id")
+    })
+
   private val streamCdcSource = GraftQuery(
     name = "stream_cdc_source",
     doc = "DataSource-V2 STREAMING SOURCE over the manifest log's " +
@@ -626,5 +668,5 @@ object StreamingQueries {
     streamOuterJoin, streamStreamJoinHotkey, streamTwsUserStats,
     streamSessionTimeout, streamTwsBootstrap, streamStateMigration,
     streamSessionMigration, streamSessionWindow, streamManifestSink,
-    streamCdcSource)
+    streamSinkPoint, streamCdcSource)
 }

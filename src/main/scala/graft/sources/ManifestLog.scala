@@ -127,7 +127,8 @@ object ManifestLog {
       blooms: Map[String, Map[String, BloomRef]],
       txns: Map[String, Long],
       dvs: Map[String, DvRef] = Map.empty,
-      schemaDdl: Option[String] = None)
+      schemaDdl: Option[String] = None,
+      checks: Map[String, String] = Map.empty)
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def manifestName(v: Long): String = f"$v%020d.json"
@@ -161,7 +162,8 @@ object ManifestLog {
       txn: Option[(String, Long)] = None,
       dvs: Map[String, DvRef] = Map.empty,
       commitMs: Option[Long] = None,
-      schemaDdl: Option[String] = None): Unit = {
+      schemaDdl: Option[String] = None,
+      checks: Option[Seq[(String, String)]] = None): Unit = {
     def arr(fs: Seq[String]) =
       fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
     // EVERY string the self-authored flat format carries must be
@@ -219,11 +221,26 @@ object ManifestLog {
     val schemaArr = arr(schemaDdl.toSeq.map(d =>
       java.util.Base64.getEncoder.encodeToString(
         d.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    // CHECK constraints: "name|b64(sqlExpr)" entries; a declaring
+    // commit replaces the WHOLE set (latest declaration wins, like
+    // schema), and the empty declaration serializes as the "-"
+    // sentinel so "drop all constraints" survives the flat parser's
+    // absent-vs-empty ambiguity
+    require(checks.forall(_.forall { case (n, e) =>
+      flatSafe(n) && n.nonEmpty && n != "-" && e.nonEmpty }),
+      "check names must be round-trippable, non-empty, and not '-'")
+    val checkArr = arr(checks match {
+      case Some(cs) if cs.isEmpty => Seq("-")
+      case Some(cs) => cs.sortBy(_._1).map { case (n, e) =>
+        s"$n|${java.util.Base64.getEncoder.encodeToString(
+          e.getBytes(java.nio.charset.StandardCharsets.UTF_8))}" }
+      case None => Seq.empty
+    })
     val json = s"""{"version":$version,"op":"$op",""" +
       s""""adds":${arr(adds)},"removes":${arr(removes)},""" +
       s""""stats":$statArr,"colstats":$colStatArr,""" +
       s""""blooms":$bloomArr,"txn":$txnArr,"dvs":$dvArr,""" +
-      s""""at":$atArr,"schema":$schemaArr}"""
+      s""""at":$atArr,"schema":$schemaArr,"checks":$checkArr}"""
     if (!store.publish(manifestName(version), json)) throw Conflict(version)
     for (p <- policy if version > 0 && version % p.every == 0) {
       writeCheckpointIn(store, version)
@@ -292,6 +309,12 @@ object ManifestLog {
       r.schemaDdl.map(d => q(java.util.Base64.getEncoder
         .encodeToString(d.getBytes(
           java.nio.charset.StandardCharsets.UTF_8)))).getOrElse("") +
+      """],"checks":[""" +
+      (if (r.checks.isEmpty) q("-")
+       else r.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+         q(s"$n|" + java.util.Base64.getEncoder.encodeToString(
+           e.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
+         .mkString(",")) +
       "]}"
     store.publish(checkpointName(version), json) // false = lost race, ok
   }
@@ -364,6 +387,17 @@ object ManifestLog {
       entries.lastOption.foreach(b64 => schemaDdl = Some(new String(
         java.util.Base64.getDecoder.decode(b64),
         java.nio.charset.StandardCharsets.UTF_8)))
+    var checks = Map.empty[String, String]
+    def foldChecks(entries: Seq[String]): Unit =
+      if (entries.nonEmpty)
+        checks =
+          if (entries == Seq("-")) Map.empty
+          else entries.map { e =>
+            val i = e.lastIndexOf('|')
+            e.substring(0, i) -> new String(
+              java.util.Base64.getDecoder.decode(e.substring(i + 1)),
+              java.nio.charset.StandardCharsets.UTF_8)
+          }.toMap
     def foldTxns(entries: Seq[(String, Long)]): Unit =
       entries.foreach { case (app, b) =>
         txns(app) = txns.get(app).fold(b)(math.max(_, b)) }
@@ -377,6 +411,7 @@ object ManifestLog {
       foldTxns(parseTxns(field(json, "txns")))
       dvs ++= parseDvs(field(json, "dvs"))
       foldSchema(field(json, "schema"))
+      foldChecks(field(json, "checks"))
     }
     versionsIn(store)
       .filter(v => v <= version && ckpt.forall(v > _))
@@ -395,9 +430,10 @@ object ManifestLog {
         // declared SCHEMA likewise supersedes (additive evolution)
         dvs ++= parseDvs(field(json, "dvs"))
         foldSchema(field(json, "schema"))
+        foldChecks(field(json, "checks"))
       }
     Replay(live.toSeq, stats.toMap, colStats.toMap, blooms.toMap,
-      txns.toMap, dvs.toMap, schemaDdl)
+      txns.toMap, dvs.toMap, schemaDdl, checks)
   }
 
   /** TIMESTAMP time travel (r16) — `AS OF TIMESTAMP` resolved to a
@@ -750,9 +786,10 @@ object ManifestLog {
       txn: Option[(String, Long)] = None,
       dvs: Map[String, DvRef] = Map.empty,
       commitMs: Option[Long] = None,
-      schemaDdl: Option[String] = None): Unit =
+      schemaDdl: Option[String] = None,
+      checks: Option[Seq[(String, String)]] = None): Unit =
     commitIn(storeFor(root), version, adds, removes, op, policy, stats,
-      colStats, blooms, txn, dvs, commitMs, schemaDdl)
+      colStats, blooms, txn, dvs, commitMs, schemaDdl, checks)
 
   /** Live per-file deletion-vector refs as of `version` (files without
     * a DV are absent — every row is live). */
@@ -978,6 +1015,40 @@ object ManifestLog {
         perVersion.head.select(col("__img.*")).columns.map(c =>
           col(s"__img.$c").as(c)) ++
         Seq(col("_change_type"), col("_commit_version"))): _*)
+  }
+
+  /** The CHECK-constraint set in force at `version` (name → SQL
+    * boolean expression over the table's columns). */
+  def checksAsOf(root: String, version: Long): Map[String, String] = {
+    val store = storeFor(root)
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    replayIn(store, version).checks
+  }
+
+  /** INVARIANT ENFORCEMENT at the write boundary (Delta's CHECK
+    * constraints): one aggregate pass over the batch counts every
+    * constraint's violations TOGETHER (SQL CHECK semantics — NULL
+    * passes, only FALSE violates), and any violation aborts loudly
+    * BEFORE anything lands or commits, naming each failed constraint
+    * and its row count. Cost is one scan of the batch regardless of
+    * how many constraints the table declares; the decision of WHICH
+    * constraints apply is manifest metadata ([[checksAsOf]]). */
+  def requireSatisfies(df: DataFrame,
+      checks: Map[String, String]): Unit = {
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions._
+    val names = checks.keys.toSeq.sorted
+    val aggs = names.map(n => count(
+      when(!coalesce(expr(checks(n)), lit(true)), lit(1))).as(n))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bad = names.map(n => n -> row.getAs[Long](n))
+      .collect { case (n, v) if v > 0 =>
+        s"$n [${checks(n)}] ($v rows)" }
+    require(bad.isEmpty,
+      s"CHECK constraint(s) violated: ${bad.mkString("; ")} — " +
+        "nothing was committed")
   }
 
   def statsAsOf(root: String, version: Long): Map[String, FileStat] =

@@ -73,6 +73,7 @@ object SinglePassWriter {
       bloomCol: Option[String] = None, op: String = "write",
       policy: Option[CheckpointPolicy] = None): Seq[FileSummary] = {
     val summaries = writeFiles(df, root, sub, statsCols, bloomCol)
+    require(summaries.nonEmpty, "single-pass write produced no files")
     ManifestLog.commit(root, version, adds = summaries.map(_.rel),
       removes = Seq.empty, op = op, policy = policy,
       colStats = colStatsOf(summaries, statsCols),
@@ -100,7 +101,10 @@ object SinglePassWriter {
     }
 
   /** The write pass alone: land the files + sidecars, fold the
-    * metadata, publish NOTHING — the caller owns the commit. */
+    * metadata, publish NOTHING — the caller owns the commit. An
+    * all-empty-partitions input yields an empty summary list (the
+    * caller decides whether a fileless commit — e.g. a txn-marker
+    * no-op — is legal). */
   def writeFiles(df: DataFrame, root: String, sub: String,
       statsCols: Seq[String] = Seq.empty,
       bloomCol: Option[String] = None): Seq[FileSummary] = {
@@ -186,7 +190,6 @@ object SinglePassWriter {
       }
     }(Encoders.product[FileSummary]).collect().toSeq.sortBy(_.rel)
 
-    require(summaries.nonEmpty, "single-pass write produced no files")
     summaries
   }
 }

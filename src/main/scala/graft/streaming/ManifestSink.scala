@@ -68,8 +68,20 @@ object ManifestSink {
       batchId: Long): Unit = {
     if (ManifestLog.lastTxn(root, AppId).exists(_ >= batchId)) return
     val sub = s"data/b$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
-    batch.write.mode("errorifexists").parquet(s"$root/$sub")
-    val adds = ManifestLog.partFiles(root, sub)
+    // SINGLE-PASS landing (r16): the batch's files, their per-file
+    // [min, max] user_id/ts_us stats, and their event_id bloom
+    // sidecars all come out of the one write pass — the streaming
+    // table is servable by every manifest index class (range prune,
+    // bloom point prune, DFP) the moment each micro-batch commits,
+    // with zero read-back IO added to the hot ingest path
+    val summaries = graft.sources.SinglePassWriter.writeFiles(
+      batch, root, sub, statsCols = Seq("user_id", "ts_us"),
+      bloomCol = Some("event_id"))
+    val adds = summaries.map(_.rel)
+    val colStats = graft.sources.SinglePassWriter.colStatsOf(
+      summaries, Seq("user_id", "ts_us"))
+    val blooms = graft.sources.SinglePassWriter.bloomsOf(
+      summaries, Some("event_id"))
     var committed = false
     while (!committed) {
       if (ManifestLog.lastTxn(root, AppId).exists(_ >= batchId)) {
@@ -80,6 +92,7 @@ object ManifestSink {
           ManifestLog.commit(root, v, adds, Seq.empty,
             op = "stream-append",
             policy = Some(ManifestLog.CheckpointPolicy(every = 2)),
+            colStats = colStats, blooms = blooms,
             txn = Some((AppId, batchId)))
           committed = true
         } catch {
