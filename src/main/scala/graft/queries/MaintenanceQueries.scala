@@ -1011,6 +1011,99 @@ object MaintenanceQueries {
         s"vacuum must reclaim exactly the 16 superseded files: $swept")
     }
 
+  /** OPTIMIZE ZORDER through the log: v0 is the corpus hash-scattered
+    * into 16 files (every file spans both key domains — the box prune
+    * keeps ALL of them, which the builder asserts); v1 rewrites the
+    * same rows Morton-clustered over 8-bit ranks of (user_id, ts_us)
+    * via the SINGLE-PASS writer, so the remove(16)+add(8) commit
+    * carries fresh two-column stats from the rewrite pass itself —
+    * and the builder asserts the same box now keeps a strict minority
+    * of the files. Cached per sfDir. */
+  private def zorderOptimizeRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_optimize_z", dir) { root =>
+      import graft.sources.{ManifestLog, SinglePassWriter}
+      val ev = flatEvents(s, dir)
+      ev.repartition(16, col("event_id")).write.parquet(s"$root/data/v0")
+      val smalls = ManifestLog.partFiles(root, "data/v0")
+      ManifestLog.commit(root, 0, smalls, Seq.empty, op = "write",
+        colStats = fileColStats(s, root, "data/v0",
+          Seq("user_id", "ts_us")))
+      val box = Seq(("user_id", 1L, 8L), ("ts_us", BoxTsLo, BoxTsHi))
+      require(ManifestLog.filesMatchingCols(root, 0, box).size ==
+        smalls.size,
+        "a hash-scattered layout must defeat the box prune entirely")
+      // OPTIMIZE ZORDER BY (user_id, ts_us): the same interleave as
+      // multicolRoot, rewritten THROUGH the log with single-pass stats
+      val base = ManifestLog.readVersion(s, root, 0)
+      val bounds = base.agg(
+        min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+        min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val scaled = base.crossJoin(broadcast(bounds))
+        .withColumn("__zx", expr("(user_id - u0) * 256 div (u1 - u0 + 1)"))
+        .withColumn("__zy", expr("(ts_us - t0) div ((t1 - t0) div 256 + 1)"))
+      val morton = (0 until 8).map { i =>
+        shiftleft(shiftright(col("__zx"), i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(
+            shiftright(col("__zy"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      val clustered = scaled.withColumn("__z", morton)
+        .repartitionByRange(8, col("__z"))
+        .sortWithinPartitions("__z")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("value"))
+      val summaries = SinglePassWriter.writeFiles(clustered, root,
+        "data/v1", statsCols = Seq("user_id", "ts_us"))
+      ManifestLog.commit(root, 1, adds = summaries.map(_.rel),
+        removes = smalls, op = "optimize-zorder",
+        colStats = SinglePassWriter.colStatsOf(summaries,
+          Seq("user_id", "ts_us")))
+      // strict improvement at every sf; at the tracked sfs the box
+      // keeps a small minority (1-3 of 8) — the multiplicative prune
+      // a z-layout exists for, but tiny corpora (sf0.001 spans few
+      // distinct ranks) only guarantee the subset property
+      val kept = ManifestLog.filesMatchingCols(root, 1, box)
+      require(kept.size < summaries.size,
+        s"z-clustering must make the box prune selective: kept " +
+          s"${kept.size} of ${summaries.size}")
+    }
+
+  private val optimizeZorder = GraftQuery(
+    name = "lake_optimize_zorder",
+    doc = "OPTIMIZE ZORDER through the manifest log (r16) - the " +
+      "synthesis of three families: lake_optimize_compact's " +
+      "log-committed rewrite, lake_zorder_layout's Morton clustering, " +
+      "and the single-pass writer's inline stats. v0 is hash-" +
+      "scattered (16 files, every file spanning both key domains - " +
+      "the builder asserts the box prune keeps ALL 16, the layout in " +
+      "which stats are worthless); OPTIMIZE rewrites the same rows " +
+      "Morton-ordered over (user_id, ts_us) in ONE pass that also " +
+      "folds each output file's two-column [min,max], and the " +
+      "remove+add commit makes the identical box query prune a " +
+      "strict minority of files at PLANNING time (asserted). This is " +
+      "Delta's OPTIMIZE ZORDER BY lifecycle: scattered ingest, " +
+      "scheduled re-cluster, reads improve with zero query changes. " +
+      "Clustering is pure layout - the oracle is the box aggregate " +
+      "over the raw corpus, so a rewrite that lost/duplicated a row " +
+      "or committed wrong stats (pruning a needed file) fails the " +
+      "hash.",
+    oracle = Some(s"""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE user_id BETWEEN 1 AND 8
+        AND epoch_ns(ts) // 1000 BETWEEN $BoxTsLo AND $BoxTsHi
+      GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = zorderOptimizeRoot(s, dir)
+      graft.sources.ManifestLog.readVersionIndexed(s, root, 1)
+        .filter(col("user_id").between(1, 8) &&
+          col("ts_us").between(BoxTsLo, BoxTsHi))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
   private val optimizeCompact = GraftQuery(
     name = "lake_optimize_compact",
     doc = "Log-committed OPTIMIZE (r15) - the small-file compaction a " +
@@ -1388,6 +1481,7 @@ object MaintenanceQueries {
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
     snapshotManifest, snapshotCheckpoint, manifestSkipping, mergeCow,
     skippingMulticol, skippingBloom, vacuumQuery, optimizeCompact,
+    optimizeZorder,
     cdcIncremental, cdcRowImages, joinDfp, snapshotPartitioned,
     dppManifest, incrementalAgg)
 }
