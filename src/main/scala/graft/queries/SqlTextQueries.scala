@@ -69,5 +69,36 @@ object SqlTextQueries {
       ORDER BY p_partkey""",
     tables = Seq("part", "lineitem"))
 
-  val all: Seq[GraftQuery] = Seq(correlated, groupingSets, inSubquery)
+  private val recursiveCte = sqlQuery(
+    name = "sql_recursive_cte",
+    doc = "WITH RECURSIVE through the SQL parser (r16; Spark 4's " +
+      "recursive CTE support): a binary-tree walk over custkeys " +
+      "(children 2k and 2k+1 — a deterministic hierarchy derived from " +
+      "the data itself, since TPC-H has no recursive table), " +
+      "accumulating depth until the frontier leaves the key domain. " +
+      "The iterative-fixpoint query class (org charts, BOM explosions, " +
+      "graph reachability) that pre-4.x Spark needed a driver-side " +
+      "loop for — now one declarative statement whose per-level joins " +
+      "Catalyst plans like any other. Byte-identical text runs in " +
+      "DuckDB; the depth-profile aggregate hash-compares both engines' " +
+      "entire reachable set.",
+    sql = """
+      WITH RECURSIVE reach(k, depth) AS (
+        SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+        UNION ALL
+        SELECT c.c_custkey, r.depth + 1
+        FROM reach r JOIN customer c
+          ON c.c_custkey = r.k * 2 OR c.c_custkey = r.k * 2 + 1
+        WHERE r.depth < 20
+      )
+      SELECT r.depth, COUNT(*) AS n,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_bal
+      FROM reach r JOIN customer c ON c.c_custkey = r.k
+      GROUP BY r.depth
+      ORDER BY r.depth""",
+    tables = Seq("customer"))
+
+  val all: Seq[GraftQuery] =
+    Seq(correlated, groupingSets, inSubquery, recursiveCte)
 }
