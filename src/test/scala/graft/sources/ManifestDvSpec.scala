@@ -142,6 +142,29 @@ class ManifestDvSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("deletion vectors compose with hive-partitioned reads: the " +
+      "partition column appends AND the dead rows stay gone") {
+    import spark.implicits._
+    val root = graft.TempDirs.deleteOnExit(
+      Files.createTempDirectory("graft_dv_hive")).toString
+    (0L until 20L).map(u => (u, u * 100L)).toDF("user_id", "v")
+      .withColumn("bucket", col("user_id") % 2)
+      .write.partitionBy("bucket").parquet(s"$root/data/v0")
+    val adds = ManifestLog.partFilesRecursive(root, "data/v0")
+    ManifestLog.commit(root, 0, adds, Seq.empty, op = "write")
+    ManifestLog.deleteWhereMor(spark, root, 0, 1,
+      col("user_id").between(4, 7))
+    val rows = ManifestLog.readVersionHive(spark, root, 1)
+      .select("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows.map(_._1) ==
+      (0L until 20L).filterNot(u => u >= 4 && u <= 7))
+    assert(rows.forall { case (u, b) => b == u % 2 })
+    // static partition pruning still composes with the DV filter
+    assert(ManifestLog.readVersionHive(spark, root, 1)
+      .filter(col("bucket") === 0L).count() == 8) // 10 evens - {4, 6}
+  }
+
   test("commit-time validation: a dv for a file the same commit " +
       "removes, non-positive counts, and delimiter chars all fail loud") {
     val root = freshRoot()
