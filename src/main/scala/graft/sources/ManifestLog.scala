@@ -1223,10 +1223,8 @@ object ManifestLog {
         new java.io.File(root, d.sidecar).getAbsolutePath)
     }
     val dead = spark.createDataset(pairs).flatMap { case (dataPath, sc) =>
-      val buf = java.nio.ByteBuffer.wrap(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sc)))
-      Iterator.continually(buf).takeWhile(_.hasRemaining)
-        .map(b => (dataPath, b.getLong))
+      decodeDv(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sc))).iterator.map(i => (dataPath, i))
     }.toDF("__dv_f", "__dv_idx")
     base.join(broadcast(dead),
       col("_metadata.file_path") === col("__dv_f") &&
@@ -1234,21 +1232,87 @@ object ManifestLog {
       "left_anti")
   }
 
-  /** DV sidecar codec: sorted distinct row indexes as 8-byte
-    * big-endian longs — deterministic bytes for a given dead set, so
-    * sidecar writes are idempotent under task retry. (A production
-    * format would compress — roaring bitmaps in Delta — but the
-    * CONTRACT is identical: an immutable sidecar enumerating dead row
-    * positions, replaced whole on each delete.) */
+  /** DV sidecar codec, format v2 (closes SURVEY §8.3.2-1): the
+    * roaring-bitmap container scheme at miniature scale — row indexes
+    * are grouped by their high 48 bits into 65,536-row containers,
+    * and each container serializes as whichever of roaring's two
+    * canonical layouts is smaller:
+    *
+    *   - ARRAY (≤4096 dead rows): sorted 2-byte low-16 values —
+    *     2 B/row for the sparse deletes that dominate real traffic;
+    *   - BITMAP (>4096): a fixed 8 KB bit array — bounded at 0.125
+    *     bits/row however dense the container gets (the raw-longs v1
+    *     layout paid 8 B/row: a 10%-dead 10 M-row file cost 8 MB,
+    *     this costs ≤1.25 MB).
+    *
+    * The 4096 threshold is roaring's own (above it the bitmap is
+    * smaller by construction: 4096·2 B = 8 KB). Bytes remain a pure
+    * function of the dead set — container order follows index order,
+    * layouts are canonical — so sidecar writes stay idempotent under
+    * task retry. v1 sidecars (raw 8-byte big-endian longs) still
+    * decode: their first byte is 0 for any index < 2^56, while v2
+    * leads with the format tag 2. */
   private[sources] def encodeDv(indexes: Array[Long]): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(indexes.length * 8)
-    indexes.foreach(buf.putLong)
-    buf.array()
+    val sorted = indexes.distinct.sorted
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeByte(2)
+    var i = 0
+    while (i < sorted.length) {
+      val hi = sorted(i) >>> 16
+      var j = i
+      while (j < sorted.length && (sorted(j) >>> 16) == hi) j += 1
+      val n = j - i
+      dos.writeLong(hi)
+      dos.writeInt(n)
+      if (n > 4096) { // bitmap container
+        dos.writeByte(1)
+        val bits = new Array[Byte](8192)
+        var k = i
+        while (k < j) {
+          val lo = (sorted(k) & 0xFFFF).toInt
+          bits(lo >> 3) = (bits(lo >> 3) | (1 << (lo & 7))).toByte
+          k += 1
+        }
+        dos.write(bits)
+      } else { // array container
+        dos.writeByte(0)
+        var k = i
+        while (k < j) { dos.writeShort((sorted(k) & 0xFFFF).toInt); k += 1 }
+      }
+      i = j
+    }
+    out.toByteArray
   }
 
   private[sources] def decodeDv(bytes: Array[Byte]): Array[Long] = {
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(buf.getLong)
+    if (bytes.isEmpty) return Array.empty
+    if (bytes(0) != 2) { // v1: raw 8-byte big-endian longs
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      return Array.fill(bytes.length / 8)(buf.getLong)
+    }
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    in.readByte()
+    val acc = Array.newBuilder[Long]
+    while (in.available() > 0) {
+      val hi = in.readLong()
+      val n = in.readInt()
+      val tpe = in.readByte()
+      if (tpe == 0) {
+        var k = 0
+        while (k < n) { acc += (hi << 16) | (in.readShort() & 0xFFFFL); k += 1 }
+      } else {
+        val bits = new Array[Byte](8192)
+        in.readFully(bits)
+        var lo = 0
+        while (lo < 65536) {
+          if ((bits(lo >> 3) & (1 << (lo & 7))) != 0) acc += (hi << 16) | lo
+          lo += 1
+        }
+      }
+    }
+    acc.result()
   }
 
   /** Build deletion vectors for the rows of `candidates` (live data
