@@ -288,6 +288,16 @@ object ManifestLog {
   def writeCheckpointIn(store: LogStore, version: Long): Unit = {
     val r = replayIn(store, version)
     def q(s: String) = "\"" + s + "\""
+    // fold the version's own commit timestamp (when recorded) so the
+    // checkpoint keeps its era TIME-addressable after retention prunes
+    // the manifest (SURVEY §8.3.2-4); a re-publication after pruning
+    // recovers it from the existing checkpoint
+    val at: Seq[String] =
+      if (versionsIn(store).contains(version))
+        field(store.read(manifestName(version)), "at")
+      else if (checkpointVersionsIn(store).contains(version))
+        field(store.read(checkpointName(version)), "at")
+      else Seq.empty
     val json = s"""{"version":$version,"files":[""" +
       r.files.map(q).mkString(",") + """],"stats":[""" +
       r.files.flatMap(f => r.stats.get(f).map(st =>
@@ -315,7 +325,7 @@ object ManifestLog {
          q(s"$n|" + java.util.Base64.getEncoder.encodeToString(
            e.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
          .mkString(",")) +
-      "]}"
+      """],"at":[""" + at.map(q).mkString(",") + "]}"
     store.publish(checkpointName(version), json) // false = lost race, ok
   }
 
@@ -448,10 +458,18 @@ object ManifestLog {
     * commit — "before the table existed" must be loud, never a silent
     * earliest-version read. */
   def versionAtTimestampIn(store: LogStore, tsMs: Long): Long = {
-    val stamped = versionsIn(store).flatMap { v =>
+    val fromManifests = versionsIn(store).flatMap { v =>
       field(store.read(manifestName(v)), "at").headOption
         .map(at => v -> at.toLong)
     }
+    // checkpoints carry their own version's stamp, so a checkpointed
+    // era survives retention in the time-addressable set too
+    val fromCheckpoints = checkpointVersionsIn(store).flatMap { v =>
+      field(store.read(checkpointName(v)), "at").headOption
+        .map(at => v -> at.toLong)
+    }
+    val stamped = (fromCheckpoints.toMap ++ fromManifests.toMap)
+      .toSeq.sortBy(_._1)
     require(stamped.nonEmpty, "no timestamped commits in the log")
     val eligible = stamped.filter(_._2 <= tsMs)
     require(eligible.nonEmpty,

@@ -131,10 +131,17 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     }
     // v4's policy fold pruned manifests 0..2 (behind checkpoint 2)
     assert(ManifestLog.versions(root) == Seq(3L, 4L))
-    // a timestamp in the pruned era now resolves to nothing — loud
+    // a timestamp BEFORE the earliest surviving stamp is loud — the
+    // pre-checkpoint era is gone from the time-addressable set
     intercept[IllegalArgumentException] {
       ManifestLog.versionAtTimestamp(root, 1500L)
     }
+    // but the CHECKPOINTED era survives pruning time-addressably:
+    // checkpoint 2 folded its version's stamp (t=3000), so a
+    // timestamp between it and v3 resolves to the checkpoint — and
+    // the resolved version is readable
+    assert(ManifestLog.versionAtTimestamp(root, 3500L) == 2L)
+    assert(ManifestLog.readVersion(spark, root, 2L).count() == 1)
     // the surviving tail stays addressable
     assert(ManifestLog.versionAtTimestamp(root, 4500L) == 3L)
     assert(ManifestLog.versionAtTimestamp(root, 5000L) == 4L)
