@@ -102,5 +102,79 @@ object ConcurrencyQueries {
         .orderBy("user_id")
     })
 
-  val all: Seq[GraftQuery] = Seq(concurrentAppend)
+  /** Two threads racing CONFLICTING merge-on-read deletes against the
+    * SAME single-file table (coalesce(1) guarantees both transactions'
+    * footprints collide): whichever publishes first wins its version;
+    * the loser's commitSerializable raises LogicalConflict (the winner
+    * re-vectored its candidate file) and deleteWhereMorRetrying
+    * RE-DERIVES — fresh snapshot, vectors folded over the winner's —
+    * and lands next. The builder requires both committed (dense
+    * versions 1..2) and the final vector to be the union. */
+  def concurrentDeleteRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_concurrent_del", dir) { root =>
+      flatEvents(s, dir).coalesce(1).write.parquet(s"$root/data/v0")
+      ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+        Seq.empty, op = "write")
+      val latch = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val errs =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      Seq(col("event_id") % 10 === 0, col("event_id") % 10 === 1)
+        .foreach { p =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              latch.await()
+              try got.add(ManifestLog.deleteWhereMorRetrying(s, root, p))
+              catch { case t: Throwable => errs.add(t) }
+            }
+          })
+        }
+      latch.countDown()
+      pool.shutdown()
+      require(pool.awaitTermination(180, TimeUnit.SECONDS) &&
+        errs.isEmpty, s"racing deletes failed: $errs")
+      val vs = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(got).asScala.toSeq.sorted
+      require(vs == Seq(1L, 2L),
+        s"2 racing deletes must take versions 1..2, got $vs")
+    }
+
+  private val concurrentDelete = GraftQuery(
+    name = "lake_concurrent_delete_mor",
+    doc = "CONFLICTING multi-writer DELETEs serialized by re-derivation " +
+      "(r16) - the half of optimistic concurrency " +
+      "lake_concurrent_append's disjoint appends never exercise: two " +
+      "genuinely concurrent threads vector DIFFERENT rows of the SAME " +
+      "file, so the loser's physical rebase is ILLEGAL (its vector was " +
+      "computed against the pre-winner file state - re-publishing it " +
+      "would resurrect the winner's deletes) and commitSerializable " +
+      "raises LogicalConflict instead; deleteWhereMorRetrying then " +
+      "re-derives from the fresh snapshot - new candidates, vectors " +
+      "folded over the winner's, attempt-unique sidecars so the racing " +
+      "attempts can never clobber each other's committed bytes - and " +
+      "lands next. The builder requires dense versions and zero " +
+      "failures; the oracle replays BOTH deletes over the raw corpus, " +
+      "so a lost delete, a resurrected row, or a double-applied vector " +
+      "fails the per-user hash. This is the full " +
+      "read-compute-publish-retry transaction loop of a real format's " +
+      "DELETE, driven by real threads. At 100 TB: conflicts are " +
+      "detected and resolved from manifest metadata + delta-sized " +
+      "vector reads - the table is never locked.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_id % 10 NOT IN (0, 1)
+      GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = concurrentDeleteRoot(s, dir)
+      ManifestLog.readVersion(s, root, 2)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
+  val all: Seq[GraftQuery] = Seq(concurrentAppend, concurrentDelete)
 }

@@ -1341,9 +1341,15 @@ object ManifestLog {
     * project them away. Per matched file, one task merges the file's
     * existing vector with the fresh dead rows (new DV = old ∪ new, so
     * the committed "last wins" replacement is exact), writes the
-    * sidecar `<file>.v<newVersion>.dv` beside the data (never-reuse
-    * naming: each version's vector is a NEW immutable sidecar; the old
-    * one stays for time travel until vacuum), and the driver receives
+    * sidecar `<file>.v<newVersion>-<attempt>.dv` beside the data
+    * (never-reuse naming with an ATTEMPT-unique token: two optimistic
+    * writers racing from the same snapshot must not write the same
+    * sidecar path with different vectors — the loser's bytes would
+    * corrupt the winner's committed ref; task retries WITHIN one
+    * attempt reuse the driver-minted token and rewrite identical
+    * bytes; a lost attempt's sidecars become vacuumable orphans; the
+    * superseded vector stays for time travel until vacuum), and the
+    * driver receives
     * only file-count-sized (path, sidecar, n) summaries to commit.
     * Scales as O(matched rows): untouched files are never scanned
     * (callers stats-prune candidates first), no data file is ever
@@ -1369,6 +1375,10 @@ object ManifestLog {
     val absToRel = candidates.map(f => scanPath(root, f) -> f).toMap
     val oldDv: Map[String, String] = candidates.flatMap(f =>
       r.dvs.get(f).map(d => f -> d.sidecar)).toMap
+    // minted ONCE on the driver per buildDvs invocation: retried
+    // tasks share it (idempotent rewrite of identical bytes), racing
+    // WRITERS cannot (each invocation gets its own paths)
+    val attemptToken = java.util.UUID.randomUUID().toString.take(8)
     matched.groupByKey(_._1)
       .mapGroups { (abs, it) =>
         val rel = absToRel(abs)
@@ -1378,7 +1388,7 @@ object ManifestLog {
               java.nio.file.Paths.get(root, sc))))
           .getOrElse(Array.empty[Long])
         val all = (old ++ fresh).distinct.sorted
-        val sidecar = s"$rel.v$newVersion.dv"
+        val sidecar = s"$rel.v$newVersion-$attemptToken.dv"
         java.nio.file.Files.write(
           java.nio.file.Paths.get(root, sidecar), encodeDv(all))
         (rel, sidecar, all.length.toLong)
@@ -1416,6 +1426,58 @@ object ManifestLog {
     commit(root, newVersion, Seq.empty, Seq.empty, op = "delete",
       policy = policy, dvs = dvs)
     dvs
+  }
+
+  /** The OPERATOR-level retry loop over [[commitSerializable]]
+    * (closes SURVEY §8.3.2-2 for the MOR delete): a DELETE whose
+    * vectors lost a logical conflict — some winner removed or
+    * re-vectored a candidate file between its snapshot and its
+    * publish — RE-DERIVES from a fresh snapshot (fresh candidates,
+    * fresh vectors, new sidecars; the abandoned attempt's sidecars
+    * become vacuumable orphans) and tries again, so concurrent
+    * conflicting mutations serialize as if run one after another
+    * instead of surfacing the conflict to the caller. Disjoint
+    * winners never reach here — [[commitSerializable]] rebases those
+    * without recomputation. This is the full optimistic-transaction
+    * loop a real format's DELETE runs. Returns the committed
+    * version. */
+  def deleteWhereMorRetrying(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      policy: Option[CheckpointPolicy] = None,
+      maxAttempts: Int = 5): Long = {
+    val store = storeFor(root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      val read = versionsIn(store).maxOption
+        .orElse(checkpointVersionsIn(store).maxOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no committed version to delete from at $root"))
+      val r = replayIn(store, read)
+      val ranges = ManifestFileIndex.ranges(Seq(
+        org.apache.spark.sql.GraftColumnBridge.expression(predicate)))
+      val candidates = r.files.filter { f =>
+        val cs = r.colStats.getOrElse(f, Map.empty)
+        ranges.forall { case (c, (lo, hi)) =>
+          cs.get(c).forall(st => st.max >= lo && st.min <= hi) }
+      }
+      val dvs =
+        if (candidates.isEmpty) Map.empty[String, DvRef]
+        else buildDvs(spark, root, read, read + 1, candidates,
+          _.filter(predicate))
+      try {
+        committed = commitSerializable(root, read, Seq.empty, Seq.empty,
+          op = "delete", readFiles = candidates.toSet, policy = policy,
+          dvs = dvs)
+      } catch {
+        case LogicalConflict(v, d) =>
+          if (attempt >= maxAttempts) throw LogicalConflict(v,
+            s"$d (gave up after $maxAttempts re-derivations)")
+        // else: loop re-derives from the new latest snapshot
+      }
+    }
+    committed
   }
 
   /** DV COMPACTION — the maintenance half of merge-on-read: files

@@ -113,4 +113,43 @@ class CommitProtocolSpec extends AnyFunSuite {
       op = "append")
     assert(v == 2L)
   }
+
+  test("deleteWhereMorRetrying re-derives on logical conflict: two " +
+      "threads vectoring the SAME file both commit, serialized, and " +
+      "the final state excludes both delete sets") {
+    import spark.implicits._
+    val root = newRoot()
+    (0L until 10L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$root/data/v0")
+    ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+      Seq.empty, op = "write")
+    val latch = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    Seq(col("k") === 2L || col("k") === 3L, col("k") === 7L).foreach { p =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          latch.await()
+          try got.add(ManifestLog.deleteWhereMorRetrying(spark, root, p))
+          catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    latch.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, errs)
+    val versions = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(got).asScala.toSeq.sorted
+    assert(versions == Seq(1L, 2L), s"got $versions")
+    // serialized result: both predicates applied exactly once
+    val rows = ManifestLog.readVersion(spark, root, 2)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(0L, 1L, 4L, 5L, 6L, 8L, 9L))
+    // the final vector is the union (the loser folded the winner's)
+    assert(ManifestLog.dvsAsOf(root, 2).head._2.nDeleted == 3)
+    // v1 (whichever delete won) removed exactly its own set
+    assert(ManifestLog.readVersion(spark, root, 1).count() >= 8)
+  }
 }
