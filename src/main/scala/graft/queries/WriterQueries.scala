@@ -111,5 +111,61 @@ object WriterQueries {
         .orderBy("event_id")
     })
 
-  val all: Seq[GraftQuery] = Seq(writeSinglePass, singlePassBloom)
+  /** A DATE-typed single-pass table: orders with o_orderdate landed as
+    * a real parquet DATE column (INT32 epoch days) whose per-file
+    * [min, max] day stats come from the write loop — range-clustered
+    * by date so the stats can prune. Cached per sfDir. */
+  def datedRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_singlepass_dates", dir) { root =>
+      SinglePassWriter.writeCommit(
+        table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast(DateType).as("o_orderdate"),
+            col("o_orderpriority"), col("o_totalprice"))
+          .repartitionByRange(6, col("o_orderdate")),
+        root, "data/v0", 0, statsCols = Seq("o_orderdate"))
+      // the date predicate must prune at the metadata layer: only the
+      // files whose day interval meets 1997+ survive
+      val kept = ManifestLog.filesMatchingCols(root, 0,
+        Seq(("o_orderdate", java.time.LocalDate.parse("1997-01-01")
+          .toEpochDay, Long.MaxValue)))
+      require(kept.size < ManifestLog.filesAsOf(root, 0).size,
+        s"date stats must prune the pre-1997 files: kept $kept")
+    }
+
+  private val singlePassDates = GraftQuery(
+    name = "lake_singlepass_dates",
+    doc = "DATE/TIMESTAMP columns through the single-pass writer " +
+      "(r16; SURVEY 8.3.2-3): o_orderdate lands as a real parquet " +
+      "DATE column (INT32 epoch days, the encoding Spark's reader " +
+      "maps straight back to DateType) with per-file [min,max] DAY " +
+      "stats folded in the write loop - and because a pushed-down " +
+      "date literal is the same epoch-day integer the stats carry, " +
+      "the planning-time range prune composes with zero new code " +
+      "(the builder asserts pre-1997 files never reach the scan; " +
+      "NB this Spark build's parquet reader also row-group-prunes " +
+      "on date columns where it never does on timestamps - the " +
+      "lake_zorder_layout finding - so DATE is the right landing " +
+      "type twice over). Oracle replays the date-band aggregate " +
+      "over the raw corpus.",
+    oracle = Some("""
+      SELECT year(o_orderdate) AS y, o_orderpriority AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2 ORDER BY y, priority"""),
+    run = (s, dir) => {
+      val root = datedRoot(s, dir)
+      ManifestLog.readVersion(s, root, 0)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast(DateType))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("y"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("y", "priority")
+    })
+
+  val all: Seq[GraftQuery] =
+    Seq(writeSinglePass, singlePassBloom, singlePassDates)
 }

@@ -51,12 +51,21 @@ object SinglePassWriter {
       his: Seq[Long], bloomM: Int)
 
   private def parquetType(f: StructField): PrimitiveType = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val b = f.dataType match {
       case LongType => Types.optional(INT64)
       case IntegerType => Types.optional(INT32)
       case DoubleType => Types.optional(DOUBLE)
       case BooleanType => Types.optional(BOOLEAN)
       case StringType => Types.optional(BINARY).as(stringType())
+      // the standard physical encodings Spark's reader maps straight
+      // back to TimestampType / DateType: INT64 µs (UTC-adjusted) and
+      // INT32 epoch days
+      case TimestampType => Types.optional(INT64).as(
+        LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case DateType => Types.optional(INT32).as(
+        LogicalTypeAnnotation.dateType())
       case dt => throw new IllegalArgumentException(
         s"single-pass writer does not support $dt (column ${f.name})")
     }
@@ -111,10 +120,16 @@ object SinglePassWriter {
     val schema = df.schema
     val message: MessageType = new MessageType("spark_schema",
       schema.fields.map(parquetType): _*)
-    val integral: Set[DataType] = Set(LongType, IntegerType)
+    // stats/bloom columns need a canonical long image: integrals as
+    // themselves, timestamps as epoch-µs, dates as epoch days — the
+    // SAME longs Catalyst's pushed-down literals carry for those
+    // types, so the planning-time range prune composes unchanged
+    val integral: Set[DataType] =
+      Set(LongType, IntegerType, TimestampType, DateType)
     (statsCols ++ bloomCol).foreach { c =>
       require(integral(schema(c).dataType),
-        s"stats/bloom column $c must be integral, got ${schema(c).dataType}")
+        s"stats/bloom column $c must be integral/timestamp/date, " +
+          s"got ${schema(c).dataType}")
     }
     val statIdx = statsCols.map(schema.fieldIndex)
     val bloomIdx = bloomCol.map(schema.fieldIndex)
@@ -145,6 +160,10 @@ object SinglePassWriter {
         def longAt(row: org.apache.spark.sql.Row, i: Int): Long =
           schema(i).dataType match {
             case IntegerType => row.getInt(i).toLong
+            case TimestampType =>
+              val t = row.getTimestamp(i)
+              t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+            case DateType => row.getDate(i).toLocalDate.toEpochDay
             case _ => row.getLong(i)
           }
         rows.foreach { row =>
@@ -156,6 +175,10 @@ object SinglePassWriter {
               case DoubleType => g.add(f.name, row.getDouble(i))
               case BooleanType => g.add(f.name, row.getBoolean(i))
               case StringType => g.add(f.name, row.getString(i))
+              case TimestampType | DateType =>
+                val v = longAt(row, i)
+                if (f.dataType == DateType) g.add(f.name, v.toInt)
+                else g.add(f.name, v)
               case dt => throw new IllegalStateException(dt.toString)
             }
           }

@@ -63,6 +63,37 @@ class SinglePassWriterSpec extends AnyFunSuite {
     assert(ManifestLog.readVersion(spark, root, 0).count() == 2)
   }
 
+  test("timestamp and date columns round-trip with their Spark types " +
+      "and date stats prune by epoch-day literals") {
+    import spark.implicits._
+    val root = newRoot()
+    val df = (0 until 60).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(s"2024-01-${i % 28 + 1} 10:30:0${i % 10}"),
+        java.sql.Date.valueOf(s"2024-0${i / 10 + 1}-15"))
+    }.toDF("k", "ts", "d").repartitionByRange(3, col("d"))
+    SinglePassWriter.writeCommit(df, root, "data/v0", 0,
+      statsCols = Seq("d", "ts"))
+    val back = ManifestLog.readVersion(spark, root, 0)
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(back.orderBy("k").collect().toSeq ==
+      df.orderBy("k").collect().toSeq)
+    // day-granular stats prune: only the files whose interval meets
+    // May/June survive
+    val kept = ManifestLog.filesMatchingCols(root, 0,
+      Seq(("d", java.time.LocalDate.parse("2024-05-01").toEpochDay,
+        Long.MaxValue)))
+    assert(kept.size < ManifestLog.filesAsOf(root, 0).size, kept)
+    // and the planning-time path prunes on the pushed-down date literal
+    assert(ManifestLog.readVersion(spark, root, 0)
+      .filter(col("d") >= org.apache.spark.sql.functions.lit("2024-05-01")
+        .cast(org.apache.spark.sql.types.DateType))
+      .count() == 20)
+  }
+
   test("unsupported column and non-integral stats columns fail loud") {
     import spark.implicits._
     val root = newRoot()
