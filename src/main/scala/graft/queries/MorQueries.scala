@@ -277,6 +277,67 @@ object MorQueries {
         .orderBy("commit_version", "event_id", "change_type")
     })
 
+  /** A mirror of [[morRoot]] maintained through the change-image feed
+    * in two incremental syncs (0..1, then the tail), with the replay
+    * no-op proven: a third sync against an already-mirrored cursor
+    * must not advance the mirror's log. Cached per sfDir. */
+  def replicaRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_replica", dir) { dst =>
+      val src = morRoot(s, dir)
+      ManifestLog.replicateTo(s, src, dst, keys = Seq("event_id"),
+        upTo = Some(1L))
+      val afterFirst = ManifestLog.latestVersion(dst).get
+      ManifestLog.replicateTo(s, src, dst, keys = Seq("event_id"))
+      val afterSecond = ManifestLog.latestVersion(dst).get
+      require(afterSecond == afterFirst + 1,
+        "the second sync must fold the tail into one mirror commit")
+      // exactly-once: a replayed sync (stale cursor OR current) no-ops
+      ManifestLog.replicateTo(s, src, dst, keys = Seq("event_id"),
+        upTo = Some(1L))
+      ManifestLog.replicateTo(s, src, dst, keys = Seq("event_id"))
+      require(ManifestLog.latestVersion(dst).contains(afterSecond),
+        "replayed syncs must not advance the mirror")
+    }
+
+  private val cdcReplica = GraftQuery(
+    name = "lake_cdc_replica",
+    doc = "CDC REPLICATION (r16) - the canonical consumer of the " +
+      "change-image feed: a MIRROR table maintained from " +
+      "readChangeImages alone, never from source snapshots. Each sync " +
+      "resumes from the txn marker in the MIRROR's own log (exactly-" +
+      "once survives total consumer-state loss, like the streaming " +
+      "sink), keeps each key's latest non-pre image across the range, " +
+      "and folds changed-keys-out / post-images-in as one atomic " +
+      "marker-carrying commit. Correct across every source mutation " +
+      "class because the feed already normalized them: the builder " +
+      "syncs the MOR ladder's initial write + vector delete in one " +
+      "round, then the MOR merge + compaction in a second (the " +
+      "compaction contributes zero images), then proves replayed " +
+      "syncs no-op. Oracle = the same composed raw-corpus replay as " +
+      "lake_merge_mor: the mirror must equal the source's latest " +
+      "snapshot exactly - a lost delete, doubled upsert, or " +
+      "mis-ordered image fails the per-user hash.",
+    oracle = Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id,
+               CASE WHEN user_id BETWEEN $MrgLo AND $MrgHi
+                         AND event_id % 5 = 0
+                    THEN value + 1000.0 ELSE value END AS value
+        FROM events
+        WHERE NOT (user_id BETWEEN $DelLo AND $DelHi AND event_id % 7 = 0))
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val dst = replicaRoot(s, dir)
+      ManifestLog.readVersion(s, dst,
+          ManifestLog.latestVersion(dst).get)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[GraftQuery] =
-    Seq(deleteDv, mergeMor, dvCompaction, cdcMor)
+    Seq(deleteDv, mergeMor, dvCompaction, cdcMor, cdcReplica)
 }

@@ -1069,6 +1069,76 @@ object ManifestLog {
         "nothing was committed")
   }
 
+  /** CDC REPLICATION (r16) — maintain a MIRROR table from the source
+    * log's change-image feed: the canonical downstream consumer of
+    * [[readChangeImages]] (Delta CDF's flagship use). One sync:
+    *
+    *   1. resume cursor = the mirror log's txn marker for this
+    *      source (exactly-once survives total loss of any consumer
+    *      state — the idempotence decision lives in the MIRROR's own
+    *      log, like the streaming sink's);
+    *   2. read the images in (cursor, upTo], keep each key's LATEST
+    *      non-pre image (per version a key has at most one — insert /
+    *      update_postimage / delete — so version order decides);
+    *   3. fold: changed keys leave the current mirror state, the
+    *      surviving post-images re-enter, and the new state commits
+    *      with the txn marker in ONE atomic manifest.
+    *
+    * The mirror is correct for EVERY source mutation class — appends,
+    * COW rewrites, MOR deletes/merges, compactions (zero images) —
+    * because the feed already normalized them to row images. This
+    * demo folds by full rewrite of the mirror (cost O(mirror) per
+    * sync); a production mirror stats-prunes the rewrite to the
+    * touched key ranges exactly as `lake_merge_cow` does. Returns the
+    * source version now mirrored. */
+  def replicateTo(spark: SparkSession, srcRoot: String, dstRoot: String,
+      keys: Seq[String], upTo: Option[Long] = None,
+      appId: String = "graft_replica"): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val srcLatest = latestVersion(srcRoot).getOrElse(
+      throw new IllegalArgumentException(s"empty source log: $srcRoot"))
+    val to = upTo.getOrElse(srcLatest)
+    val applied = lastTxn(dstRoot, appId).getOrElse(-1L)
+    if (applied >= to) return applied // replay: already mirrored
+    val images = readChangeImages(spark, srcRoot, applied, to, keys)
+    val ranked = images
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("_commit_version").desc)))
+      .filter(col("__rk") === 1).drop("__rk")
+    val upserts = ranked.filter(col("_change_type") =!= "delete")
+      .drop("_change_type", "_commit_version")
+    val changedKeys = ranked.select(keys.map(col): _*)
+    val cur = latestVersion(dstRoot)
+      .map(v => readVersion(spark, dstRoot, v))
+    val next = cur match {
+      case Some(c) =>
+        c.join(broadcast(changedKeys), keys, "left_anti")
+          .unionByName(upserts)
+      case None => upserts
+    }
+    val sub = s"data/r$to-${java.util.UUID.randomUUID().toString.take(8)}"
+    next.write.parquet(s"$dstRoot/$sub")
+    val adds = partFiles(dstRoot, sub)
+    val removes = latestVersion(dstRoot)
+      .map(v => filesAsOf(dstRoot, v)).getOrElse(Seq.empty)
+    var committed = false
+    while (!committed) {
+      if (lastTxn(dstRoot, appId).exists(_ >= to)) committed = true
+      else {
+        val v = latestVersion(dstRoot).map(_ + 1).getOrElse(0L)
+        try {
+          commit(dstRoot, v, adds, removes, op = "replicate",
+            txn = Some((appId, to)))
+          committed = true
+        } catch { case Conflict(_) => () } // rebase: re-check marker
+      }
+    }
+    to
+  }
+
   def statsAsOf(root: String, version: Long): Map[String, FileStat] =
     statsAsOfIn(storeFor(root), version)
 
