@@ -37,8 +37,10 @@ import graft.sources.ManifestLog.{BloomRef, CheckpointPolicy, FileStat}
   * (the symmetric twin of the CDC source's non-columnar fallback
   * reader) — writer-controlled, no Spark write job, which is what
   * lets the stats fold live inside the row loop. Supported column
-  * types: LONG, INT, DOUBLE, STRING, BOOLEAN (the flat shapes the
-  * manifest tables commit); stats/bloom columns must be integral.
+  * types: LONG, INT, DOUBLE, STRING, BOOLEAN, TIMESTAMP (INT64 µs
+  * UTC), DATE (INT32 epoch days); stats/bloom columns must be
+  * integral, timestamp or date (their canonical long images match
+  * the pushed-down literals, so planning-time pruning composes).
   * Task retries are idempotent: deterministic file names per
   * partition, OVERWRITE mode, and sidecar bytes that are a pure
   * function of the partition's value set. */
