@@ -1637,8 +1637,15 @@ object ManifestLog {
     * SOURCE parquet under the same root; sweeping it would delete
     * the input and break any later resume — r15 advice). The table's
     * own data files are never excludable by accident: callers pass
-    * only their known side-directory names. */
-  def vacuum(root: String, exclude: Seq[String] = Seq.empty): Seq[String] = {
+    * only their known side-directory names.
+    *
+    * `dryRun` (r16) reports the would-be sweep set WITHOUT deleting —
+    * the operational safety valve every real format's VACUUM ships
+    * (an operator reviews what retention is about to reclaim before
+    * an irreversible sweep). The returned list is byte-identical to
+    * what the real sweep would delete. */
+  def vacuum(root: String, exclude: Seq[String] = Seq.empty,
+      dryRun: Boolean = false): Seq[String] = {
     val store = storeFor(root)
     val resolvable =
       (versionsIn(store) ++ checkpointVersionsIn(store)).distinct.sorted
@@ -1665,7 +1672,8 @@ object ManifestLog {
         .filterNot(keep)
         .toSeq
     }.sorted
-    orphans.foreach(f => Files.deleteIfExists(rootPath.resolve(f)))
+    if (!dryRun)
+      orphans.foreach(f => Files.deleteIfExists(rootPath.resolve(f)))
     orphans
   }
 

@@ -123,8 +123,11 @@ class ManifestDvSpec extends AnyFunSuite {
     val live = ManifestLog.dvsAsOf(root, 1).head._2.sidecar
     val orphan = "data/v0/stray.dv"
     Files.write(Paths.get(root, orphan), Array[Byte](0, 0, 0, 0, 0, 0, 0, 9))
+    // dry run: same sweep set, nothing deleted
+    val planned = ManifestLog.vacuum(root, dryRun = true)
+    assert(planned == Seq(orphan) && Files.exists(Paths.get(root, orphan)))
     val swept = ManifestLog.vacuum(root)
-    assert(swept == Seq(orphan), swept)
+    assert(swept == planned, swept)
     assert(Files.exists(Paths.get(root, live)))
     assert(users(ManifestLog.readVersion(spark, root, 1)) ==
       (0L to 29L).filterNot(u => u == 2 || u == 3))
@@ -140,6 +143,16 @@ class ManifestDvSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+    // the anti join must not cost the BASE scan its pushdown: a
+    // predicate under the MOR filter still reaches the parquet scan
+    // as a pushed filter AND still prunes files at planning time
+    val filtered = ManifestLog.readVersion(spark, root, 1)
+      .filter(col("user_id") >= 25L)
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters: [GreaterThanOrEqual(user_id,25)"),
+      fplan)
+    assert(fplan.contains("Location: ManifestFileIndex"), fplan)
+    assert(filtered.count() == 5)
   }
 
   test("deletion vectors compose with hive-partitioned reads: the " +
