@@ -1069,6 +1069,43 @@ object ManifestLog {
         "nothing was committed")
   }
 
+  /** THE GUARDED APPEND (r16) — the one-call ingest path composing
+    * every write-side seam this log ships, in the order a production
+    * writer must run them:
+    *
+    *   1. validate the batch against the CHECK constraints in force
+    *      at the snapshot ([[requireSatisfies]] — one aggregate pass,
+    *      loud abort before anything lands);
+    *   2. land one file per partition through the SINGLE-PASS writer
+    *      (per-file [min, max] stats + optional bloom sidecars folded
+    *      inside the write loop — the table is index-servable the
+    *      moment the commit publishes);
+    *   3. publish through the SERIALIZABLE protocol (a blind append
+    *      is disjoint from every winner, so losing the version race
+    *      costs a metadata-only rebase, never a rewrite).
+    *
+    * Returns the committed version. This is the method an ingest job
+    * calls instead of hand-sequencing the three seams (the
+    * `lake_check_constraint` builder is the hand-sequenced form, kept
+    * as documentation of what this composes). */
+  def appendChecked(spark: SparkSession, df: DataFrame, root: String,
+      sub: String, statsCols: Seq[String] = Seq.empty,
+      bloomCol: Option[String] = None,
+      policy: Option[CheckpointPolicy] = None,
+      commitMs: Option[Long] = None): Long = {
+    val read = latestVersion(root)
+    requireSatisfies(df,
+      read.map(checksAsOf(root, _)).getOrElse(Map.empty))
+    val summaries =
+      SinglePassWriter.writeFiles(df, root, sub, statsCols, bloomCol)
+    require(summaries.nonEmpty, "guarded append landed no files")
+    commitSerializable(root, read.getOrElse(-1L),
+      adds = summaries.map(_.rel), removes = Seq.empty, op = "append",
+      policy = policy, commitMs = commitMs,
+      colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
+      blooms = SinglePassWriter.bloomsOf(summaries, bloomCol))
+  }
+
   /** CDC REPLICATION (r16) — maintain a MIRROR table from the source
     * log's change-image feed: the canonical downstream consumer of
     * [[readChangeImages]] (Delta CDF's flagship use). One sync:

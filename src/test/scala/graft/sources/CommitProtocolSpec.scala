@@ -114,6 +114,43 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(v == 2L)
   }
 
+  test("appendChecked composes the three write seams: constraint " +
+      "gate before landing, single-pass stats in the commit, " +
+      "serializable publish past interleaved winners") {
+    import spark.implicits._
+    val root = newRoot()
+    val v0 = ManifestLog.appendChecked(spark,
+      Seq((1L, 10L)).toDF("k", "v").coalesce(1), root, "data/b0",
+      statsCols = Seq("k"))
+    assert(v0 == 0L)
+    ManifestLog.commit(root, 1, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("v_pos" -> "v > 0")))
+    // a violating batch dies at the gate, landing nothing
+    intercept[IllegalArgumentException] {
+      ManifestLog.appendChecked(spark,
+        Seq((2L, -5L)).toDF("k", "v").coalesce(1), root, "data/bad",
+        statsCols = Seq("k"))
+    }
+    assert(ManifestLog.latestVersion(root).contains(1L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data/bad")) ||
+      ManifestLog.partFiles(root, "data/bad").isEmpty ||
+      ManifestLog.filesAsOf(root, 1).forall(!_.startsWith("data/bad")))
+    // a clean batch lands with stats; an interleaved winner between
+    // its snapshot and publish costs only a rebase
+    val racerAdds = land(root, "data/racer", 7L)
+    val t = new Thread(() => ManifestLog.commitSerializable(root, 1L,
+      racerAdds, Seq.empty, op = "append"))
+    t.start(); t.join()
+    val v = ManifestLog.appendChecked(spark,
+      Seq((3L, 30L)).toDF("k", "v").coalesce(1), root, "data/b3",
+      statsCols = Seq("k"))
+    assert(v == 3L)
+    assert(ManifestLog.colStatsAsOf(root, v).values
+      .exists(_.get("k").exists(st => st.min == 3L && st.max == 3L)))
+    assert(ManifestLog.readVersion(spark, root, v).count() == 3)
+  }
+
   test("deleteWhereMorRetrying re-derives on logical conflict: two " +
       "threads vectoring the SAME file both commit, serialized, and " +
       "the final state excludes both delete sets") {
