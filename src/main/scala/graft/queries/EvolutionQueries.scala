@@ -143,9 +143,13 @@ object EvolutionQueries {
       val batch = ev.filter(col("event_id") % 4 >= 2)
       ManifestLog.requireSatisfies(batch, ManifestLog.checksAsOf(root, 0))
       batch.coalesce(2).write.parquet(s"$root/data/v1")
+      // attest: the hand-sequenced requireSatisfies above IS the
+      // row validation (since r17 the commit-time gate refuses
+      // stats-less adds on a constrained table without it —
+      // appendChecked is the one-call form of this sequence)
       ManifestLog.commitSerializable(root, readVersion = 0,
         adds = ManifestLog.partFiles(root, "data/v1"),
-        removes = Seq.empty, op = "append")
+        removes = Seq.empty, op = "append", attest = true)
       // the poisoned batch must die at validation, before any land
       val poison = ev.limit(10)
         .withColumn("value",

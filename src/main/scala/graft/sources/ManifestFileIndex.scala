@@ -9,14 +9,16 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, 
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
-import graft.sources.ManifestLog.FileStat
+import graft.sources.ManifestLog.{FileStat, StrStat}
 
 /** One live data file as the manifest log resolved it: root-relative
-  * path, on-disk length, and the per-column [min, max] stats the
-  * manifest carries for it (empty = never skippable). */
+  * path, on-disk length, the per-column integral [min, max] stats and
+  * the per-column STRING bounds (UTF-8 byte order, r17) the manifest
+  * carries for it (empty = never skippable). */
 final case class ManifestFileEntry(relPath: String, size: Long,
     stats: Map[String, FileStat] = Map.empty,
-    modificationTime: Long = 0L)
+    modificationTime: Long = 0L,
+    strStats: Map[String, StrStat] = Map.empty)
 
 /** A [[FileIndex]] planned ENTIRELY from the manifest log — the
   * metadata layer a real table format puts under Spark's scan (Delta's
@@ -70,11 +72,13 @@ final class ManifestFileIndex(root: String,
       }
     }
 
-  private val statuses: Array[(FileStatus, Map[String, FileStat], Seq[Any])] =
+  private val statuses: Array[(FileStatus, Map[String, FileStat],
+      Seq[Any], Map[String, StrStat])] =
     entries.map { e =>
       val p = new Path(new java.io.File(root, e.relPath).toURI)
       (new FileStatus(e.size, false, 1, 128L * 1024 * 1024,
-        e.modificationTime, p), e.stats, partValues(e.relPath))
+        e.modificationTime, p), e.stats, partValues(e.relPath),
+        e.strStats)
     }.toArray
 
   override def rootPaths: Seq[Path] =
@@ -105,11 +109,19 @@ final class ManifestFileIndex(root: String,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val preds = ManifestFileIndex.ranges(dataFilters)
+    val strPreds = ManifestFileIndex.strRanges(dataFilters)
     val kept =
-      if (preds.isEmpty) statuses.toSeq
-      else statuses.toSeq.filter { case (_, stats, _) =>
+      if (preds.isEmpty && strPreds.isEmpty) statuses.toSeq
+      else statuses.toSeq.filter { case (_, stats, _, strStats) =>
         preds.forall { case (c, (lo, hi)) =>
-          stats.get(c).forall(s => s.max >= lo && s.min <= hi) } }
+          stats.get(c).forall(s => s.max >= lo && s.min <= hi) } &&
+        strPreds.forall { case (c, (lo, hi)) =>
+          strStats.get(c).forall { s =>
+            // survive iff [s.min, s.max] intersects [lo, hi] in
+            // UTF-8 byte order (open bounds always intersect)
+            lo.forall(l => ManifestFileIndex.utf8Cmp(s.max, l) >= 0) &&
+            hi.forall(h => ManifestFileIndex.utf8Cmp(s.min, h) <= 0)
+          } } }
     if (partitionSchema.isEmpty) {
       Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
     } else {
@@ -199,6 +211,91 @@ object ManifestFileIndex {
         lit(l).foreach(v => add(a.name, v, v))
       case EqualNullSafe(l, a: Attribute) =>
         lit(l).foreach(v => add(a.name, v, v))
+      case _ => ()
+    }
+    filters.foreach(walk)
+    bounds.toMap
+  }
+
+  /** UTF-8 byte-order comparison — the collation Catalyst's
+    * UTF8String binary comparison uses for string predicates, and
+    * therefore the ONLY ordering the string-stats prune may decide
+    * by (Java String.compareTo is UTF-16 code-unit order, which
+    * disagrees above the BMP — sorting by it could drop a needed
+    * file). */
+  private[sources] def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Per-column closed STRING bounds implied by `filters` (r17) —
+    * the string twin of [[ranges]], same conservative contract:
+    * only attr-vs-string-literal comparisons, `In` sets (bounded by
+    * their min/max — sound for pruning, which only needs interval
+    * intersection), and conjunctions contribute; `None` in a bound
+    * means unbounded on that side. Multiple bounds intersect by
+    * UTF-8 order. Exclusive bounds (< >) are kept CLOSED — strings
+    * have no cheap successor/predecessor, and widening an interval
+    * only ever keeps more files. */
+  private[sources] def strRanges(filters: Seq[Expression])
+      : Map[String, (Option[String], Option[String])] = {
+    val bounds = scala.collection.mutable
+      .Map.empty[String, (Option[String], Option[String])]
+    def add(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = bounds.getOrElse(c,
+        (Option.empty[String], Option.empty[String]))
+      val l = (l0 ++ lo).reduceOption((a, b) =>
+        if (utf8Cmp(a, b) >= 0) a else b) // max of lower bounds
+      val h = (h0 ++ hi).reduceOption((a, b) =>
+        if (utf8Cmp(a, b) <= 0) a else b) // min of upper bounds
+      bounds(c) = (l, h)
+    }
+    def lit(e: Expression): Option[String] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => Some(v.toString)
+      case _ => None
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(a, b) => walk(a); walk(b)
+      case EqualTo(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, Some(v), Some(v)))
+      case EqualTo(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, Some(v), Some(v)))
+      case EqualNullSafe(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, Some(v), Some(v)))
+      case EqualNullSafe(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, Some(v), Some(v)))
+      case GreaterThan(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, Some(v), None))
+      case GreaterThan(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, None, Some(v)))
+      case GreaterThanOrEqual(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, Some(v), None))
+      case GreaterThanOrEqual(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, None, Some(v)))
+      case LessThan(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, None, Some(v)))
+      case LessThan(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, Some(v), None))
+      case LessThanOrEqual(a: Attribute, l) =>
+        lit(l).foreach(v => add(a.name, None, Some(v)))
+      case LessThanOrEqual(l, a: Attribute) =>
+        lit(l).foreach(v => add(a.name, Some(v), None))
+      case In(a: Attribute, vs) if vs.nonEmpty =>
+        val ls = vs.map(lit)
+        if (ls.forall(_.isDefined)) {
+          val strs = ls.flatten
+          add(a.name,
+            Some(strs.reduce((x, y) => if (utf8Cmp(x, y) <= 0) x else y)),
+            Some(strs.reduce((x, y) => if (utf8Cmp(x, y) >= 0) x else y)))
+        }
+      case InSet(a: Attribute, hset) if hset.nonEmpty =>
+        val strs = hset.toSeq.collect {
+          case v: org.apache.spark.unsafe.types.UTF8String => v.toString
+        }
+        if (strs.size == hset.size)
+          add(a.name,
+            Some(strs.reduce((x, y) => if (utf8Cmp(x, y) <= 0) x else y)),
+            Some(strs.reduce((x, y) => if (utf8Cmp(x, y) >= 0) x else y)))
       case _ => ()
     }
     filters.foreach(walk)

@@ -38,9 +38,11 @@ import graft.sources.ManifestLog.{BloomRef, CheckpointPolicy, FileStat}
   * reader) — writer-controlled, no Spark write job, which is what
   * lets the stats fold live inside the row loop. Supported column
   * types: LONG, INT, DOUBLE, STRING, BOOLEAN, TIMESTAMP (INT64 µs
-  * UTC), DATE (INT32 epoch days); stats/bloom columns must be
-  * integral, timestamp or date (their canonical long images match
-  * the pushed-down literals, so planning-time pruning composes).
+  * UTC), DATE (INT32 epoch days), DECIMAL(p<=18) (INT64 unscaled,
+  * r17); `statsCols` must be integral, timestamp or date (their
+  * canonical long images match the pushed-down literals, so
+  * planning-time pruning composes); `strStatsCols` (r17) fold
+  * UTF-8-ordered string bounds for the FileIndex's string prune.
   * Task retries are idempotent: deterministic file names per
   * partition, OVERWRITE mode, and sidecar bytes that are a pure
   * function of the partition's value set. */
@@ -48,9 +50,13 @@ object SinglePassWriter {
 
   /** One task's write result: the committed metadata for one file.
     * `los`/`his` align with the statsCols order; `bloomM` is 0 when
-    * no bloom was requested. */
+    * no bloom was requested; `viols` aligns with the checkCols order
+    * (per-file violation counts folded in the same row loop — the
+    * one-pass constraint gate appendChecked rides). */
   final case class FileSummary(rel: String, n: Long, los: Seq[Long],
-      his: Seq[Long], bloomM: Int)
+      his: Seq[Long], bloomM: Int, viols: Seq[Long] = Seq.empty,
+      sLos: Seq[String] = Seq.empty, sHis: Seq[String] = Seq.empty,
+      sSeen: Seq[Boolean] = Seq.empty)
 
   private def parquetType(f: StructField): PrimitiveType = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -68,6 +74,13 @@ object SinglePassWriter {
           LogicalTypeAnnotation.TimeUnit.MICROS))
       case DateType => Types.optional(INT32).as(
         LogicalTypeAnnotation.dateType())
+      // DECIMAL(p<=18) as INT64 unscaled (the standard compact
+      // physical encoding; Spark's reader maps it straight back to
+      // DecimalType(p, s)). p>18 would need FIXED_LEN_BYTE_ARRAY —
+      // descoped loudly, not silently truncated (r16 verdict task 8).
+      case d: DecimalType if d.precision <= 18 =>
+        Types.optional(INT64).as(
+          LogicalTypeAnnotation.decimalType(d.scale, d.precision))
       case dt => throw new IllegalArgumentException(
         s"single-pass writer does not support $dt (column ${f.name})")
     }
@@ -82,13 +95,16 @@ object SinglePassWriter {
   def writeCommit(df: DataFrame, root: String, sub: String,
       version: Long, statsCols: Seq[String] = Seq.empty,
       bloomCol: Option[String] = None, op: String = "write",
-      policy: Option[CheckpointPolicy] = None): Seq[FileSummary] = {
-    val summaries = writeFiles(df, root, sub, statsCols, bloomCol)
+      policy: Option[CheckpointPolicy] = None,
+      strStatsCols: Seq[String] = Seq.empty): Seq[FileSummary] = {
+    val summaries = writeFiles(df, root, sub, statsCols, bloomCol,
+      strStatsCols = strStatsCols)
     require(summaries.nonEmpty, "single-pass write produced no files")
     ManifestLog.commit(root, version, adds = summaries.map(_.rel),
       removes = Seq.empty, op = op, policy = policy,
       colStats = colStatsOf(summaries, statsCols),
-      blooms = bloomsOf(summaries, bloomCol))
+      blooms = bloomsOf(summaries, bloomCol),
+      strColStats = strColStatsOf(summaries, strStatsCols))
     summaries
   }
 
@@ -98,8 +114,33 @@ object SinglePassWriter {
   def colStatsOf(summaries: Seq[FileSummary],
       statsCols: Seq[String]): Map[String, Map[String, FileStat]] =
     summaries.map(s => s.rel ->
-      statsCols.indices.map(k =>
-        statsCols(k) -> FileStat(s.los(k), s.his(k))).toMap)
+      statsCols.indices.flatMap { k =>
+        // a partition whose stats column was entirely NULL never
+        // updates its fold — the inverted sentinel (MaxValue,
+        // MinValue) must NOT be committed (r17 advice: a min > max
+        // stat is nonsense to any consumer that trusts the
+        // invariant); omitting the entry makes the file stats-less
+        // for that column = never skippable, the same conservative
+        // contract a stats-less add already has
+        if (s.los(k) <= s.his(k))
+          Some(statsCols(k) -> FileStat(s.los(k), s.his(k)))
+        else None
+      }.toMap)
+      .filter(_._2.nonEmpty).toMap
+
+  /** The committed string-bounds view of a pass's summaries (r17):
+    * UTF-8-ordered [min, max] per string stats column, with all-NULL
+    * partitions omitted (sSeen false → stats-less for that column —
+    * the same conservative contract as the integral fold). */
+  def strColStatsOf(summaries: Seq[FileSummary],
+      strStatsCols: Seq[String])
+      : Map[String, Map[String, ManifestLog.StrStat]] =
+    summaries.map(s => s.rel ->
+      strStatsCols.indices.flatMap { k =>
+        if (s.sSeen(k))
+          Some(strStatsCols(k) -> ManifestLog.StrStat(s.sLos(k), s.sHis(k)))
+        else None
+      }.toMap)
       .filter(_._2.nonEmpty).toMap
 
   def bloomsOf(summaries: Seq[FileSummary],
@@ -115,13 +156,29 @@ object SinglePassWriter {
     * metadata, publish NOTHING — the caller owns the commit. An
     * all-empty-partitions input yields an empty summary list (the
     * caller decides whether a fileless commit — e.g. a txn-marker
-    * no-op — is legal). */
+    * no-op — is legal).
+    *
+    * `checkCols` (r17): boolean VIOLATION-marker columns (true = the
+    * row violates that constraint) that are COUNTED per file in the
+    * same row loop but never written to parquet — the seam that lets
+    * [[ManifestLog.appendChecked]] validate and land in ONE pass over
+    * the batch, so a non-deterministic input can no longer pass a
+    * separate validation scan and then land different, violating
+    * rows. */
   def writeFiles(df: DataFrame, root: String, sub: String,
       statsCols: Seq[String] = Seq.empty,
-      bloomCol: Option[String] = None): Seq[FileSummary] = {
+      bloomCol: Option[String] = None,
+      checkCols: Seq[String] = Seq.empty,
+      strStatsCols: Seq[String] = Seq.empty): Seq[FileSummary] = {
     val schema = df.schema
+    checkCols.foreach(c => require(schema(c).dataType == BooleanType,
+      s"check column $c must be boolean, got ${schema(c).dataType}"))
+    strStatsCols.foreach(c => require(schema(c).dataType == StringType,
+      s"string stats column $c must be string, got ${schema(c).dataType}"))
+    val dataFields = schema.fields.zipWithIndex
+      .filterNot { case (f, _) => checkCols.contains(f.name) }
     val message: MessageType = new MessageType("spark_schema",
-      schema.fields.map(parquetType): _*)
+      dataFields.map { case (f, _) => parquetType(f) }: _*)
     // stats/bloom columns need a canonical long image: integrals as
     // themselves, timestamps as epoch-µs, dates as epoch days — the
     // SAME longs Catalyst's pushed-down literals carry for those
@@ -134,8 +191,10 @@ object SinglePassWriter {
           s"got ${schema(c).dataType}")
     }
     val statIdx = statsCols.map(schema.fieldIndex)
+    val strIdx = strStatsCols.map(schema.fieldIndex)
     val bloomIdx = bloomCol.map(schema.fieldIndex)
-    val fields = schema.fields.zipWithIndex
+    val checkIdx = checkCols.map(schema.fieldIndex)
+    val fields = dataFields
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(root, sub))
     val messageStr = message.toString
@@ -158,6 +217,11 @@ object SinglePassWriter {
         var n = 0L
         val los = Array.fill(statIdx.size)(Long.MaxValue)
         val his = Array.fill(statIdx.size)(Long.MinValue)
+        val viols = Array.fill(checkIdx.size)(0L)
+        // string bounds fold in UTF-8 BYTE order (the prune's
+        // collation); null sentinel until the first non-null value
+        val sLos = Array.fill[String](strIdx.size)(null)
+        val sHis = Array.fill[String](strIdx.size)(null)
         val seen = new java.util.HashSet[java.lang.Long]()
         def longAt(row: org.apache.spark.sql.Row, i: Int): Long =
           schema(i).dataType match {
@@ -181,6 +245,12 @@ object SinglePassWriter {
                 val v = longAt(row, i)
                 if (f.dataType == DateType) g.add(f.name, v.toInt)
                 else g.add(f.name, v)
+              case d: DecimalType =>
+                // exact unscaled long; longValueExact throws on
+                // overflow rather than corrupting (p<=18 guarantees
+                // fit for values Spark accepted into the type)
+                g.add(f.name, row.getDecimal(i)
+                  .setScale(d.scale).unscaledValue().longValueExact())
               case dt => throw new IllegalStateException(dt.toString)
             }
           }
@@ -196,6 +266,20 @@ object SinglePassWriter {
           }
           bloomIdx.foreach(i =>
             if (!row.isNullAt(i)) seen.add(longAt(row, i)))
+          checkIdx.indices.foreach { k =>
+            val i = checkIdx(k)
+            if (!row.isNullAt(i) && row.getBoolean(i)) viols(k) += 1L
+          }
+          strIdx.indices.foreach { k =>
+            val i = strIdx(k)
+            if (!row.isNullAt(i)) {
+              val v = row.getString(i)
+              if (sLos(k) == null ||
+                  ManifestFileIndex.utf8Cmp(v, sLos(k)) < 0) sLos(k) = v
+              if (sHis(k) == null ||
+                  ManifestFileIndex.utf8Cmp(v, sHis(k)) > 0) sHis(k) = v
+            }
+          }
         }
         writer.close()
         // the bloom sidecar lands from the SAME task, sized by the
@@ -211,7 +295,12 @@ object SinglePassWriter {
             java.nio.file.Paths.get(root, s"$rel.bloom"), bits)
         }
         Iterator.single(
-          FileSummary(rel, n, los.toSeq, his.toSeq, m))
+          FileSummary(rel, n, los.toSeq, his.toSeq, m, viols.toSeq,
+            // Encoders reject nulls in Seq[String]: all-null columns
+            // carry "" with sSeen=false and are omitted at commit
+            sLos.map(v => if (v == null) "" else v).toSeq,
+            sHis.map(v => if (v == null) "" else v).toSeq,
+            sLos.map(_ != null).toSeq))
       }
     }(Encoders.product[FileSummary]).collect().toSeq.sortBy(_.rel)
 

@@ -139,8 +139,10 @@ class CommitProtocolSpec extends AnyFunSuite {
     // a clean batch lands with stats; an interleaved winner between
     // its snapshot and publish costs only a rebase
     val racerAdds = land(root, "data/racer", 7L)
+    // the racer attests: since r17 a stats-less add on a constrained
+    // table is refused at commit time unless row-validated
     val t = new Thread(() => ManifestLog.commitSerializable(root, 1L,
-      racerAdds, Seq.empty, op = "append"))
+      racerAdds, Seq.empty, op = "append", attest = true))
     t.start(); t.join()
     val v = ManifestLog.appendChecked(spark,
       Seq((3L, 30L)).toDF("k", "v").coalesce(1), root, "data/b3",
@@ -149,6 +151,106 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(ManifestLog.colStatsAsOf(root, v).values
       .exists(_.get("k").exists(st => st.min == 3L && st.max == 3L)))
     assert(ManifestLog.readVersion(spark, root, v).count() == 3)
+  }
+
+  test("commit-time CHECK enforcement (r17): a direct commitIn whose " +
+      "adds cannot prove the constraint set is refused on BOTH log " +
+      "stores; stats that prove it pass; attest and declaration " +
+      "commits are exempt") {
+    val roots = Seq(
+      ManifestLog.storeFor(newRoot()),
+      new InMemoryLogStore)
+    roots.foreach { store =>
+      // v0 declares (ALTER-style: the declarer validates) WITH an add
+      ManifestLog.commitIn(store, 0, Seq("data/f0.parquet"), Seq.empty,
+        op = "write", checks = Some(Seq("v_pos" -> "v > 0")))
+      // a stats-less add on the constrained table is refused loudly
+      val e = intercept[IllegalArgumentException] {
+        ManifestLog.commitIn(store, 1, Seq("data/f1.parquet"), Seq.empty,
+          op = "append")
+      }
+      assert(e.getMessage.contains("v_pos"))
+      // stats that CANNOT prove it (min 0 < lo 1) are refused too
+      intercept[IllegalArgumentException] {
+        ManifestLog.commitIn(store, 1, Seq("data/f1.parquet"), Seq.empty,
+          op = "append", colStats = Map("data/f1.parquet" ->
+            Map("v" -> ManifestLog.FileStat(0L, 10L))))
+      }
+      assert(ManifestLog.versionsIn(store) == Seq(0L),
+        "refused commits must leave the log untouched")
+      // stats inside the constraint interval PROVE it — commit passes
+      ManifestLog.commitIn(store, 1, Seq("data/f1.parquet"), Seq.empty,
+        op = "append", colStats = Map("data/f1.parquet" ->
+          Map("v" -> ManifestLog.FileStat(5L, 10L))))
+      // a non-range constraint is never stats-provable: only attest
+      // (row validation) can carry an add past it
+      ManifestLog.commitIn(store, 2, Seq.empty, Seq.empty, op = "checks",
+        checks = Some(Seq("v_set" -> "v IS NOT NULL")))
+      intercept[IllegalArgumentException] {
+        ManifestLog.commitIn(store, 3, Seq("data/f3.parquet"), Seq.empty,
+          op = "append", colStats = Map("data/f3.parquet" ->
+            Map("v" -> ManifestLog.FileStat(5L, 10L))))
+      }
+      ManifestLog.commitIn(store, 3, Seq("data/f3.parquet"), Seq.empty,
+        op = "append", attest = true)
+      assert(ManifestLog.versionsIn(store) == (0L to 3L))
+    }
+  }
+
+  test("a winner that DECLARES metadata (schema or checks) between a " +
+      "txn's snapshot and its publish raises LogicalConflict — the " +
+      "loser's validation premises are stale (r17 advice)") {
+    val root = newRoot()
+    ManifestLog.commit(root, 0, land(root, "data/v0", 1L), Seq.empty,
+      op = "write")
+    // loser prepared a blind append against v0; a winner then declares
+    // a constraint set at v1
+    val loserAdds = land(root, "data/loser", 2L)
+    ManifestLog.commit(root, 1, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("v_pos" -> "v > 0")))
+    val e = intercept[LogicalConflict] {
+      ManifestLog.commitSerializable(root, readVersion = 0L,
+        adds = loserAdds, removes = Seq.empty, op = "append",
+        attest = true)
+    }
+    assert(e.getMessage.contains("metadata"))
+    // same for a schema declaration
+    val root2 = newRoot()
+    ManifestLog.commit(root2, 0, land(root2, "data/v0", 1L), Seq.empty,
+      op = "write")
+    val loser2 = land(root2, "data/loser", 2L)
+    ManifestLog.commit(root2, 1, Seq.empty, Seq.empty, op = "evolve",
+      schemaDdl = Some("k BIGINT, v BIGINT, w BIGINT"))
+    intercept[LogicalConflict] {
+      ManifestLog.commitSerializable(root2, readVersion = 0L,
+        adds = loser2, removes = Seq.empty, op = "append")
+    }
+    // a loser whose snapshot ALREADY includes the declaration rebases
+    // fine past later disjoint data winners
+    ManifestLog.commit(root2, 2, land(root2, "data/w", 3L), Seq.empty,
+      op = "append")
+    val v = ManifestLog.commitSerializable(root2, readVersion = 2L,
+      adds = loser2, removes = Seq.empty, op = "append")
+    assert(v == 3L)
+  }
+
+  test("appendChecked is ONE pass (r17): a violating batch lands " +
+      "nothing and leaves no orphan files; the violation count is " +
+      "folded by the writer, not a separate scan") {
+    import spark.implicits._
+    val root = newRoot()
+    ManifestLog.commit(root, 0, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("v_pos" -> "v > 0", "k_cap" -> "k < 100")))
+    val e = intercept[IllegalArgumentException] {
+      ManifestLog.appendChecked(spark,
+        Seq((1L, -5L), (200L, 3L), (2L, 4L)).toDF("k", "v").coalesce(1),
+        root, "data/bad", statsCols = Seq("k"))
+    }
+    assert(e.getMessage.contains("v_pos") &&
+      e.getMessage.contains("k_cap"))
+    assert(ManifestLog.latestVersion(root).contains(0L))
+    // the aborted landing unlinked its files — no vacuum debt
+    assert(ManifestLog.partFiles(root, "data/bad").isEmpty)
   }
 
   test("deleteWhereMorRetrying re-derives on logical conflict: two " +
@@ -188,5 +290,64 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(ManifestLog.dvsAsOf(root, 2).head._2.nDeleted == 3)
     // v1 (whichever delete won) removed exactly its own set
     assert(ManifestLog.readVersion(spark, root, 1).count() >= 8)
+  }
+
+  test("mergeMorRetrying re-derives on logical conflict (r17): two " +
+      "threads upserting disjoint rows of the SAME file both commit, " +
+      "serialized — post-images recomputed, vectors folded, nothing " +
+      "resurrected or double-applied") {
+    import spark.implicits._
+    val root = newRoot()
+    (0L until 10L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$root/data/v0")
+    ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+      Seq.empty, op = "write")
+    val latch = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    Seq(
+      (col("k") % 3 === 0, // 0, 3, 6, 9 → v += 1000
+        (d: org.apache.spark.sql.DataFrame) =>
+          d.withColumn("v", col("v") + 1000L)),
+      (col("k") % 3 === 1, // 1, 4, 7 → v += 5000
+        (d: org.apache.spark.sql.DataFrame) =>
+          d.withColumn("v", col("v") + 5000L))
+    ).foreach { case (p, f) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          latch.await()
+          try got.add(ManifestLog.mergeMorRetrying(spark, root, p, f,
+            statsCols = Seq("k")))
+          catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    latch.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, errs)
+    val versions = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(got).asScala.toSeq.sorted
+    assert(versions == Seq(1L, 2L), s"got $versions")
+    // serialized result: row count preserved, each correction applied
+    // exactly once — an illegal rebase would have REPLACED the
+    // winner's vector (resurrecting its matched rows as duplicates)
+    val rows = ManifestLog.readVersion(spark, root, 2)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val expect = (0L until 10L).map { k =>
+      val base = k * 10L
+      (k, if (k % 3 == 0) base + 1000L
+          else if (k % 3 == 1) base + 5000L else base)
+    }
+    assert(rows == expect)
+    // the base file's final vector is the union of both matched sets
+    assert(ManifestLog.dvsAsOf(root, 2)
+      .filter { case (f, _) => f.startsWith("data/v0") }
+      .values.map(_.nDeleted).sum == 7L)
+    // the loser's post-image files re-derived against the winner's
+    // snapshot: the merged table still time-travels (v1 = winner only)
+    assert(ManifestLog.readVersion(spark, root, 1).count() == 10)
   }
 }

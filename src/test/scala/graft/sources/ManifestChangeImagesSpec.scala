@@ -86,6 +86,104 @@ class ManifestChangeImagesSpec extends AnyFunSuite {
       "replaying the feed must reconstruct the latest snapshot")
   }
 
+  test("a METADATA-ONLY range yields a valid EMPTY feed (r17 advice) " +
+      "— consumers advance their cursor instead of crashing until a " +
+      "data commit lands") {
+    val root = fixture()
+    // two fileless commits: a checks declaration and a txn marker
+    ManifestLog.commit(root, 3, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("amount_pos" -> "amount > 0")))
+    ManifestLog.commit(root, 4, Seq.empty, Seq.empty, op = "marker",
+      txn = Some(("app", 9L)))
+    val empty = ManifestLog.readChangeImages(spark, root, 2, 4,
+      keys = Seq("id"))
+    assert(empty.count() == 0)
+    // the frame still carries the table's exact image schema
+    assert(empty.columns.toSeq ==
+      Seq("id", "payload", "amount", "_change_type", "_commit_version"))
+    // a range with no live files anywhere stays loud
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_cdc_bare").toString
+    ManifestLog.commit(bare, 0, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("x_pos" -> "x > 0")))
+    intercept[IllegalArgumentException] {
+      ManifestLog.readChangeImages(spark, bare, -1, 0, keys = Seq("id"))
+    }
+  }
+
+  test("replicateTo prunes the mirror fold to key-intersecting files " +
+      "(r17): an untouched-key sync rewrites ZERO files, and a " +
+      "metadata-only source range still advances the cursor") {
+    val root = fixture()
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_replica_prune").toString
+    // bootstrap sync: mirror lands key-clustered with stats
+    ManifestLog.replicateTo(spark, root, dst, keys = Seq("id"),
+      upTo = Some(2L), mirrorFiles = 4)
+    val v0 = ManifestLog.latestVersion(dst).get
+    val mirrorFiles0 = ManifestLog.filesAsOf(dst, v0).toSet
+    assert(mirrorFiles0.nonEmpty)
+    assert(ManifestLog.colStatsAsOf(dst, v0).nonEmpty,
+      "mirror files must commit lead-key stats for the next sync's prune")
+    // source v3: an append whose id band (100..103) intersects NO
+    // existing mirror file's id interval (mirror holds 1..7)
+    import spark.implicits._
+    val f3 = {
+      (100L to 103L).map(i => (i, s"p$i", i * 10L))
+        .toDF("id", "payload", "amount")
+        .coalesce(1).write.parquet(s"$root/data/v3")
+      ManifestLog.partFiles(root, "data/v3")
+    }
+    ManifestLog.commit(root, 3, f3, Seq.empty, "append")
+    ManifestLog.replicateTo(spark, root, dst, keys = Seq("id"),
+      mirrorFiles = 1)
+    val v1 = ManifestLog.latestVersion(dst).get
+    val (_, adds1, removes1) =
+      ManifestLog.changesBetween(dst, v0, v1).head
+    assert(removes1.isEmpty,
+      s"an untouched-key sync must rewrite ZERO mirror files: $removes1")
+    assert(adds1.nonEmpty, "the new keys land as a fresh file")
+    assert(mirrorFiles0.subsetOf(ManifestLog.filesAsOf(dst, v1).toSet),
+      "every pre-sync mirror file is carried by reference")
+    // source v4: delete id 6 by rewrite — only mirror files whose id
+    // interval can hold 6 are rewritten
+    val f4 = {
+      Seq((7L, "g", 70L)).toDF("id", "payload", "amount")
+        .coalesce(1).write.parquet(s"$root/data/v4")
+      ManifestLog.partFiles(root, "data/v4")
+    }
+    val oldLive = ManifestLog.filesAsOf(root, 3)
+      .filter(_.startsWith("data/v2"))
+    ManifestLog.commit(root, 4, f4, oldLive, "merge")
+    ManifestLog.replicateTo(spark, root, dst, keys = Seq("id"))
+    val v2 = ManifestLog.latestVersion(dst).get
+    val (_, _, removes2) = ManifestLog.changesBetween(dst, v1, v2).head
+    val cs = ManifestLog.colStatsAsOf(dst, v1)
+    removes2.foreach { f =>
+      val st = cs.get(f).flatMap(_.get("id"))
+      assert(st.forall(s => s.min <= 6L && s.max >= 6L),
+        s"rewrote a mirror file whose id interval excludes the " +
+          s"changed keys: $f -> $st")
+    }
+    // the mirror still equals the source snapshot
+    val src = ManifestLog.readVersion(spark, root, 4)
+      .orderBy("id").collect().toSeq
+    val mir = ManifestLog.readVersion(spark, dst, v2)
+      .select("id", "payload", "amount").orderBy("id").collect().toSeq
+    assert(mir == src)
+    // a metadata-only source tail advances the cursor with a
+    // marker-bearing commit instead of crashing (r17 advice)
+    ManifestLog.commit(root, 5, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("amount_pos" -> "amount > 0")))
+    ManifestLog.replicateTo(spark, root, dst, keys = Seq("id"))
+    assert(ManifestLog.lastTxn(dst, "graft_replica").contains(5L))
+    val vLast = ManifestLog.latestVersion(dst).get
+    val (_, addsM, removesM) =
+      ManifestLog.changesBetween(dst, v2, vLast).head
+    assert(addsM.isEmpty && removesM.isEmpty,
+      "a no-change sync must be a pure marker commit")
+  }
+
   test("a pruned tail fails loudly — images are never silently " +
       "reconstructed over missing actions") {
     val root = fixture()

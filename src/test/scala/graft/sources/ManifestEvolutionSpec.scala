@@ -88,11 +88,18 @@ class ManifestEvolutionSpec extends AnyFunSuite {
       checks = Some(Seq("v_pos" -> "v > 0", "k_pos" -> "k > 0")))
     assert(ManifestLog.checksAsOf(root, 0) ==
       Map("v_pos" -> "v > 0", "k_pos" -> "k > 0"))
-    // a non-declaring commit leaves the set untouched
+    // a non-declaring commit leaves the set untouched — but since r17
+    // a stats-less add on a constrained table must attest (the
+    // commit-time gate would otherwise refuse it; CommitProtocolSpec
+    // pins the refusal itself)
     Seq((2L, Some(6L))).toDF("k", "v").coalesce(1)
       .write.parquet(s"$root/data/v1")
+    intercept[IllegalArgumentException] {
+      ManifestLog.commit(root, 1, ManifestLog.partFiles(root, "data/v1"),
+        Seq.empty, op = "append")
+    }
     ManifestLog.commit(root, 1, ManifestLog.partFiles(root, "data/v1"),
-      Seq.empty, op = "append")
+      Seq.empty, op = "append", attest = true)
     assert(ManifestLog.checksAsOf(root, 1).keySet == Set("v_pos", "k_pos"))
     // the set folds through a checkpoint seed
     ManifestLog.writeCheckpoint(root, 1)

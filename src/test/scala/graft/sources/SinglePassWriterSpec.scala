@@ -94,6 +94,75 @@ class SinglePassWriterSpec extends AnyFunSuite {
       .count() == 20)
   }
 
+  test("decimal(p<=18) round-trips exactly as INT64 unscaled; " +
+      "p>18 stays loudly refused (r17)") {
+    import spark.implicits._
+    val root = newRoot()
+    val df = (0L until 50L).map(i => (i, BigDecimal(i) / 100 + 7))
+      .toDF("k", "m")
+      .withColumn("m", col("m").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)))
+      .repartitionByRange(2, col("k"))
+    SinglePassWriter.writeCommit(df, root, "data/v0", 0,
+      statsCols = Seq("k"))
+    val back = ManifestLog.readVersion(spark, root, 0)
+    assert(back.schema("m").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    assert(back.orderBy("k").collect().toSeq ==
+      df.orderBy("k").collect().toSeq)
+    // exact decimal aggregate over the persisted column
+    assert(back.agg(sum("m")).collect().head.getDecimal(0) ==
+      df.agg(sum("m")).collect().head.getDecimal(0))
+    // p > 18 is a refused write, never a silent downcast
+    intercept[IllegalArgumentException] {
+      SinglePassWriter.writeCommit(
+        Seq((1L, BigDecimal("1.5"))).toDF("k", "big")
+          .withColumn("big", col("big").cast(
+            org.apache.spark.sql.types.DecimalType(25, 2))),
+        root, "data/huge", 1)
+    }
+  }
+
+  test("string bounds (r17): UTF-8-ordered per-file [min,max] fold in " +
+      "the write loop, all-null columns are omitted (no inverted " +
+      "sentinels for integrals either), and the committed bounds " +
+      "equal an independent read-back") {
+    import spark.implicits._
+    val root = newRoot()
+    val supp = new String(Character.toChars(0x10000)) // UTF-8 > U+FFFD
+    val df = Seq(
+      (1L, Some("de"), Option.empty[Long]),
+      (2L, Some("en"), Option.empty[Long]),
+      (3L, Some("�"), Option.empty[Long]),
+      (4L, Some(supp), Option.empty[Long]),
+      (5L, Option.empty[String], Option.empty[Long]))
+      .toDF("k", "lang", "dead").coalesce(1)
+    val summaries = SinglePassWriter.writeCommit(df, root, "data/v0", 0,
+      statsCols = Seq("k", "dead"), strStatsCols = Seq("lang"))
+    assert(summaries.size == 1)
+    val str = ManifestLog.strColStatsAsOf(root, 0).values.head("lang")
+    // UTF-8 order: the supplementary char is the MAX (UTF-16 order
+    // would have picked U+FFFD — the collation hazard this feature
+    // must not have)
+    assert(str == ManifestLog.StrStat("de", supp), str)
+    // the all-null integral column committed NO stat — no inverted
+    // (MaxValue, MinValue) sentinel in the manifest (r17 advice)
+    val cols = ManifestLog.colStatsAsOf(root, 0).values.head
+    assert(cols.contains("k") && !cols.contains("dead"), cols)
+    // an all-null STRING column is likewise omitted
+    val root2 = newRoot()
+    SinglePassWriter.writeCommit(
+      Seq((1L, Option.empty[String])).toDF("k", "s").coalesce(1),
+      root2, "data/v0", 0, strStatsCols = Seq("s"))
+    assert(ManifestLog.strColStatsAsOf(root2, 0).isEmpty)
+    // loud rejection: a non-string strStats column
+    intercept[IllegalArgumentException] {
+      SinglePassWriter.writeCommit(
+        Seq((1L, 2L)).toDF("k", "v"), root2, "data/bad", 1,
+        strStatsCols = Seq("v"))
+    }
+  }
+
   test("unsupported column and non-integral stats columns fail loud") {
     import spark.implicits._
     val root = newRoot()
