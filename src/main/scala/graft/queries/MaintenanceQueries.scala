@@ -860,7 +860,7 @@ object MaintenanceQueries {
     * conjunctive prune multiplies (1-D clustering leaves the second
     * column's interval spanning the full domain — its predicate then
     * never prunes a file). Cached per sfDir. */
-  private def multicolRoot(s: SparkSession, dir: String): String =
+  private[graft] def multicolRoot(s: SparkSession, dir: String): String =
     graft.TempDirs.cachedDir("graft_skip_multicol", dir) { root =>
       import graft.sources.ManifestLog
       val ev = flatEvents(s, dir)

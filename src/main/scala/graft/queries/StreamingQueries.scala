@@ -661,6 +661,79 @@ object StreamingQueries {
         .orderBy("user_id")
     })
 
+  private val streamCdcImages = GraftQuery(
+    name = "stream_cdc_images",
+    doc = "STREAMING CHANGE IMAGES (r17) - the row-level " +
+      "_change_type feed served through Structured Streaming, the " +
+      "half stream_cdc_source explicitly rejects (its append-only " +
+      "row feed throws on rewrites and deletion vectors - that loud " +
+      "rejection is retained and pinned): the DSv2 source's " +
+      "mode=versions cursor feed paces the drain (offsets ARE " +
+      "versions, maxVersionsPerTrigger=1 admission, AvailableNow " +
+      "pinning), and a foreachBatch bridge plans readChangeImages " +
+      "over each micro-batch's exact version range - the pre/post " +
+      "full-outer join cannot be expressed as independent DSv2 " +
+      "input partitions, which is what the bridge exists for. Each " +
+      "batch lands idempotently in a batchId-keyed dir. The drain " +
+      "walks the SCD1 ladder's 4 versions as 4 REAL micro-batches " +
+      "(ManifestCdcSourceSpec pins batch count, drained == batch-" +
+      "feed equality, and the MOR path: a deletion-vector ladder " +
+      "streams delete images while the row feed still throws). " +
+      "Oracle: the SAME raw-corpus image reconstruction as " +
+      "lake_cdc_rowimages - so the streamed feed provably equals " +
+      "the batch feed row for row. At 100 TB each trigger reads " +
+      "only its versions' touched files, never the table.",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        value, event_id % 4 AS b FROM events),
+      st AS (SELECT v.b_max AS v, user_id,
+               MAX(struct_pack(ts_us := ts_us, event_id := event_id,
+                               value := value)) AS latest,
+               COUNT(*) AS n_events
+             FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) v(b_max)
+             WHERE e.b <= v.b_max GROUP BY 1, 2),
+      j AS (SELECT COALESCE(n.v, o.v + 1) AS v,
+                   COALESCE(n.user_id, o.user_id) AS user_id,
+                   CASE WHEN o.user_id IS NULL THEN 'insert'
+                        WHEN n.user_id IS NULL THEN 'delete'
+                        WHEN n.latest <> o.latest OR
+                             n.n_events <> o.n_events THEN 'update'
+                        ELSE 'none' END AS cls,
+                   o.latest AS ol, o.n_events AS oe,
+                   n.latest AS nl, n.n_events AS ne
+            FROM st n FULL JOIN (SELECT * FROM st WHERE v <= 2) o
+              ON n.v = o.v + 1 AND n.user_id = o.user_id),
+      f AS (
+        SELECT v, user_id, 'insert' AS ct, nl AS img, ne AS nev
+        FROM j WHERE cls = 'insert'
+        UNION ALL
+        SELECT v, user_id, 'delete', ol, oe FROM j WHERE cls = 'delete'
+        UNION ALL
+        SELECT v, user_id, 'update_preimage', ol, oe
+        FROM j WHERE cls = 'update'
+        UNION ALL
+        SELECT v, user_id, 'update_postimage', nl, ne
+        FROM j WHERE cls = 'update')
+      SELECT CAST(v AS BIGINT) AS _commit_version, user_id,
+             ct AS _change_type, img.ts_us AS ts_us,
+             img.event_id AS event_id, CAST(img.value AS DOUBLE) AS value,
+             CAST(nev AS BIGINT) AS n_events
+      FROM f ORDER BY _commit_version, user_id, _change_type"""),
+    run = (s, dir) => {
+      val root = MaintenanceQueries.manifestEventsRoot(s, dir)
+      val (rows, progress) =
+        graft.streaming.ManifestSink.cdcImagesDrained(s, root,
+          keys = Seq("user_id"))
+      require(progress.count(_.numInputRows > 0) == 4,
+        s"the 4-version ladder must drain as 4 real micro-batches: " +
+          s"${progress.map(_.numInputRows).toList}")
+      rows.select(col("_commit_version"), col("user_id"),
+          col("_change_type"), col("latest.ts_us").as("ts_us"),
+          col("latest.event_id").as("event_id"),
+          col("latest.value").as("value"), col("n_events"))
+        .orderBy("_commit_version", "user_id", "_change_type")
+    })
+
   val all: Seq[GraftQuery] = Seq(streamWindowedCounts, streamSlidingCounts,
     streamSessionCounts,
     streamDedupExact, streamStaticJoin, streamLateData, streamStreamJoin,
@@ -668,5 +741,5 @@ object StreamingQueries {
     streamOuterJoin, streamStreamJoinHotkey, streamTwsUserStats,
     streamSessionTimeout, streamTwsBootstrap, streamStateMigration,
     streamSessionMigration, streamSessionWindow, streamManifestSink,
-    streamSinkPoint, streamCdcSource)
+    streamSinkPoint, streamCdcSource, streamCdcImages)
 }

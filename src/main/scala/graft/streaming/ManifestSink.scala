@@ -202,4 +202,55 @@ object ManifestSink {
     q.awaitTermination()
     (ds.read.parquet(s"$out/data"), q.recentProgress.toSeq)
   }
+
+  private val imagesDrainId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** STREAMING CHANGE IMAGES (r17; the r16 verdict's task 3):
+    * `_change_type`-stamped row images served through Structured
+    * Streaming for COW **and** MOR tables. The DSv2 source's
+    * `mode=versions` cursor feed paces the stream — offsets are
+    * versions, admission control caps each micro-batch's version
+    * span, AvailableNow pins the drain — and a foreachBatch bridge
+    * plans [[ManifestLog.readChangeImages]] over each batch's exact
+    * version range: the pre/post full-outer join and the DV-delta
+    * decode cannot be expressed as independent DSv2 input partitions
+    * (they join two file sets), which is precisely the case the
+    * foreachBatch escape hatch exists for. Per-batch output lands in
+    * a deterministic batchId-keyed dir with overwrite, so a replayed
+    * batch is idempotent. The append-only ROW feed's loud MOR/rewrite
+    * rejection is untouched — this is the feed those errors point
+    * consumers at. Returns the drained images and the run's real
+    * micro-batch progress. */
+  def cdcImagesDrained(spark: SparkSession, root: String,
+      keys: Seq[String], startingVersion: Long = -1L,
+      maxVersionsPerTrigger: Long = 1L)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val ds = EventStream.drainSession(spark)
+    val cursor = ds.readStream
+      .format(classOf[graft.sources.cdc.ManifestCdcProvider].getName)
+      .option("path", root)
+      .option("mode", "versions")
+      .option("startingVersion", startingVersion.toString)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+      .load()
+    val out = graft.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory(
+        s"graft_cdc_img_${imagesDrainId.incrementAndGet()}")).toString
+    val q = cursor.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val vs = batch.select("version").collect().map(_.getLong(0))
+        if (vs.nonEmpty) {
+          ManifestLog.readChangeImages(batch.sparkSession, root,
+            vs.min - 1, vs.max, keys)
+            .write.mode("overwrite").parquet(s"$out/data/b$batchId")
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(new java.io.File(s"$out/data").isDirectory,
+      s"image drain admitted no versions from $root")
+    (ds.read.parquet(s"$out/data/*"), q.recentProgress.toSeq)
+  }
 }

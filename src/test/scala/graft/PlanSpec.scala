@@ -24,6 +24,72 @@ class PlanSpec extends AnyFunSuite {
   private def scanPlan(name: String): String =
     Registry.byName(name).run(spark, dir).queryExecution.sparkPlan.toString
 
+  // ---- r16/r17 lakehouse registry: plan-drift gate (r16 verdict #7) ----
+  // PLANS.md is regenerated per round but only eyeballed; these pins
+  // make the r16 rows' load-bearing physical shapes fail `sbt test`
+  // if a Spark upgrade (or a refactor) silently de-optimizes them.
+
+  test("every r16/r17 manifest-table row plans its snapshot reads " +
+      "from ManifestFileIndex — no listing-based scan may sneak back") {
+    val manifestRows = Seq(
+      "lake_cdc_replica", "lake_cdc_rowimages", "lake_cdc_rowimages_mor",
+      "lake_check_constraint", "lake_concurrent_append",
+      "lake_concurrent_delete_mor", "lake_concurrent_merge_mor",
+      "lake_delete_dv", "lake_dv_compaction", "lake_join_dfp",
+      "lake_join_dpp_manifest", "lake_manifest_evolution",
+      "lake_merge_mor", "lake_optimize_zorder", "lake_singlepass_bloom",
+      "lake_singlepass_dates", "lake_singlepass_decimal",
+      "lake_skipping_strings", "lake_snapshot_bytimestamp",
+      "lake_snapshot_partitioned", "lake_write_singlepass",
+      "stream_sink_point")
+    manifestRows.foreach { name =>
+      // pre-AQE plan: an empty-result row (the sf0.001 point lookup)
+      // AQE-collapses to EmptyRelation in the FINAL plan, erasing the
+      // scan; the location class is a planning-time property anyway
+      val p = scanPlan(name)
+      assert(p.contains("ManifestFileIndex"),
+        s"$name lost the manifest-planned scan (Location class):\n" +
+          p.take(3000))
+    }
+  }
+
+  test("DV reads anti-join the BROADCAST vector side — deleted-rows-" +
+      "sized, never a shuffle — on every registered MOR row") {
+    Seq("lake_delete_dv", "lake_merge_mor").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"$name lost the broadcast DV anti-join:\n${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name shuffles for its DV anti-join:\n${p.take(3000)}")
+    }
+  }
+
+  test("dynamic file pruning: the dim's runtime keys prune the fact " +
+      "scan to a small file subset (file-count pin)") {
+    val df = Registry.byName("lake_join_dfp").run(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val manifestScan = scans.find(
+      _.relation.location.isInstanceOf[graft.sources.ManifestFileIndex])
+      .getOrElse(fail(s"no manifest scan in lake_join_dfp:\n$scans"))
+    // readVersionKeys pre-resolves the pruned file list, so the scan's
+    // own file count IS the post-DFP set — compare against the
+    // table's committed live set
+    val pruned = manifestScan.selectedPartitions.totalNumberOfFiles
+    val root = queries.MaintenanceQueries.multicolRoot(spark, dir)
+    val total = graft.sources.ManifestLog.filesAsOf(root,
+      graft.sources.ManifestLog.latestVersion(root).get).size
+    assert(pruned < total,
+      s"DFP must prune the fact files: read $pruned of $total")
+  }
+
+  test("recursive CTE SQL never degenerates to a cartesian loop") {
+    val p = plan("sql_recursive_cte")
+    assert(!p.contains("CartesianProduct"),
+      s"recursive CTE degenerated:\n${p.take(3000)}")
+  }
+
   test("filter + projection push into the parquet scan") {
     val p = plan("parity_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]"),

@@ -153,5 +153,41 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("deletion vectors")),
       s"expected the DV contract error, got: ${messages(e)}")
+    // ...and the IMAGE stream (r17) serves exactly that table: the
+    // vector delta arrives as a streamed delete image, equal to the
+    // batch feed row for row
+    val (imgs, progress) = ManifestSink.cdcImagesDrained(spark, root,
+      keys = Seq("user_id"))
+    assert(progress.count(_.numInputRows > 0) == 2)
+    val batch = ManifestLog.readChangeImages(spark, root, -1, 1,
+      keys = Seq("user_id"))
+    assert(imgs.count() == batch.count())
+    assert(imgs.exceptAll(batch).isEmpty && batch.exceptAll(imgs).isEmpty,
+      "streamed images must equal the batch feed exactly")
+    assert(imgs.filter(col("_change_type") === "delete")
+      .select("user_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("streamed change images over a COW rewrite ladder equal the " +
+      "batch feed exactly, one version per micro-batch (r17)") {
+    val dir = "/root/testdata/sf0.001"
+    val root = graft.queries.MaintenanceQueries
+      .manifestEventsRoot(spark, dir)
+    val (imgs, progress) = ManifestSink.cdcImagesDrained(spark, root,
+      keys = Seq("user_id"))
+    assert(progress.count(_.numInputRows > 0) == 4,
+      s"4 versions -> 4 real micro-batches: " +
+        s"${progress.map(_.numInputRows).toList}")
+    val batch = ManifestLog.readChangeImages(spark, root, -1, 3,
+      keys = Seq("user_id"))
+    assert(imgs.count() == batch.count())
+    assert(imgs.exceptAll(batch).isEmpty && batch.exceptAll(imgs).isEmpty,
+      "streamed images must equal the batch feed exactly")
+    // a resumed drain from a mid-ladder cursor serves only the tail
+    val (tail, tailProgress) = ManifestSink.cdcImagesDrained(spark,
+      root, keys = Seq("user_id"), startingVersion = 2L)
+    assert(tailProgress.count(_.numInputRows > 0) == 1)
+    assert(tail.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
   }
 }
