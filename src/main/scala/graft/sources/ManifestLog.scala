@@ -201,20 +201,37 @@ object ManifestLog {
     if (adds.nonEmpty && !attest && checks.isEmpty && version > 0) {
       val inForce = replayIn(store, version - 1).checks
       inForce.toSeq.sortBy(_._1).foreach { case (n, sqlText) =>
-        val bounds = provableBounds(sqlText)
-        require(bounds.isDefined,
-          s"table carries CHECK $n [$sqlText], which file stats " +
-            "cannot prove — commit adds through appendChecked " +
-            "(row-validated) or pass attest = true after validating")
-        bounds.get.foreach { case (c, (lo, hi)) =>
-          adds.foreach { f =>
-            val st = colStats.getOrElse(f, Map.empty).get(c)
-            require(st.exists(s => s.min >= lo && s.max <= hi),
-              s"add $f cannot prove CHECK $n [$sqlText]: needs " +
-                s"committed $c stats within [$lo, $hi], got " +
-                s"${st.fold("none")(s => s"[${s.min}, ${s.max}]")} — " +
-                "validate rows and attest, or commit stats that prove it")
-          }
+        (provableBounds(sqlText), provableStrAtoms(sqlText)) match {
+          case (Some(bounds), _) =>
+            bounds.foreach { case (c, (lo, hi)) =>
+              adds.foreach { f =>
+                val st = colStats.getOrElse(f, Map.empty).get(c)
+                require(st.exists(s => s.min >= lo && s.max <= hi),
+                  s"add $f cannot prove CHECK $n [$sqlText]: needs " +
+                    s"committed $c stats within [$lo, $hi], got " +
+                    s"${st.fold("none")(s => s"[${s.min}, ${s.max}]")} " +
+                    "— validate rows and attest, or commit stats that " +
+                    "prove it")
+              }
+            }
+          case (None, Some(atoms)) => // string constraint (r17)
+            atoms.foreach { case (c, op, v) =>
+              adds.foreach { f =>
+                val st = strColStats.getOrElse(f, Map.empty).get(c)
+                require(st.exists(strAtomProven(_, op, v)),
+                  s"add $f cannot prove CHECK $n [$sqlText]: needs " +
+                    s"committed $c string bounds proving $c $op '$v', " +
+                    s"got ${st.fold("none")(s =>
+                      s"['${s.min}', '${s.max}']")} — validate rows " +
+                    "and attest, or commit bounds that prove it")
+              }
+            }
+          case (None, None) =>
+            throw new IllegalArgumentException(
+              s"requirement failed: table carries CHECK $n [$sqlText]" +
+                ", which file stats cannot prove — commit adds " +
+                "through appendChecked (row-validated) or pass " +
+                "attest = true after validating")
         }
       }
     }
@@ -532,6 +549,78 @@ object ManifestLog {
     }
     scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(sqlText)).toOption.flatMap(walk)
+  }
+
+  /** STRING twin of [[provableBounds]] (r17): decompose a CHECK into
+    * atomic string comparisons (col OP 'literal', AND only) provable
+    * from per-file UTF-8 string bounds. Returned atoms are
+    * (column, op, literal) with op ∈ {"=", ">=", ">", "<=", "<"};
+    * proof per add: `=` needs min==lit==max, `>=`/`>` need min ≥/> lit,
+    * `<=`/`<` need max ≤/< lit — exclusive bounds prove EXACTLY here
+    * (max < v ⟺ every value < v in a total order), unlike pruning
+    * where they had to widen. Any unsupported shape yields None. */
+  private[sources] def provableStrAtoms(
+      sqlText: String): Option[Seq[(String, String, String)]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def lit(e: Expression): Option[String] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => Some(v.toString)
+      case _ => None
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    def atom(c: Option[String], op: String, l: Option[String]) =
+      for (n <- c; v <- l) yield Seq((n, op, v))
+    def flip(op: String) = op match {
+      case ">=" => "<="; case ">" => "<"; case "<=" => ">="
+      case "<" => ">"; case other => other
+    }
+    def walk(e: Expression): Option[Seq[(String, String, String)]] =
+      e match {
+        case And(a, b) => for (x <- walk(a); y <- walk(b)) yield x ++ y
+        case EqualTo(a, l) if nameOf(a).isDefined =>
+          atom(nameOf(a), "=", lit(l))
+        case EqualTo(l, a) if nameOf(a).isDefined =>
+          atom(nameOf(a), "=", lit(l))
+        case GreaterThanOrEqual(a, l) if nameOf(a).isDefined =>
+          atom(nameOf(a), ">=", lit(l))
+        case GreaterThanOrEqual(l, a) if nameOf(a).isDefined =>
+          atom(nameOf(a), flip(">="), lit(l))
+        case GreaterThan(a, l) if nameOf(a).isDefined =>
+          atom(nameOf(a), ">", lit(l))
+        case GreaterThan(l, a) if nameOf(a).isDefined =>
+          atom(nameOf(a), flip(">"), lit(l))
+        case LessThanOrEqual(a, l) if nameOf(a).isDefined =>
+          atom(nameOf(a), "<=", lit(l))
+        case LessThanOrEqual(l, a) if nameOf(a).isDefined =>
+          atom(nameOf(a), flip("<="), lit(l))
+        case LessThan(a, l) if nameOf(a).isDefined =>
+          atom(nameOf(a), "<", lit(l))
+        case LessThan(l, a) if nameOf(a).isDefined =>
+          atom(nameOf(a), flip("<"), lit(l))
+        case _ => None
+      }
+    scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sqlText)).toOption.flatMap(walk)
+  }
+
+  /** Does `st` prove the string atom (op, lit) for every non-null
+    * row of its file? */
+  private def strAtomProven(st: StrStat, op: String,
+      litVal: String): Boolean = {
+    val cmpMin = ManifestFileIndex.utf8Cmp(st.min, litVal)
+    val cmpMax = ManifestFileIndex.utf8Cmp(st.max, litVal)
+    op match {
+      case "=" => cmpMin == 0 && cmpMax == 0
+      case ">=" => cmpMin >= 0
+      case ">" => cmpMin > 0
+      case "<=" => cmpMax <= 0
+      case "<" => cmpMax < 0
+    }
   }
 
   private def replayIn(store: LogStore, version: Long): Replay = {
@@ -934,6 +1023,28 @@ object ManifestLog {
           sorted.exists(k => FileBloom.mightContain(bits, ref.m, ref.k, k))
         }
       statsMaybe && bloomMaybe // each class can independently rule out
+    }
+  }
+
+  /** STRING-keyed dynamic file pruning (r17): the live files as of
+    * `version` whose `column` string bounds can contain ANY of
+    * `keys` in UTF-8 byte order — the [[filesMatchingKeysIn]]
+    * sibling for string layout keys (no bloom class: blooms are
+    * long-keyed; bounds-less files are must-read). */
+  def filesMatchingStrKeysIn(store: LogStore, root: String,
+      version: Long, column: String, keys: Seq[String]): Seq[String] = {
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    require(keys.nonEmpty, "dynamic file pruning needs a non-empty key set")
+    val r = replayIn(store, version)
+    require(r.files.nonEmpty, s"version $version resolves to no files")
+    val distinct = keys.distinct
+    r.files.filter { f =>
+      r.strColStats.getOrElse(f, Map.empty).get(column).forall(st =>
+        distinct.exists(k =>
+          ManifestFileIndex.utf8Cmp(k, st.min) >= 0 &&
+          ManifestFileIndex.utf8Cmp(k, st.max) <= 0))
     }
   }
 
@@ -1365,9 +1476,9 @@ object ManifestLog {
     * key, so each sync re-commits the stats the NEXT sync prunes by.
     * Per-sync cost is O(images + intersecting files), never
     * O(mirror) — at 100 TB a trickle sync rewrites KBs, not the
-    * table. A non-integral lead key falls back to the full fold
-    * (stats cannot serve it; see `lake_skipping_strings` for the
-    * string-bounds path).
+    * table. STRING lead keys prune too (UTF-8-ordered bounds via
+    * [[filesMatchingStrKeysIn]], r17); only a non-integral,
+    * non-string key falls back to the full fold.
     *
     * CONCURRENCY (r17 advice): each attempt derives the fold from
     * the mirror's FRESH latest version and publishes through
@@ -1399,21 +1510,30 @@ object ManifestLog {
     val upserts = ranked.filter(col("_change_type") =!= "delete")
       .drop("_change_type", "_commit_version")
     val changedKeys = ranked.select(keys.map(col): _*)
-    // the prune key: the LEAD key column, when integral (a file that
-    // cannot hold any changed lead-key value cannot hold any changed
-    // full key — pruning on a key prefix is conservative-correct)
+    // the prune key: the LEAD key column (a file that cannot hold any
+    // changed lead-key value cannot hold any changed full key —
+    // pruning on a key prefix is conservative-correct). Integral keys
+    // prune by [min, max] long stats + blooms; STRING keys (r17) by
+    // UTF-8-ordered string bounds.
     val keyCol = keys.head
     val integralKey = images.schema(keyCol).dataType match {
       case LongType | IntegerType | TimestampType | DateType => true
       case _ => false
     }
+    val stringKey = images.schema(keyCol).dataType == StringType
     val changedVals: Seq[Long] =
       if (!integralKey) Seq.empty
       else changedKeys.select(col(keyCol).cast(LongType)).distinct()
         .collect().iterator.filterNot(_.isNullAt(0)).map(_.getLong(0))
         .toSeq
+    val changedStrVals: Seq[String] =
+      if (!stringKey) Seq.empty
+      else changedKeys.select(col(keyCol)).distinct()
+        .collect().iterator.filterNot(_.isNullAt(0)).map(_.getString(0))
+        .toSeq
     val store = storeFor(dstRoot)
     val statsCols = if (integralKey) Seq(keyCol) else Seq.empty
+    val strStatsCols = if (stringKey) Seq(keyCol) else Seq.empty
     var attempt = 0
     var done = false
     while (!done) {
@@ -1430,7 +1550,11 @@ object ManifestLog {
             if (changedVals.isEmpty) Seq.empty
             else filesMatchingKeysIn(store, dstRoot, v, keyCol,
               changedVals)
-          case Some(v) => filesAsOf(dstRoot, v) // non-integral key
+          case Some(v) if stringKey =>
+            if (changedStrVals.isEmpty) Seq.empty
+            else filesMatchingStrKeysIn(store, dstRoot, v, keyCol,
+              changedStrVals)
+          case Some(v) => filesAsOf(dstRoot, v) // unprunable key type
         }
         val next =
           if (touched.isEmpty) upserts
@@ -1445,7 +1569,7 @@ object ManifestLog {
           s"data/r$to-${java.util.UUID.randomUUID().toString.take(8)}"
         val summaries = SinglePassWriter.writeFiles(
           next.repartitionByRange(mirrorFiles, col(keyCol)),
-          dstRoot, sub, statsCols)
+          dstRoot, sub, statsCols, strStatsCols = strStatsCols)
         try {
           // attested: every mirrored row already passed the SOURCE
           // table's write-side validation before it entered the feed
@@ -1454,6 +1578,8 @@ object ManifestLog {
             op = "replicate", readFiles = touched.toSet,
             txn = Some((appId, to)),
             colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
+            strColStats =
+              SinglePassWriter.strColStatsOf(summaries, strStatsCols),
             attest = true)
           done = true
         } catch {

@@ -223,7 +223,8 @@ object ManifestSink {
     * micro-batch progress. */
   def cdcImagesDrained(spark: SparkSession, root: String,
       keys: Seq[String], startingVersion: Long = -1L,
-      maxVersionsPerTrigger: Long = 1L)
+      maxVersionsPerTrigger: Long = 1L,
+      workDir: Option[String] = None)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val ds = EventStream.drainSession(spark)
     val cursor = ds.readStream
@@ -233,9 +234,12 @@ object ManifestSink {
       .option("startingVersion", startingVersion.toString)
       .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
       .load()
-    val out = graft.TempDirs.deleteOnExit(
+    // an explicit workDir pins checkpoint + landed image dirs across
+    // calls — the RESTART shape: drain, stop, more source commits,
+    // resume from the same checkpoint admitting only the new versions
+    val out = workDir.getOrElse(graft.TempDirs.deleteOnExit(
       java.nio.file.Files.createTempDirectory(
-        s"graft_cdc_img_${imagesDrainId.incrementAndGet()}")).toString
+        s"graft_cdc_img_${imagesDrainId.incrementAndGet()}")).toString)
     val q = cursor.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val vs = batch.select("version").collect().map(_.getLong(0))

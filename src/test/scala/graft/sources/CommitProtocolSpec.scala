@@ -197,6 +197,50 @@ class CommitProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("commit-time CHECK enforcement proves STRING constraints from " +
+      "UTF-8 string bounds (r17): in-range bounds pass, straddling " +
+      "or missing bounds are refused, equality needs a constant file") {
+    val store = ManifestLog.storeFor(newRoot())
+    ManifestLog.commitIn(store, 0, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("lang_band" -> "lang >= 'de' AND lang < 'zz'")))
+    def strStats(f: String, lo: String, hi: String) =
+      Map(f -> Map("lang" -> ManifestLog.StrStat(lo, hi)))
+    // bounds inside the band prove the constraint
+    ManifestLog.commitIn(store, 1, Seq("data/f1.parquet"), Seq.empty,
+      op = "append", strColStats = strStats("data/f1.parquet", "en", "fr"))
+    // a straddling lower bound cannot prove it
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"), Seq.empty,
+        op = "append",
+        strColStats = strStats("data/f2.parquet", "aa", "fr"))
+    }
+    // the exclusive upper bound is exact for proofs: max == 'zz' fails
+    // `lang < 'zz'`, max == 'zy' passes
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"), Seq.empty,
+        op = "append",
+        strColStats = strStats("data/f2.parquet", "en", "zz"))
+    }
+    ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"), Seq.empty,
+      op = "append", strColStats = strStats("data/f2.parquet", "en", "zy"))
+    // bound-less adds are refused (attest path unchanged)
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 3, Seq("data/f3.parquet"), Seq.empty,
+        op = "append")
+    }
+    // string EQUALITY: only a constant file proves it
+    ManifestLog.commitIn(store, 3, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("one_lang" -> "lang = 'en'")))
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 4, Seq("data/f4.parquet"), Seq.empty,
+        op = "append",
+        strColStats = strStats("data/f4.parquet", "en", "fr"))
+    }
+    ManifestLog.commitIn(store, 4, Seq("data/f4.parquet"), Seq.empty,
+      op = "append", strColStats = strStats("data/f4.parquet", "en", "en"))
+    assert(ManifestLog.versionsIn(store) == (0L to 4L))
+  }
+
   test("a winner that DECLARES metadata (schema or checks) between a " +
       "txn's snapshot and its publish raises LogicalConflict — the " +
       "loser's validation premises are stale (r17 advice)") {

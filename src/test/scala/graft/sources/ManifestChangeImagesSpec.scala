@@ -184,6 +184,47 @@ class ManifestChangeImagesSpec extends AnyFunSuite {
       "a no-change sync must be a pure marker commit")
   }
 
+  test("replicateTo prunes STRING-keyed mirrors by UTF-8 bounds " +
+      "(r17): an untouched-key sync rewrites zero files") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_replica_str").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_replica_str_dst").toString
+    import spark.implicits._
+    def land(sub: String, rows: Seq[(String, Long)]): Seq[String] = {
+      rows.toDF("code", "amount").coalesce(1)
+        .write.parquet(s"$root/$sub")
+      ManifestLog.partFiles(root, sub)
+    }
+    // v0: codes across the alphabet; bootstrap clusters the mirror
+    ManifestLog.commit(root, 0,
+      land("data/v0", Seq(("aa", 1L), ("bb", 2L), ("mm", 3L),
+        ("nn", 4L), ("yy", 5L), ("zz", 6L))), Seq.empty, "write")
+    ManifestLog.replicateTo(spark, root, dst, keys = Seq("code"),
+      mirrorFiles = 3)
+    val v0 = ManifestLog.latestVersion(dst).get
+    assert(ManifestLog.strColStatsAsOf(dst, v0).nonEmpty,
+      "string-keyed mirror files must commit code bounds")
+    // v1: append codes in the 'q' band — no existing mirror file's
+    // bound interval can hold them
+    ManifestLog.commit(root, 1,
+      land("data/v1", Seq(("qa", 7L), ("qb", 8L))), Seq.empty, "append")
+    ManifestLog.replicateTo(spark, root, dst, keys = Seq("code"))
+    val v1 = ManifestLog.latestVersion(dst).get
+    val (_, adds1, removes1) = ManifestLog.changesBetween(dst, v0, v1).head
+    // the mirror is 3 range-clustered files over aa..zz: the 'q' band
+    // may straddle ONE boundary file at most, never the whole mirror
+    assert(removes1.size <= 1,
+      s"string-key prune must bound the rewrite: $removes1")
+    assert(adds1.nonEmpty)
+    // the mirror equals the source snapshot
+    val src = ManifestLog.readVersion(spark, root, 1)
+      .orderBy("code").collect().toSeq
+    val mir = ManifestLog.readVersion(spark, dst, v1)
+      .select("code", "amount").orderBy("code").collect().toSeq
+    assert(mir == src)
+  }
+
   test("a pruned tail fails loudly — images are never silently " +
       "reconstructed over missing actions") {
     val root = fixture()

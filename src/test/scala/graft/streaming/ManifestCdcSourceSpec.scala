@@ -190,4 +190,36 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
     assert(tail.select("_commit_version").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("image-drain offsets persist across restarts: a resumed drain " +
+      "from the same checkpoint admits only versions committed since, " +
+      "and the accumulated images equal the full batch feed (r17)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_img_restart").toString
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_cdc_img_work").toString
+    import spark.implicits._
+    def land(sub: String, rows: Seq[(Long, String)]): Seq[String] = {
+      rows.toDF("id", "payload").coalesce(1).write.parquet(s"$root/$sub")
+      ManifestLog.partFiles(root, sub)
+    }
+    val f0 = land("data/v0", Seq((1L, "a"), (2L, "b")))
+    ManifestLog.commit(root, 0, f0, Seq.empty, "write")
+    val (first, p1) = ManifestSink.cdcImagesDrained(spark, root,
+      keys = Seq("id"), workDir = Some(work))
+    assert(p1.count(_.numInputRows > 0) == 1)
+    assert(first.count() == 2) // v0 inserts
+    // source moves on: a COW rewrite at v1 (update 2, delete 1, add 3)
+    val f1 = land("data/v1", Seq((2L, "B"), (3L, "c")))
+    ManifestLog.commit(root, 1, f1, f0, "merge")
+    val (all, p2) = ManifestSink.cdcImagesDrained(spark, root,
+      keys = Seq("id"), workDir = Some(work))
+    assert(p2.count(_.numInputRows > 0) == 1,
+      "the resumed drain must admit ONLY the new version")
+    val batch = ManifestLog.readChangeImages(spark, root, -1, 1,
+      keys = Seq("id"))
+    assert(all.count() == batch.count())
+    assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty,
+      "accumulated images must equal the full batch feed")
+  }
 }
