@@ -350,6 +350,73 @@ object MorQueries {
         .orderBy("user_id")
     })
 
+  private val streamCdcReplica = GraftQuery(
+    name = "stream_cdc_replica",
+    doc = "CONTINUOUS REPLICATION through Structured Streaming (r17) " +
+      "- lake_cdc_replica's sync loop driven by the version-cursor " +
+      "stream: each micro-batch calls replicateTo up to its admitted " +
+      "version, so the mirror follows the source one KEY-PRUNED, " +
+      "marker-committed sync per trigger (the MOR ladder's 4 " +
+      "versions = 4 real micro-batches: bootstrap, the DV delete's " +
+      "images, the merge's, and the compaction's zero images as a " +
+      "pure marker advance). Exactly-once needs NOTHING from the " +
+      "streaming checkpoint - the cursor is the MIRROR log's txn " +
+      "marker, so a replayed batch or a whole re-drain against a " +
+      "FRESH checkpoint (total checkpoint loss) no-ops sync by sync " +
+      "- the BUILDER proves exactly that on every build (drain, then " +
+      "a second full drain with a fresh checkpoint that must leave " +
+      "the mirror version unchanged; ManifestCdcSourceSpec pins the " +
+      "same plus row-level equality). Oracle: the mirror's final " +
+      "state must " +
+      "equal the source's composed raw-corpus replay - a doubled " +
+      "sync, lost delete, or mis-ordered image fails the per-user " +
+      "hash. At 100 TB this is a follower table maintained for the " +
+      "cost of each trigger's delta, never a snapshot copy.",
+    oracle = Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id,
+               CASE WHEN user_id BETWEEN $MrgLo AND $MrgHi
+                         AND event_id % 5 = 0
+                    THEN value + 1000.0 ELSE value END AS value
+        FROM events
+        WHERE NOT (user_id BETWEEN $DelLo AND $DelHi AND event_id % 7 = 0))
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val dst = streamReplicaRoot(s, dir)
+      ManifestLog.readVersion(s, dst,
+          ManifestLog.latestVersion(dst).get)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
+  /** The streaming-maintained mirror, drained once per JVM (the same
+    * cached-builder convention as [[replicaRoot]] — the ladder's
+    * bootstrap sync writes the whole corpus, a one-time cost a
+    * production follower pays once per table): 4 versions as 4 real
+    * micro-batch syncs, then a SECOND full drain against a FRESH
+    * checkpoint that must no-op sync by sync on the mirror's txn
+    * markers — the total-checkpoint-loss replay, proven on every
+    * build. */
+  def streamReplicaRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_stream_replica", dir) { dst =>
+      val src = morRoot(s, dir)
+      val progress = graft.streaming.ManifestSink
+        .streamingReplicaDrained(s, src, dst, keys = Seq("event_id"))
+      require(progress.count(_.numInputRows > 0) == 4,
+        s"the 4-version ladder must stream as 4 real syncs: " +
+          s"${progress.map(_.numInputRows).toList}")
+      val v = ManifestLog.latestVersion(dst).get
+      graft.streaming.ManifestSink
+        .streamingReplicaDrained(s, src, dst, keys = Seq("event_id"))
+      require(ManifestLog.latestVersion(dst).contains(v),
+        "a re-drain against a fresh checkpoint must no-op every sync")
+    }
+
   val all: Seq[GraftQuery] =
-    Seq(deleteDv, mergeMor, dvCompaction, cdcMor, cdcReplica)
+    Seq(deleteDv, mergeMor, dvCompaction, cdcMor, cdcReplica,
+      streamCdcReplica)
 }

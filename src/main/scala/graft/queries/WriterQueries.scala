@@ -288,7 +288,45 @@ object WriterQueries {
         .orderBy("user_id")
     })
 
+  private val joinDfpStrings = GraftQuery(
+    name = "lake_join_dfp_strings",
+    doc = "STRING-keyed DYNAMIC FILE PRUNING (r17) - lake_join_dfp's " +
+      "runtime prune for the join keys real curation pipelines " +
+      "actually carry (language / category / country codes): the dim " +
+      "side is a RUNTIME aggregation (the 3 smallest languages by " +
+      "total characters - unknowable at plan time), its collected " +
+      "keys prune the lang-clustered manifest table's files through " +
+      "the UTF-8 string bounds (readVersionStrKeys -> " +
+      "filesMatchingStrKeysIn; bounds-less files are must-read, no " +
+      "bloom class - blooms are long-keyed), and the join still " +
+      "applies exact equality so a prune false-positive costs one " +
+      "file's IO, never a row. PlanSpec pins the post-prune file " +
+      "count against the committed live set. At 100 TB: a 3-language " +
+      "dim reads 3 languages' files out of a lang-clustered corpus " +
+      "before any fact IO. Oracle replays the runtime dim derivation " +
+      "AND the join over the raw corpus - a wrongly pruned file " +
+      "fails the per-language hash.",
+    oracle = Some("""
+      WITH d AS (SELECT lang FROM documents GROUP BY lang
+                 ORDER BY SUM(n_chars), lang LIMIT 3)
+      SELECT doc.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents doc JOIN d USING (lang)
+      GROUP BY doc.lang ORDER BY lang"""),
+    run = (s, dir) => {
+      val root = strSkipRoot(s, dir)
+      val dim = table(s, dir, "documents")
+        .groupBy("lang").agg(sum("n_chars").as("t"))
+        .orderBy(col("t"), col("lang")).limit(3).select("lang")
+      val fact = ManifestLog.readVersionStrKeys(s, root, 0, "lang", dim)
+      fact.join(broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    })
+
   val all: Seq[GraftQuery] =
     Seq(writeSinglePass, singlePassBloom, singlePassDates,
-      skippingStrings, singlePassDecimal)
+      skippingStrings, singlePassDecimal, joinDfpStrings)
 }

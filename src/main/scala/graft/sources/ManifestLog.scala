@@ -1071,6 +1071,28 @@ object ManifestLog {
       dvsAsOf(root, version))
   }
 
+  /** STRING twin of [[readVersionKeys]] (r17): snapshot read pruned by
+    * a runtime STRING key set through [[filesMatchingStrKeysIn]] —
+    * dynamic file pruning for category/language/country-style join
+    * keys, where the dim's keys are only known after a runtime
+    * computation. Same loud dim-size bound; the join still applies
+    * exact equality, so the prune only shrinks IO. */
+  def readVersionStrKeys(spark: SparkSession, root: String,
+      version: Long, column: String, keys: DataFrame,
+      maxKeys: Int = 100000): DataFrame = {
+    val k = keys.distinct().collect().iterator
+      .filterNot(_.isNullAt(0)).map(_.getString(0)).toSeq
+    require(k.nonEmpty, "dynamic file pruning needs a non-empty key set")
+    require(k.size <= maxKeys,
+      s"dim key set has ${k.size} keys (> $maxKeys) — too large for " +
+        "file-level pruning; use a row-level runtime bloom filter instead")
+    val matching =
+      filesMatchingStrKeysIn(storeFor(root), root, version, column, k)
+    val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
+    readFilesIndexed(spark, root, files, colStatsAsOf(root, version),
+      dvsAsOf(root, version))
+  }
+
   /** Snapshot read AS OF `version` pruned to the files whose bloom for
     * `column` might contain `value` (see [[filesMatchingPoint]]); the
     * caller still applies the exact equality predicate. Falls back to
@@ -1490,8 +1512,15 @@ object ManifestLog {
     * version now mirrored. */
   def replicateTo(spark: SparkSession, srcRoot: String, dstRoot: String,
       keys: Seq[String], upTo: Option[Long] = None,
-      appId: String = "graft_replica", mirrorFiles: Int = 8,
+      appId: String = "graft_replica", mirrorFiles: Int = 0,
       maxAttempts: Int = 5): Long = {
+    // mirrorFiles <= 0 = auto: at least the cluster's parallelism, so
+    // a corpus-sized BOOTSTRAP sync writes with every core (8 files
+    // was a serialization chokepoint at the 100x rung) while trickle
+    // syncs still land small clustered files
+    val nMirrorFiles =
+      if (mirrorFiles > 0) mirrorFiles
+      else math.max(8, spark.sparkContext.defaultParallelism)
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -1568,7 +1597,7 @@ object ManifestLog {
         val sub =
           s"data/r$to-${java.util.UUID.randomUUID().toString.take(8)}"
         val summaries = SinglePassWriter.writeFiles(
-          next.repartitionByRange(mirrorFiles, col(keyCol)),
+          next.repartitionByRange(nMirrorFiles, col(keyCol)),
           dstRoot, sub, statsCols, strStatsCols = strStatsCols)
         try {
           // attested: every mirrored row already passed the SOURCE

@@ -257,4 +257,45 @@ object ManifestSink {
       s"image drain admitted no versions from $root")
     (ds.read.parquet(s"$out/data/*"), q.recentProgress.toSeq)
   }
+
+  /** CONTINUOUS REPLICATION (r17): the version-cursor stream driving
+    * [[ManifestLog.replicateTo]] once per micro-batch — a mirror
+    * table maintained by Structured Streaming, each sync key-pruned
+    * and atomically marker-committed. Exactly-once needs NOTHING from
+    * the streaming checkpoint: the sync cursor lives in the MIRROR's
+    * own log (the txn marker), so a replayed batch — or a whole drain
+    * re-run against a FRESH checkpoint after total checkpoint loss —
+    * no-ops sync by sync instead of double-applying
+    * (ManifestCdcSourceSpec pins exactly that). Returns the run's
+    * real micro-batch progress. */
+  def streamingReplicaDrained(spark: SparkSession, srcRoot: String,
+      dstRoot: String, keys: Seq[String],
+      maxVersionsPerTrigger: Long = 1L,
+      workDir: Option[String] = None)
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    val ds = EventStream.drainSession(spark)
+    val cursor = ds.readStream
+      .format(classOf[graft.sources.cdc.ManifestCdcProvider].getName)
+      .option("path", srcRoot)
+      .option("mode", "versions")
+      .option("startingVersion", "-1")
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+      .load()
+    val out = workDir.getOrElse(graft.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory(
+        s"graft_cdc_repl_${imagesDrainId.incrementAndGet()}")).toString)
+    val q = cursor.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.select("version").collect().map(_.getLong(0))
+        if (vs.nonEmpty) {
+          ManifestLog.replicateTo(batch.sparkSession, srcRoot, dstRoot,
+            keys, upTo = Some(vs.max))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.recentProgress.toSeq
+  }
 }

@@ -41,7 +41,7 @@ class PlanSpec extends AnyFunSuite {
       "lake_singlepass_dates", "lake_singlepass_decimal",
       "lake_skipping_strings", "lake_snapshot_bytimestamp",
       "lake_snapshot_partitioned", "lake_write_singlepass",
-      "stream_sink_point")
+      "lake_join_dfp_strings", "stream_sink_point")
     manifestRows.foreach { name =>
       // pre-AQE plan: an empty-result row (the sf0.001 point lookup)
       // AQE-collapses to EmptyRelation in the FINAL plan, erasing the
@@ -82,6 +82,22 @@ class PlanSpec extends AnyFunSuite {
       graft.sources.ManifestLog.latestVersion(root).get).size
     assert(pruned < total,
       s"DFP must prune the fact files: read $pruned of $total")
+  }
+
+  test("string-keyed DFP prunes the lang-clustered fact scan to the " +
+      "dim languages' files (file-count pin, r17)") {
+    val df = Registry.byName("lake_join_dfp_strings").run(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val manifestScan = scans.find(
+      _.relation.location.isInstanceOf[graft.sources.ManifestFileIndex])
+      .getOrElse(fail(s"no manifest scan in lake_join_dfp_strings"))
+    val pruned = manifestScan.selectedPartitions.totalNumberOfFiles
+    val root = queries.WriterQueries.strSkipRoot(spark, dir)
+    val total = graft.sources.ManifestLog.filesAsOf(root, 0).size
+    assert(pruned < total,
+      s"string DFP must prune the fact files: read $pruned of $total")
   }
 
   test("recursive CTE SQL never degenerates to a cartesian loop") {

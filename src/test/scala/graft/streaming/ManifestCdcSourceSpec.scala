@@ -191,6 +191,36 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("streaming replication is exactly-once WITHOUT its streaming " +
+      "checkpoint: a whole re-drain against a fresh checkpoint " +
+      "re-delivers every version and every sync no-ops on the " +
+      "mirror's txn marker (r17)") {
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.queries.MorQueries.morRoot(spark, dir)
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_stream_repl_dst").toString
+    val p1 = ManifestSink.streamingReplicaDrained(spark, src, dst,
+      keys = Seq("event_id"))
+    assert(p1.count(_.numInputRows > 0) == 4)
+    val vAfter = ManifestLog.latestVersion(dst).get
+    // mirror == source latest snapshot, row for row
+    val srcRows = ManifestLog.readVersion(spark, src, 3)
+      .orderBy("event_id")
+    val mirRows = ManifestLog.readVersion(spark, dst, vAfter)
+      .select(srcRows.columns.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("event_id")
+    assert(mirRows.exceptAll(srcRows).isEmpty &&
+      srcRows.exceptAll(mirRows).isEmpty)
+    // TOTAL streaming-checkpoint loss: a fresh drain re-delivers all
+    // 4 versions; every sync must no-op via the mirror's txn marker
+    val p2 = ManifestSink.streamingReplicaDrained(spark, src, dst,
+      keys = Seq("event_id"))
+    assert(p2.count(_.numInputRows > 0) == 4,
+      "the fresh checkpoint re-delivers everything")
+    assert(ManifestLog.latestVersion(dst).contains(vAfter),
+      "replayed syncs must not advance the mirror")
+  }
+
   test("image-drain offsets persist across restarts: a resumed drain " +
       "from the same checkpoint admits only versions committed since, " +
       "and the accumulated images equal the full batch feed (r17)") {
