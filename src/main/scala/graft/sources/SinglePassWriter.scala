@@ -39,10 +39,12 @@ import graft.sources.ManifestLog.{BloomRef, CheckpointPolicy, FileStat}
   * lets the stats fold live inside the row loop. Supported column
   * types: LONG, INT, DOUBLE, STRING, BOOLEAN, TIMESTAMP (INT64 µs
   * UTC), DATE (INT32 epoch days), DECIMAL(p<=18) (INT64 unscaled,
-  * r17); `statsCols` must be integral, timestamp or date (their
-  * canonical long images match the pushed-down literals, so
-  * planning-time pruning composes); `strStatsCols` (r17) fold
-  * UTF-8-ordered string bounds for the FileIndex's string prune.
+  * r17); `statsCols` must be integral, timestamp, date or double
+  * (canonical long images — doubles via the IEEE sortable-bits
+  * transform — match what the FileIndex's predicate extractor
+  * produces for pushed-down literals, so planning-time pruning
+  * composes); `strStatsCols` (r17) fold UTF-8-ordered string bounds
+  * for the FileIndex's string prune.
   * Task retries are idempotent: deterministic file names per
   * partition, OVERWRITE mode, and sidecar bytes that are a pure
   * function of the partition's value set. */
@@ -182,12 +184,24 @@ object SinglePassWriter {
     // stats/bloom columns need a canonical long image: integrals as
     // themselves, timestamps as epoch-µs, dates as epoch days — the
     // SAME longs Catalyst's pushed-down literals carry for those
-    // types, so the planning-time range prune composes unchanged
+    // types, so the planning-time range prune composes unchanged.
+    // DOUBLES (r17) fold their IEEE sortable-bits image
+    // ([[ManifestFileIndex.dblKey]] — monotone, -0.0-normalized,
+    // NaN above +Inf per Spark's ordering), the image the index's
+    // predicate extractor produces for pushed-down double literals;
+    // blooms stay integral-only (a point lookup on a float key is a
+    // bug in the caller, not a use case).
     val integral: Set[DataType] =
       Set(LongType, IntegerType, TimestampType, DateType)
-    (statsCols ++ bloomCol).foreach { c =>
+    statsCols.foreach { c =>
+      require(integral(schema(c).dataType) ||
+          schema(c).dataType == DoubleType,
+        s"stats column $c must be integral/timestamp/date/double, " +
+          s"got ${schema(c).dataType}")
+    }
+    bloomCol.foreach { c =>
       require(integral(schema(c).dataType),
-        s"stats/bloom column $c must be integral/timestamp/date, " +
+        s"bloom column $c must be integral/timestamp/date, " +
           s"got ${schema(c).dataType}")
     }
     val statIdx = statsCols.map(schema.fieldIndex)
@@ -230,6 +244,10 @@ object SinglePassWriter {
               val t = row.getTimestamp(i)
               t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
             case DateType => row.getDate(i).toLocalDate.toEpochDay
+            // the sortable-bits image; min/max comparisons below run
+            // in IMAGE space, so NaN rows fold correctly (double-space
+            // < / > would let NaN poison the bounds)
+            case DoubleType => ManifestFileIndex.dblKey(row.getDouble(i))
             case _ => row.getLong(i)
           }
         rows.foreach { row =>

@@ -39,7 +39,8 @@ class PlanSpec extends AnyFunSuite {
       "lake_join_dpp_manifest", "lake_manifest_evolution",
       "lake_merge_mor", "lake_optimize_zorder", "lake_singlepass_bloom",
       "lake_singlepass_dates", "lake_singlepass_decimal",
-      "lake_skipping_strings", "lake_snapshot_bytimestamp",
+      "lake_skipping_strings", "lake_skipping_doubles",
+      "lake_snapshot_bytimestamp",
       "lake_snapshot_partitioned", "lake_write_singlepass",
       "lake_join_dfp_strings", "stream_sink_point")
     manifestRows.foreach { name =>
@@ -98,6 +99,24 @@ class PlanSpec extends AnyFunSuite {
     val total = graft.sources.ManifestLog.filesAsOf(root, 0).size
     assert(pruned < total,
       s"string DFP must prune the fact files: read $pruned of $total")
+  }
+
+  test("double data skipping prunes the price-clustered scan at " +
+      "planning time (file-count pin, r17)") {
+    val df = Registry.byName("lake_skipping_doubles").run(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val manifestScan = scans.find(
+      _.relation.location.isInstanceOf[graft.sources.ManifestFileIndex])
+      .getOrElse(fail(s"no manifest scan in lake_skipping_doubles"))
+    // the pushed-down price band must prune during PLANNING — the
+    // scan's selected partitions are the post-prune set
+    val pruned = manifestScan.selectedPartitions.totalNumberOfFiles
+    val root = queries.WriterQueries.dblSkipRoot(spark, dir)
+    val total = graft.sources.ManifestLog.filesAsOf(root, 0).size
+    assert(pruned < total,
+      s"double stats must prune the price files: read $pruned of $total")
   }
 
   test("recursive CTE SQL never degenerates to a cartesian loop") {

@@ -163,6 +163,73 @@ class ManifestFileIndexSpec extends AnyFunSuite {
     assert(names(Seq(EqualTo(t, lit("x")))).size == 3)
   }
 
+  // ---- double bounds (r17) ----
+
+  test("double range extraction: literals ride as sortable-bits " +
+      "images, strict bounds step one ULP, IN bounds by value order, " +
+      "NaN/-0.0 calibrated to Spark's comparison semantics") {
+    import org.apache.spark.sql.types.DoubleType
+    val key = ManifestFileIndex.dblKey _
+    val p = AttributeReference("price", DoubleType)()
+    def lit(v: Double) = Literal(v, DoubleType)
+    def r(es: Expression*) = ManifestFileIndex.ranges(es)
+    assert(r(EqualTo(p, lit(2.5))) ==
+      Map("price" -> (key(2.5), key(2.5))))
+    // x > 2.5 ⇒ lo = image(nextUp 2.5) — exact, because adjacent
+    // doubles map to adjacent longs
+    assert(r(GreaterThan(p, lit(2.5))) ==
+      Map("price" -> (key(Math.nextUp(2.5)), Long.MaxValue)))
+    assert(r(LessThan(p, lit(-1.5))) ==
+      Map("price" -> (Long.MinValue, key(Math.nextDown(-1.5)))))
+    // a band arrives as two conjuncts and intersects in image space
+    assert(r(GreaterThanOrEqual(p, lit(1.0)),
+      LessThan(p, lit(2.0))) ==
+      Map("price" -> (key(1.0), key(Math.nextDown(2.0)))))
+    assert(r(In(p, Seq(lit(7.5), lit(-3.0), lit(0.25)))) ==
+      Map("price" -> (key(-3.0), key(7.5))))
+    // -0.0 and 0.0 share one image (Spark compares them equal)
+    assert(r(EqualTo(p, lit(-0.0))) ==
+      Map("price" -> (key(0.0), key(0.0))))
+    // NaN sits above +Infinity (Spark: larger than any other value)
+    assert(key(Double.NaN) > key(Double.PositiveInfinity))
+  }
+
+  test("listFiles prunes by double stats: band drops out-of-range " +
+      "files, an all-NaN file survives x > v and prunes under " +
+      "x < v, stats-less files are must-read") {
+    import org.apache.spark.sql.types.DoubleType
+    val key = ManifestFileIndex.dblKey _
+    val entries = Seq(
+      ManifestFileEntry("data/neg.parquet", 10,
+        Map("price" -> FileStat(key(-9.0), key(-1.0)))),
+      ManifestFileEntry("data/low.parquet", 10,
+        Map("price" -> FileStat(key(0.5), key(4.75)))),
+      ManifestFileEntry("data/high.parquet", 10,
+        Map("price" -> FileStat(key(100.25), key(900.0)))),
+      ManifestFileEntry("data/nan.parquet", 10,
+        Map("price" -> FileStat(key(Double.NaN), key(Double.NaN)))),
+      ManifestFileEntry("data/legacy.parquet", 10))
+    val idx = new ManifestFileIndex("/tmp/mfi_dbl_unit", entries)
+    val p = AttributeReference("price", DoubleType)()
+    def lit(v: Double) = Literal(v, DoubleType)
+    def names(filters: Seq[Expression]) =
+      idx.listFiles(Nil, filters).flatMap(_.files)
+        .map(_.getPath.getName).sorted
+    assert(names(Seq(LessThan(p, lit(5.0)))) ==
+      Seq("legacy.parquet", "low.parquet", "neg.parquet"))
+    assert(names(Seq(GreaterThan(p, lit(50.0)))) ==
+      Seq("high.parquet", "legacy.parquet", "nan.parquet"))
+    assert(names(Seq(EqualTo(p, lit(0.5)))) ==
+      Seq("legacy.parquet", "low.parquet"))
+    // closed-boundary intersection: max == literal survives <=
+    assert(names(Seq(LessThanOrEqual(p, lit(-9.0)))) ==
+      Seq("legacy.parquet", "neg.parquet"))
+    // negative band: image order matches double order below zero
+    assert(names(Seq(GreaterThanOrEqual(p, lit(-5.0)),
+      LessThan(p, lit(0.0)))) ==
+      Seq("legacy.parquet", "neg.parquet"))
+  }
+
   // ---- end-to-end: plan shape + row parity on a real table ----
 
   private def scanOf(df: DataFrame): FileSourceScanExec =

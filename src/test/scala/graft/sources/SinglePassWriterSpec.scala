@@ -163,17 +163,66 @@ class SinglePassWriterSpec extends AnyFunSuite {
     }
   }
 
-  test("unsupported column and non-integral stats columns fail loud") {
+  test("unsupported column and non-statable stats columns fail loud") {
     import spark.implicits._
     val root = newRoot()
     intercept[IllegalArgumentException] {
       SinglePassWriter.writeCommit(
         Seq((1L, BigDecimal(1))).toDF("k", "dec"), root, "d", 0)
     }
+    // a STRING column in the integral/double stats list is a caller
+    // bug (string bounds have their own fold + storage: strStatsCols)
+    intercept[IllegalArgumentException] {
+      SinglePassWriter.writeCommit(
+        Seq((1L, "x")).toDF("k", "s"), root, "d", 0,
+        statsCols = Seq("s"))
+    }
+    // blooms stay integral-only — a double bloom key is refused
     intercept[IllegalArgumentException] {
       SinglePassWriter.writeCommit(
         Seq((1L, 1.5)).toDF("k", "d"), root, "d", 0,
-        statsCols = Seq("d"))
+        bloomCol = Some("d"))
     }
+  }
+
+  test("double stats (r17): the write loop folds IEEE sortable-bits " +
+      "[min,max] images that match an independent read-back, NaN " +
+      "folds above +Inf, -0.0 collapses onto +0.0, and all-null " +
+      "double columns commit no entry") {
+    import spark.implicits._
+    val key = ManifestFileIndex.dblKey _
+    val root = newRoot()
+    SinglePassWriter.writeCommit(
+      Seq(-2.5, -0.0, 3.25, Double.NaN, 0.5)
+        .toDF("price").coalesce(1),
+      root, "data/v0", 0, statsCols = Seq("price"))
+    val st = ManifestLog.colStatsAsOf(root, 0).values.head("price")
+    // min is -2.5's image; max is NaN's (above +Infinity's) — the
+    // Spark ordering where NaN is larger than any other value
+    assert(st.min == key(-2.5) && st.max == key(Double.NaN))
+    assert(key(Double.NaN) > key(Double.PositiveInfinity))
+    assert(key(-0.0) == key(0.0))
+    // adjacency: strict-bound succ/pred arithmetic is exact in
+    // image space
+    assert(key(Math.nextUp(3.25)) == key(3.25) + 1)
+    assert(key(Math.nextUp(-2.5)) == key(-2.5) + 1)
+    // monotone across the sign boundary
+    val ordered = Seq(Double.NegativeInfinity, -1.0e300, -2.5,
+      -1.0e-300, 0.0, 1.0e-300, 3.25, 1.0e300,
+      Double.PositiveInfinity, Double.NaN)
+    assert(ordered.map(key) == ordered.map(key).sorted)
+    // round trip: the persisted doubles are bit-exact (NaN included)
+    val back = ManifestLog.readVersion(spark, root, 0)
+      .collect().map(_.getDouble(0))
+    assert(back.count(_.isNaN) == 1)
+    assert(back.filterNot(_.isNaN).sorted.toSeq ==
+      Seq(-2.5, -0.0, 0.5, 3.25))
+    // all-null double column: no entry, never an inverted sentinel
+    val root2 = newRoot()
+    SinglePassWriter.writeCommit(
+      Seq((1L, Option.empty[Double])).toDF("k", "d").coalesce(1),
+      root2, "data/v0", 0, statsCols = Seq("d"))
+    assert(!ManifestLog.colStatsAsOf(root2, 0)
+      .values.exists(_.contains("d")))
   }
 }
