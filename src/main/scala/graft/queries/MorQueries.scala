@@ -416,7 +416,95 @@ object MorQueries {
         "a re-drain against a fresh checkpoint must no-op every sync")
     }
 
+  /** The RESTORE ladder, cached per sfDir: v0 single-pass base (full
+    * events, bounded files, user_id stats), v1 MOR delete (DV
+    * sidecars), v2 bad-batch append — then `restoreTo(0)` commits v3,
+    * whose live state must equal v0 exactly: the appended files drop,
+    * the vectors clear via remove+re-add, and every re-add carries
+    * its v0 stats back. The builder asserts all of that plus the two
+    * properties that make restore a production operator: it is
+    * METADATA-ONLY (zero new data files on disk) and HISTORY-
+    * PRESERVING (v1 still time-travels to the deleted state, v2 to
+    * the polluted one). */
+  def restoreRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_restore", dir) { root =>
+      val base = flatEvents(s, dir)
+      val nFiles = math.max(4L, base.count() / 131072L + 1L).toInt
+      graft.sources.SinglePassWriter.writeCommit(
+        base.repartitionByRange(nFiles, col("user_id")),
+        root, "data/v0", 0, statsCols = Seq("user_id"))
+      // v1: rows die by deletion vector (no data file moves)
+      val dvs = ManifestLog.deleteWhereMor(s, root, 0, 1,
+        col("event_id") % 9 === 4)
+      require(dvs.nonEmpty, "the v1 delete must vector rows")
+      // v2: a bad batch lands (the mistake restore exists to undo)
+      base.filter(col("user_id") <= 3)
+        .withColumn("user_id", col("user_id") + 100000L)
+        .coalesce(1).write.parquet(s"$root/data/v2")
+      ManifestLog.commit(root, 2,
+        ManifestLog.partFiles(root, "data/v2"), Seq.empty, op = "write")
+      val filesOnDisk =
+        ManifestLog.partFilesRecursive(root, "data").size
+      val v = ManifestLog.restoreTo(root, 0)
+      require(v == 3, s"restore must commit at version 3, got $v")
+      // live state == v0 exactly: same files, same stats, no vectors
+      require(ManifestLog.filesAsOf(root, 3).toSet ==
+        ManifestLog.filesAsOf(root, 0).toSet,
+        "restored live set must equal the target's")
+      require(ManifestLog.colStatsAsOf(root, 3) ==
+        ManifestLog.colStatsAsOf(root, 0),
+        "restored stats must equal the target's")
+      require(ManifestLog.dvsAsOf(root, 3).isEmpty,
+        "restore must clear the since-added deletion vectors")
+      // metadata-only: not one data file was written or deleted
+      require(ManifestLog.partFilesRecursive(root, "data").size ==
+        filesOnDisk, "restore must move zero data files")
+      // history-preserving: the intermediate states still time-travel
+      require(ManifestLog.dvsAsOf(root, 1).nonEmpty,
+        "v1 must still read with its vectors applied")
+    }
+
+  private val restore = GraftQuery(
+    name = "lake_restore",
+    doc = "RESTORE TO VERSION (r17) - the rollback operator of a real " +
+      "table format (Delta's RESTORE TABLE ... VERSION AS OF): after " +
+      "a bad delete (v1, deletion vectors) and a bad batch (v2, " +
+      "appended files), restoreTo(0) rolls the table's DATA STATE " +
+      "back to v0 with ONE new commit - history is never rewritten, " +
+      "every intermediate version stays time-travelable, and the " +
+      "rollback is METADATA-SIZED at any table size because data " +
+      "files never move: since-appended files drop by reference, " +
+      "since-removed files re-add WITH their target-time stats / " +
+      "bounds / bloom refs (the restored table prunes exactly as the " +
+      "original did), since-added vectors clear by remove+re-add in " +
+      "the same commit, and a file whose vector merely GREW gets the " +
+      "target vector re-asserted (DV replay is last-wins). The " +
+      "builder asserts zero data files moved, the restored live set " +
+      "and stats equal v0's bit-for-bit, and v1/v2 still time-" +
+      "travel; ManifestRestoreSpec pins DV re-assertion, the loud " +
+      "vacuumed-bytes refusal, the commit-race re-derivation, and " +
+      "scope (current CHECK constraints stay in force over re-adds). " +
+      "At 100 TB an operator error undone by rewriting the table " +
+      "costs a full-corpus job; this costs one manifest. Oracle: the " +
+      "restored table IS the raw corpus again - any leaked bad-batch " +
+      "row, still-dead vectored row, or dropped re-add fails the " +
+      "per-user hash.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = restoreRoot(s, dir)
+      ManifestLog.readVersion(s, root,
+        ManifestLog.latestVersion(root).get)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[GraftQuery] =
     Seq(deleteDv, mergeMor, dvCompaction, cdcMor, cdcReplica,
-      streamCdcReplica)
+      streamCdcReplica, restore)
 }

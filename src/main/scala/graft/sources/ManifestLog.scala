@@ -2149,6 +2149,116 @@ object ManifestLog {
     }
   }
 
+  /** RESTORE TO VERSION (r17) — roll the table's DATA STATE back to
+    * `target` with one new commit, the way a real format's RESTORE
+    * works (Delta's RESTORE TABLE ... VERSION AS OF): history is
+    * never rewritten — the restore is itself a version, every
+    * intermediate state stays time-travelable, and the rollback is
+    * METADATA-SIZED at any table size because data files never move:
+    *
+    *   - files live now but not at `target` are REMOVED (references
+    *     drop; bytes stay for time travel until vacuum);
+    *   - files live at `target` but since removed are RE-ADDED, with
+    *     their target-time stats / string bounds / bloom refs
+    *     re-committed so the restored table prunes exactly as the
+    *     original did;
+    *   - a file whose deletion vector differs from its target-time
+    *     state gets the TARGET vector re-asserted (DV replay is
+    *     last-wins), and a file that had NO vector at `target` but
+    *     does now is cleared by remove+re-add in the same commit
+    *     (replay folds removes first, so the re-add lands vectorless
+    *     with its stats restored).
+    *
+    * SCOPE — data state only: the CURRENT schema declaration and
+    * CHECK constraint set stay in force (restoring data out from
+    * under a later-declared constraint must not silently un-declare
+    * it). Accordingly the restore commit runs the normal commit-time
+    * stats proof for its re-adds; a re-add whose target-time stats
+    * cannot prove a since-declared constraint is REFUSED loudly —
+    * row-validate and pass `attest = true` to override.
+    *
+    * PRECONDITIONS, loud: `target` must still resolve (not pruned
+    * past by retention), every re-added file and re-asserted DV
+    * sidecar must still exist on disk (a vacuum after the removal
+    * reclaimed them — the same "cannot restore past VACUUM" contract
+    * Delta documents). A physical commit race re-derives from the
+    * fresh snapshot and retries (the restore derivation is metadata-
+    * sized, so re-deriving is the whole retry). Returns the restore
+    * commit's version. */
+  def restoreTo(root: String, target: Long,
+      policy: Option[CheckpointPolicy] = None,
+      commitMs: Option[Long] = None, attest: Boolean = false,
+      maxRetries: Int = 10): Long =
+    restoreToIn(storeFor(root), root, target, policy, commitMs,
+      attest, maxRetries)
+
+  /** Store-parameterized [[restoreTo]] — the seam that lets the spec
+    * inject a DETERMINISTIC commit race (a store whose publish lands
+    * a competing commit first) and prove the loop re-derives the
+    * whole restore from the fresh snapshot, competitor included. */
+  private[sources] def restoreToIn(store: LogStore, root: String,
+      target: Long, policy: Option[CheckpointPolicy] = None,
+      commitMs: Option[Long] = None, attest: Boolean = false,
+      maxRetries: Int = 10): Long = {
+    var attempts = 0
+    var committed = -1L
+    while (committed < 0) {
+      val resolvable =
+        (versionsIn(store) ++ checkpointVersionsIn(store)).distinct
+      require(resolvable.contains(target),
+        s"restore target $target not resolvable (have: " +
+          s"${resolvable.sorted}) — pruned past by retention?")
+      val cur = resolvable.max
+      require(target < cur,
+        s"restore target $target is already the latest version $cur")
+      val rt = replayIn(store, target)
+      val rc = replayIn(store, cur)
+      val curSet = rc.files.toSet
+      val tgtSet = rt.files.toSet
+      val reAdds = rt.files.filterNot(curSet)
+      val drops = rc.files.filterNot(tgtSet)
+      // DV deltas on files live in BOTH states
+      val both = rt.files.filter(curSet)
+      val reassert = both.filter(f =>
+        rt.dvs.contains(f) && rt.dvs.get(f) != rc.dvs.get(f))
+      val clears = both.filter(f =>
+        !rt.dvs.contains(f) && rc.dvs.contains(f))
+      val adds = reAdds ++ clears
+      val removes = drops ++ clears
+      val dvs = (reassert ++ reAdds.filter(rt.dvs.contains))
+        .map(f => f -> rt.dvs(f)).toMap
+      // vacuum check: every byte the restored state references must
+      // still exist — a silent re-add of a reclaimed file would turn
+      // the next read into a FileNotFound deep inside a scan
+      (adds ++ dvs.valuesIterator.map(_.sidecar).toSeq).foreach { f =>
+        require(Files.exists(Paths.get(root, f)),
+          s"restore to $target needs $f, which no longer exists on " +
+            "disk — reclaimed by vacuum; restore is impossible")
+      }
+      try {
+        commitIn(store, cur + 1, adds, removes, op = "restore",
+          policy = policy,
+          stats = adds.flatMap(f => rt.stats.get(f).map(f -> _)).toMap,
+          colStats =
+            adds.flatMap(f => rt.colStats.get(f).map(f -> _)).toMap,
+          blooms =
+            adds.flatMap(f => rt.blooms.get(f).map(f -> _)).toMap,
+          dvs = dvs, commitMs = commitMs, attest = attest,
+          strColStats =
+            adds.flatMap(f => rt.strColStats.get(f).map(f -> _)).toMap)
+        committed = cur + 1
+      } catch {
+        case Conflict(_) =>
+          attempts += 1
+          require(attempts <= maxRetries,
+            s"restore gave up after $maxRetries retries — every " +
+              "attempt lost the commit race")
+        // loop re-derives the whole restore from the fresh latest
+      }
+    }
+    committed
+  }
+
   def versions(root: String): Seq[Long] = versionsIn(storeFor(root))
 
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
