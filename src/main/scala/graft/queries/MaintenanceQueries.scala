@@ -1477,11 +1477,93 @@ object MaintenanceQueries {
         .orderBy("user_id")
     })
 
+  /** The shallow-clone divergence ladder, cached per sfDir: the
+    * single-pass events table clones by reference (v0, zero data
+    * IO), a shifted-user batch appends locally (v1), and a MOR
+    * delete spans cloned refs AND the local batch (v2) — vectors for
+    * cloned files land under the clone's ext/, never beside the
+    * source's bytes. The builder asserts the bootstrap wrote zero
+    * data files, the delete vectored at least one cloned ref, and
+    * the SOURCE is untouched (same file bytes count, same log). */
+  def cloneRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_clone", dir) { dst =>
+      import graft.sources.{ManifestLog, SinglePassWriter}
+      val src = WriterQueries.singlePassRoot(s, dir)
+      val srcFiles = ManifestLog.partFilesRecursive(src, "").size
+      val srcVersions = ManifestLog.versions(src)
+      ManifestLog.cloneShallow(src, dst, 0)
+      require(ManifestLog.partFilesRecursive(dst, "").isEmpty,
+        "a shallow clone's bootstrap must write zero data files")
+      // v1: local divergence — users shifted by 1000 (same schema,
+      // same column order as the cloned files)
+      SinglePassWriter.writeCommit(
+        table(s, dir, "events")
+          .filter(col("user_id") <= 4)
+          .select((col("user_id") + 1000L).as("user_id"),
+            col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("value"))
+          .repartitionByRange(2, col("user_id")),
+        dst, "data/v1", 1, statsCols = Seq("user_id"))
+      // v2: a MOR delete across cloned refs and the local batch
+      val dvs = ManifestLog.deleteWhereMor(s, dst, 1, 2,
+        col("event_id") % 11 === 5)
+      require(dvs.keys.exists(_.startsWith("/")),
+        s"the delete must vector at least one cloned ref: $dvs")
+      require(ManifestLog.partFilesRecursive(src, "").size == srcFiles
+          && ManifestLog.versions(src) == srcVersions,
+        "the clone's divergence must leave the source untouched")
+    }
+
+  private val cloneShallowQ = GraftQuery(
+    name = "lake_clone_shallow",
+    doc = "SHALLOW CLONE (r17) - a new, independently writable table " +
+      "whose v0 references the source snapshot's files BY ABSOLUTE " +
+      "PATH (Delta's shallow clone): one metadata-sized commit, zero " +
+      "data IO, at any table size - the builder asserts the " +
+      "bootstrap wrote zero data files. The clone's v0 carries " +
+      "everything the source snapshot knew (per-file stats, string " +
+      "bounds, bloom refs, deletion vectors, schema, CHECK set), so " +
+      "reads prune and MOR-filter exactly as the source does. " +
+      "Divergence is clone-local by construction: the registered " +
+      "ladder appends a shifted-user batch under the clone root and " +
+      "MOR-deletes across cloned refs AND the local batch - vectors " +
+      "for cloned files land under the clone's ext/ (a table owns " +
+      "its sidecars; the source's bytes are never written), and the " +
+      "builder asserts the source's files and log are byte-count-" +
+      "identical after. The clone's vacuum walks only its own root, " +
+      "so it can never reclaim source bytes (ManifestCloneSpec pins " +
+      "that plus clone-of-a-clone and the loud refusals). At 100 TB " +
+      "this is how a team forks a production table for an " +
+      "experiment in milliseconds instead of copying terabytes. " +
+      "Oracle replays clone = source UNION shifted batch MINUS the " +
+      "delete over the raw corpus - a read through a stale or " +
+      "wrongly-resolved reference fails the per-user hash.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value
+      FROM (
+        SELECT user_id, event_id, value FROM events
+        UNION ALL
+        SELECT user_id + 1000 AS user_id, event_id, value
+        FROM events WHERE user_id <= 4
+      ) WHERE event_id % 11 <> 5
+      GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = cloneRoot(s, dir)
+      graft.sources.ManifestLog.readVersion(s, root, 2)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_value"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[GraftQuery] = Seq(scd2, compaction, schemaEvolution,
     rangeLayout, zorderLayout, hilbertLayout, snapshotRead, snapshotDiff,
     snapshotManifest, snapshotCheckpoint, manifestSkipping, mergeCow,
     skippingMulticol, skippingBloom, vacuumQuery, optimizeCompact,
     optimizeZorder,
     cdcIncremental, cdcRowImages, joinDfp, snapshotPartitioned,
-    dppManifest, incrementalAgg)
+    dppManifest, incrementalAgg, cloneShallowQ)
 }

@@ -75,7 +75,9 @@ final class ManifestFileIndex(root: String,
   private val statuses: Array[(FileStatus, Map[String, FileStat],
       Seq[Any], Map[String, StrStat])] =
     entries.map { e =>
-      val p = new Path(new java.io.File(root, e.relPath).toURI)
+      // absolute entries (a shallow clone's by-reference files)
+      // resolve outside the root; everything else is root-relative
+      val p = new Path(ManifestLog.resolvePath(root, e.relPath).toURI)
       (new FileStatus(e.size, false, 1, 128L * 1024 * 1024,
         e.modificationTime, p), e.stats, partValues(e.relPath),
         e.strStats)

@@ -163,6 +163,21 @@ object ManifestLog {
     * POSIX filesystem. */
   def storeFor(root: String): LogStore = new PosixLogStore(logDir(root))
 
+  /** Resolve a committed path to its on-disk location: an entry
+    * beginning with '/' is an ABSOLUTE reference to bytes OUTSIDE
+    * this table's root — the shallow-clone seam (Delta stores
+    * fully-qualified paths in a clone's log the same way) — and
+    * everything else is root-relative. Every read-side path
+    * construction goes through here so absolute references flow
+    * through scans, DV anti-joins, bloom reads and the CDC feed
+    * without special cases; WRITE-side paths (new data files, new
+    * sidecars) are always root-relative — a table only ever writes
+    * inside its own root. */
+  private[sources] def resolvePath(root: String,
+      rel: String): java.io.File =
+    if (rel.startsWith("/")) new java.io.File(rel)
+    else new java.io.File(root, rel)
+
   // ---- store-parameterized core (the storage-agnostic protocol) ----
 
   /** Stage + atomically publish the manifest for `version`; throws
@@ -981,7 +996,7 @@ object ManifestLog {
     require(r.files.nonEmpty, s"version $version resolves to no files")
     r.files.filter { f =>
       r.blooms.getOrElse(f, Map.empty).get(column).forall { ref =>
-        val bits = Files.readAllBytes(Paths.get(root, ref.sidecar))
+        val bits = Files.readAllBytes(resolvePath(root, ref.sidecar).toPath)
         FileBloom.mightContain(bits, ref.m, ref.k, value)
       }
     }
@@ -1019,7 +1034,7 @@ object ManifestLog {
         .forall(st => sorted.exists(k => k >= st.min && k <= st.max))
       lazy val bloomMaybe = r.blooms.getOrElse(f, Map.empty).get(column)
         .forall { ref =>
-          val bits = Files.readAllBytes(Paths.get(root, ref.sidecar))
+          val bits = Files.readAllBytes(resolvePath(root, ref.sidecar).toPath)
           sorted.exists(k => FileBloom.mightContain(bits, ref.m, ref.k, k))
         }
       statsMaybe && bloomMaybe // each class can independently rule out
@@ -1153,7 +1168,8 @@ object ManifestLog {
     import org.apache.spark.sql.functions.{col, lit}
     val perVersion = changesBetween(root, from, to).collect {
       case (v, adds, _) if adds.nonEmpty =>
-        spark.read.parquet(adds.map(f => s"$root/$f"): _*)
+        spark.read.parquet(adds.map(f =>
+          resolvePath(root, f).getAbsolutePath): _*)
           .withColumn("_commit_version", lit(v))
     }
     require(perVersion.nonEmpty,
@@ -1208,9 +1224,9 @@ object ManifestLog {
     import spark.implicits._
     val pairs = entries.map { case (f, newSc, oldSc) =>
       (scanPath(root, f),
-        new java.io.File(root, newSc).getAbsolutePath,
+        resolvePath(root, newSc).getAbsolutePath,
         if (oldSc.isEmpty) ""
-        else new java.io.File(root, oldSc).getAbsolutePath)
+        else resolvePath(root, oldSc).getAbsolutePath)
     }
     val delta = spark.createDataset(pairs)
       .flatMap { case (dataPath, newSc, oldSc) =>
@@ -1469,6 +1485,69 @@ object ManifestLog {
       attest = true)
   }
 
+  /** SHALLOW CLONE (r17) — a new, independently writable table whose
+    * v0 references the SOURCE snapshot's data files BY ABSOLUTE PATH
+    * (Delta's shallow clone / Iceberg's snapshot-ref pattern): one
+    * metadata-sized commit, ZERO data IO, at any table size. The
+    * clone's v0 carries everything the source snapshot knew —
+    * per-file stats, string bounds, bloom refs, deletion vectors
+    * (sidecars by absolute ref too), the declared schema and the
+    * CHECK constraint set — so reads prune and MOR-filter exactly as
+    * the source does, and the commit-time constraint gate governs
+    * the clone's own future ingest from the first append.
+    *
+    * DIVERGENCE is clone-local by construction: appends and rewrites
+    * land under the clone's root; a MOR delete writes its vector
+    * under the clone's `ext/` (never beside the source's bytes);
+    * removes just drop the absolute reference. The source's log and
+    * bytes are never written — and the clone's VACUUM can never
+    * reclaim them (its sweep only walks the clone's root).
+    *
+    * CONTRACT (the same one Delta documents): the clone depends on
+    * the source's referenced bytes staying alive — a VACUUM on the
+    * source that reclaims a still-referenced file breaks the clone
+    * loudly at read time. A clone of a clone resolves (absolute refs
+    * pass through verbatim). Returns the committed absolute
+    * references. */
+  def cloneShallow(srcRoot: String, dstRoot: String, version: Long,
+      policy: Option[CheckpointPolicy] = None,
+      commitMs: Option[Long] = None,
+      txn: Option[(String, Long)] = None): Seq[String] = {
+    val srcStore = storeFor(srcRoot)
+    require(versionsIn(srcStore).contains(version) ||
+      checkpointVersionsIn(srcStore).contains(version),
+      s"clone source version $version not in manifest log")
+    val dstStore = storeFor(dstRoot)
+    require(versionsIn(dstStore).isEmpty &&
+      checkpointVersionsIn(dstStore).isEmpty,
+      s"clone destination $dstRoot already has a log — clone only " +
+        "seeds NEW tables")
+    val r = replayIn(srcStore, version)
+    require(r.files.nonEmpty,
+      s"clone source version $version resolves to no files")
+    val abs = r.files.map(f =>
+      f -> resolvePath(srcRoot, f).getAbsolutePath).toMap
+    def absSc(sc: String) = resolvePath(srcRoot, sc).getAbsolutePath
+    commitIn(dstStore, 0, adds = r.files.map(abs), removes = Seq.empty,
+      op = "clone", policy = policy,
+      stats = r.stats.collect {
+        case (f, st) if abs.contains(f) => abs(f) -> st },
+      colStats = r.colStats.collect {
+        case (f, cs) if abs.contains(f) => abs(f) -> cs },
+      blooms = r.blooms.collect {
+        case (f, bs) if abs.contains(f) => abs(f) -> bs.map {
+          case (c, ref) => c -> ref.copy(sidecar = absSc(ref.sidecar)) } },
+      txn = txn,
+      dvs = r.dvs.collect { case (f, d) if abs.contains(f) =>
+        abs(f) -> d.copy(sidecar = absSc(d.sidecar)) },
+      commitMs = commitMs, schemaDdl = r.schemaDdl,
+      checks = if (r.checks.nonEmpty) Some(r.checks.toSeq.sortBy(_._1))
+        else None,
+      strColStats = r.strColStats.collect {
+        case (f, cs) if abs.contains(f) => abs(f) -> cs })
+    r.files.map(abs)
+  }
+
   /** CDC REPLICATION (r16) — maintain a MIRROR table from the source
     * log's change-image feed: the canonical downstream consumer of
     * [[readChangeImages]] (Delta CDF's flagship use). One sync:
@@ -1509,11 +1588,38 @@ object ManifestLog {
     * disjoint winner costs a metadata rebase, an overlapping one
     * ([[LogicalConflict]]) re-derives the fold, and a same-appId
     * winner is caught by the marker re-check. Returns the source
-    * version now mirrored. */
+    * version now mirrored.
+    *
+    * BOOTSTRAP (r17): the FIRST sync of an empty mirror is corpus-
+    * sized by definition under the feed fold (every source row
+    * arrives as an insert image and is rewritten through the mirror
+    * writer — the ~26 s-at-100× cost the r17 rungs recorded).
+    * `bootstrap = "clone"` replaces that first sync with a SHALLOW
+    * CLONE of the source snapshot ([[cloneShallow]] + the txn
+    * marker, one metadata-sized commit, zero data IO) and pays the
+    * image feed only for the tail — the production follower shape
+    * (Delta's documented CLONE-then-CDF pattern). Later syncs then
+    * LOCALIZE the mirror lazily: a touched by-reference file is
+    * rewritten into mirror-owned, key-clustered, stats-bearing local
+    * files; untouched references carry. Requires the source log's
+    * root to stay reachable from the mirror's readers (the clone
+    * contract); the default `"feed"` keeps the physically
+    * independent bootstrap. */
   def replicateTo(spark: SparkSession, srcRoot: String, dstRoot: String,
       keys: Seq[String], upTo: Option[Long] = None,
       appId: String = "graft_replica", mirrorFiles: Int = 0,
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 5, bootstrap: String = "feed"): Long = {
+    require(bootstrap == "feed" || bootstrap == "clone",
+      s"bootstrap must be 'feed' or 'clone', got '$bootstrap'")
+    if (bootstrap == "clone" && latestVersion(dstRoot).isEmpty &&
+        lastTxn(dstRoot, appId).isEmpty) {
+      val bootTo = upTo.getOrElse(latestVersion(srcRoot).getOrElse(
+        throw new IllegalArgumentException(
+          s"empty source log: $srcRoot")))
+      cloneShallow(srcRoot, dstRoot, bootTo,
+        txn = Some((appId, bootTo)))
+      return bootTo
+    }
     // mirrorFiles <= 0 = auto: at least the cluster's parallelism, so
     // a corpus-sized BOOTSTRAP sync writes with every core (8 files
     // was a serialization chokepoint at the 100x rung) while trickle
@@ -1750,7 +1856,7 @@ object ManifestLog {
   private def entryFor(root: String, rel: String,
       stats: Map[String, FileStat],
       strStats: Map[String, StrStat] = Map.empty): ManifestFileEntry = {
-    val p = Paths.get(root, rel)
+    val p = resolvePath(root, rel).toPath
     ManifestFileEntry(rel, Files.size(p), stats,
       Files.getLastModifiedTime(p).toMillis, strStats)
   }
@@ -1774,7 +1880,7 @@ object ManifestLog {
     * format. */
   private def scanPath(root: String, rel: String): String =
     new org.apache.hadoop.fs.Path(
-      new java.io.File(root, rel).toURI).toString
+      resolvePath(root, rel).toURI).toString
 
   /** MERGE-ON-READ row filter: drop each file's DV-dead rows from
     * `base` (a [[ManifestFileIndex]]-planned scan over exactly the
@@ -1794,7 +1900,7 @@ object ManifestLog {
     import spark.implicits._
     val pairs = dvs.toSeq.map { case (f, d) =>
       (scanPath(root, f),
-        new java.io.File(root, d.sidecar).getAbsolutePath)
+        resolvePath(root, d.sidecar).getAbsolutePath)
     }
     val dead = spark.createDataset(pairs).flatMap { case (dataPath, sc) =>
       decodeDv(java.nio.file.Files.readAllBytes(
@@ -1941,12 +2047,17 @@ object ManifestLog {
         val fresh = it.map(_._2).toArray
         val old = oldDv.get(rel).map(sc => decodeDv(
             java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(root, sc))))
+              resolvePath(root, sc).toPath)))
           .getOrElse(Array.empty[Long])
         val all = (old ++ fresh).distinct.sorted
-        val sidecar = s"$rel.v$newVersion-$attemptToken.dv"
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(root, sidecar), encodeDv(all))
+        // a shallow clone's absolute-ref file gets its vector under
+        // ext/ INSIDE this root — a table owns its sidecars and never
+        // writes beside the source's bytes
+        val sidecar = (if (rel.startsWith("/")) s"ext$rel" else rel) +
+          s".v$newVersion-$attemptToken.dv"
+        val scPath = java.nio.file.Paths.get(root, sidecar)
+        java.nio.file.Files.createDirectories(scPath.getParent)
+        java.nio.file.Files.write(scPath, encodeDv(all))
         (rel, sidecar, all.length.toLong)
       }
       .collect()
@@ -2231,7 +2342,7 @@ object ManifestLog {
       // still exist — a silent re-add of a reclaimed file would turn
       // the next read into a FileNotFound deep inside a scan
       (adds ++ dvs.valuesIterator.map(_.sidecar).toSeq).foreach { f =>
-        require(Files.exists(Paths.get(root, f)),
+        require(Files.exists(resolvePath(root, f).toPath),
           s"restore to $target needs $f, which no longer exists on " +
             "disk — reclaimed by vacuum; restore is impossible")
       }

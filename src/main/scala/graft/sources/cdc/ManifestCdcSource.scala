@@ -109,7 +109,8 @@ private[cdc] object ManifestCdc {
     val firstLive = ManifestLog.filesAsOfIn(store, latest)
       .headOption.getOrElse(throw new IllegalArgumentException(
         s"manifest CDC source: no live files at $root as of v$latest"))
-    val msg = footerSchema(s"$root/$firstLive")
+    val msg = footerSchema(
+      ManifestLog.resolvePath(root, firstLive).getAbsolutePath)
     StructType(dataFields(msg) :+
       StructField("_commit_version", LongType, nullable = false))
   }
@@ -237,7 +238,8 @@ private[cdc] class ManifestCdcStream(root: String, startingVersion: Long,
         require(removes.isEmpty,
           s"version $v rewrites files — not replayable as an " +
             "append-only row feed; consume rewrites via snapshot diff")
-        adds.map(f => CdcInputPartition(s"$root/$f", v))
+        adds.map(f => CdcInputPartition(
+          ManifestLog.resolvePath(root, f).getAbsolutePath, v))
     }.toArray
   }
 

@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SHALLOW CLONE (r17): a new table whose v0 references the source
+  * snapshot's files by absolute path — one metadata-sized commit,
+  * zero data IO. Pins read equality, metadata carry-over (stats /
+  * blooms / DVs / checks), clone-local divergence with the source
+  * byte-untouched, prune + point-lookup through absolute refs,
+  * clone-of-a-clone, vacuum isolation, the loud refusals, and the
+  * clone-bootstrapped replica tail sync. */
+class ManifestCloneSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def newRoot(): String = graft.TempDirs.deleteOnExit(
+    Files.createTempDirectory("graft_clone_spec")).toString
+
+  /** A source table with every metadata class a clone must carry:
+    * 4 stats-bearing files, a k bloom, a CHECK, and a v1 DV. */
+  private def sourceTable(): String = {
+    import spark.implicits._
+    val root = newRoot()
+    SinglePassWriter.writeCommit(
+      (0L until 40L).map(k => (k, k * 10L)).toDF("k", "amount")
+        .repartitionByRange(4, col("k")),
+      root, "data/v0", 0, statsCols = Seq("k"), bloomCol = Some("k"))
+    ManifestLog.commit(root, 1, Seq.empty, Seq.empty, op = "alter",
+      checks = Some(Seq("k_nonneg" -> "k >= 0")))
+    ManifestLog.deleteWhereMor(spark, root, 1, 2, col("k") % 10 === 7)
+    root
+  }
+
+  test("clone v0 reads row-identical to the source snapshot with " +
+      "ZERO data bytes under the clone root, and carries stats, " +
+      "blooms, vectors and the CHECK set") {
+    val src = sourceTable()
+    val dst = newRoot()
+    val refs = ManifestLog.cloneShallow(src, dst, 2)
+    assert(refs.forall(_.startsWith("/")))
+    // zero data files live under the clone root (metadata only)
+    assert(ManifestLog.partFilesRecursive(dst, "").isEmpty)
+    // row-identical, vectors applied
+    assert(ManifestLog.readVersion(spark, dst, 0).orderBy("k")
+      .collect().toSeq ==
+      ManifestLog.readVersion(spark, src, 2).orderBy("k")
+        .collect().toSeq)
+    // stats prune through the absolute refs
+    val pruned = ManifestLog.filesMatchingCols(dst, 0,
+      Seq(("k", 0L, 5L)))
+    assert(pruned.size == 1 && pruned.head.startsWith("/"))
+    // bloom point lookup reads the source's sidecar by absolute ref
+    assert(ManifestLog.filesMatchingPoint(dst, 0, "k", 12L).size == 1)
+    assert(ManifestLog.readVersionPoint(spark, dst, 0, "k", 12L)
+      .filter(col("k") === 12L).count() == 1)
+    // the CHECK set is in force on the clone's own ingest
+    assert(ManifestLog.checksAsOf(dst, 0) == Map("k_nonneg" -> "k >= 0"))
+    // the raw change feed serves the clone's v0 add rows through the
+    // refs too (raw file rows — vectors ride the image feed, as on
+    // any dv-bearing commit)
+    assert(ManifestLog.readChanges(spark, dst, -1, 0).count() ==
+      ManifestLog.readVersion(spark, src, 0).count())
+  }
+
+  test("divergence is clone-local: appends and MOR deletes land " +
+      "under the clone root (vectors under ext/), the source log " +
+      "and bytes stay untouched, and vacuum on the clone can never " +
+      "name a source file") {
+    import spark.implicits._
+    val src = sourceTable()
+    val srcFiles = ManifestLog.partFilesRecursive(src, "").sorted
+    val srcVersions = ManifestLog.versions(src)
+    val dst = newRoot()
+    ManifestLog.cloneShallow(src, dst, 2)
+    // append locally
+    (100L until 110L).map(k => (k, k * 10L)).toDF("k", "amount")
+      .coalesce(1).write.parquet(s"$dst/data/v1")
+    ManifestLog.commit(dst, 1, ManifestLog.partFiles(dst, "data/v1"),
+      Seq.empty, op = "write", attest = true)
+    // MOR delete rows that live in CLONED files
+    val dvs = ManifestLog.deleteWhereMor(spark, dst, 1, 2,
+      col("k") % 10 === 2)
+    assert(dvs.nonEmpty)
+    // at least one CLONED reference is vectored (k=2,12,22,32 live in
+    // cloned files; k=102 in the local batch) — its sidecar lands
+    // under the clone's ext/, while the local file's vector lands
+    // beside the local file; ALL sidecars live under the clone root
+    assert(dvs.keys.exists(_.startsWith("/")))
+    dvs.foreach { case (f, d) =>
+      if (f.startsWith("/"))
+        assert(d.sidecar.startsWith("ext/"),
+          s"a cloned ref's vector must land under ext/: $f -> $d")
+      else
+        assert(!d.sidecar.startsWith("/") &&
+          !d.sidecar.startsWith("ext/"),
+          s"a local file's vector lands beside it: $f -> $d")
+      assert(Files.exists(java.nio.file.Paths.get(dst, d.sidecar)))
+    }
+    // clone rows: source survivors minus %10==2 plus the local batch
+    val got = ManifestLog.readVersion(spark, dst, 2)
+      .orderBy("k").select("k").as[Long].collect().toSeq
+    val want = (ManifestLog.readVersion(spark, src, 2)
+      .select("k").as[Long].collect().toSeq ++ (100L until 110L))
+      .filterNot(_ % 10 == 2).sorted // the delete spans the batch too
+    assert(got == want)
+    // the source: same bytes, same log, same rows
+    assert(ManifestLog.partFilesRecursive(src, "").sorted == srcFiles)
+    assert(ManifestLog.versions(src) == srcVersions)
+    assert(ManifestLog.readVersion(spark, src, 2)
+      .filter(col("k") % 10 === 2).count() > 0)
+    // the clone's vacuum walks only its own root — dry-run must name
+    // nothing (every local file is referenced), and certainly never
+    // a source path
+    val swept = ManifestLog.vacuum(dst, dryRun = true)
+    assert(swept.isEmpty, s"unexpected clone orphans: $swept")
+  }
+
+  test("a clone of a clone resolves (absolute refs pass through) " +
+      "and refusals are loud: occupied destination, unknown version") {
+    val src = sourceTable()
+    val dst1 = newRoot()
+    ManifestLog.cloneShallow(src, dst1, 2)
+    val dst2 = newRoot()
+    ManifestLog.cloneShallow(dst1, dst2, 0)
+    assert(ManifestLog.readVersion(spark, dst2, 0).orderBy("k")
+      .collect().toSeq ==
+      ManifestLog.readVersion(spark, src, 2).orderBy("k")
+        .collect().toSeq)
+    intercept[IllegalArgumentException] {
+      ManifestLog.cloneShallow(src, dst1, 2) // dst1 already a table
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLog.cloneShallow(src, newRoot(), 99)
+    }
+  }
+
+  test("clone-bootstrapped replica: the first sync is the metadata-" +
+      "sized clone + txn marker, tail syncs stay key-pruned and " +
+      "LOCALIZE only the touched references") {
+    import spark.implicits._
+    val src = newRoot()
+    SinglePassWriter.writeCommit(
+      (0L until 40L).map(k => (k, k * 10L)).toDF("k", "amount")
+        .repartitionByRange(4, col("k")),
+      src, "data/v0", 0, statsCols = Seq("k"))
+    val dst = newRoot()
+    // bootstrap: no feed read, no data IO — one clone commit
+    val v0 = ManifestLog.replicateTo(spark, src, dst, keys = Seq("k"),
+      bootstrap = "clone")
+    assert(v0 == 0)
+    assert(ManifestLog.partFilesRecursive(dst, "").isEmpty)
+    assert(ManifestLog.lastTxn(dst, "graft_replica").contains(0L))
+    // source moves on: one key changes (a COW rewrite of its file)
+    val touched = ManifestLog.filesMatchingCols(src, 0,
+      Seq(("k", 5L, 5L)))
+    assert(touched.size == 1)
+    spark.read.parquet(s"$src/${touched.head}")
+      .withColumn("amount",
+        when(col("k") === 5L, lit(999L)).otherwise(col("amount")))
+      .coalesce(1).write.parquet(s"$src/data/v1")
+    ManifestLog.commit(src, 1, ManifestLog.partFiles(src, "data/v1"),
+      removes = touched, op = "rewrite")
+    // tail sync: key-pruned — ONLY the touched reference localizes
+    val before = ManifestLog.filesAsOf(dst, 0).toSet
+    ManifestLog.replicateTo(spark, src, dst, keys = Seq("k"),
+      bootstrap = "clone")
+    val after = ManifestLog.filesAsOf(dst,
+      ManifestLog.latestVersion(dst).get)
+    val carried = after.filter(before)
+    assert(carried.size == 3,
+      s"untouched refs must carry: $carried")
+    assert(after.exists(f => !f.startsWith("/")),
+      "the touched reference must localize into mirror-owned files")
+    // mirror == source snapshot, row for row
+    assert(ManifestLog.readVersion(spark, dst,
+        ManifestLog.latestVersion(dst).get).orderBy("k")
+      .collect().toSeq ==
+      ManifestLog.readVersion(spark, src, 1).orderBy("k")
+        .collect().toSeq)
+  }
+}
