@@ -356,6 +356,80 @@ object WriterQueries {
         .orderBy("l_returnflag")
     })
 
+  /** A money-constrained table whose ingest is gated by COMMIT-TIME
+    * proofs over DOUBLE-image stats: v0 declares fractional CHECK
+    * constraints, v1 lands UNATTESTED through the single-pass writer
+    * (the gate itself proves from the batch's tagged image bounds),
+    * and the builder asserts a violating batch refuses at commit.
+    * Cached per sfDir. */
+  def checkDblRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_check_dbl", dir) { root =>
+      ManifestLog.commit(root, 0, Seq.empty, Seq.empty, op = "checks",
+        checks = Some(Seq(
+          "price_floor" -> "l_extendedprice >= 900.0",
+          "tax_band" -> "l_tax >= 0.0 AND l_tax <= 0.08")))
+      val slice = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_tax"), col("l_quantity"), col("l_returnflag"))
+      // UNATTESTED: commitIn itself must prove both constraints from
+      // the pass's dbl-tagged image bounds
+      SinglePassWriter.writeCommit(
+        slice.repartitionByRange(4, col("l_extendedprice")),
+        root, "data/v1", 1,
+        statsCols = Seq("l_extendedprice", "l_tax"))
+      // negative control: a violating batch (negated prices) must
+      // refuse AT COMMIT — its landed files stay orphans, never live
+      val refused = try {
+        SinglePassWriter.writeCommit(
+          slice.filter(col("l_orderkey") <= 64)
+            .withColumn("l_extendedprice", -col("l_extendedprice"))
+            .coalesce(1),
+          root, "data/bad", 2,
+          statsCols = Seq("l_extendedprice", "l_tax"))
+        false
+      } catch { case _: IllegalArgumentException => true }
+      require(refused, "a violating batch must refuse at commit time")
+      require(ManifestLog.latestVersion(root).contains(1L),
+        "the refused commit must leave the log untouched")
+    }
+
+  private val checkDoubles = GraftQuery(
+    name = "lake_check_doubles",
+    doc = "COMMIT-TIME CHECK proofs over DOUBLE columns (r17) - the " +
+      "typed half of the constraint gate: money/score invariants " +
+      "(price >= 900.0, 0.0 <= tax <= 0.08) decompose into bounds in " +
+      "IEEE sortable-bits IMAGE space and prove against the writer's " +
+      "dbl-TAGGED per-file stats, so a fractional business rule is " +
+      "enforced by the commit itself with zero validation scan - the " +
+      "same one-pass economics the integral gate has. The tag is the " +
+      "soundness seam: a session-free-parsed constraint literal is " +
+      "untyped, and a negative double's image is a huge positive " +
+      "long, so an UNTYPED 'price > 0' proof would happily pass a " +
+      "batch of negated prices - the typed proof refuses exactly " +
+      "that (builder asserts it; CommitProtocolSpec pins the hole, " +
+      "fractional/integral/mixed-literal proofs, untagged-stats " +
+      "refusal, and tag round-trip through checkpoint folds). " +
+      "Integral literals on double columns prove via .toDouble - " +
+      "the identical coercion Spark applies to the row filter, so " +
+      "proof and filter decide by one arithmetic. Oracle replays " +
+      "the committed table against the raw corpus.",
+    oracle = Some("""
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             MIN(l_extendedprice) AS min_price, MAX(l_tax) AS max_tax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    run = (s, dir) => {
+      val root = checkDblRoot(s, dir)
+      ManifestLog.readVersion(s, root, 1)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_tax")).as("max_tax"))
+        .orderBy("l_returnflag")
+    })
+
   private val joinDfpStrings = GraftQuery(
     name = "lake_join_dfp_strings",
     doc = "STRING-keyed DYNAMIC FILE PRUNING (r17) - lake_join_dfp's " +
@@ -397,5 +471,5 @@ object WriterQueries {
   val all: Seq[GraftQuery] =
     Seq(writeSinglePass, singlePassBloom, singlePassDates,
       skippingStrings, singlePassDecimal, skippingDoubles,
-      joinDfpStrings)
+      checkDoubles, joinDfpStrings)
 }

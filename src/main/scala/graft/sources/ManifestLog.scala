@@ -84,8 +84,20 @@ object ManifestLog {
     * touching data — the decision is metadata-sized at any table size.
     * Files committed without stats are never skipped (conservative:
     * unknown means must-read), so stats are a pure optimization and
-    * can be adopted file-by-file. */
-  final case class FileStat(min: Long, max: Long)
+    * can be adopted file-by-file.
+    *
+    * `dbl` (r17) marks bounds that are IEEE sortable-bits IMAGES of a
+    * DOUBLE column ([[ManifestFileIndex.dblKey]]) rather than raw
+    * longs. Pruning never needs the tag (Catalyst's type coercion
+    * guarantees a pushed-down literal matches the column's type, so
+    * image bounds only ever meet image predicates) — but the
+    * COMMIT-TIME CHECK PROOF does: a session-free-parsed constraint
+    * carries untyped literals, and proving an integral bound against
+    * image stats (or vice versa) would be arithmetic over two
+    * different orderings — the tag makes the proof refuse the
+    * mismatch instead of silently passing violating rows. Serialized
+    * as a trailing `|d` on the flat colstats entry; absent = raw. */
+  final case class FileStat(min: Long, max: Long, dbl: Boolean = false)
 
   /** Per-file STRING column bounds (r17; closes the r16 verdict's
     * task 5): closed [min, max] in UTF-8 BYTE order — the exact
@@ -216,37 +228,43 @@ object ManifestLog {
     if (adds.nonEmpty && !attest && checks.isEmpty && version > 0) {
       val inForce = replayIn(store, version - 1).checks
       inForce.toSeq.sortBy(_._1).foreach { case (n, sqlText) =>
-        (provableBounds(sqlText), provableStrAtoms(sqlText)) match {
-          case (Some(bounds), _) =>
-            bounds.foreach { case (c, (lo, hi)) =>
-              adds.foreach { f =>
-                val st = colStats.getOrElse(f, Map.empty).get(c)
-                require(st.exists(s => s.min >= lo && s.max <= hi),
-                  s"add $f cannot prove CHECK $n [$sqlText]: needs " +
-                    s"committed $c stats within [$lo, $hi], got " +
-                    s"${st.fold("none")(s => s"[${s.min}, ${s.max}]")} " +
-                    "— validate rows and attest, or commit stats that " +
-                    "prove it")
-              }
-            }
-          case (None, Some(atoms)) => // string constraint (r17)
-            atoms.foreach { case (c, op, v) =>
-              adds.foreach { f =>
-                val st = strColStats.getOrElse(f, Map.empty).get(c)
-                require(st.exists(strAtomProven(_, op, v)),
-                  s"add $f cannot prove CHECK $n [$sqlText]: needs " +
-                    s"committed $c string bounds proving $c $op '$v', " +
-                    s"got ${st.fold("none")(s =>
-                      s"['${s.min}', '${s.max}']")} — validate rows " +
-                    "and attest, or commit bounds that prove it")
-              }
-            }
-          case (None, None) =>
-            throw new IllegalArgumentException(
-              s"requirement failed: table carries CHECK $n [$sqlText]" +
-                ", which file stats cannot prove — commit adds " +
-                "through appendChecked (row-validated) or pass " +
-                "attest = true after validating")
+        // three strict decompositions of the constraint, each provable
+        // against ONE stat type: raw-long bounds against untagged
+        // stats, double-image bounds against dbl-tagged stats (r17 —
+        // a session-free-parsed literal is untyped, so the STAT's tag
+        // decides which arithmetic is sound; comparing across the two
+        // orderings could pass violating rows), string atoms against
+        // string bounds. A constraint proves when ANY decomposition
+        // proves with matching-typed stats on every referenced column.
+        val lb = provableBounds(sqlText)
+        val db = provableDblBounds(sqlText)
+        val sa = provableStrAtoms(sqlText)
+        if (lb.isEmpty && db.isEmpty && sa.isEmpty)
+          throw new IllegalArgumentException(
+            s"requirement failed: table carries CHECK $n [$sqlText]" +
+              ", which file stats cannot prove — commit adds " +
+              "through appendChecked (row-validated) or pass " +
+              "attest = true after validating")
+        adds.foreach { f =>
+          val cs = colStats.getOrElse(f, Map.empty)
+          val ss = strColStats.getOrElse(f, Map.empty)
+          val provenLong = lb.exists(_.forall { case (c, (lo, hi)) =>
+            cs.get(c).exists(s => !s.dbl && s.min >= lo && s.max <= hi)
+          })
+          val provenDbl = db.exists(_.forall { case (c, (lo, hi)) =>
+            cs.get(c).exists(s => s.dbl && s.min >= lo && s.max <= hi)
+          })
+          val provenStr = sa.exists(_.forall { case (c, op, v) =>
+            ss.get(c).exists(strAtomProven(_, op, v))
+          })
+          require(provenLong || provenDbl || provenStr,
+            s"add $f cannot prove CHECK $n [$sqlText]: committed " +
+              "stats must sit inside the constraint's bounds IN THE " +
+              "COLUMN'S TYPE (integral bounds prove against raw-long " +
+              "stats, fractional against double-image stats, string " +
+              "atoms against string bounds; got " +
+              s"${cs.keySet ++ ss.keySet}) — validate rows and " +
+              "attest, or commit stats that prove it")
         }
       }
     }
@@ -293,7 +311,8 @@ object ManifestLog {
       stats.get(f).map(st => s"$f|${st.min}|${st.max}")))
     val colStatArr = arr(adds.flatMap(f =>
       colStats.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
-        case (c, st) => s"$f|$c|${st.min}|${st.max}" })))
+        case (c, st) => s"$f|$c|${st.min}|${st.max}" +
+          (if (st.dbl) "|d" else "") })))
     val bloomArr = arr(adds.flatMap(f =>
       blooms.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
         case (c, r) => s"$f|$c|${r.sidecar}|${r.m}|${r.k}" })))
@@ -404,7 +423,8 @@ object ManifestLog {
       """],"colstats":[""" +
       r.files.flatMap(f => r.colStats.get(f).toSeq
         .flatMap(_.toSeq.sortBy(_._1).map { case (c, st) =>
-          q(s"$f|$c|${st.min}|${st.max}") })).mkString(",") +
+          q(s"$f|$c|${st.min}|${st.max}" +
+            (if (st.dbl) "|d" else "")) })).mkString(",") +
       """],"blooms":[""" +
       r.files.flatMap(f => r.blooms.get(f).toSeq
         .flatMap(_.toSeq.sortBy(_._1).map { case (c, b) =>
@@ -442,15 +462,20 @@ object ManifestLog {
         FileStat(e.substring(j + 1, i).toLong, e.substring(i + 1).toLong)
     }.toMap
 
-  /** "path|col|min|max" → path → col → stat (path may contain no '|',
-    * enforced at commit, so rightmost-split parsing is unambiguous). */
+  /** "path|col|min|max[|d]" → path → col → stat (path may contain
+    * no '|', enforced at commit, so rightmost-split parsing is
+    * unambiguous; the optional trailing "|d" marks double-image
+    * bounds and can never be confused with max, which is numeric). */
   private def parseColStats(
       entries: Seq[String]): Map[String, Map[String, FileStat]] =
-    entries.map { e =>
+    entries.map { raw =>
+      val dbl = raw.endsWith("|d")
+      val e = if (dbl) raw.dropRight(2) else raw
       val i = e.lastIndexOf('|'); val j = e.lastIndexOf('|', i - 1)
       val k = e.lastIndexOf('|', j - 1)
       (e.substring(0, k), e.substring(k + 1, j),
-        FileStat(e.substring(j + 1, i).toLong, e.substring(i + 1).toLong))
+        FileStat(e.substring(j + 1, i).toLong,
+          e.substring(i + 1).toLong, dbl))
     }.groupBy(_._1).view.mapValues(
       _.map(t => t._2 -> t._3).toMap).toMap
 
@@ -521,6 +546,79 @@ object ManifestLog {
       case Literal(v: Short, _) => Some(v.toLong)
       case Literal(v: Int, _) => Some(v.toLong)
       case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    def succ(v: Long) = if (v == Long.MaxValue) v else v + 1
+    def pred(v: Long) = if (v == Long.MinValue) v else v - 1
+    def one(c: Option[String], b: Option[(Long, Long)]) =
+      for (n <- c; i <- b) yield Map(n -> i)
+    def merge(x: Map[String, (Long, Long)], y: Map[String, (Long, Long)]) =
+      (x.keySet ++ y.keySet).map { c =>
+        val (l1, h1) = x.getOrElse(c, (Long.MinValue, Long.MaxValue))
+        val (l2, h2) = y.getOrElse(c, (Long.MinValue, Long.MaxValue))
+        c -> (math.max(l1, l2), math.min(h1, h2))
+      }.toMap
+    def walk(e: Expression): Option[Map[String, (Long, Long)]] = e match {
+      case And(a, b) => for (x <- walk(a); y <- walk(b)) yield merge(x, y)
+      case EqualTo(a, l) if nameOf(a).isDefined =>
+        one(nameOf(a), lit(l).map(v => (v, v)))
+      case EqualTo(l, a) if nameOf(a).isDefined =>
+        one(nameOf(a), lit(l).map(v => (v, v)))
+      case GreaterThan(a, l) if nameOf(a).isDefined =>
+        one(nameOf(a), lit(l).map(v => (succ(v), Long.MaxValue)))
+      case GreaterThan(l, a) if nameOf(a).isDefined =>
+        one(nameOf(a), lit(l).map(v => (Long.MinValue, pred(v))))
+      case GreaterThanOrEqual(a, l) if nameOf(a).isDefined =>
+        one(nameOf(a), lit(l).map(v => (v, Long.MaxValue)))
+      case GreaterThanOrEqual(l, a) if nameOf(a).isDefined =>
+        one(nameOf(a), lit(l).map(v => (Long.MinValue, v)))
+      case LessThan(a, l) if nameOf(a).isDefined =>
+        one(nameOf(a), lit(l).map(v => (Long.MinValue, pred(v))))
+      case LessThan(l, a) if nameOf(a).isDefined =>
+        one(nameOf(a), lit(l).map(v => (succ(v), Long.MaxValue)))
+      case LessThanOrEqual(a, l) if nameOf(a).isDefined =>
+        one(nameOf(a), lit(l).map(v => (Long.MinValue, v)))
+      case LessThanOrEqual(l, a) if nameOf(a).isDefined =>
+        one(nameOf(a), lit(l).map(v => (v, Long.MaxValue)))
+      case _ => None
+    }
+    scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sqlText)).toOption.flatMap(walk)
+  }
+
+  /** DOUBLE twin of [[provableBounds]] (r17): the same strict range
+    * decomposition with bounds in [[ManifestFileIndex.dblKey]] IMAGE
+    * space, provable against a file's `dbl`-tagged stats. Literals of
+    * ANY numeric type participate through `.toDouble` — exactly the
+    * coercion Spark applies when comparing a double column to a
+    * non-double numeric literal (decimal SQL literals like `0.5`
+    * parse as DecimalType; huge longs convert lossily — in BOTH
+    * Spark's comparison and here, so the proof decides by the same
+    * arithmetic the row filter does). Image adjacency makes the
+    * strict-bound succ/pred arithmetic exact; NaN's image above
+    * +Infinity makes proofs over NaN-bearing files match Spark's
+    * "NaN is larger than any other value" ordering. Any unsupported
+    * shape yields None (row-validate and attest). */
+  private[sources] def provableDblBounds(
+      sqlText: String): Option[Map[String, (Long, Long)]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def img(d: Double): Long = ManifestFileIndex.dblKey(d)
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, _) => Some(img(v.toDouble))
+      case Literal(v: Short, _) => Some(img(v.toDouble))
+      case Literal(v: Int, _) => Some(img(v.toDouble))
+      case Literal(v: Long, _) => Some(img(v.toDouble))
+      case Literal(v: Float, FloatType) => Some(img(v.toDouble))
+      case Literal(v: Double, DoubleType) => Some(img(v))
+      case Literal(v: org.apache.spark.sql.types.Decimal,
+        _: DecimalType) => Some(img(v.toDouble))
       case _ => None
     }
     def nameOf(e: Expression): Option[String] = e match {
@@ -1480,7 +1578,8 @@ object ManifestLog {
     commitSerializable(root, read.getOrElse(-1L),
       adds = summaries.map(_.rel), removes = Seq.empty, op = "append",
       policy = policy, commitMs = commitMs,
-      colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
+      colStats = SinglePassWriter.colStatsOf(summaries, statsCols,
+        SinglePassWriter.dblColsOf(df.schema, statsCols)),
       blooms = SinglePassWriter.bloomsOf(summaries, bloomCol),
       attest = true)
   }
@@ -2192,9 +2291,9 @@ object ManifestLog {
       }
       val sub = s"data/m${read + 1}-" +
         java.util.UUID.randomUUID().toString.take(8)
-      val summaries = SinglePassWriter.writeFiles(
-        post(readVersion(spark, root, read).filter(matched)),
-        root, sub, statsCols)
+      val postDf = post(readVersion(spark, root, read).filter(matched))
+      val summaries = SinglePassWriter.writeFiles(postDf, root, sub,
+        statsCols)
       val dvs =
         if (candidates.isEmpty) Map.empty[String, DvRef]
         else buildDvs(spark, root, read, read + 1, candidates,
@@ -2204,7 +2303,8 @@ object ManifestLog {
           adds = summaries.map(_.rel), removes = Seq.empty,
           op = "merge", readFiles = candidates.toSet, policy = policy,
           dvs = dvs,
-          colStats = SinglePassWriter.colStatsOf(summaries, statsCols))
+          colStats = SinglePassWriter.colStatsOf(summaries, statsCols,
+            SinglePassWriter.dblColsOf(postDf.schema, statsCols)))
       } catch {
         case LogicalConflict(v, d) =>
           if (attempt >= maxAttempts) throw LogicalConflict(v,
@@ -2254,7 +2354,8 @@ object ManifestLog {
         statsCols)
       commit(root, newVersion, adds = summaries.map(_.rel),
         removes = doomed, op = "rewrite", policy = policy,
-        colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
+        colStats = SinglePassWriter.colStatsOf(summaries, statsCols,
+          SinglePassWriter.dblColsOf(live.schema, statsCols)),
         attest = true)
       summaries.map(_.rel)
     }

@@ -104,17 +104,28 @@ object SinglePassWriter {
     require(summaries.nonEmpty, "single-pass write produced no files")
     ManifestLog.commit(root, version, adds = summaries.map(_.rel),
       removes = Seq.empty, op = op, policy = policy,
-      colStats = colStatsOf(summaries, statsCols),
+      colStats = colStatsOf(summaries, statsCols,
+        dblColsOf(df.schema, statsCols)),
       blooms = bloomsOf(summaries, bloomCol),
       strColStats = strColStatsOf(summaries, strStatsCols))
     summaries
   }
 
+  /** The stats columns of `statsCols` whose values are DOUBLES —
+    * their folded bounds are [[ManifestFileIndex.dblKey]] images and
+    * must commit `dbl`-tagged so the commit-time CHECK proof picks
+    * the matching arithmetic. */
+  def dblColsOf(schema: StructType,
+      statsCols: Seq[String]): Set[String] =
+    statsCols.filter(c => schema(c).dataType == DoubleType).toSet
+
   /** The committed-metadata views of a pass's summaries — exposed so
     * composite commits (a compaction's remove+add, a merge) can fold
     * single-pass-written files into their own single atomic commit. */
   def colStatsOf(summaries: Seq[FileSummary],
-      statsCols: Seq[String]): Map[String, Map[String, FileStat]] =
+      statsCols: Seq[String],
+      dblCols: Set[String] = Set.empty)
+      : Map[String, Map[String, FileStat]] =
     summaries.map(s => s.rel ->
       statsCols.indices.flatMap { k =>
         // a partition whose stats column was entirely NULL never
@@ -125,7 +136,8 @@ object SinglePassWriter {
         // for that column = never skippable, the same conservative
         // contract a stats-less add already has
         if (s.los(k) <= s.his(k))
-          Some(statsCols(k) -> FileStat(s.los(k), s.his(k)))
+          Some(statsCols(k) -> FileStat(s.los(k), s.his(k),
+            dblCols(statsCols(k))))
         else None
       }.toMap)
       .filter(_._2.nonEmpty).toMap

@@ -241,6 +241,58 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(ManifestLog.versionsIn(store) == (0L to 4L))
   }
 
+  test("commit-time CHECK enforcement is TYPED (r17): double-image " +
+      "stats prove fractional AND integral constraints in image " +
+      "space; untagged stats never prove a fractional constraint; " +
+      "and an integral proof can never pass over image stats — the " +
+      "ordering-mismatch hole double stats opened is closed") {
+    val key = ManifestFileIndex.dblKey _
+    val store = ManifestLog.storeFor(newRoot())
+    ManifestLog.commitIn(store, 0, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("price_floor" -> "price >= 0.5")))
+    def dblStats(f: String, lo: Double, hi: Double) =
+      Map(f -> Map("price" ->
+        ManifestLog.FileStat(key(lo), key(hi), dbl = true)))
+    // tagged image bounds inside the constraint prove it
+    ManifestLog.commitIn(store, 1, Seq("data/f1.parquet"), Seq.empty,
+      op = "append", colStats = dblStats("data/f1.parquet", 0.5, 99.25))
+    // a violating batch (min 0.25 < 0.5) refuses
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"), Seq.empty,
+        op = "append",
+        colStats = dblStats("data/f2.parquet", 0.25, 99.0))
+    }
+    // untagged (raw-long) stats can never prove a FRACTIONAL
+    // constraint — the refusal is type-driven, not numeric luck
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"), Seq.empty,
+        op = "append", colStats = Map("data/f2.parquet" ->
+          Map("price" -> ManifestLog.FileStat(1L, 99L))))
+    }
+    // an INTEGRAL-literal constraint on a double column proves in
+    // image space too — the same coercion Spark applies to
+    // `double_col >= 5` (this declaration replaces the set)
+    ManifestLog.commitIn(store, 2, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("price_min5" -> "price >= 5")))
+    ManifestLog.commitIn(store, 3, Seq("data/f3.parquet"), Seq.empty,
+      op = "append", colStats = dblStats("data/f3.parquet", 5.5, 9.0))
+    // THE HOLE: a small positive double's image is a huge positive
+    // long (image(0.25) >> 5), so an UNTYPED "price >= 5" proof
+    // would PASS this violating batch; the tag forces image
+    // arithmetic, which refuses it
+    assert(key(0.25) > 5L,
+      "precondition: small-double images are huge positive longs")
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 4, Seq("data/f4.parquet"), Seq.empty,
+        op = "append", colStats = dblStats("data/f4.parquet", 0.25, 0.5))
+    }
+    // the tag round-trips through manifest replay AND checkpoint fold
+    ManifestLog.writeCheckpointIn(store, 3)
+    val st =
+      ManifestLog.colStatsAsOfIn(store, 3)("data/f3.parquet")("price")
+    assert(st == ManifestLog.FileStat(key(5.5), key(9.0), dbl = true))
+  }
+
   test("a winner that DECLARES metadata (schema or checks) between a " +
       "txn's snapshot and its publish raises LogicalConflict — the " +
       "loser's validation premises are stale (r17 advice)") {

@@ -198,8 +198,11 @@ class SinglePassWriterSpec extends AnyFunSuite {
       root, "data/v0", 0, statsCols = Seq("price"))
     val st = ManifestLog.colStatsAsOf(root, 0).values.head("price")
     // min is -2.5's image; max is NaN's (above +Infinity's) — the
-    // Spark ordering where NaN is larger than any other value
+    // Spark ordering where NaN is larger than any other value; the
+    // entry commits dbl-TAGGED so the CHECK proof picks image
+    // arithmetic
     assert(st.min == key(-2.5) && st.max == key(Double.NaN))
+    assert(st.dbl, "double stats must commit with the image tag")
     assert(key(Double.NaN) > key(Double.PositiveInfinity))
     assert(key(-0.0) == key(0.0))
     // adjacency: strict-bound succ/pred arithmetic is exact in
