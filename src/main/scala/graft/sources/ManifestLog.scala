@@ -2404,6 +2404,19 @@ object ManifestLog {
     restoreToIn(storeFor(root), root, target, policy, commitMs,
       attest, maxRetries)
 
+  /** [[restoreTo]] resolved by WALL-CLOCK (Delta's RESTORE ...
+    * TIMESTAMP AS OF): roll back to the table as it was at `tsMs`,
+    * under [[versionAtTimestampIn]]'s resolution contract — the
+    * latest commit stamped at or before `tsMs`; a timestamp before
+    * every stamped commit is loud, never a silent earliest-version
+    * restore. */
+  def restoreToTimestamp(root: String, tsMs: Long,
+      policy: Option[CheckpointPolicy] = None,
+      commitMs: Option[Long] = None, attest: Boolean = false,
+      maxRetries: Int = 10): Long =
+    restoreTo(root, versionAtTimestamp(root, tsMs), policy, commitMs,
+      attest, maxRetries)
+
   /** Store-parameterized [[restoreTo]] — the seam that lets the spec
     * inject a DETERMINISTIC commit race (a store whose publish lands
     * a competing commit first) and prove the loop re-derives the

@@ -100,6 +100,34 @@ class ManifestRestoreSpec extends AnyFunSuite {
         .collect().toSeq)
   }
 
+  test("restoreToTimestamp resolves the target by wall-clock under " +
+      "the timestamp-travel contract, then restores exactly") {
+    import spark.implicits._
+    val root = newRoot()
+    SinglePassWriter.writeCommit(
+      (0L until 10L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+      root, "data/v0", 0, statsCols = Seq("k"))
+    // stamp v0 by re-publication? no — stamps ride the commit; v0 was
+    // unstamped, so stamp v1 and v2 and restore between them
+    (10L until 15L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/data/v1")
+    ManifestLog.commit(root, 1, ManifestLog.partFiles(root, "data/v1"),
+      Seq.empty, op = "write", commitMs = Some(1000L))
+    (20L until 25L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/data/v2")
+    ManifestLog.commit(root, 2, ManifestLog.partFiles(root, "data/v2"),
+      Seq.empty, op = "write", commitMs = Some(2000L))
+    // 1500 resolves to v1 (latest stamped <= 1500)
+    val v = ManifestLog.restoreToTimestamp(root, 1500L)
+    assert(v == 3)
+    assert(ManifestLog.filesAsOf(root, 3).toSet ==
+      ManifestLog.filesAsOf(root, 1).toSet)
+    // a timestamp before every stamped commit refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestLog.restoreToTimestamp(root, 500L)
+    }
+  }
+
   test("refusals are loud: unknown target, already-latest target, " +
       "and a restore whose bytes were vacuumed") {
     val root = ladder()
