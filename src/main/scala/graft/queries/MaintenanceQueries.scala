@@ -1477,6 +1477,104 @@ object MaintenanceQueries {
         .orderBy("user_id")
     })
 
+  /** The snapshot-expiration ladder, cached per sfDir: v0 is a BAD
+    * ingest (values zeroed for users <= 3) in stats-bearing files,
+    * v1 the copy-on-write correction that rewrites exactly the
+    * stats-intersecting files from the raw corpus — then the
+    * embarrassing history expires at horizon 1 and vacuum reclaims
+    * the bad files' bytes. The builder asserts the full lifecycle:
+    * nothing sweepable pre-expire, exactly the rewritten-away files
+    * post-expire, v1 byte-identical after the sweep, v0 loudly
+    * unreadable. */
+  def expireRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_expire", dir) { root =>
+      import graft.sources.{ManifestLog, SinglePassWriter}
+      val ev = flatEvents(s, dir)
+      SinglePassWriter.writeCommit(
+        ev.withColumn("value",
+            when(col("user_id") <= 3, 0.0).otherwise(col("value")))
+          .repartitionByRange(3, col("user_id")),
+        root, "data/v0", 0, statsCols = Seq("user_id"))
+      // v1: COW correction — rewrite ONLY the files whose user
+      // interval meets the bad band, from the raw corpus (a range-
+      // partitioned layout puts each user in one file, so the doomed
+      // files' intervals cover exactly their own rows)
+      val doomed = ManifestLog.filesMatchingCols(root, 0,
+        Seq(("user_id", Long.MinValue, 3L)))
+      require(doomed.nonEmpty && doomed.size <
+        ManifestLog.filesAsOf(root, 0).size,
+        s"the correction must touch a strict file subset: $doomed")
+      val cs = ManifestLog.colStatsAsOf(root, 0)
+      val cond = doomed.map { f =>
+        val st = cs(f)("user_id")
+        col("user_id").between(st.min, st.max)
+      }.reduce(_ || _)
+      val fixed = SinglePassWriter.writeFiles(
+        ev.filter(cond).repartitionByRange(1, col("user_id")),
+        root, "data/v1", statsCols = Seq("user_id"))
+      ManifestLog.commit(root, 1, adds = fixed.map(_.rel),
+        removes = doomed, op = "rewrite",
+        colStats = SinglePassWriter.colStatsOf(fixed, Seq("user_id")))
+      // the lifecycle: resolvable history pins the bytes ...
+      require(ManifestLog.vacuum(root, dryRun = true).isEmpty,
+        "nothing may be sweepable while every version resolves")
+      // ... expiring the tail releases exactly the bad files ...
+      require(ManifestLog.expireVersionsBefore(root, 1) == Seq(0L))
+      val swept = ManifestLog.vacuum(root)
+      require(swept.sorted == doomed.sorted,
+        s"the sweep must reclaim exactly the rewritten-away files: " +
+          s"$swept vs $doomed")
+      // ... and the surviving version's bytes are all intact, the
+      // expired version loud
+      require(ManifestLog.filesAsOf(root, 1).forall(f =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(root, f))),
+        "the sweep must leave every referenced byte of v1 on disk")
+      val loud = try { ManifestLog.filesAsOf(root, 0); false }
+        catch { case _: IllegalArgumentException => true }
+      require(loud, "the expired version must be loudly unreadable")
+    }
+
+  private val expireSnapshots = GraftQuery(
+    name = "lake_expire_snapshots",
+    doc = "SNAPSHOT EXPIRATION (r17) - Iceberg's expire_snapshots / " +
+      "Delta's log retention as an EXPLICIT maintenance operator: " +
+      "lake_vacuum already proves the POLICY-driven retention (a " +
+      "checkpoint interval prunes folded manifests as commits land); " +
+      "this row is the operator-controlled horizon - " +
+      "expireVersionsBefore(h) checkpoints AT the horizon (h and " +
+      "everything later stays exactly readable), deletes the " +
+      "manifests below it newest-first (the same torn-prune safety " +
+      "the policy path relies on: surviving manifests always form a " +
+      "prefix, so a concurrent reader is exact or loud, never " +
+      "silently wrong), and hands vacuum a shrunken keep-set - the " +
+      "expire+vacuum pair is how a table's disk goes from history-" +
+      "sized to live-sized. The ladder is the production story: a " +
+      "bad ingest (zeroed values), a copy-on-write correction " +
+      "rewriting only the stats-intersecting files, then the " +
+      "embarrassing history expires and its bytes reclaim - builder " +
+      "asserts nothing was sweepable BEFORE the expire, EXACTLY the " +
+      "rewritten-away files after, v1 byte-identical post-sweep, v0 " +
+      "loudly unreadable (never silently remapped). At 100 TB, " +
+      "compaction churn makes unexpired history rival the live " +
+      "size. Oracle: the surviving state IS the raw corpus - a " +
+      "sweep that ate a referenced byte fails the per-user hash.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value,
+             MAX(epoch_ns(ts) // 1000) AS last_ts_us
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = expireRoot(s, dir)
+      graft.sources.ManifestLog.readVersion(s, root, 1)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_value"),
+          max(col("ts_us")).as("last_ts_us"))
+        .orderBy("user_id")
+    })
+
   /** The shallow-clone divergence ladder, cached per sfDir: the
     * single-pass events table clones by reference (v0, zero data
     * IO), a shifted-user batch appends locally (v1), and a MOR
@@ -1565,5 +1663,5 @@ object MaintenanceQueries {
     skippingMulticol, skippingBloom, vacuumQuery, optimizeCompact,
     optimizeZorder,
     cdcIncremental, cdcRowImages, joinDfp, snapshotPartitioned,
-    dppManifest, incrementalAgg, cloneShallowQ)
+    dppManifest, incrementalAgg, cloneShallowQ, expireSnapshots)
 }

@@ -2506,6 +2506,40 @@ object ManifestLog {
       version: Long): DataFrame =
     readVersionIndexed(spark, root, version)
 
+  /** SNAPSHOT EXPIRATION (r17) — Iceberg's `expire_snapshots` /
+    * Delta's log-retention as an EXPLICIT maintenance operator: drop
+    * the time-travel tail strictly below `horizon`, without waiting
+    * for a [[CheckpointPolicy]] commit to cross its interval. The
+    * operator publishes a checkpoint AT `horizon` first (so `horizon`
+    * and everything after stays exactly readable, including after the
+    * prune), then deletes the manifests below it NEWEST-FIRST — the
+    * same mid-prune safety the policy retention relies on: at every
+    * instant the surviving manifests form a prefix, so a concurrent
+    * reader either replays an intact prefix/checkpoint+tail (exact)
+    * or fails the version-membership require (loud), never a silent
+    * wrong resolution.
+    *
+    * Expired versions leave the RESOLVABLE set, which is exactly
+    * [[vacuum]]'s keep-set domain — so `expireVersionsBefore` +
+    * `vacuum` is the pair that takes a table's disk from
+    * history-sized to live-sized (files referenced ONLY by expired
+    * versions become sweepable). Versions below the horizon that
+    * have their OWN checkpoint stay readable (checkpoints are never
+    * auto-deleted — one tiny file per interval, each keeping its
+    * version resolvable forever; the contract the whole log
+    * documents). Returns the expired (deleted-manifest) versions,
+    * ascending. */
+  def expireVersionsBefore(root: String, horizon: Long): Seq[Long] = {
+    val store = storeFor(root)
+    require(versionsIn(store).contains(horizon) ||
+      checkpointVersionsIn(store).contains(horizon),
+      s"expiration horizon $horizon not in manifest log")
+    writeCheckpointIn(store, horizon)
+    val doomed = versionsIn(store).filter(_ < horizon)
+    doomed.reverse.foreach(v => store.delete(manifestName(v)))
+    doomed
+  }
+
   /** ORPHAN-FILE GC — the VACUUM of a real table format. Deletes the
     * parquet data files under `root` that NO resolvable version
     * references: a crashed writer's landed-but-never-committed files,

@@ -41,7 +41,8 @@ class PlanSpec extends AnyFunSuite {
       "lake_singlepass_dates", "lake_singlepass_decimal",
       "lake_skipping_strings", "lake_skipping_doubles",
       "lake_check_doubles",
-      "lake_restore", "lake_clone_shallow", "lake_snapshot_bytimestamp",
+      "lake_restore", "lake_clone_shallow", "lake_expire_snapshots",
+      "lake_snapshot_bytimestamp",
       "lake_snapshot_partitioned", "lake_write_singlepass",
       "lake_join_dfp_strings", "stream_sink_point")
     manifestRows.foreach { name =>

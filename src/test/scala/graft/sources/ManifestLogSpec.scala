@@ -461,6 +461,50 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.vacuum(root).isEmpty)
   }
 
+  test("expireVersionsBefore drops the time-travel tail explicitly " +
+      "(r17): horizon and later stay exact, expired reads are loud, " +
+      "and the expire + vacuum pair reclaims exclusively-expired " +
+      "bytes — and only those") {
+    val root = freshRoot()
+    def touch(rel: String): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.createFile(p)
+    }
+    Seq("data/v0/a.parquet", "data/v0/keep.parquet",
+      "data/v1/a2.parquet", "data/v2/c.parquet").foreach(touch)
+    ManifestLog.commit(root, 0,
+      Seq("data/v0/a.parquet", "data/v0/keep.parquet"), Seq.empty,
+      "write")
+    ManifestLog.commit(root, 1, Seq("data/v1/a2.parquet"),
+      Seq("data/v0/a.parquet"), "merge")
+    ManifestLog.commit(root, 2, Seq("data/v2/c.parquet"), Seq.empty,
+      "write")
+    // nothing is sweepable while every version resolves
+    assert(ManifestLog.vacuum(root, dryRun = true).isEmpty)
+    intercept[IllegalArgumentException] {
+      ManifestLog.expireVersionsBefore(root, 99) // unknown horizon
+    }
+    val expired = ManifestLog.expireVersionsBefore(root, 1)
+    assert(expired == Seq(0L))
+    // the horizon checkpointed: v1 and v2 read exactly as before
+    assert(ManifestLog.filesAsOf(root, 1).toSet ==
+      Set("data/v0/keep.parquet", "data/v1/a2.parquet"))
+    assert(ManifestLog.filesAsOf(root, 2).toSet ==
+      Set("data/v0/keep.parquet", "data/v1/a2.parquet",
+        "data/v2/c.parquet"))
+    // the expired version is loudly unreadable, never silently remapped
+    intercept[IllegalArgumentException] {
+      ManifestLog.filesAsOf(root, 0)
+    }
+    // vacuum's keep-set shrank to the resolvable set: exactly the
+    // rewritten-away v0-exclusive file is reclaimed
+    assert(ManifestLog.vacuum(root) == Seq("data/v0/a.parquet"))
+    assert(ManifestLog.filesAsOf(root, 2).size == 3)
+    // idempotent: expiring at the same horizon again is a no-op
+    assert(ManifestLog.expireVersionsBefore(root, 1).isEmpty)
+  }
+
   test("commit rejects every string the flat format cannot round-trip " +
       "— corruption stays loud at write time, never silent at replay " +
       "(r15 advice)") {
