@@ -430,6 +430,97 @@ object WriterQueries {
         .orderBy("l_returnflag")
     })
 
+  /** A DOUBLE-dimension Z-ORDERED single-pass table: lineitem
+    * clustered on the (l_extendedprice, l_quantity) Morton curve —
+    * rank buckets come from plain double scaling (layout quality
+    * only; correctness never depends on the rank), per-file stats
+    * fold as dblKey images for BOTH dimensions in the write loop.
+    * The builder asserts the 2-D box prune is genuinely
+    * multiplicative: the box keeps fewer files than either 1-D
+    * predicate alone. Cached per sfDir. */
+  def zorderDblRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_zorder_dbl", dir) { root =>
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_quantity"), col("l_returnflag"))
+      val b = li.agg(
+        min("l_extendedprice").as("p0"), max("l_extendedprice").as("p1"),
+        min("l_quantity").as("q0"), max("l_quantity").as("q1"))
+      val scaled = li.crossJoin(broadcast(b))
+        .withColumn("__zx", expr(
+          "CAST(least(255.0, floor((l_extendedprice - p0) * 256.0 / " +
+            "(p1 - p0 + 1e-6))) AS BIGINT)"))
+        .withColumn("__zy", expr(
+          "CAST(least(255.0, floor((l_quantity - q0) * 256.0 / " +
+            "(q1 - q0 + 1e-6))) AS BIGINT)"))
+      val morton = (0 until 8).map { i =>
+        shiftleft(shiftright(col("__zx"), i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(
+            shiftleft(shiftright(col("__zy"), i).bitwiseAND(lit(1L)),
+              2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      val clustered = scaled.withColumn("__z", morton)
+        .repartitionByRange(16, col("__z"))
+        .sortWithinPartitions("__z")
+        .select(li.columns.map(col): _*)
+      val summaries = graft.sources.SinglePassWriter.writeFiles(
+        clustered, root, "data/v0",
+        statsCols = Seq("l_extendedprice", "l_quantity"))
+      ManifestLog.commit(root, 0, adds = summaries.map(_.rel),
+        removes = Seq.empty, op = "write",
+        colStats = graft.sources.SinglePassWriter.colStatsOf(
+          summaries, Seq("l_extendedprice", "l_quantity"),
+          Set("l_extendedprice", "l_quantity")))
+      val key = graft.sources.ManifestFileIndex.dblKey _
+      val total = ManifestLog.filesAsOf(root, 0).size
+      val priceOnly = ManifestLog.filesMatchingCols(root, 0,
+        Seq(("l_extendedprice", key(1000.0), key(5000.0)))).size
+      val qtyOnly = ManifestLog.filesMatchingCols(root, 0,
+        Seq(("l_quantity", Long.MinValue, key(5.0)))).size
+      val box = ManifestLog.filesMatchingCols(root, 0,
+        Seq(("l_extendedprice", key(1000.0), key(5000.0)),
+          ("l_quantity", Long.MinValue, key(5.0)))).size
+      require(box < total && box <= priceOnly && box <= qtyOnly,
+        s"the z-layout must make the 2-D box prune multiplicative: " +
+          s"box $box, price $priceOnly, qty $qtyOnly, total $total")
+    }
+
+  private val zorderDoubles = GraftQuery(
+    name = "lake_zorder_doubles",
+    doc = "Z-ORDER over DOUBLE dimensions (r17) - completes the " +
+      "double-column family (skipping: lake_skipping_doubles; " +
+      "commit proofs: lake_check_doubles; clustering: this row): " +
+      "lineitem clusters on the (price, quantity) Morton curve and " +
+      "the single-pass writer folds per-file [min, max] IMAGE bounds " +
+      "for BOTH dimensions, so a 2-D money box (price in [1000, " +
+      "5000] AND quantity <= 5) prunes multiplicatively at planning " +
+      "- the builder asserts the box keeps fewer files than either " +
+      "1-D predicate alone, the same lake_skipping_multicol law " +
+      "moved onto floating-point dimensions (1-D clustering leaves " +
+      "every file spanning the second key's full domain, so only " +
+      "ONE predicate of a box can ever prune). The Morton rank uses " +
+      "plain double scaling - layout quality only; pruning " +
+      "correctness rides the images, and a mis-ranked row costs one " +
+      "file's IO, never a row. Oracle replays the box over the raw " +
+      "corpus - a wrongly-pruned file fails the per-flag hash.",
+    oracle = Some("""
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem
+      WHERE l_extendedprice BETWEEN 1000.0 AND 5000.0
+        AND l_quantity <= 5.0
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    run = (s, dir) => {
+      val root = zorderDblRoot(s, dir)
+      ManifestLog.readVersionIndexed(s, root, 0)
+        .filter(col("l_extendedprice").between(1000.0, 5000.0) &&
+          col("l_quantity") <= 5.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    })
+
   private val joinDfpStrings = GraftQuery(
     name = "lake_join_dfp_strings",
     doc = "STRING-keyed DYNAMIC FILE PRUNING (r17) - lake_join_dfp's " +
@@ -471,5 +562,5 @@ object WriterQueries {
   val all: Seq[GraftQuery] =
     Seq(writeSinglePass, singlePassBloom, singlePassDates,
       skippingStrings, singlePassDecimal, skippingDoubles,
-      checkDoubles, joinDfpStrings)
+      checkDoubles, zorderDoubles, joinDfpStrings)
 }

@@ -40,7 +40,7 @@ class PlanSpec extends AnyFunSuite {
       "lake_merge_mor", "lake_optimize_zorder", "lake_singlepass_bloom",
       "lake_singlepass_dates", "lake_singlepass_decimal",
       "lake_skipping_strings", "lake_skipping_doubles",
-      "lake_check_doubles",
+      "lake_check_doubles", "lake_zorder_doubles",
       "lake_restore", "lake_clone_shallow", "lake_expire_snapshots",
       "lake_snapshot_bytimestamp",
       "lake_snapshot_partitioned", "lake_write_singlepass",
