@@ -311,6 +311,116 @@ object MorQueries {
         "replayed syncs must not advance the mirror")
     }
 
+  /** A replica maintained ACROSS a schema evolution, cached per
+    * sfDir: the source starts two-columned (v0, synced), declares
+    * the widened schema and appends a gen-2 key space (v1, synced —
+    * the MIRROR now mixes file generations and the builder asserts
+    * its reads surface NULL sum_value for gen-1 rows, which is the
+    * declared-schema propagation working), then rewrites the WHOLE
+    * gen-1 set under the new schema (v2, synced — the sync rewrites
+    * the mirror's old-generation files without dropping the new
+    * column). Returns (srcRoot, dstRoot). */
+  def evoReplicaRoots(s: SparkSession, dir: String): (String, String) = {
+    val src = graft.TempDirs.cachedDir("graft_evorep_src", dir) { root =>
+      graft.sources.SinglePassWriter.writeCommit(
+        flatEvents(s, dir).filter(col("event_id") % 4 <= 1)
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+          .repartitionByRange(3, col("user_id")),
+        root, "data/v0", 0, statsCols = Seq("user_id"))
+      ManifestLog.commit(root, 1, Seq.empty, Seq.empty, op = "alter",
+        schemaDdl = Some("user_id BIGINT, n_events BIGINT"))
+    }
+    val dst = graft.TempDirs.cachedDir("graft_evorep_dst", dir) { root =>
+      ManifestLog.replicateTo(s, src, root, keys = Seq("user_id"))
+      // v2 on the source: evolve + append the gen-2 key space
+      graft.sources.SinglePassWriter.writeFiles(
+        flatEvents(s, dir).filter(col("event_id") % 4 >= 2)
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_value"))
+          .withColumn("user_id", col("user_id") + 100000L)
+          .repartitionByRange(2, col("user_id")),
+        src, "data/v2", statsCols = Seq("user_id")) match {
+        case summaries =>
+          ManifestLog.commit(src, 2, adds = summaries.map(_.rel),
+            removes = Seq.empty, op = "evolve",
+            colStats = graft.sources.SinglePassWriter.colStatsOf(
+              summaries, Seq("user_id")),
+            schemaDdl = Some(
+              "user_id BIGINT, n_events BIGINT, sum_value DOUBLE"))
+      }
+      ManifestLog.replicateTo(s, src, root, keys = Seq("user_id"))
+      // the mirror now mixes generations and must read with NULL
+      // sum_value for gen-1 rows — the propagated declared schema
+      val mid = ManifestLog.readVersion(s, root,
+        ManifestLog.latestVersion(root).get)
+      require(mid.filter(col("sum_value").isNull).count() > 0 &&
+        mid.filter(col("sum_value").isNotNull).count() > 0,
+        "the mid-evolution mirror must mix generations")
+      // v3 on the source: rewrite the WHOLE gen-1 set under the new
+      // schema (the old mirror files must rewrite without dropping
+      // sum_value from the gen-2 rows they union with)
+      val gen1 = ManifestLog.filesAsOf(src, 0)
+      graft.sources.SinglePassWriter.writeFiles(
+        flatEvents(s, dir).filter(col("event_id") % 4 <= 1)
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_value"))
+          .repartitionByRange(3, col("user_id")),
+        src, "data/v3", statsCols = Seq("user_id")) match {
+        case summaries =>
+          ManifestLog.commit(src, 3, adds = summaries.map(_.rel),
+            removes = gen1, op = "rewrite",
+            colStats = graft.sources.SinglePassWriter.colStatsOf(
+              summaries, Seq("user_id")), attest = true)
+      }
+      ManifestLog.replicateTo(s, src, root, keys = Seq("user_id"))
+    }
+    (src, dst)
+  }
+
+  private val cdcReplicaEvolved = GraftQuery(
+    name = "lake_cdc_replica_evolved",
+    doc = "CDC REPLICATION ACROSS A SCHEMA EVOLUTION (r17) - the " +
+      "seam this round found and closed: a change-image range that " +
+      "spans an additive evolution mixes file GENERATIONS, and " +
+      "before the fix the feed's per-version frames either crashed " +
+      "the union (UNRESOLVED_COLUMN) or - worse - the mirror's " +
+      "rewrite planned under a footer-inferred old-generation schema " +
+      "and SILENTLY DROPPED the new column's values from rows it " +
+      "carried. Now every feed frame plans under the TO-snapshot's " +
+      "declared schema (gen-1 rows surface NULL for new columns, " +
+      "exactly as snapshot reads do), the mirror's touched files " +
+      "plan under the feed's image schema, and each sync PROPAGATES " +
+      "the source's declared schema into the mirror's log - the " +
+      "mirror is a real table whose own snapshot reads resolve " +
+      "mixed generations (the builder asserts the mid-evolution " +
+      "mirror reads gen-1 rows as NULL sum_value next to gen-2 " +
+      "values). The ladder ends with the whole gen-1 set rewritten " +
+      "under the new schema through the key-pruned sync. " +
+      "ManifestChangeImagesSpec pins the boundary feed AND the " +
+      "silent-drop scenario. Oracle replays both generations' final " +
+      "state from the raw corpus - one dropped sum_value or " +
+      "mis-shaped row fails the per-user hash.",
+    oracle = Some("""
+      SELECT user_id, n_events, sum_value FROM (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_value
+        FROM events WHERE event_id % 4 <= 1 GROUP BY user_id
+        UNION ALL
+        SELECT user_id + 100000, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        FROM events WHERE event_id % 4 >= 2 GROUP BY user_id
+      ) ORDER BY user_id"""),
+    run = (s, dir) => {
+      val (_, dst) = evoReplicaRoots(s, dir)
+      ManifestLog.readVersion(s, dst,
+        ManifestLog.latestVersion(dst).get)
+        .select("user_id", "n_events", "sum_value")
+        .orderBy("user_id")
+    })
+
   private val cdcReplica = GraftQuery(
     name = "lake_cdc_replica",
     doc = "CDC REPLICATION (r16) - the canonical consumer of the " +
@@ -506,5 +616,5 @@ object MorQueries {
 
   val all: Seq[GraftQuery] =
     Seq(deleteDv, mergeMor, dvCompaction, cdcMor, cdcReplica,
-      streamCdcReplica, restore)
+      cdcReplicaEvolved, streamCdcReplica, restore)
 }

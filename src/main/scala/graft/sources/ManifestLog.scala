@@ -1317,7 +1317,9 @@ object ManifestLog {
     * never table-sized). `entries`: file → (new sidecar, old sidecar
     * or empty). */
   private def readDvDeltaRows(spark: SparkSession, root: String,
-      entries: Seq[(String, String, String)]): DataFrame = {
+      entries: Seq[(String, String, String)],
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] =
+        None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
     val pairs = entries.map { case (f, newSc, oldSc) =>
@@ -1337,7 +1339,8 @@ object ManifestLog {
         fresh.iterator.filterNot(old).map(i => (dataPath, i))
       }.toDF("__dv_f", "__dv_idx")
     val scan = ManifestFileIndex.read(spark, root,
-      entries.map(e => entryFor(root, e._1, Map.empty)))
+      entries.map(e => entryFor(root, e._1, Map.empty)),
+      declaredSchema = declaredSchema)
     scan
       .join(broadcast(delta),
         col("_metadata.file_path") === col("__dv_f") &&
@@ -1350,6 +1353,15 @@ object ManifestLog {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "change images need at least one key column")
     val store = storeFor(root)
+    // SCHEMA-EVOLVED ranges (r17): a range spanning an additive
+    // evolution mixes file generations — every frame must plan under
+    // the `to` snapshot's DECLARED schema (pre-evolution rows surface
+    // NULL for the new columns, exactly as the snapshot read does),
+    // or the per-version unions and the pre/post join mis-shape.
+    // Tables that never declared have one physical schema by
+    // construction and read from footers as before.
+    val declared = replayIn(store, to).schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
     // The DV baseline: pre-images must exclude rows that were ALREADY
     // dead before the range (a compaction would otherwise re-emit
     // every earlier MOR delete as a fresh one), so the walk threads
@@ -1390,20 +1402,23 @@ object ManifestLog {
         val preRemoved =
           if (removes.isEmpty) None
           else Some(readFilesIndexed(spark, root, removes,
-            dvs = dvState.filter { case (f, _) => removes.contains(f) }))
+            dvs = dvState.filter { case (f, _) => removes.contains(f) },
+            declaredSchema = declared))
         val preDelta =
           if (dvEntries.isEmpty) None
           else Some(readDvDeltaRows(spark, root,
             dvEntries.toSeq.sortBy(_._1).map { case (f, ref) =>
               (f, ref.sidecar,
-                dvState.get(f).map(_.sidecar).getOrElse("")) }))
+                dvState.get(f).map(_.sidecar).getOrElse("")) },
+            declaredSchema = declared))
         dvState = (dvState -- removes) ++ dvEntries
         // post side: rows of the files this commit ADDED, minus any
         // vector the same commit put on them
         val post =
           if (adds.isEmpty) None
           else Some(readFilesIndexed(spark, root, adds,
-            dvs = dvState.filter { case (f, _) => adds.contains(f) }))
+            dvs = dvState.filter { case (f, _) => adds.contains(f) },
+            declaredSchema = declared))
         val pre = (preRemoved, preDelta) match {
           case (Some(a), Some(b)) => Some(a.unionByName(b))
           case (a, b) => a.orElse(b)
@@ -1464,7 +1479,8 @@ object ManifestLog {
       require(live.nonEmpty,
         s"no file actions in ($from, $to] and no live files at $to — " +
           "cannot shape an empty change-image frame")
-      val base = readFilesIndexed(spark, root, live.take(1)).limit(0)
+      val base = readFilesIndexed(spark, root, live.take(1),
+        declaredSchema = declared).limit(0)
       val payload = base.columns.filterNot(keys.contains)
       return base.select((keys.map(col) ++ payload.map(col) :+
         lit("").as("_change_type") :+
@@ -1768,6 +1784,14 @@ object ManifestLog {
     val store = storeFor(dstRoot)
     val statsCols = if (integralKey) Seq(keyCol) else Seq.empty
     val strStatsCols = if (stringKey) Seq(keyCol) else Seq.empty
+    // SCHEMA PROPAGATION (r17): the mirror is a table — after a
+    // source evolution its live set mixes file generations, and its
+    // own snapshot reads need the declared schema to resolve the new
+    // columns (old-generation mirror files surface NULL, exactly as
+    // the source's reads do). Each sync declares the source's current
+    // schema on the mirror when it changed; undeclared sources
+    // propagate nothing.
+    val srcDdl = replayIn(storeFor(srcRoot), to).schemaDdl
     var attempt = 0
     var done = false
     while (!done) {
@@ -1794,8 +1818,14 @@ object ManifestLog {
           if (touched.isEmpty) upserts
           else {
             val r = replayIn(store, curV.get)
+            // plan the mirror's files under the FEED's current image
+            // schema: after a source evolution the mirror mixes file
+            // generations, and a footer-inferred schema would either
+            // crash the union or silently DROP the new column from
+            // the rewrite (old-generation rows correctly surface NULL)
             readFilesIndexed(spark, dstRoot, touched, r.colStats,
-                r.dvs.filter { case (f, _) => touched.contains(f) })
+                r.dvs.filter { case (f, _) => touched.contains(f) },
+                declaredSchema = Some(upserts.schema))
               .join(broadcast(changedKeys), keys, "left_anti")
               .unionByName(upserts)
           }
@@ -1804,6 +1834,7 @@ object ManifestLog {
         val summaries = SinglePassWriter.writeFiles(
           next.repartitionByRange(nMirrorFiles, col(keyCol)),
           dstRoot, sub, statsCols, strStatsCols = strStatsCols)
+        val mirrorDdl = curV.flatMap(v => replayIn(store, v).schemaDdl)
         try {
           // attested: every mirrored row already passed the SOURCE
           // table's write-side validation before it entered the feed
@@ -1814,6 +1845,7 @@ object ManifestLog {
             colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
             strColStats =
               SinglePassWriter.strColStatsOf(summaries, strStatsCols),
+            schemaDdl = srcDdl.filterNot(d => mirrorDdl.contains(d)),
             attest = true)
           done = true
         } catch {
@@ -1966,10 +1998,13 @@ object ManifestLog {
   private def readFilesIndexed(spark: SparkSession, root: String,
       files: Seq[String],
       stats: Map[String, Map[String, FileStat]] = Map.empty,
-      dvs: Map[String, DvRef] = Map.empty): DataFrame =
+      dvs: Map[String, DvRef] = Map.empty,
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] =
+        None): DataFrame =
     applyDvs(spark, root,
       ManifestFileIndex.read(spark, root,
-        files.map(f => entryFor(root, f, stats.getOrElse(f, Map.empty)))),
+        files.map(f => entryFor(root, f, stats.getOrElse(f, Map.empty))),
+        declaredSchema = declaredSchema),
       dvs.filter { case (f, _) => files.contains(f) })
 
   /** The abs-path string a [[ManifestFileIndex]] scan reports in

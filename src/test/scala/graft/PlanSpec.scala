@@ -41,6 +41,7 @@ class PlanSpec extends AnyFunSuite {
       "lake_singlepass_dates", "lake_singlepass_decimal",
       "lake_skipping_strings", "lake_skipping_doubles",
       "lake_check_doubles", "lake_zorder_doubles",
+      "lake_cdc_replica_evolved",
       "lake_restore", "lake_clone_shallow", "lake_expire_snapshots",
       "lake_snapshot_bytimestamp",
       "lake_snapshot_partitioned", "lake_write_singlepass",

@@ -34,6 +34,87 @@ class ManifestChangeImagesSpec extends AnyFunSuite {
     root
   }
 
+  test("change images across a SCHEMA-EVOLUTION boundary (r17): " +
+      "every frame plans under the declared schema — old-generation " +
+      "rows surface NULL for the new column in inserts AND deletes, " +
+      "and the cross-boundary union never mis-shapes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_evo").toString
+    import spark.implicits._
+    // v0: two-column generation, declared
+    val f0 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/data/v0")
+    ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+      Seq.empty, "write", schemaDdl = Some("k BIGINT, v BIGINT"))
+    // v1: the widened generation appends WITH w, declaring it
+    Seq((3L, 30L, 300L), (4L, 40L, 400L)).toDF("k", "v", "w")
+      .coalesce(1).write.parquet(s"$root/data/v1")
+    ManifestLog.commit(root, 1, ManifestLog.partFiles(root, "data/v1"),
+      Seq.empty, "evolve",
+      schemaDdl = Some("k BIGINT, v BIGINT, w BIGINT"))
+    // v2: a COW rewrite retires the OLD-generation file (k=2's
+    // payload changes, k=1 carries) — its pre-images are old-gen rows
+    Seq((1L, 10L, null.asInstanceOf[java.lang.Long]),
+      (2L, 21L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "v", "w")
+      .coalesce(1).write.parquet(s"$root/data/v2")
+    ManifestLog.commit(root, 2, ManifestLog.partFiles(root, "data/v2"),
+      ManifestLog.partFiles(root, "data/v0"), "merge")
+    val feed = ManifestLog.readChangeImages(spark, root, -1, 2,
+      Seq("k")).select("k", "v", "w", "_change_type", "_commit_version")
+    val rows = feed.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      r.getString(3), r.getLong(4))).toSet
+    assert(rows == Set(
+      (1L, 10L, -1L, "insert", 0L), (2L, 20L, -1L, "insert", 0L),
+      (3L, 30L, 300L, "insert", 1L), (4L, 40L, 400L, "insert", 1L),
+      (2L, 20L, -1L, "update_preimage", 2L),
+      (2L, 21L, -1L, "update_postimage", 2L)),
+      s"got: $rows")
+  }
+
+  test("replication across a schema evolution (r17): the mirror's " +
+      "mixed file generations plan under the feed's schema — the " +
+      "sync neither crashes nor silently drops the new column from " +
+      "the rewrite, and old rows surface NULL for it") {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_cdc_evo_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_cdc_evo_dst").toString
+    import spark.implicits._
+    // v0: two-column generation; mirror bootstraps on it
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/data/v0")
+    ManifestLog.commit(src, 0, ManifestLog.partFiles(src, "data/v0"),
+      Seq.empty, "write", schemaDdl = Some("k BIGINT, v BIGINT"))
+    ManifestLog.replicateTo(spark, src, dst, keys = Seq("k"))
+    // v1: evolve + append the widened generation
+    Seq((3L, 30L, 300L)).toDF("k", "v", "w")
+      .coalesce(1).write.parquet(s"$src/data/v1")
+    ManifestLog.commit(src, 1, ManifestLog.partFiles(src, "data/v1"),
+      Seq.empty, "evolve",
+      schemaDdl = Some("k BIGINT, v BIGINT, w BIGINT"))
+    // v2: update an OLD-generation key (k=2) under the new schema —
+    // the sync must rewrite the mirror's old-generation file
+    Seq[(Long, Long, java.lang.Long)]((1L, 10L, null),
+      (2L, 21L, java.lang.Long.valueOf(201L))).toDF("k", "v", "w")
+      .coalesce(1).write.parquet(s"$src/data/v2")
+    ManifestLog.commit(src, 2, ManifestLog.partFiles(src, "data/v2"),
+      ManifestLog.partFiles(src, "data/v0"), "merge")
+    ManifestLog.replicateTo(spark, src, dst, keys = Seq("k"))
+    val mirror = ManifestLog.readVersion(spark, dst,
+      ManifestLog.latestVersion(dst).get)
+    val rows = mirror.select("k", "v", "w").collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // k=3 MUST keep w=300 (a footer-inferred old-generation schema
+    // would have silently dropped it in the rewrite); k=1 stays an
+    // old-generation row with NULL w; k=2 took the update
+    assert(rows == Set((1L, 10L, -1L), (2L, 21L, 201L),
+      (3L, 30L, 300L)), s"got: $rows")
+  }
+
   test("all four image classes materialize correctly; carried rows " +
       "produce nothing; appends skip the join") {
     val root = fixture()
