@@ -1264,10 +1264,17 @@ object ManifestLog {
   def readChanges(spark: SparkSession, root: String, from: Long,
       to: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // evolved ranges (r17): plan every per-version frame under the
+    // `to` snapshot's declared schema, like the image feed — the
+    // union across a schema-evolution boundary would otherwise crash,
+    // and pre-evolution rows correctly surface NULL for new columns
+    val declared = replayIn(storeFor(root), to).schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
     val perVersion = changesBetween(root, from, to).collect {
       case (v, adds, _) if adds.nonEmpty =>
-        spark.read.parquet(adds.map(f =>
-          resolvePath(root, f).getAbsolutePath): _*)
+        declared.fold(spark.read)(d => spark.read.schema(d))
+          .parquet(adds.map(f =>
+            resolvePath(root, f).getAbsolutePath): _*)
           .withColumn("_commit_version", lit(v))
     }
     require(perVersion.nonEmpty,
@@ -1505,6 +1512,17 @@ object ManifestLog {
 
   /** The CHECK-constraint set in force at `version` (name → SQL
     * boolean expression over the table's columns). */
+  /** The DECLARED schema DDL in force as of `version` (None for
+    * tables that never declared — single physical generation by
+    * construction). Same resolution rules as [[filesAsOfIn]]. */
+  def schemaDdlAsOf(root: String, version: Long): Option[String] = {
+    val store = storeFor(root)
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    replayIn(store, version).schemaDdl
+  }
+
   def checksAsOf(root: String, version: Long): Map[String, String] = {
     val store = storeFor(root)
     require(versionsIn(store).contains(version) ||

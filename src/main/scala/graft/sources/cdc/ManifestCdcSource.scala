@@ -106,13 +106,35 @@ private[cdc] object ManifestCdc {
       ManifestLog.checkpointVersionsIn(store)).maxOption.getOrElse(
         throw new IllegalArgumentException(
           s"manifest CDC source: empty log at $root"))
-    val firstLive = ManifestLog.filesAsOfIn(store, latest)
-      .headOption.getOrElse(throw new IllegalArgumentException(
-        s"manifest CDC source: no live files at $root as of v$latest"))
-    val msg = footerSchema(
-      ManifestLog.resolvePath(root, firstLive).getAbsolutePath)
-    StructType(dataFields(msg) :+
-      StructField("_commit_version", LongType, nullable = false))
+    // a DECLARED schema wins over footer inference (r17): after an
+    // evolution the probe file may be an old-generation one, and a
+    // footer-inferred narrow schema would mis-shape every admitted
+    // new-generation file. The per-version gate in
+    // planInputPartitions guarantees admitted adds were committed
+    // under this exact declaration. The feed's flat-primitive
+    // contract still holds, checked here for the DDL path too.
+    ManifestLog.schemaDdlAsOf(root, latest) match {
+      case Some(ddl) =>
+        val declared = StructType.fromDDL(ddl)
+        val ok: Set[org.apache.spark.sql.types.DataType] =
+          Set(LongType, IntegerType, DoubleType,
+            org.apache.spark.sql.types.FloatType,
+            org.apache.spark.sql.types.BooleanType,
+            org.apache.spark.sql.types.StringType)
+        declared.fields.foreach(f => require(ok(f.dataType),
+          s"manifest CDC source supports flat primitive columns; " +
+            s"declared schema carries ${f.name}: ${f.dataType}"))
+        StructType(declared.fields.toSeq :+
+          StructField("_commit_version", LongType, nullable = false))
+      case None =>
+        val firstLive = ManifestLog.filesAsOfIn(store, latest)
+          .headOption.getOrElse(throw new IllegalArgumentException(
+            s"manifest CDC source: no live files at $root as of v$latest"))
+        val msg = footerSchema(
+          ManifestLog.resolvePath(root, firstLive).getAbsolutePath)
+        StructType(dataFields(msg) :+
+          StructField("_commit_version", LongType, nullable = false))
+    }
   }
 
   def footerSchema(abs: String): MessageType = {
@@ -165,7 +187,7 @@ private[cdc] class ManifestCdcScan(schema: StructType,
     new ManifestCdcStream(ManifestCdc.rootOf(options),
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L),
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-      ManifestCdc.versionsMode(options))
+      ManifestCdc.versionsMode(options), dataSchema = Some(schema))
 }
 
 /** Offset = highest version already admitted (exclusive cursor). */
@@ -175,7 +197,8 @@ private[cdc] case class VersionOffset(version: Long) extends Offset {
 
 private[cdc] class ManifestCdcStream(root: String, startingVersion: Long,
     maxVersionsPerTrigger: Option[Long],
-    versionsMode: Boolean = false)
+    versionsMode: Boolean = false,
+    dataSchema: Option[StructType] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   require(maxVersionsPerTrigger.forall(_ > 0),
@@ -233,11 +256,32 @@ private[cdc] class ManifestCdcStream(root: String, startingVersion: Long,
       s"versions $dvVersions commit deletion vectors — not replayable " +
         "as an append-only row feed; consume merge-on-read tables via " +
         "the change-image feed")
+    // SCHEMA-EVOLUTION gate (r17): the row readers decode every
+    // file under the stream's FIXED schema (file order, all
+    // columns), so on a DECLARING table a version whose adds were
+    // committed under a different declaration is not replayable here
+    // — reject loudly (like rewrites and vectors) instead of
+    // misaligning columns; consumers either start the stream at or
+    // after the evolution, or use the change-image feed, which plans
+    // per-frame schemas. Undeclared tables have one physical
+    // generation by construction and skip the gate.
+    val declaringTable = ManifestLog.schemaDdlAsOf(root, to).isDefined
     ManifestLog.changesBetween(root, from, to).flatMap {
       case (v, adds, removes) =>
         require(removes.isEmpty,
           s"version $v rewrites files — not replayable as an " +
             "append-only row feed; consume rewrites via snapshot diff")
+        if (adds.nonEmpty && declaringTable && dataSchema.isDefined) {
+          val vSchema = ManifestLog.schemaDdlAsOf(root, v).map(d =>
+            StructType(StructType.fromDDL(d).fields.toSeq :+
+              StructField("_commit_version", LongType,
+                nullable = false)))
+          require(vSchema.contains(dataSchema.get),
+            s"version $v was committed under a different declared " +
+              "schema than the stream's — not replayable as a " +
+              "fixed-schema row feed; restart the stream at or after " +
+              "the evolution, or consume the change-image feed")
+        }
         adds.map(f => CdcInputPartition(
           ManifestLog.resolvePath(root, f).getAbsolutePath, v))
     }.toArray

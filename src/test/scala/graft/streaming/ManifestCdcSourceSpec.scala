@@ -45,6 +45,48 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("schema evolution and the row feed (r17): a range spanning " +
+      "the evolution is loudly rejected, a post-evolution start " +
+      "streams under the DECLARED schema, and the raw batch feed " +
+      "unifies generations with NULL for new columns") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_evo_stream").toString
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/data/v0")
+    ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+      Seq.empty, "write", schemaDdl = Some("k BIGINT, v BIGINT"))
+    Seq((3L, 30L, 300L)).toDF("k", "v", "w")
+      .coalesce(1).write.parquet(s"$root/data/v1")
+    ManifestLog.commit(root, 1, ManifestLog.partFiles(root, "data/v1"),
+      Seq.empty, "evolve",
+      schemaDdl = Some("k BIGINT, v BIGINT, w BIGINT"))
+    // spanning the boundary: the fixed-schema row feed must refuse —
+    // v0's adds were committed under a different declaration
+    val e = intercept[Exception] {
+      ManifestSink.cdcDrained(spark, root)
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(e).exists(_.contains("different declared schema")),
+      s"expected the evolution rejection, got: ${causes(e)}")
+    // starting AT the evolution streams the new generation under the
+    // declared 3-column schema
+    val (rows, _) = ManifestSink.cdcDrained(spark, root,
+      startingVersion = 0L)
+    assert(rows.columns.toSeq ==
+      Seq("k", "v", "w", "_commit_version"))
+    assert(rows.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSeq == Seq((3L, 30L, 300L)))
+    // the raw BATCH feed spans the boundary by planning every frame
+    // under the declared schema: gen-1 rows surface NULL w
+    val raw = ManifestLog.readChanges(spark, root, -1, 1)
+    assert(raw.columns.contains("w"))
+    assert(raw.filter(col("w").isNull).count() == 2 &&
+      raw.filter(col("w").isNotNull).count() == 1)
+  }
+
   test("offsets persist across restarts: resuming from the same " +
       "checkpoint admits only versions committed since, no duplicates") {
     val root = java.nio.file.Files
