@@ -2608,8 +2608,9 @@ object ManifestLog {
     * plus every bloom sidecar those versions reference — so every
     * read, time travel and point prune that worked before the vacuum
     * works after it, byte-identical (pinned by ManifestLogSpec).
-    * Only `*.parquet` data files and `*.bloom` sidecars are
-    * candidates (logs and markers are never touched). Returns the
+    * Only `*.parquet` data files and `*.bloom`/`*.dv` sidecars are
+    * candidates (logs and markers are never touched) — a lost MOR
+    * attempt's abandoned vectors sweep here too. Returns the
     * deleted relative paths, sorted.
     *
     * `exclude` lists root-relative directory prefixes the sweep must

@@ -57,6 +57,10 @@ class ManifestCloneSpec extends AnyFunSuite {
       .filter(col("k") === 12L).count() == 1)
     // the CHECK set is in force on the clone's own ingest
     assert(ManifestLog.checksAsOf(dst, 0) == Map("k_nonneg" -> "k >= 0"))
+    // the declared schema carries too (None here — but the seam is
+    // the same passthrough the evolved-source clone rides)
+    assert(ManifestLog.schemaDdlAsOf(dst, 0) ==
+      ManifestLog.schemaDdlAsOf(src, 2))
     // the raw change feed serves the clone's v0 add rows through the
     // refs too (raw file rows — vectors ride the image feed, as on
     // any dv-bearing commit)

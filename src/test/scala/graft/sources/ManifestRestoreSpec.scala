@@ -100,6 +100,31 @@ class ManifestRestoreSpec extends AnyFunSuite {
         .collect().toSeq)
   }
 
+  test("restore under a LATER schema declaration keeps the current " +
+      "schema in force: restored pre-evolution files read with NULL " +
+      "for the new column, never under the old shape") {
+    import spark.implicits._
+    val root = newRoot()
+    SinglePassWriter.writeCommit(
+      (0L until 6L).map(k => (k, k * 2L)).toDF("k", "v").coalesce(1),
+      root, "data/v0", 0, statsCols = Seq("k"))
+    ManifestLog.commit(root, 1, Seq.empty, Seq.empty, op = "alter",
+      schemaDdl = Some("k BIGINT, v BIGINT"))
+    // v2: evolve + rewrite everything under the widened schema
+    val gen1 = ManifestLog.filesAsOf(root, 0)
+    Seq[(Long, Long, java.lang.Long)]((0L, 0L, 100L))
+      .toDF("k", "v", "w").coalesce(1).write.parquet(s"$root/data/v2")
+    ManifestLog.commit(root, 2, ManifestLog.partFiles(root, "data/v2"),
+      removes = gen1, op = "evolve",
+      schemaDdl = Some("k BIGINT, v BIGINT, w BIGINT"), attest = true)
+    // restore the DATA to v0 — the current (widened) declaration
+    // stays in force, so the restored rows surface NULL w
+    val v = ManifestLog.restoreTo(root, 0, attest = true)
+    val back = ManifestLog.readVersion(spark, root, v)
+    assert(back.columns.toSeq == Seq("k", "v", "w"))
+    assert(back.count() == 6 && back.filter(col("w").isNull).count() == 6)
+  }
+
   test("restoreToTimestamp resolves the target by wall-clock under " +
       "the timestamp-travel contract, then restores exactly") {
     import spark.implicits._
