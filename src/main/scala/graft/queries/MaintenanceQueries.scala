@@ -1477,6 +1477,73 @@ object MaintenanceQueries {
         .orderBy("user_id")
     })
 
+  /** The partition-spec-addition ladder, cached per sfDir: v0 lands
+    * UNPARTITIONED files (the pre-evolution layout), v1 appends the
+    * same schema laid out hive-style under day=... segments. The
+    * builder asserts the resolved table surfaces NULL day for the
+    * pre-evolution rows and the exact day values for the new layout. */
+  def partEvoRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_partevo", dir) { root =>
+      import graft.sources.ManifestLog
+      val ev = flatEvents(s, dir)
+      ev.filter(col("event_id") % 2 === 0)
+        .coalesce(2).write.parquet(s"$root/data/v0")
+      ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+        Seq.empty, op = "write")
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("day",
+          date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+        .write.partitionBy("day").parquet(s"$root/data/v1")
+      ManifestLog.commit(root, 1,
+        ManifestLog.partFilesRecursive(root, "data/v1"), Seq.empty,
+        op = "evolve-partitioning")
+      val t = ManifestLog.readVersionHive(s, root, 1)
+      val preRows = ev.filter(col("event_id") % 2 === 0).count()
+      require(t.filter(col("day").isNull).count() == preRows,
+        "pre-evolution rows must surface NULL day")
+      require(t.filter(col("day").isNotNull).count() ==
+        ev.count() - preRows,
+        "every new-layout row must carry its day segment")
+    }
+
+  private val partitionEvolution = GraftQuery(
+    name = "lake_partition_evolution",
+    doc = "PARTITION-SPEC ADDITION (r17) - Iceberg's flagship claim " +
+      "('evolve the partition layout without rewriting old data') in " +
+      "its additive form: the table starts UNPARTITIONED, later " +
+      "batches land hive-style under day=... segments, and the " +
+      "manifest-planned read resolves BOTH generations in one scan - " +
+      "the partition schema is the fullest file's segment list, " +
+      "every other file's list must be a PREFIX of it (a genuinely " +
+      "mixed layout stays loud), and files missing a segment surface " +
+      "NULL for that partition column, the same semantics additive " +
+      "data-schema evolution gives old files. Predicates compose " +
+      "correctly by NULL semantics: day = D statically prunes to " +
+      "that day's directory and excludes every pre-evolution file " +
+      "(NULL = D is never true; PlanSpec pins the file count), " +
+      "day IS NULL selects exactly the old layout, and an " +
+      "ungrouped read scans both. No old file was rewritten - at " +
+      "100 TB that's the entire point of spec evolution. Oracle " +
+      "replays both generations from the raw corpus with the day " +
+      "derived for new-layout rows and a sentinel for the old.",
+    oracle = Some("""
+      SELECT CASE WHEN event_id % 2 = 1
+                  THEN strftime(ts, '%Y-%m-%d')
+                  ELSE 'pre-layout' END AS day_grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""),
+    run = (s, dir) => {
+      val root = partEvoRoot(s, dir)
+      graft.sources.ManifestLog.readVersionHive(s, root, 1)
+        .groupBy(coalesce(col("day"), lit("pre-layout")).as("day_grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_value"))
+        .orderBy("day_grp")
+    })
+
   /** The snapshot-expiration ladder, cached per sfDir: v0 is a BAD
     * ingest (values zeroed for users <= 3) in stats-bearing files,
     * v1 the copy-on-write correction that rewrites exactly the
@@ -1663,5 +1730,6 @@ object MaintenanceQueries {
     skippingMulticol, skippingBloom, vacuumQuery, optimizeCompact,
     optimizeZorder,
     cdcIncremental, cdcRowImages, joinDfp, snapshotPartitioned,
-    dppManifest, incrementalAgg, cloneShallowQ, expireSnapshots)
+    dppManifest, incrementalAgg, cloneShallowQ, expireSnapshots,
+    partitionEvolution)
 }

@@ -51,7 +51,13 @@ final class ManifestFileIndex(root: String,
   /** Partition values parsed from the file's hive-style `k=v` path
     * segments in `partitionSchema` order — the layout half of a
     * partitioned manifest table (values ride in paths, exactly as a
-    * real format records them). */
+    * real format records them). A file MISSING a segment surfaces
+    * NULL for that partition column (r17, partition-spec addition):
+    * files written before the column was partitioned on genuinely
+    * have no value for it — the same additive-evolution semantics
+    * the declared data schema gives old files; predicates over the
+    * column exclude them (`NULL = v` is never true) and
+    * `IS NULL` selects exactly the pre-evolution layout. */
   private def partValues(rel: String): Seq[Any] =
     if (partitionSchema.isEmpty) Seq.empty
     else {
@@ -59,15 +65,16 @@ final class ManifestFileIndex(root: String,
         val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
       }.toMap
       partitionSchema.fields.toSeq.map { f =>
-        val raw = kv.getOrElse(f.name, throw new IllegalArgumentException(
-          s"file $rel missing hive partition segment '${f.name}='"))
-        f.dataType match {
-          case org.apache.spark.sql.types.LongType => raw.toLong
-          case org.apache.spark.sql.types.IntegerType => raw.toInt
-          case org.apache.spark.sql.types.StringType =>
-            org.apache.spark.unsafe.types.UTF8String.fromString(raw)
-          case dt => throw new IllegalArgumentException(
-            s"unsupported manifest partition type $dt for ${f.name}")
+        kv.get(f.name) match {
+          case None => null
+          case Some(raw) => f.dataType match {
+            case org.apache.spark.sql.types.LongType => raw.toLong
+            case org.apache.spark.sql.types.IntegerType => raw.toInt
+            case org.apache.spark.sql.types.StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+            case dt => throw new IllegalArgumentException(
+              s"unsupported manifest partition type $dt for ${f.name}")
+          }
         }
       }
     }

@@ -1980,17 +1980,29 @@ object ManifestLog {
       f.split('/').toSeq.filter(_.contains('=')).map { s =>
         val i = s.indexOf('='); (s.substring(0, i), s.substring(i + 1))
       }
-    val names = segs(r.files.head).map(_._1)
+    // PARTITION-SPEC ADDITION (r17): the partition schema is the
+    // FULLEST live file's segment list, and every other file's list
+    // must be a PREFIX of it — the layout additive evolution
+    // produces (new partition columns nest DEEPER; pre-evolution
+    // files carry fewer segments, down to none). Files missing a
+    // segment surface NULL for that column (the same semantics the
+    // declared data schema gives old files); anything that isn't a
+    // prefix is a genuinely mixed layout and stays loud.
+    val names = r.files.map(f => segs(f).map(_._1))
+      .maxBy(_.size)
     require(names.nonEmpty,
-      s"no hive partition segments in ${r.files.head} — use readVersion")
-    require(r.files.forall(f => segs(f).map(_._1) == names),
-      "every live file must carry the same partition segments")
+      s"no hive partition segments in any live file — use readVersion")
+    require(r.files.forall(f => names.startsWith(segs(f).map(_._1))),
+      "every live file's partition segments must be a prefix of the " +
+        s"fullest layout $names — mixed (non-additive) layouts are " +
+        "not resolvable")
     val schema = org.apache.spark.sql.types.StructType(names.map { n =>
-      val vals = r.files.map(f => segs(f).toMap.apply(n))
+      val vals = r.files.flatMap(f => segs(f).toMap.get(n))
       val longs = vals.forall(v => scala.util.Try(v.toLong).isSuccess)
       org.apache.spark.sql.types.StructField(n,
         if (longs) org.apache.spark.sql.types.LongType
-        else org.apache.spark.sql.types.StringType, nullable = false)
+        else org.apache.spark.sql.types.StringType,
+        nullable = vals.size < r.files.size)
     })
     val entries = r.files.map { f =>
       val merged = r.colStats.getOrElse(f, Map.empty[String, FileStat]) ++

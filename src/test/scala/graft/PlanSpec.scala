@@ -41,7 +41,7 @@ class PlanSpec extends AnyFunSuite {
       "lake_singlepass_dates", "lake_singlepass_decimal",
       "lake_skipping_strings", "lake_skipping_doubles",
       "lake_check_doubles", "lake_zorder_doubles",
-      "lake_cdc_replica_evolved",
+      "lake_cdc_replica_evolved", "lake_partition_evolution",
       "lake_restore", "lake_clone_shallow", "lake_expire_snapshots",
       "lake_snapshot_bytimestamp",
       "lake_snapshot_partitioned", "lake_write_singlepass",
@@ -120,6 +120,28 @@ class PlanSpec extends AnyFunSuite {
     val total = graft.sources.ManifestLog.filesAsOf(root, 0).size
     assert(pruned < total,
       s"double stats must prune the price files: read $pruned of $total")
+  }
+
+  test("partition-spec addition: day = D statically prunes to that " +
+      "day's directory and excludes every pre-evolution file; " +
+      "day IS NULL selects exactly the old layout (r17)") {
+    import org.apache.spark.sql.functions.col
+    val root = queries.MaintenanceQueries.partEvoRoot(spark, dir)
+    val t = graft.sources.ManifestLog.readVersionHive(spark, root, 1)
+    val total = graft.sources.ManifestLog.filesAsOf(root, 1).size
+    val preFiles =
+      graft.sources.ManifestLog.partFiles(root, "data/v0").size
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.selectedPartitions.totalNumberOfFiles
+    val d = t.filter(col("day").isNotNull)
+      .select("day").head.getString(0)
+    val dayScan = scanFiles(t.filter(col("day") === d))
+    assert(dayScan < total - preFiles,
+      s"day = $d must prune to the day's directory: $dayScan of $total")
+    assert(scanFiles(t.filter(col("day").isNull)) == preFiles,
+      "day IS NULL must select exactly the pre-evolution files")
   }
 
   test("recursive CTE SQL never degenerates to a cartesian loop") {

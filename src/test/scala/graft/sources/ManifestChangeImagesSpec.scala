@@ -115,6 +115,46 @@ class ManifestChangeImagesSpec extends AnyFunSuite {
       (3L, 30L, 300L)), s"got: $rows")
   }
 
+  test("CONTINUOUS replication across a schema evolution (r17): the " +
+      "version-cursor stream drives per-batch syncs through the " +
+      "boundary — micro-batched exactly like production, same final " +
+      "mirror as the batch sibling") {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_cdc_evo_stream_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_cdc_evo_stream_dst").toString
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/data/v0")
+    ManifestLog.commit(src, 0, ManifestLog.partFiles(src, "data/v0"),
+      Seq.empty, "write", schemaDdl = Some("k BIGINT, v BIGINT"))
+    Seq((3L, 30L, 300L)).toDF("k", "v", "w")
+      .coalesce(1).write.parquet(s"$src/data/v1")
+    ManifestLog.commit(src, 1, ManifestLog.partFiles(src, "data/v1"),
+      Seq.empty, "evolve",
+      schemaDdl = Some("k BIGINT, v BIGINT, w BIGINT"))
+    Seq[(Long, Long, java.lang.Long)]((1L, 10L, null),
+      (2L, 21L, java.lang.Long.valueOf(201L))).toDF("k", "v", "w")
+      .coalesce(1).write.parquet(s"$src/data/v2")
+    ManifestLog.commit(src, 2, ManifestLog.partFiles(src, "data/v2"),
+      ManifestLog.partFiles(src, "data/v0"), "merge")
+    // one version per micro-batch: the evolution lands MID-stream
+    val progress = graft.streaming.ManifestSink
+      .streamingReplicaDrained(spark, src, dst, keys = Seq("k"))
+    assert(progress.count(_.numInputRows > 0) == 3)
+    val rows = ManifestLog.readVersion(spark, dst,
+      ManifestLog.latestVersion(dst).get)
+      .select("k", "v", "w").collect().map(r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((1L, 10L, -1L), (2L, 21L, 201L),
+      (3L, 30L, 300L)), s"got: $rows")
+    // the mirror carries the propagated declaration
+    assert(ManifestLog.schemaDdlAsOf(dst,
+      ManifestLog.latestVersion(dst).get)
+      .contains("k BIGINT, v BIGINT, w BIGINT"))
+  }
+
   test("all four image classes materialize correctly; carried rows " +
       "produce nothing; appends skip the join") {
     val root = fixture()

@@ -230,6 +230,27 @@ class ManifestFileIndexSpec extends AnyFunSuite {
       Seq("legacy.parquet", "neg.parquet"))
   }
 
+  test("partition values: a file missing a segment surfaces NULL " +
+      "for that partition column — equality excludes it, IS NULL " +
+      "selects it (partition-spec addition, r17)") {
+    import org.apache.spark.sql.types.{LongType => LT, StructField, StructType}
+    val entries = Seq(
+      ManifestFileEntry("data/old/a.parquet", 10),
+      ManifestFileEntry("data/day=5/b.parquet", 10),
+      ManifestFileEntry("data/day=6/c.parquet", 10))
+    val idx = new ManifestFileIndex("/tmp/mfi_pevo_unit", entries,
+      StructType(Seq(StructField("day", LT, nullable = true))))
+    val day = AttributeReference("day", LT)()
+    def names(filters: Seq[Expression]) =
+      idx.listFiles(filters, Nil).flatMap(_.files)
+        .map(_.getPath.getName).sorted
+    assert(names(Nil).size == 3)
+    assert(names(Seq(EqualTo(day, Literal(5L)))) == Seq("b.parquet"))
+    assert(names(Seq(IsNull(day))) == Seq("a.parquet"))
+    assert(names(Seq(IsNotNull(day))) ==
+      Seq("b.parquet", "c.parquet"))
+  }
+
   // ---- end-to-end: plan shape + row parity on a real table ----
 
   private def scanOf(df: DataFrame): FileSourceScanExec =
