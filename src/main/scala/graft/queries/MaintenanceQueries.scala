@@ -1544,6 +1544,66 @@ object MaintenanceQueries {
         .orderBy("day_grp")
     })
 
+  /** The clone-materialization ladder, cached per sfDir: clone the
+    * single-pass events table by reference, MATERIALIZE (every
+    * absolute ref rewrites into table-owned key-clustered local
+    * files; the builder asserts zero refs survive and prunable stats
+    * re-committed), then diverge with a MOR delete — all without the
+    * source ever being written. */
+  def materializeRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_materialize", dir) { dst =>
+      import graft.sources.ManifestLog
+      val src = WriterQueries.singlePassRoot(s, dir)
+      ManifestLog.cloneShallow(src, dst, 0)
+      val locals = ManifestLog.materializeExternal(s, dst,
+        statsCols = Seq("user_id"), clusterBy = Seq("user_id"))
+      require(locals.nonEmpty &&
+        ManifestLog.filesAsOf(dst, 1).forall(!_.startsWith("/")),
+        "materialization must leave zero absolute references")
+      require(locals.forall(f => ManifestLog.colStatsAsOf(dst, 1)
+          .get(f).exists(_.contains("user_id"))),
+        "the rewrite must re-commit prunable stats")
+      val dvs = ManifestLog.deleteWhereMor(s, dst, 1, 2,
+        col("event_id") % 13 === 1)
+      require(dvs.nonEmpty, "the divergence delete must vector rows")
+    }
+
+  private val cloneMaterialize = GraftQuery(
+    name = "lake_clone_materialize",
+    doc = "CLONE MATERIALIZATION (r17) - the escape hatch that ENDS " +
+      "the shallow-clone contract's source dependency (Delta's " +
+      "documented deep-copy-later path): every absolute-referenced " +
+      "file rewrites into table-owned, key-clustered local files - " +
+      "MOR-filtered, so inherited deletion vectors fold into the " +
+      "rewrite and drop - and one commit swaps references for " +
+      "locals, re-committing prunable [min,max] stats from the " +
+      "rewrite pass itself (zero extra IO, the compaction " +
+      "convention). Local divergence files are untouched; a " +
+      "ref-free table is a loud no-op (no empty commits). " +
+      "ManifestCloneSpec proves the point end-to-end: after " +
+      "materialization the SOURCE IS DELETED ENTIRELY and the " +
+      "clone reads byte-identically - a source-side vacuum can no " +
+      "longer break this table. The rewrite is corpus-sized BY " +
+      "DESIGN (that is what buying independence costs; the clone " +
+      "stays metadata-sized until you choose to pay it). Oracle " +
+      "replays the materialized clone's post-delete state from the " +
+      "raw corpus.",
+    oracle = Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value
+      FROM events WHERE event_id % 13 <> 1
+      GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val root = materializeRoot(s, dir)
+      graft.sources.ManifestLog.readVersion(s, root, 2)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_value"))
+        .orderBy("user_id")
+    })
+
   /** The snapshot-expiration ladder, cached per sfDir: v0 is a BAD
     * ingest (values zeroed for users <= 3) in stats-bearing files,
     * v1 the copy-on-write correction that rewrites exactly the
@@ -1731,5 +1791,5 @@ object MaintenanceQueries {
     optimizeZorder,
     cdcIncremental, cdcRowImages, joinDfp, snapshotPartitioned,
     dppManifest, incrementalAgg, cloneShallowQ, expireSnapshots,
-    partitionEvolution)
+    partitionEvolution, cloneMaterialize)
 }

@@ -1681,6 +1681,59 @@ object ManifestLog {
     r.files.map(abs)
   }
 
+  /** MATERIALIZE a shallow clone (r17) — the escape hatch that ENDS
+    * the clone contract's source dependency (Delta documents the
+    * same "deep-copy later" path): every ABSOLUTE-referenced file
+    * rewrites into table-owned local files — MOR-FILTERED, so any
+    * inherited deletion vector folds into the rewrite and its ref
+    * drops — and one commit swaps references for locals. Local files
+    * and their metadata are untouched; after this, a vacuum on the
+    * SOURCE can no longer break this table. `statsCols` /
+    * `strStatsCols` re-commit skipping metadata from the rewrite
+    * pass itself (zero extra IO, the compaction convention);
+    * `clusterBy` range-clusters the rewrite so those stats can
+    * prune. A table with no external references is a NO-OP (no
+    * commit). Returns the new local files. */
+  def materializeExternal(spark: SparkSession, root: String,
+      statsCols: Seq[String] = Seq.empty,
+      strStatsCols: Seq[String] = Seq.empty,
+      clusterBy: Seq[String] = Seq.empty, files: Int = 0,
+      policy: Option[CheckpointPolicy] = None): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val store = storeFor(root)
+    val latest = (versionsIn(store) ++ checkpointVersionsIn(store))
+      .maxOption.getOrElse(throw new IllegalArgumentException(
+        s"empty log at $root — nothing to materialize"))
+    val r = replayIn(store, latest)
+    val ext = r.files.filter(_.startsWith("/"))
+    if (ext.isEmpty) return Seq.empty
+    val live = readFilesIndexed(spark, root, ext, r.colStats,
+      r.dvs.filter { case (f, _) => ext.contains(f) },
+      declaredSchema = r.schemaDdl.map(
+        org.apache.spark.sql.types.StructType.fromDDL))
+    val n = if (files > 0) files
+      else math.max(8, spark.sparkContext.defaultParallelism)
+    val df =
+      if (clusterBy.nonEmpty)
+        live.repartitionByRange(n, clusterBy.map(col): _*)
+      else live.repartition(n)
+    val sub = s"data/mz${latest + 1}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val summaries = SinglePassWriter.writeFiles(df, root, sub,
+      statsCols, strStatsCols = strStatsCols)
+    // attested: a materialization is content-preserving by
+    // construction — every row was already committed and validated
+    // upstream (the same exemption pure-layout rewrites get)
+    commit(root, latest + 1, adds = summaries.map(_.rel),
+      removes = ext, op = "materialize", policy = policy,
+      colStats = SinglePassWriter.colStatsOf(summaries, statsCols,
+        SinglePassWriter.dblColsOf(df.schema, statsCols)),
+      strColStats =
+        SinglePassWriter.strColStatsOf(summaries, strStatsCols),
+      attest = true)
+    summaries.map(_.rel)
+  }
+
   /** CDC REPLICATION (r16) — maintain a MIRROR table from the source
     * log's change-image feed: the canonical downstream consumer of
     * [[readChangeImages]] (Delta CDF's flagship use). One sync:

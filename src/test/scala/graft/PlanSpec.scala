@@ -42,6 +42,7 @@ class PlanSpec extends AnyFunSuite {
       "lake_skipping_strings", "lake_skipping_doubles",
       "lake_check_doubles", "lake_zorder_doubles",
       "lake_cdc_replica_evolved", "lake_partition_evolution",
+      "lake_clone_materialize",
       "lake_restore", "lake_clone_shallow", "lake_expire_snapshots",
       "lake_snapshot_bytimestamp",
       "lake_snapshot_partitioned", "lake_write_singlepass",

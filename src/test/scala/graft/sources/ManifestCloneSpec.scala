@@ -140,6 +140,48 @@ class ManifestCloneSpec extends AnyFunSuite {
     }
   }
 
+  test("materializeExternal ends the source dependency: every " +
+      "absolute ref rewrites locally (inherited vectors fold in), " +
+      "local files are untouched, and the clone reads identically " +
+      "after the SOURCE IS DELETED ENTIRELY; ref-free tables no-op") {
+    import spark.implicits._
+    val src = sourceTable()
+    val dst = newRoot()
+    ManifestLog.cloneShallow(src, dst, 2)
+    // local divergence first: an appended file must NOT be rewritten
+    (100L until 105L).map(k => (k, k * 10L)).toDF("k", "amount")
+      .coalesce(1).write.parquet(s"$dst/data/v1")
+    ManifestLog.commit(dst, 1, ManifestLog.partFiles(dst, "data/v1"),
+      Seq.empty, op = "write", attest = true)
+    val localBefore = ManifestLog.filesAsOf(dst, 1)
+      .filterNot(_.startsWith("/"))
+    val want = ManifestLog.readVersion(spark, dst, 1)
+      .orderBy("k").collect().toSeq
+    val locals = ManifestLog.materializeExternal(spark, dst,
+      statsCols = Seq("k"), clusterBy = Seq("k"), files = 2)
+    assert(locals.nonEmpty && locals.forall(!_.startsWith("/")))
+    val after = ManifestLog.filesAsOf(dst, 2)
+    assert(after.forall(!_.startsWith("/")),
+      "no absolute reference may survive a materialization")
+    assert(localBefore.forall(after.contains),
+      "local files must carry through untouched")
+    // the inherited vectors folded into the rewrite and dropped
+    assert(ManifestLog.dvsAsOf(dst, 2).isEmpty)
+    // the rewrite re-committed prunable stats
+    assert(locals.forall(f =>
+      ManifestLog.colStatsAsOf(dst, 2).get(f).exists(_.contains("k"))))
+    // the point of it all: delete the source, the clone still reads
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(src))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists)
+    assert(ManifestLog.readVersion(spark, dst, 2)
+      .orderBy("k").collect().toSeq == want)
+    // a table with no external refs is a no-op: no commit published
+    assert(ManifestLog.materializeExternal(spark, dst).isEmpty)
+    assert(ManifestLog.latestVersion(dst).contains(2L))
+  }
+
   test("clone-bootstrapped replica: the first sync is the metadata-" +
       "sized clone + txn marker, tail syncs stay key-pruned and " +
       "LOCALIZE only the touched references") {
