@@ -2243,10 +2243,15 @@ object ManifestLog {
     require(candidates.forall(r.files.contains),
       "DV candidates must be live files of the read version")
     // scan WITHOUT the MOR filter: already-dead rows that re-match
-    // simply union into the new vector (old ∪ new dedups them)
+    // simply union into the new vector (old ∪ new dedups them).
+    // DECLARED schema (r17): mixed-generation candidates on an
+    // evolved table must plan under it — a footer probe from the old
+    // generation would fail a predicate over the new column
     val scan = ManifestFileIndex.read(spark, root,
       candidates.map(f =>
-        entryFor(root, f, r.colStats.getOrElse(f, Map.empty))))
+        entryFor(root, f, r.colStats.getOrElse(f, Map.empty))),
+      declaredSchema = r.schemaDdl.map(
+        org.apache.spark.sql.types.StructType.fromDDL))
     val matched = doomed(
         scan.withColumn("__f", col("_metadata.file_path"))
           .withColumn("__idx", col("_metadata.row_index")))
@@ -2456,7 +2461,14 @@ object ManifestLog {
       r.dvs.get(f).exists(_.nDeleted >= minDead))
     if (doomed.isEmpty) return Seq.empty
     val sub = s"data/c$newVersion"
-    val live = readFilesIndexed(spark, root, doomed, r.colStats, r.dvs)
+    // DECLARED schema (r17): a mixed-generation rewrite planned from
+    // an old-generation footer would silently DROP the new column's
+    // values from the compacted files — the same hazard the replica
+    // fold closed; old-generation rows correctly surface NULL
+    val live = readFilesIndexed(spark, root, doomed, r.colStats,
+      r.dvs.filter { case (f, _) => doomed.contains(f) },
+      declaredSchema = r.schemaDdl.map(
+        org.apache.spark.sql.types.StructType.fromDDL))
     // attested: a compaction is content-preserving by construction —
     // every surviving row was already committed (and validated) in
     // the files it rewrites, so re-proving constraints is redundant

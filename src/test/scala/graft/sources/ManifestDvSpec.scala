@@ -178,6 +178,43 @@ class ManifestDvSpec extends AnyFunSuite {
       .filter(col("bucket") === 0L).count() == 8) // 10 evens - {4, 6}
   }
 
+  test("MOR delete and compaction across a SCHEMA EVOLUTION (r17): " +
+      "a delete predicated on the NEW column plans mixed-generation " +
+      "candidates under the declared schema, and the compaction " +
+      "rewrite never drops the new column's values") {
+    import spark.implicits._
+    val root = graft.TempDirs.deleteOnExit(
+      Files.createTempDirectory("graft_dv_evo")).toString
+    // gen-1: two-column file, declared
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/data/v0")
+    ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+      Seq.empty, "write", schemaDdl = Some("k BIGINT, v BIGINT"))
+    // gen-2: the widened generation, declared
+    Seq((3L, 30L, 300L), (4L, 40L, 999L)).toDF("k", "v", "w")
+      .coalesce(1).write.parquet(s"$root/data/v1")
+    ManifestLog.commit(root, 1, ManifestLog.partFiles(root, "data/v1"),
+      Seq.empty, "evolve",
+      schemaDdl = Some("k BIGINT, v BIGINT, w BIGINT"))
+    // a delete by the NEW column: gen-1 rows (w NULL) never match —
+    // before the fix this crashed on the old-generation footer probe
+    val dvs = ManifestLog.deleteWhereMor(spark, root, 1, 2,
+      col("w") > 500L)
+    assert(dvs.values.map(_.nDeleted).sum == 1)
+    assert(ManifestLog.readVersion(spark, root, 2)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // compaction rewrites the vectored (gen-2) file; the new column's
+    // surviving value must come through the rewrite intact
+    val rewritten = ManifestLog.compactDvs(spark, root, 2, 3)
+    assert(rewritten.nonEmpty)
+    val rows = ManifestLog.readVersion(spark, root, 3)
+      .select("k", "w").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows == Set((1L, -1L), (2L, -1L), (3L, 300L)),
+      s"got: $rows")
+  }
+
   test("commit-time validation: a dv for a file the same commit " +
       "removes, non-positive counts, and delimiter chars all fail loud") {
     val root = freshRoot()
