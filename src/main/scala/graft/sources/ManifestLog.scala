@@ -1161,6 +1161,14 @@ object ManifestLog {
     }
   }
 
+  /** The declared schema as of `version` as a StructType, for the
+    * prune-helper readers — every snapshot-shaped read must plan
+    * under it so evolved tables resolve mixed generations (r17). */
+  private def declaredAsOf(root: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    replayIn(storeFor(root), version).schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+
   /** Snapshot read AS OF `version` pruned by a RUNTIME key set from
     * `keys` (one column of join keys — the dim side of a fact⋈dim):
     * collects the distinct keys (loudly bounded by `maxKeys`; the dim
@@ -1181,7 +1189,7 @@ object ManifestLog {
       filesMatchingKeysIn(storeFor(root), root, version, column, k)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
     readFilesIndexed(spark, root, files, colStatsAsOf(root, version),
-      dvsAsOf(root, version))
+      dvsAsOf(root, version), declaredAsOf(root, version))
   }
 
   /** STRING twin of [[readVersionKeys]] (r17): snapshot read pruned by
@@ -1203,7 +1211,7 @@ object ManifestLog {
       filesMatchingStrKeysIn(storeFor(root), root, version, column, k)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
     readFilesIndexed(spark, root, files, colStatsAsOf(root, version),
-      dvsAsOf(root, version))
+      dvsAsOf(root, version), declaredAsOf(root, version))
   }
 
   /** Snapshot read AS OF `version` pruned to the files whose bloom for
@@ -1214,7 +1222,8 @@ object ManifestLog {
       column: String, value: Long): DataFrame = {
     val matching = filesMatchingPoint(root, version, column, value)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files, dvs = dvsAsOf(root, version))
+    readFilesIndexed(spark, root, files, dvs = dvsAsOf(root, version),
+      declaredSchema = declaredAsOf(root, version))
   }
 
   def commit(root: String, version: Long, adds: Seq[String],
@@ -1960,7 +1969,7 @@ object ManifestLog {
     val matching = filesMatchingCols(root, version, preds)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
     readFilesIndexed(spark, root, files, colStatsAsOf(root, version),
-      dvsAsOf(root, version))
+      dvsAsOf(root, version), declaredAsOf(root, version))
   }
 
   /** Snapshot read AS OF `version` PRUNED to the files whose stats
@@ -1972,7 +1981,8 @@ object ManifestLog {
       lo: Long, hi: Long): DataFrame = {
     val matching = filesMatching(root, version, lo, hi)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files, dvs = dvsAsOf(root, version))
+    readFilesIndexed(spark, root, files, dvs = dvsAsOf(root, version),
+      declaredSchema = declaredAsOf(root, version))
   }
 
   /** Snapshot read AS OF `version` planned through a
@@ -2063,7 +2073,9 @@ object ManifestLog {
       entryFor(root, f, merged, r.strColStats.getOrElse(f, Map.empty))
     }
     applyDvs(spark, root,
-      ManifestFileIndex.read(spark, root, entries, schema),
+      ManifestFileIndex.read(spark, root, entries, schema,
+        declaredSchema = r.schemaDdl.map(
+          org.apache.spark.sql.types.StructType.fromDDL)),
       r.dvs.filter { case (f, _) => r.files.contains(f) })
   }
 
