@@ -614,7 +614,89 @@ object MorQueries {
         .orderBy("user_id")
     })
 
+  /** The CLONE-BOOTSTRAPPED streaming mirror, cached per sfDir: the
+    * first sync is forced batch-side so the builder can PROVE the
+    * bootstrap shape (zero data files under the mirror; every live
+    * entry an absolute reference with carried stats), then the
+    * version-cursor stream drains the tail — the first incremental
+    * sync self-heals the event_id-keyed layout (cloned refs carry
+    * the source's user_id stats, not the replica key's → must-
+    * rewrite once into key-clustered, stats-bearing local files),
+    * and later syncs prune on those. */
+  def streamCloneReplicaRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_stream_replica_clone", dir) { dst =>
+      val src = morRoot(s, dir)
+      // sync 1, batch-side: the clone bootstrap — provably metadata
+      ManifestLog.replicateTo(s, src, dst, keys = Seq("event_id"),
+        upTo = Some(0L), bootstrap = "clone")
+      require(ManifestLog.partFilesRecursive(dst, "").isEmpty,
+        "the clone bootstrap must write zero data files")
+      require(ManifestLog.filesAsOf(dst, 0).forall(_.startsWith("/")),
+        "the bootstrap mirror must be all absolute references")
+      // the stream drains all 4 cursor rows; v0's batch replays as a
+      // pure marker no-op against the bootstrap's txn marker, the
+      // other 3 are the real tail syncs (delete, merge, compact)
+      val progress = graft.streaming.ManifestSink
+        .streamingReplicaDrained(s, src, dst, keys = Seq("event_id"),
+          bootstrap = "clone")
+      require(progress.count(_.numInputRows > 0) == 4,
+        s"the 4-version ladder must stream as 4 cursor batches: " +
+          s"${progress.map(_.numInputRows).toList}")
+      // total-checkpoint-loss replay: a fresh-checkpoint re-drain
+      // must no-op on the mirror's txn markers
+      val v = ManifestLog.latestVersion(dst).get
+      graft.streaming.ManifestSink
+        .streamingReplicaDrained(s, src, dst, keys = Seq("event_id"),
+          bootstrap = "clone")
+      require(ManifestLog.latestVersion(dst).contains(v),
+        "a re-drain against a fresh checkpoint must no-op every sync")
+    }
+
+  private val streamCdcReplicaClone = GraftQuery(
+    name = "stream_cdc_replica_clone",
+    doc = "CLONE-BOOTSTRAPPED CONTINUOUS REPLICATION (r17) - " +
+      "stream_cdc_replica's follower with the production bootstrap: " +
+      "the first sync of the empty mirror is a SHALLOW CLONE of the " +
+      "source snapshot plus the txn marker - one metadata-sized " +
+      "commit, ZERO data IO (the builder proves it: no data files, " +
+      "every live entry an absolute reference) - where the feed " +
+      "bootstrap single-pass-wrote the whole corpus through the " +
+      "mirror writer (the ~26 s-at-100x one-time cost the r17 rungs " +
+      "recorded; Delta documents the same CLONE-then-CDF pattern). " +
+      "Tail syncs stream through the version cursor and LOCALIZE " +
+      "lazily: the first incremental sync self-heals the replica-" +
+      "key layout (cloned refs carry the source's clustering stats, " +
+      "not event_id's -> must-rewrite once, exactly the documented " +
+      "stats-less-mirror contract), later syncs key-prune on the " +
+      "re-committed stats. Exactly-once still needs nothing from " +
+      "the streaming checkpoint (the cursor is the mirror log's txn " +
+      "marker; the builder proves the fresh-checkpoint re-drain " +
+      "no-ops). Same composed raw-corpus oracle as the feed-" +
+      "bootstrapped sibling - the bootstrap mechanism must be " +
+      "invisible in the rows.",
+    oracle = Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id,
+               CASE WHEN user_id BETWEEN $MrgLo AND $MrgHi
+                         AND event_id % 5 = 0
+                    THEN value + 1000.0 ELSE value END AS value
+        FROM events
+        WHERE NOT (user_id BETWEEN $DelLo AND $DelHi AND event_id % 7 = 0))
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY user_id ORDER BY user_id"""),
+    run = (s, dir) => {
+      val dst = streamCloneReplicaRoot(s, dir)
+      ManifestLog.readVersion(s, dst,
+          ManifestLog.latestVersion(dst).get)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[GraftQuery] =
     Seq(deleteDv, mergeMor, dvCompaction, cdcMor, cdcReplica,
-      cdcReplicaEvolved, streamCdcReplica, restore)
+      cdcReplicaEvolved, streamCdcReplica, streamCdcReplicaClone,
+      restore)
 }

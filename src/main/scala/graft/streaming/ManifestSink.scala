@@ -271,7 +271,8 @@ object ManifestSink {
   def streamingReplicaDrained(spark: SparkSession, srcRoot: String,
       dstRoot: String, keys: Seq[String],
       maxVersionsPerTrigger: Long = 1L,
-      workDir: Option[String] = None)
+      workDir: Option[String] = None,
+      bootstrap: String = "feed")
       : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val ds = EventStream.drainSession(spark)
     val cursor = ds.readStream
@@ -289,7 +290,7 @@ object ManifestSink {
         val vs = batch.select("version").collect().map(_.getLong(0))
         if (vs.nonEmpty) {
           ManifestLog.replicateTo(batch.sparkSession, srcRoot, dstRoot,
-            keys, upTo = Some(vs.max))
+            keys, upTo = Some(vs.max), bootstrap = bootstrap)
         }
         ()
       }
