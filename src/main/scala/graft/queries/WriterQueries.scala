@@ -521,6 +521,62 @@ object WriterQueries {
         .orderBy("l_returnflag")
     })
 
+  /** A STRING-bloomed single-pass table: documents with a synthetic
+    * high-cardinality tag ('u' + doc_id % 9973), deliberately
+    * UNCLUSTERED on it, landed with a string bloom sidecar (and
+    * UTF-8 bounds, which random tags render useless — every file's
+    * interval contains every probe). The builder asserts the bloom
+    * point-prune actually drops files. Cached per sfDir. */
+  def strBloomRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_singlepass_strbloom", dir) { root =>
+      SinglePassWriter.writeCommit(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("tag", concat(lit("u"),
+            (col("doc_id") % 9973).cast(StringType)))
+          .repartition(8, col("doc_id")),
+        root, "data/v0", 0, bloomCol = Some("tag"),
+        strStatsCols = Seq("tag"))
+      val kept = ManifestLog.filesMatchingStrPoint(root, 0, "tag", "u42")
+      require(kept.size < ManifestLog.filesAsOf(root, 0).size,
+        s"the string bloom must prune tag-free files: kept $kept")
+    }
+
+  private val skippingStrBloom = GraftQuery(
+    name = "lake_skipping_strbloom",
+    doc = "STRING point-lookup skipping via bloom sidecars (r17) - " +
+      "the index class string BOUNDS cannot be: an equality on an " +
+      "UNCLUSTERED string column (a tag, URL host, user agent) " +
+      "intersects every file's UTF-8 [min,max] interval, so bounds " +
+      "prune nothing - a bloom answers 'definitely absent' per " +
+      "file instead. Strings key through FileBloom.strKey (FNV-1a " +
+      "64 over UTF-8 bytes, self-authored and bit-deterministic " +
+      "across JVMs) on BOTH sides - the writer's one-pass fold and " +
+      "the read-side probe - so the no-false-negative contract " +
+      "holds exactly as for long keys; a false positive costs one " +
+      "file's IO, never a row (the exact equality still applies). " +
+      "The same hash now composes into string-keyed dynamic file " +
+      "pruning (filesMatchingStrKeysIn consults blooms alongside " +
+      "bounds, closing lake_join_dfp_strings' documented no-bloom-" +
+      "class gap). The builder asserts the point prune drops files " +
+      "on the deliberately unclustered fixture. Oracle replays the " +
+      "tag equality over the raw corpus with the same derivation - " +
+      "a wrongly-pruned file fails the hash.",
+    oracle = Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS first_doc
+      FROM documents
+      WHERE ('u' || CAST(doc_id % 9973 AS VARCHAR)) = 'u42'"""),
+    run = (s, dir) => {
+      val root = strBloomRoot(s, dir)
+      ManifestLog.readVersionStrPoint(s, root, 0, "tag", "u42")
+        .filter(col("tag") === "u42")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+    })
+
   private val joinDfpStrings = GraftQuery(
     name = "lake_join_dfp_strings",
     doc = "STRING-keyed DYNAMIC FILE PRUNING (r17) - lake_join_dfp's " +
@@ -562,5 +618,5 @@ object WriterQueries {
   val all: Seq[GraftQuery] =
     Seq(writeSinglePass, singlePassBloom, singlePassDates,
       skippingStrings, singlePassDecimal, skippingDoubles,
-      checkDoubles, zorderDoubles, joinDfpStrings)
+      checkDoubles, zorderDoubles, skippingStrBloom, joinDfpStrings)
 }

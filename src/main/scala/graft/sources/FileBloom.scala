@@ -40,6 +40,24 @@ object FileBloom {
     m
   }
 
+  /** Canonical LONG key of a STRING bloom value (r17): FNV-1a 64 over
+    * the UTF-8 bytes — self-authored and bit-deterministic across
+    * JVMs, like the probe hashing above. Both the writer's fold and
+    * the read-side membership test key strings through here, so the
+    * bloom contract (no false negatives for inserted values) holds
+    * for string columns exactly as for longs. */
+  def strKey(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   def build(values: Iterator[Long], m: Int, k: Int): Array[Byte] = {
     val bits = new Array[Byte](m / 8)
     values.foreach { v =>

@@ -1100,6 +1100,50 @@ object ManifestLog {
     }
   }
 
+  /** STRING point-lookup prune (r17): the live files whose bloom
+    * for `column` might contain the STRING `value` — keyed through
+    * [[FileBloom.strKey]] (the same FNV-1a 64 the writer folds), so
+    * an equality on an UNclustered string column (a tag, a URL host,
+    * a user agent) prunes to the definitely-possible files where
+    * UTF-8 bounds — which every file's interval would contain —
+    * prune nothing. String bounds compose when present; bloom-less,
+    * bound-less files are must-read. */
+  def filesMatchingStrPoint(root: String, version: Long,
+      column: String, value: String): Seq[String] = {
+    val store = storeFor(root)
+    require(versionsIn(store).contains(version) ||
+      checkpointVersionsIn(store).contains(version),
+      s"version $version not in manifest log")
+    val r = replayIn(store, version)
+    require(r.files.nonEmpty, s"version $version resolves to no files")
+    val key = FileBloom.strKey(value)
+    r.files.filter { f =>
+      val boundsMaybe =
+        r.strColStats.getOrElse(f, Map.empty).get(column).forall(st =>
+          ManifestFileIndex.utf8Cmp(value, st.min) >= 0 &&
+          ManifestFileIndex.utf8Cmp(value, st.max) <= 0)
+      lazy val bloomMaybe =
+        r.blooms.getOrElse(f, Map.empty).get(column).forall { ref =>
+          val bits =
+            Files.readAllBytes(resolvePath(root, ref.sidecar).toPath)
+          FileBloom.mightContain(bits, ref.m, ref.k, key)
+        }
+      boundsMaybe && bloomMaybe
+    }
+  }
+
+  /** Snapshot read pruned by [[filesMatchingStrPoint]]; the caller
+    * still applies the exact equality predicate (a bloom false
+    * positive costs one file's IO, never a row). Falls back to every
+    * live file when nothing matches. */
+  def readVersionStrPoint(spark: SparkSession, root: String,
+      version: Long, column: String, value: String): DataFrame = {
+    val matching = filesMatchingStrPoint(root, version, column, value)
+    val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
+    readFilesIndexed(spark, root, files, dvs = dvsAsOf(root, version),
+      declaredSchema = declaredAsOf(root, version))
+  }
+
   /** DYNAMIC FILE PRUNING (r16) — the dim-driven sibling of
     * [[filesMatchingColsIn]]: the live files as of `version` that can
     * contain ANY of `keys` in `column`, decided from the manifest's
@@ -1153,11 +1197,23 @@ object ManifestLog {
     val r = replayIn(store, version)
     require(r.files.nonEmpty, s"version $version resolves to no files")
     val distinct = keys.distinct
+    val hashed = distinct.map(FileBloom.strKey)
     r.files.filter { f =>
-      r.strColStats.getOrElse(f, Map.empty).get(column).forall(st =>
-        distinct.exists(k =>
-          ManifestFileIndex.utf8Cmp(k, st.min) >= 0 &&
-          ManifestFileIndex.utf8Cmp(k, st.max) <= 0))
+      val boundsMaybe =
+        r.strColStats.getOrElse(f, Map.empty).get(column).forall(st =>
+          distinct.exists(k =>
+            ManifestFileIndex.utf8Cmp(k, st.min) >= 0 &&
+            ManifestFileIndex.utf8Cmp(k, st.max) <= 0))
+      // a string bloom (r17, FileBloom.strKey-keyed) composes: the
+      // file survives only if SOME key might be present
+      lazy val bloomMaybe =
+        r.blooms.getOrElse(f, Map.empty).get(column).forall { ref =>
+          val bits =
+            Files.readAllBytes(resolvePath(root, ref.sidecar).toPath)
+          hashed.exists(k =>
+            FileBloom.mightContain(bits, ref.m, ref.k, k))
+        }
+      boundsMaybe && bloomMaybe
     }
   }
 

@@ -211,9 +211,14 @@ object SinglePassWriter {
         s"stats column $c must be integral/timestamp/date/double, " +
           s"got ${schema(c).dataType}")
     }
+    // blooms key integrals by their canonical long and STRINGS (r17)
+    // by FileBloom.strKey (FNV-1a 64 over UTF-8 bytes) — the same
+    // hash the read-side point prune probes with, so the no-false-
+    // negative contract holds per type
     bloomCol.foreach { c =>
-      require(integral(schema(c).dataType),
-        s"bloom column $c must be integral/timestamp/date, " +
+      require(integral(schema(c).dataType) ||
+          schema(c).dataType == StringType,
+        s"bloom column $c must be integral/timestamp/date/string, " +
           s"got ${schema(c).dataType}")
     }
     val statIdx = statsCols.map(schema.fieldIndex)
@@ -295,7 +300,10 @@ object SinglePassWriter {
             }
           }
           bloomIdx.foreach(i =>
-            if (!row.isNullAt(i)) seen.add(longAt(row, i)))
+            if (!row.isNullAt(i)) seen.add(
+              if (schema(i).dataType == StringType)
+                FileBloom.strKey(row.getString(i))
+              else longAt(row, i)))
           checkIdx.indices.foreach { k =>
             val i = checkIdx(k)
             if (!row.isNullAt(i) && row.getBoolean(i)) viols(k) += 1L

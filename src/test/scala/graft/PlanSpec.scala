@@ -46,7 +46,8 @@ class PlanSpec extends AnyFunSuite {
       "lake_restore", "lake_clone_shallow", "lake_expire_snapshots",
       "lake_snapshot_bytimestamp",
       "lake_snapshot_partitioned", "lake_write_singlepass",
-      "lake_join_dfp_strings", "stream_sink_point",
+      "lake_join_dfp_strings", "lake_skipping_strbloom",
+      "stream_sink_point",
       "stream_cdc_replica_clone")
     manifestRows.foreach { name =>
       // pre-AQE plan: an empty-result row (the sf0.001 point lookup)

@@ -185,6 +185,41 @@ class SinglePassWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("string blooms (r17): the write loop folds FNV-1a keys, the " +
+      "point prune has no false negatives and drops tag-free files, " +
+      "and the string-keyed DFP consults the bloom alongside bounds") {
+    import spark.implicits._
+    val root = newRoot()
+    // 4 files, each with a DISJOINT tag set the bounds cannot
+    // separate (interleaved lexicographic order)
+    SinglePassWriter.writeCommit(
+      (0L until 400L).map(i => (i, s"t${i % 97}"))
+        .toDF("k", "tag").repartition(4, col("k")),
+      root, "data/v0", 0, bloomCol = Some("tag"),
+      strStatsCols = Seq("tag"))
+    // every present tag's containing files survive (no false negative)
+    (0 until 97).foreach { t =>
+      val kept = ManifestLog.filesMatchingStrPoint(root, 0, "tag", s"t$t")
+      val actual = ManifestLog.readVersion(spark, root, 0)
+        .filter(col("tag") === s"t$t").count()
+      assert(actual > 0)
+      val exact = graft.sources.ManifestLog
+        .readVersionStrPoint(spark, root, 0, "tag", s"t$t")
+        .filter(col("tag") === s"t$t").count()
+      assert(exact == actual, s"t$t lost rows through the prune")
+      assert(kept.nonEmpty)
+    }
+    // an absent tag prunes everything (bounds contain it; the bloom
+    // says definitely absent — modulo fp, overwhelmingly unlikely
+    // across 4 small filters for one fixed probe)
+    assert(ManifestLog.filesMatchingStrPoint(root, 0, "tag", "zzz")
+      .size <= 1)
+    // the string-keyed DFP path consults the bloom too
+    val viaKeys = ManifestLog.filesMatchingStrKeysIn(
+      ManifestLog.storeFor(root), root, 0, "tag", Seq("zzz", "yyy"))
+    assert(viaKeys.size <= 1)
+  }
+
   test("double stats (r17): the write loop folds IEEE sortable-bits " +
       "[min,max] images that match an independent read-back, NaN " +
       "folds above +Inf, -0.0 collapses onto +0.0, and all-null " +
