@@ -469,8 +469,7 @@ object WriterQueries {
       ManifestLog.commit(root, 0, adds = summaries.map(_.rel),
         removes = Seq.empty, op = "write",
         colStats = graft.sources.SinglePassWriter.colStatsOf(
-          summaries, Seq("l_extendedprice", "l_quantity"),
-          Set("l_extendedprice", "l_quantity")))
+          summaries, Seq("l_extendedprice", "l_quantity")))
       val key = graft.sources.ManifestFileIndex.dblKey _
       val total = ManifestLog.filesAsOf(root, 0).size
       val priceOnly = ManifestLog.filesMatchingCols(root, 0,

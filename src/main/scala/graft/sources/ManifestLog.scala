@@ -1139,9 +1139,20 @@ object ManifestLog {
   def readVersionStrPoint(spark: SparkSession, root: String,
       version: Long, column: String, value: String): DataFrame = {
     val matching = filesMatchingStrPoint(root, version, column, value)
-    val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files, dvs = dvsAsOf(root, version),
-      declaredSchema = declaredAsOf(root, version))
+    val r = replayIn(storeFor(root), version)
+    val declared = r.schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    if (matching.isEmpty)
+      // DEFINITELY ABSENT everywhere — the miss case the bloom
+      // exists for must not degrade to a full-table scan (review
+      // finding, r17): shape the empty answer from one file's
+      // metadata at zero row cost
+      readFilesIndexed(spark, root, r.files.take(1),
+        declaredSchema = declared).limit(0)
+    else
+      readFilesIndexed(spark, root, matching,
+        dvs = r.dvs.filter { case (f, _) => matching.contains(f) },
+        declaredSchema = declared)
   }
 
   /** DYNAMIC FILE PRUNING (r16) — the dim-driven sibling of
@@ -1225,6 +1236,18 @@ object ManifestLog {
     replayIn(storeFor(root), version).schemaDdl
       .map(org.apache.spark.sql.types.StructType.fromDDL)
 
+  /** ONE-replay indexed read over a pre-pruned file list: stats, DV
+    * refs and the declared schema all come from a single fold of the
+    * log (the prune helpers previously replayed 3-4 times per read —
+    * review finding, r17). */
+  private def readPrunedIndexed(spark: SparkSession, root: String,
+      version: Long, files: Seq[String]): DataFrame = {
+    val r = replayIn(storeFor(root), version)
+    readFilesIndexed(spark, root, files, r.colStats,
+      r.dvs.filter { case (f, _) => files.contains(f) },
+      r.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL))
+  }
+
   /** Snapshot read AS OF `version` pruned by a RUNTIME key set from
     * `keys` (one column of join keys — the dim side of a fact⋈dim):
     * collects the distinct keys (loudly bounded by `maxKeys`; the dim
@@ -1244,8 +1267,7 @@ object ManifestLog {
     val matching =
       filesMatchingKeysIn(storeFor(root), root, version, column, k)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files, colStatsAsOf(root, version),
-      dvsAsOf(root, version), declaredAsOf(root, version))
+    readPrunedIndexed(spark, root, version, files)
   }
 
   /** STRING twin of [[readVersionKeys]] (r17): snapshot read pruned by
@@ -1266,8 +1288,7 @@ object ManifestLog {
     val matching =
       filesMatchingStrKeysIn(storeFor(root), root, version, column, k)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files, colStatsAsOf(root, version),
-      dvsAsOf(root, version), declaredAsOf(root, version))
+    readPrunedIndexed(spark, root, version, files)
   }
 
   /** Snapshot read AS OF `version` pruned to the files whose bloom for
@@ -1278,8 +1299,7 @@ object ManifestLog {
       column: String, value: Long): DataFrame = {
     val matching = filesMatchingPoint(root, version, column, value)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files, dvs = dvsAsOf(root, version),
-      declaredSchema = declaredAsOf(root, version))
+    readPrunedIndexed(spark, root, version, files)
   }
 
   def commit(root: String, version: Long, adds: Seq[String],
@@ -1588,6 +1608,31 @@ object ManifestLog {
     replayIn(store, version).schemaDdl
   }
 
+  /** The in-force declared-schema DDL for EVERY version in
+    * (`from`, `to`], computed with ONE replay at `from` plus one
+    * manifest read per version (the streaming gate previously
+    * replayed per version — O(V^2); review finding, r17). `from < 0`
+    * seeds from nothing. */
+  private[sources] def schemaDdlsThroughIn(store: LogStore, from: Long,
+      to: Long): Map[Long, Option[String]] = {
+    var cur: Option[String] =
+      if (from >= 0 && (versionsIn(store).contains(from) ||
+          checkpointVersionsIn(store).contains(from)))
+        replayIn(store, from).schemaDdl
+      else None
+    ((from + 1) to to).map { v =>
+      field(store.read(manifestName(v)), "schema").lastOption
+        .foreach(b64 => cur = Some(new String(
+          java.util.Base64.getDecoder.decode(b64),
+          java.nio.charset.StandardCharsets.UTF_8)))
+      v -> cur
+    }.toMap
+  }
+
+  def schemaDdlsThrough(root: String, from: Long,
+      to: Long): Map[Long, Option[String]] =
+    schemaDdlsThroughIn(storeFor(root), from, to)
+
   def checksAsOf(root: String, version: Long): Map[String, String] = {
     val store = storeFor(root)
     require(versionsIn(store).contains(version) ||
@@ -1677,8 +1722,7 @@ object ManifestLog {
     commitSerializable(root, read.getOrElse(-1L),
       adds = summaries.map(_.rel), removes = Seq.empty, op = "append",
       policy = policy, commitMs = commitMs,
-      colStats = SinglePassWriter.colStatsOf(summaries, statsCols,
-        SinglePassWriter.dblColsOf(df.schema, statsCols)),
+      colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
       blooms = SinglePassWriter.bloomsOf(summaries, bloomCol),
       attest = true)
   }
@@ -1772,6 +1816,17 @@ object ManifestLog {
     val r = replayIn(store, latest)
     val ext = r.files.filter(_.startsWith("/"))
     if (ext.isEmpty) return Seq.empty
+    // hive-layout references carry partition VALUES only in their
+    // k=v path segments; a flat rewrite would silently drop them
+    // (review finding, r17) — refuse loudly, the caller materializes
+    // through readVersionHive + an explicit partitionBy rewrite
+    require(!ext.exists(_.split('/').exists(seg =>
+        seg.contains('=') && !seg.startsWith("."))),
+      "external references carry hive partition segments — their " +
+        "partition values live only in paths, and a flat rewrite " +
+        "would drop them; materialize a hive-layout clone by " +
+        "reading through readVersionHive and rewriting with an " +
+        "explicit partitionBy")
     val live = readFilesIndexed(spark, root, ext, r.colStats,
       r.dvs.filter { case (f, _) => ext.contains(f) },
       declaredSchema = r.schemaDdl.map(
@@ -1791,8 +1846,7 @@ object ManifestLog {
     // upstream (the same exemption pure-layout rewrites get)
     commit(root, latest + 1, adds = summaries.map(_.rel),
       removes = ext, op = "materialize", policy = policy,
-      colStats = SinglePassWriter.colStatsOf(summaries, statsCols,
-        SinglePassWriter.dblColsOf(df.schema, statsCols)),
+      colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
       strColStats =
         SinglePassWriter.strColStatsOf(summaries, strStatsCols),
       attest = true)
@@ -2024,8 +2078,7 @@ object ManifestLog {
       version: Long, preds: Seq[(String, Long, Long)]): DataFrame = {
     val matching = filesMatchingCols(root, version, preds)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files, colStatsAsOf(root, version),
-      dvsAsOf(root, version), declaredAsOf(root, version))
+    readPrunedIndexed(spark, root, version, files)
   }
 
   /** Snapshot read AS OF `version` PRUNED to the files whose stats
@@ -2037,8 +2090,7 @@ object ManifestLog {
       lo: Long, hi: Long): DataFrame = {
     val matching = filesMatching(root, version, lo, hi)
     val files = if (matching.nonEmpty) matching else filesAsOf(root, version)
-    readFilesIndexed(spark, root, files, dvs = dvsAsOf(root, version),
-      declaredSchema = declaredAsOf(root, version))
+    readPrunedIndexed(spark, root, version, files)
   }
 
   /** Snapshot read AS OF `version` planned through a
@@ -2494,8 +2546,7 @@ object ManifestLog {
           adds = summaries.map(_.rel), removes = Seq.empty,
           op = "merge", readFiles = candidates.toSet, policy = policy,
           dvs = dvs,
-          colStats = SinglePassWriter.colStatsOf(summaries, statsCols,
-            SinglePassWriter.dblColsOf(postDf.schema, statsCols)))
+          colStats = SinglePassWriter.colStatsOf(summaries, statsCols))
       } catch {
         case LogicalConflict(v, d) =>
           if (attempt >= maxAttempts) throw LogicalConflict(v,
@@ -2552,8 +2603,7 @@ object ManifestLog {
         statsCols)
       commit(root, newVersion, adds = summaries.map(_.rel),
         removes = doomed, op = "rewrite", policy = policy,
-        colStats = SinglePassWriter.colStatsOf(summaries, statsCols,
-          SinglePassWriter.dblColsOf(live.schema, statsCols)),
+        colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
         attest = true)
       summaries.map(_.rel)
     }
@@ -2650,6 +2700,11 @@ object ManifestLog {
       val removes = drops ++ clears
       val dvs = (reassert ++ reAdds.filter(rt.dvs.contains))
         .map(f => f -> rt.dvs(f)).toMap
+      // IDEMPOTENT (review finding, r17): the live state already
+      // equals the target's — an at-least-once wrapper retrying
+      // restoreTo must not append empty restore commits forever
+      if (adds.isEmpty && removes.isEmpty && dvs.isEmpty)
+        return cur
       // vacuum check: every byte the restored state references must
       // still exist — a silent re-add of a reclaimed file would turn
       // the next read into a FileNotFound deep inside a scan

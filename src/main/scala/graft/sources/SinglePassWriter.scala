@@ -58,7 +58,8 @@ object SinglePassWriter {
   final case class FileSummary(rel: String, n: Long, los: Seq[Long],
       his: Seq[Long], bloomM: Int, viols: Seq[Long] = Seq.empty,
       sLos: Seq[String] = Seq.empty, sHis: Seq[String] = Seq.empty,
-      sSeen: Seq[Boolean] = Seq.empty)
+      sSeen: Seq[Boolean] = Seq.empty,
+      dbl: Seq[Boolean] = Seq.empty)
 
   private def parquetType(f: StructField): PrimitiveType = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -104,27 +105,18 @@ object SinglePassWriter {
     require(summaries.nonEmpty, "single-pass write produced no files")
     ManifestLog.commit(root, version, adds = summaries.map(_.rel),
       removes = Seq.empty, op = op, policy = policy,
-      colStats = colStatsOf(summaries, statsCols,
-        dblColsOf(df.schema, statsCols)),
+      colStats = colStatsOf(summaries, statsCols),
       blooms = bloomsOf(summaries, bloomCol),
       strColStats = strColStatsOf(summaries, strStatsCols))
     summaries
   }
 
-  /** The stats columns of `statsCols` whose values are DOUBLES —
-    * their folded bounds are [[ManifestFileIndex.dblKey]] images and
-    * must commit `dbl`-tagged so the commit-time CHECK proof picks
-    * the matching arithmetic. */
-  def dblColsOf(schema: StructType,
-      statsCols: Seq[String]): Set[String] =
-    statsCols.filter(c => schema(c).dataType == DoubleType).toSet
 
   /** The committed-metadata views of a pass's summaries — exposed so
     * composite commits (a compaction's remove+add, a merge) can fold
     * single-pass-written files into their own single atomic commit. */
   def colStatsOf(summaries: Seq[FileSummary],
-      statsCols: Seq[String],
-      dblCols: Set[String] = Set.empty)
+      statsCols: Seq[String])
       : Map[String, Map[String, FileStat]] =
     summaries.map(s => s.rel ->
       statsCols.indices.flatMap { k =>
@@ -134,10 +126,14 @@ object SinglePassWriter {
         // stat is nonsense to any consumer that trusts the
         // invariant); omitting the entry makes the file stats-less
         // for that column = never skippable, the same conservative
-        // contract a stats-less add already has
+        // contract a stats-less add already has.
+        // The dbl TAG rides in the summary itself — writeFiles is
+        // the only party that knows the fold's type, so no caller
+        // can forget it and reopen the untyped-proof hole (review
+        // finding, r17)
         if (s.los(k) <= s.his(k))
           Some(statsCols(k) -> FileStat(s.los(k), s.his(k),
-            dblCols(statsCols(k))))
+            s.dbl.lift(k).getOrElse(false)))
         else None
       }.toMap)
       .filter(_._2.nonEmpty).toMap
@@ -338,7 +334,8 @@ object SinglePassWriter {
             // carry "" with sSeen=false and are omitted at commit
             sLos.map(v => if (v == null) "" else v).toSeq,
             sHis.map(v => if (v == null) "" else v).toSeq,
-            sLos.map(_ != null).toSeq))
+            sLos.map(_ != null).toSeq,
+            statIdx.map(i => schema(i).dataType == DoubleType).toSeq))
       }
     }(Encoders.product[FileSummary]).collect().toSeq.sortBy(_.rel)
 

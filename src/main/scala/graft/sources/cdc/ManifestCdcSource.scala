@@ -259,24 +259,45 @@ private[cdc] class ManifestCdcStream(root: String, startingVersion: Long,
     // SCHEMA-EVOLUTION gate (r17): the row readers decode every
     // file under the stream's FIXED schema (file order, all
     // columns), so on a DECLARING table a version whose adds were
-    // committed under a different declaration is not replayable here
-    // — reject loudly (like rewrites and vectors) instead of
+    // committed under a DIFFERENT physical shape is not replayable
+    // here — reject loudly (like rewrites and vectors) instead of
     // misaligning columns; consumers either start the stream at or
     // after the evolution, or use the change-image feed, which plans
     // per-frame schemas. Undeclared tables have one physical
-    // generation by construction and skip the gate.
-    val declaringTable = ManifestLog.schemaDdlAsOf(root, to).isDefined
+    // generation by construction and skip the gate. Per-version
+    // declarations come from ONE forward walk (O(versions), not a
+    // replay per version); versions committed BEFORE the first
+    // declaration are admitted when their first add's FOOTER shape
+    // matches the stream's — a late declaration that merely names
+    // the existing physical schema must not strand the history
+    // (both review findings, r17).
+    val ddlAt = ManifestLog.schemaDdlsThrough(root, from, to)
+    val declaringTable = ddlAt.get(to).flatten.isDefined ||
+      (from >= 0 && ManifestLog.schemaDdlAsOf(root, from).isDefined)
+    def shape(st: StructType): Seq[(String, DataType)] =
+      st.fields.toSeq.map(f => (f.name, f.dataType))
+    lazy val streamShape = dataSchema.map(shape)
     ManifestLog.changesBetween(root, from, to).flatMap {
       case (v, adds, removes) =>
         require(removes.isEmpty,
           s"version $v rewrites files — not replayable as an " +
             "append-only row feed; consume rewrites via snapshot diff")
-        if (adds.nonEmpty && declaringTable && dataSchema.isDefined) {
-          val vSchema = ManifestLog.schemaDdlAsOf(root, v).map(d =>
-            StructType(StructType.fromDDL(d).fields.toSeq :+
-              StructField("_commit_version", LongType,
-                nullable = false)))
-          require(vSchema.contains(dataSchema.get),
+        if (adds.nonEmpty && declaringTable && streamShape.isDefined) {
+          val vShape = ddlAt(v) match {
+            case Some(d) => shape(StructType(
+              StructType.fromDDL(d).fields.toSeq :+
+                StructField("_commit_version", LongType,
+                  nullable = false)))
+            case None =>
+              // pre-declaration generation: prove the physical shape
+              // from one footer (one read per such version)
+              val msg = ManifestCdc.footerSchema(ManifestLog
+                .resolvePath(root, adds.head).getAbsolutePath)
+              shape(StructType(ManifestCdc.dataFields(msg) :+
+                StructField("_commit_version", LongType,
+                  nullable = false)))
+          }
+          require(vShape == streamShape.get,
             s"version $v was committed under a different declared " +
               "schema than the stream's — not replayable as a " +
               "fixed-schema row feed; restart the stream at or after " +

@@ -182,6 +182,26 @@ class ManifestCloneSpec extends AnyFunSuite {
     assert(ManifestLog.latestVersion(dst).contains(2L))
   }
 
+  test("materializeExternal refuses hive-layout references loudly: " +
+      "their partition values live only in paths and a flat rewrite " +
+      "would drop them (r17 review finding)") {
+    import spark.implicits._
+    val src = newRoot()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "part")
+      .write.partitionBy("part").parquet(s"$src/data/v0")
+    ManifestLog.commit(src, 0,
+      ManifestLog.partFilesRecursive(src, "data/v0"), Seq.empty,
+      op = "write")
+    val dst = newRoot()
+    ManifestLog.cloneShallow(src, dst, 0)
+    val e = intercept[IllegalArgumentException] {
+      ManifestLog.materializeExternal(spark, dst)
+    }
+    assert(e.getMessage.contains("hive partition segments"))
+    // the clone itself still reads fine through the hive resolver
+    assert(ManifestLog.readVersionHive(spark, dst, 0).count() == 2)
+  }
+
   test("clone-bootstrapped replica: the first sync is the metadata-" +
       "sized clone + txn marker, tail syncs stay key-pruned and " +
       "LOCALIZE only the touched references") {

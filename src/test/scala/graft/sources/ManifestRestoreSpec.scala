@@ -71,6 +71,10 @@ class ManifestRestoreSpec extends AnyFunSuite {
       .head().getLong(0) == 40L)
     assert(ManifestLog.readVersion(spark, root, 2)
       .filter(col("k") % 3 === 0).count() == 0)
+    // IDEMPOTENT: the live state already equals the target's — a
+    // retrying wrapper must not append empty restore commits
+    assert(ManifestLog.restoreTo(root, 0) == 3)
+    assert(ManifestLog.latestVersion(root).contains(3L))
     // and the restored state can be restored FROM: roll forward to
     // the v2 state again (restore is just another version)
     val v2 = ManifestLog.restoreTo(root, 2)

@@ -87,6 +87,32 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
       raw.filter(col("w").isNotNull).count() == 1)
   }
 
+  test("a LATE declaration that merely names the existing physical " +
+      "schema does not strand pre-declaration history: the full-" +
+      "range row-feed drain still works (r17 review finding)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_late_decl").toString
+    import spark.implicits._
+    // v0, v1: undeclared appends (footer schema k, v)
+    Seq((1L, 10L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/data/v0")
+    ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+      Seq.empty, "write")
+    Seq((2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/data/v1")
+    ManifestLog.commit(root, 1, ManifestLog.partFiles(root, "data/v1"),
+      Seq.empty, "write")
+    // v2: the IDENTICAL schema is declared (naming, not evolving)
+    // alongside a new append
+    Seq((3L, 30L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/data/v2")
+    ManifestLog.commit(root, 2, ManifestLog.partFiles(root, "data/v2"),
+      Seq.empty, "declare", schemaDdl = Some("k BIGINT, v BIGINT"))
+    val (rows, _) = ManifestSink.cdcDrained(spark, root)
+    assert(rows.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("offsets persist across restarts: resuming from the same " +
       "checkpoint admits only versions committed since, no duplicates") {
     val root = java.nio.file.Files
