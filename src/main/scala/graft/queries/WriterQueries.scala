@@ -614,8 +614,76 @@ object WriterQueries {
         .orderBy("lang")
     })
 
+  /** A table with a NULLABLE derived column clustered by its
+    * nullability class: opt_ts carries ts_us only for user_id % 4 == 0
+    * rows, and the layout range-clusters on (user_id % 4, user_id) so
+    * whole files are all-null or null-free. The single-pass writer
+    * folds per-file NULL COUNTS (r18) in the same row loop as the
+    * bounds; the builder asserts both prune classes exist (at least
+    * one zero-null file AND one all-null file) so the registered
+    * prune is real, never vacuous. Cached per sfDir. */
+  def nullSkipRoot(s: SparkSession, dir: String): String =
+    graft.TempDirs.cachedDir("graft_singlepass_nulls", dir) { root =>
+      SinglePassWriter.writeCommit(
+        flatEvents(s, dir)
+          .withColumn("opt_ts",
+            when(pmod(col("user_id"), lit(4)) === 0, col("ts_us")))
+          .repartitionByRange(8,
+            pmod(col("user_id"), lit(4)), col("user_id")),
+        root, "data/v0", 0, statsCols = Seq("user_id", "opt_ts"))
+      val ns = ManifestLog.nullStatsAsOf(root, 0)
+        .values.flatMap(_.get("opt_ts"))
+      require(ns.exists(s => s.nulls == 0L) &&
+        ns.exists(s => s.nulls == s.rows),
+        s"null-skipping fixture needs both prune classes, got $ns")
+    }
+
+  private val skippingNulls = GraftQuery(
+    name = "lake_skipping_nulls",
+    doc = "NULL-count data skipping (r18; the r17 verdict's task 5): " +
+      "[min, max] bounds fold over NON-null rows only, so before " +
+      "this every IS NULL / IS NOT NULL predicate was must-read " +
+      "everywhere - yet nullability filters are among the most " +
+      "common curation predicates (drop rows missing a field, " +
+      "select exactly the backfill gaps). The single-pass writer now " +
+      "folds a per-column (nullCount, rowCount) pair in the SAME row " +
+      "loop as the bounds - zero extra IO - and the manifest carries " +
+      "it next to colstats (Delta's stats JSON records nullCount for " +
+      "the same reason); ManifestFileIndex prunes IS NULL when " +
+      "nullCount = 0 and IS NOT NULL when nullCount = rowCount, at " +
+      "planning time, composing with the range prune. Catalyst " +
+      "pushes an implicit IS NOT NULL under nearly every predicate, " +
+      "so ALL-NULL files now drop from ordinary filtered scans for " +
+      "free - the case range stats can never catch, because an " +
+      "all-null file has no bounds at all. The registered read " +
+      "filters opt_ts IS NOT NULL over a nullability-clustered " +
+      "table: all-null files never reach the scan (the builder " +
+      "asserts both prune classes exist; SinglePassWriterSpec pins " +
+      "counts, round-trip and both prune directions; PlanSpec pins " +
+      "the scanned-file count). Oracle replays the derivation over " +
+      "the raw corpus - a wrong prune that dropped a needed file " +
+      "fails the hash.",
+    oracle = Some("""
+      SELECT user_id % 16 AS band, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value,
+             MAX(epoch_ns(ts) // 1000) AS max_ts_us
+      FROM events WHERE user_id % 4 = 0
+      GROUP BY 1 ORDER BY 1"""),
+    run = (s, dir) => {
+      val root = nullSkipRoot(s, dir)
+      ManifestLog.readVersionIndexed(s, root, 0)
+        .filter(col("opt_ts").isNotNull)
+        .groupBy(pmod(col("user_id"), lit(16)).as("band"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          max(col("opt_ts")).as("max_ts_us"))
+        .orderBy("band")
+    })
+
   val all: Seq[GraftQuery] =
     Seq(writeSinglePass, singlePassBloom, singlePassDates,
       skippingStrings, singlePassDecimal, skippingDoubles,
-      checkDoubles, zorderDoubles, skippingStrBloom, joinDfpStrings)
+      checkDoubles, zorderDoubles, skippingStrBloom, joinDfpStrings,
+      skippingNulls)
 }

@@ -9,16 +9,19 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, 
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
-import graft.sources.ManifestLog.{FileStat, StrStat}
+import graft.sources.ManifestLog.{FileStat, NullStat, StrStat}
 
 /** One live data file as the manifest log resolved it: root-relative
-  * path, on-disk length, the per-column integral [min, max] stats and
-  * the per-column STRING bounds (UTF-8 byte order, r17) the manifest
-  * carries for it (empty = never skippable). */
+  * path, on-disk length, the per-column integral [min, max] stats,
+  * the per-column STRING bounds (UTF-8 byte order, r17), and the
+  * per-column NULL counts (r18 — the only stat that can answer
+  * `IS [NOT] NULL`) the manifest carries for it (empty = never
+  * skippable). */
 final case class ManifestFileEntry(relPath: String, size: Long,
     stats: Map[String, FileStat] = Map.empty,
     modificationTime: Long = 0L,
-    strStats: Map[String, StrStat] = Map.empty)
+    strStats: Map[String, StrStat] = Map.empty,
+    nullStats: Map[String, NullStat] = Map.empty)
 
 /** A [[FileIndex]] planned ENTIRELY from the manifest log — the
   * metadata layer a real table format puts under Spark's scan (Delta's
@@ -80,14 +83,14 @@ final class ManifestFileIndex(root: String,
     }
 
   private val statuses: Array[(FileStatus, Map[String, FileStat],
-      Seq[Any], Map[String, StrStat])] =
+      Seq[Any], Map[String, StrStat], Map[String, NullStat])] =
     entries.map { e =>
       // absolute entries (a shallow clone's by-reference files)
       // resolve outside the root; everything else is root-relative
       val p = new Path(ManifestLog.resolvePath(root, e.relPath).toURI)
       (new FileStatus(e.size, false, 1, 128L * 1024 * 1024,
         e.modificationTime, p), e.stats, partValues(e.relPath),
-        e.strStats)
+        e.strStats, e.nullStats)
     }.toArray
 
   override def rootPaths: Seq[Path] =
@@ -119,9 +122,13 @@ final class ManifestFileIndex(root: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val preds = ManifestFileIndex.ranges(dataFilters)
     val strPreds = ManifestFileIndex.strRanges(dataFilters)
+    val (isNullCols, isNotNullCols) =
+      ManifestFileIndex.nullPreds(dataFilters)
     val kept =
-      if (preds.isEmpty && strPreds.isEmpty) statuses.toSeq
-      else statuses.toSeq.filter { case (_, stats, _, strStats) =>
+      if (preds.isEmpty && strPreds.isEmpty && isNullCols.isEmpty &&
+          isNotNullCols.isEmpty) statuses.toSeq
+      else statuses.toSeq.filter {
+        case (_, stats, _, strStats, nullStats) =>
         preds.forall { case (c, (lo, hi)) =>
           stats.get(c).forall(s => s.max >= lo && s.min <= hi) } &&
         strPreds.forall { case (c, (lo, hi)) =>
@@ -130,7 +137,13 @@ final class ManifestFileIndex(root: String,
             // UTF-8 byte order (open bounds always intersect)
             lo.forall(l => ManifestFileIndex.utf8Cmp(s.max, l) >= 0) &&
             hi.forall(h => ManifestFileIndex.utf8Cmp(s.min, h) <= 0)
-          } } }
+          } } &&
+        // the null-count prune (r18): a file with zero nulls cannot
+        // satisfy IS NULL; an all-null file cannot satisfy
+        // IS NOT NULL (files without a count are must-read)
+        isNullCols.forall(c => nullStats.get(c).forall(_.nulls > 0)) &&
+        isNotNullCols.forall(c =>
+          nullStats.get(c).forall(s => s.nulls < s.rows)) }
     if (partitionSchema.isEmpty) {
       Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
     } else {
@@ -351,6 +364,28 @@ object ManifestFileIndex {
     }
     filters.foreach(walk)
     bounds.toMap
+  }
+
+  /** The columns `filters` constrain with top-level `IS NULL` /
+    * `IS NOT NULL` conjuncts (r18) — the inputs of the null-count
+    * prune. Only AND-reachable atoms over a bare attribute
+    * contribute (an IS NULL under OR/NOT must not prune); everything
+    * else is ignored, which only ever keeps more files. Catalyst
+    * pushes an implicit IS NOT NULL for nearly every row predicate,
+    * so the all-null-file half composes with ordinary filters for
+    * free. */
+  private[sources] def nullPreds(
+      filters: Seq[Expression]): (Set[String], Set[String]) = {
+    val isNull = scala.collection.mutable.Set.empty[String]
+    val isNotNull = scala.collection.mutable.Set.empty[String]
+    def walk(e: Expression): Unit = e match {
+      case And(a, b) => walk(a); walk(b)
+      case IsNull(a: Attribute) => isNull += a.name
+      case IsNotNull(a: Attribute) => isNotNull += a.name
+      case _ => ()
+    }
+    filters.foreach(walk)
+    (isNull.toSet, isNotNull.toSet)
   }
 
   /** The static half of partition pruning: bind the partition filters

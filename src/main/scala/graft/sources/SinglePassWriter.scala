@@ -59,7 +59,9 @@ object SinglePassWriter {
       his: Seq[Long], bloomM: Int, viols: Seq[Long] = Seq.empty,
       sLos: Seq[String] = Seq.empty, sHis: Seq[String] = Seq.empty,
       sSeen: Seq[Boolean] = Seq.empty,
-      dbl: Seq[Boolean] = Seq.empty)
+      dbl: Seq[Boolean] = Seq.empty,
+      bloomStr: Boolean = false,
+      nulls: Seq[Long] = Seq.empty, sNulls: Seq[Long] = Seq.empty)
 
   private def parquetType(f: StructField): PrimitiveType = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -107,7 +109,8 @@ object SinglePassWriter {
       removes = Seq.empty, op = op, policy = policy,
       colStats = colStatsOf(summaries, statsCols),
       blooms = bloomsOf(summaries, bloomCol),
-      strColStats = strColStatsOf(summaries, strStatsCols))
+      strColStats = strColStatsOf(summaries, strStatsCols),
+      nullStats = nullStatsOf(summaries, statsCols, strStatsCols))
     summaries
   }
 
@@ -153,11 +156,33 @@ object SinglePassWriter {
       }.toMap)
       .filter(_._2.nonEmpty).toMap
 
+  /** The committed null-count view of a pass's summaries (r18): one
+    * (nulls, rows) pair per tracked column per file — folded in the
+    * same row loop as the bounds, so the `IS [NOT] NULL` prune costs
+    * the write zero extra IO. Unlike the bounds (whose all-NULL
+    * sentinel must be omitted), a null count is meaningful for EVERY
+    * file, including all-null ones — that case is exactly what the
+    * IS NOT NULL prune skips. */
+  def nullStatsOf(summaries: Seq[FileSummary], statsCols: Seq[String],
+      strStatsCols: Seq[String] = Seq.empty)
+      : Map[String, Map[String, ManifestLog.NullStat]] =
+    summaries.map(s => s.rel ->
+      (statsCols.indices.flatMap(k => s.nulls.lift(k).map(n =>
+          statsCols(k) -> ManifestLog.NullStat(n, s.n))) ++
+        strStatsCols.indices.flatMap(k => s.sNulls.lift(k).map(n =>
+          strStatsCols(k) -> ManifestLog.NullStat(n, s.n)))).toMap)
+      .filter(_._2.nonEmpty).toMap
+
   def bloomsOf(summaries: Seq[FileSummary],
       bloomCol: Option[String]): Map[String, Map[String, BloomRef]] =
     bloomCol match {
+      // the key-type tag rides in the summary itself — writeFiles is
+      // the only party that knows which hash the fold used, so no
+      // caller can mis-tag and reopen the cross-type false-negative
+      // hole (r18 advice)
       case Some(c) => summaries.filter(_.bloomM > 0).map(s =>
-        s.rel -> Map(c -> BloomRef(c, s"${s.rel}.bloom", s.bloomM, 4)))
+        s.rel -> Map(c -> BloomRef(c, s"${s.rel}.bloom", s.bloomM, 4,
+          str = s.bloomStr)))
         .toMap
       case None => Map.empty
     }
@@ -245,6 +270,9 @@ object SinglePassWriter {
         val los = Array.fill(statIdx.size)(Long.MaxValue)
         val his = Array.fill(statIdx.size)(Long.MinValue)
         val viols = Array.fill(checkIdx.size)(0L)
+        // per-column null counts (r18) — same loop, zero extra IO
+        val nullsArr = Array.fill(statIdx.size)(0L)
+        val sNullsArr = Array.fill(strIdx.size)(0L)
         // string bounds fold in UTF-8 BYTE order (the prune's
         // collation); null sentinel until the first non-null value
         val sLos = Array.fill[String](strIdx.size)(null)
@@ -289,7 +317,8 @@ object SinglePassWriter {
           n += 1
           statIdx.indices.foreach { k =>
             val i = statIdx(k)
-            if (!row.isNullAt(i)) {
+            if (row.isNullAt(i)) nullsArr(k) += 1L
+            else {
               val v = longAt(row, i)
               if (v < los(k)) los(k) = v
               if (v > his(k)) his(k) = v
@@ -306,7 +335,8 @@ object SinglePassWriter {
           }
           strIdx.indices.foreach { k =>
             val i = strIdx(k)
-            if (!row.isNullAt(i)) {
+            if (row.isNullAt(i)) sNullsArr(k) += 1L
+            else {
               val v = row.getString(i)
               if (sLos(k) == null ||
                   ManifestFileIndex.utf8Cmp(v, sLos(k)) < 0) sLos(k) = v
@@ -335,7 +365,9 @@ object SinglePassWriter {
             sLos.map(v => if (v == null) "" else v).toSeq,
             sHis.map(v => if (v == null) "" else v).toSeq,
             sLos.map(_ != null).toSeq,
-            statIdx.map(i => schema(i).dataType == DoubleType).toSeq))
+            statIdx.map(i => schema(i).dataType == DoubleType).toSeq,
+            bloomIdx.exists(i => schema(i).dataType == StringType),
+            nullsArr.toSeq, sNullsArr.toSeq))
       }
     }(Encoders.product[FileSummary]).collect().toSeq.sortBy(_.rel)
 

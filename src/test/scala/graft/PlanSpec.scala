@@ -125,6 +125,27 @@ class PlanSpec extends AnyFunSuite {
       s"double stats must prune the price files: read $pruned of $total")
   }
 
+  test("null-count skipping prunes IS NOT NULL to the null-free " +
+      "files at planning time (file-count pin, r18)") {
+    val df = Registry.byName("lake_skipping_nulls").run(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val manifestScan = scans.find(
+      _.relation.location.isInstanceOf[graft.sources.ManifestFileIndex])
+      .getOrElse(fail(s"no manifest scan in lake_skipping_nulls"))
+    val pruned = manifestScan.selectedPartitions.totalNumberOfFiles
+    val root = queries.WriterQueries.nullSkipRoot(spark, dir)
+    val total = graft.sources.ManifestLog.filesAsOf(root, 0).size
+    // the exact expectation: every file with at least one non-null
+    // opt_ts survives, every all-null file drops
+    val want = graft.sources.ManifestLog.nullStatsAsOf(root, 0)
+      .values.count(_.get("opt_ts").forall(s => s.nulls < s.rows))
+    assert(pruned == want && pruned < total,
+      s"IS NOT NULL must scan exactly the $want files with non-null " +
+        s"rows: read $pruned of $total")
+  }
+
   test("partition-spec addition: day = D statically prunes to that " +
       "day's directory and excludes every pre-evolution file; " +
       "day IS NULL selects exactly the old layout (r17)") {

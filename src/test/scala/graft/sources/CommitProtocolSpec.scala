@@ -293,6 +293,97 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(st == ManifestLog.FileStat(key(5.5), key(9.0), dbl = true))
   }
 
+  test("mixed-type CHECK proofs resolve column types from the " +
+      "committed schemaDdl (r18; retires the 8.3.4-12 attest " +
+      "fallback): a constraint over an integral AND a fractional AND " +
+      "a string column proves when every per-column obligation holds " +
+      "under its OWN stat type, refuses when any one fails, and " +
+      "stays attest-only on tables that never declared — on BOTH " +
+      "log stores") {
+    val key = ManifestFileIndex.dblKey _
+    val mixed = "qty >= 10 AND price <= 0.5 AND grade >= 'b'"
+    def proving(f: String) = (
+      Map(f -> Map(
+        "qty" -> ManifestLog.FileStat(10L, 99L),
+        "price" -> ManifestLog.FileStat(key(0.01), key(0.5),
+          dbl = true))),
+      Map(f -> Map("grade" -> ManifestLog.StrStat("b", "zz"))))
+    Seq(ManifestLog.storeFor(newRoot()),
+        new InMemoryLogStore: LogStore).foreach { store =>
+      ManifestLog.commitIn(store, 0, Seq.empty, Seq.empty, op = "init",
+        schemaDdl =
+          Some("qty BIGINT, price DOUBLE, grade STRING"),
+        checks = Some(Seq("mixed" -> mixed)))
+      // every obligation proven under its own type → commit passes
+      val (cs1, ss1) = proving("data/f1.parquet")
+      ManifestLog.commitIn(store, 1, Seq("data/f1.parquet"), Seq.empty,
+        op = "append", colStats = cs1, strColStats = ss1)
+      // REFUSE direction, one failing obligation per type family:
+      // integral out of bounds
+      intercept[IllegalArgumentException] {
+        ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"),
+          Seq.empty, op = "append",
+          colStats = Map("data/f2.parquet" -> Map(
+            "qty" -> ManifestLog.FileStat(9L, 99L),
+            "price" -> ManifestLog.FileStat(key(0.01), key(0.5),
+              dbl = true))),
+          strColStats = Map("data/f2.parquet" ->
+            Map("grade" -> ManifestLog.StrStat("b", "zz"))))
+      }
+      // fractional out of bounds (image arithmetic, not raw-long luck)
+      intercept[IllegalArgumentException] {
+        ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"),
+          Seq.empty, op = "append",
+          colStats = Map("data/f2.parquet" -> Map(
+            "qty" -> ManifestLog.FileStat(10L, 99L),
+            "price" -> ManifestLog.FileStat(key(0.01), key(0.75),
+              dbl = true))),
+          strColStats = Map("data/f2.parquet" ->
+            Map("grade" -> ManifestLog.StrStat("b", "zz"))))
+      }
+      // string bound below the atom
+      intercept[IllegalArgumentException] {
+        ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"),
+          Seq.empty, op = "append",
+          colStats = Map("data/f2.parquet" -> Map(
+            "qty" -> ManifestLog.FileStat(10L, 99L),
+            "price" -> ManifestLog.FileStat(key(0.01), key(0.5),
+              dbl = true))),
+          strColStats = Map("data/f2.parquet" ->
+            Map("grade" -> ManifestLog.StrStat("az", "zz"))))
+      }
+      // a WRONG-TYPE proof never passes: qty's bound committed as a
+      // dbl image (image(10.0) sits inside [10, ...] in NEITHER
+      // ordering consistently — the typed gate must refuse, not
+      // compare across orderings)
+      intercept[IllegalArgumentException] {
+        ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"),
+          Seq.empty, op = "append",
+          colStats = Map("data/f2.parquet" -> Map(
+            "qty" -> ManifestLog.FileStat(key(10.0), key(99.0),
+              dbl = true),
+            "price" -> ManifestLog.FileStat(key(0.01), key(0.5),
+              dbl = true))),
+          strColStats = Map("data/f2.parquet" ->
+            Map("grade" -> ManifestLog.StrStat("b", "zz"))))
+      }
+      assert(ManifestLog.versionsIn(store) == Seq(0L, 1L),
+        "refused commits must leave the log untouched")
+    }
+    // an UNDECLARED table cannot resolve the mix — attest-only, as
+    // before (the typed path needs the schema the log never got)
+    val bare = ManifestLog.storeFor(newRoot())
+    ManifestLog.commitIn(bare, 0, Seq.empty, Seq.empty, op = "init",
+      checks = Some(Seq("mixed" -> mixed)))
+    val (csB, ssB) = proving("data/f1.parquet")
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(bare, 1, Seq("data/f1.parquet"), Seq.empty,
+        op = "append", colStats = csB, strColStats = ssB)
+    }
+    ManifestLog.commitIn(bare, 1, Seq("data/f1.parquet"), Seq.empty,
+      op = "append", attest = true)
+  }
+
   test("a winner that DECLARES metadata (schema or checks) between a " +
       "txn's snapshot and its publish raises LogicalConflict — the " +
       "loser's validation premises are stale (r17 advice)") {

@@ -182,24 +182,60 @@ class ManifestCloneSpec extends AnyFunSuite {
     assert(ManifestLog.latestVersion(dst).contains(2L))
   }
 
-  test("materializeExternal refuses hive-layout references loudly: " +
-      "their partition values live only in paths and a flat rewrite " +
-      "would drop them (r17 review finding)") {
+  test("materializeExternal rewrites HIVE-LAYOUT references into the " +
+      "clone's OWN k=v layout (r18; closes the r17 loud refusal): " +
+      "partition values re-derive from the paths below the source's " +
+      "ancestry — an '=' in an ANCESTOR directory is never layout " +
+      "(r17 advice) — and the clone reads identically through " +
+      "readVersionHive after the source is deleted entirely") {
     import spark.implicits._
-    val src = newRoot()
-    Seq((1L, "a"), (2L, "b")).toDF("k", "part")
+    // the ancestor-'=' regression shape: everything lives under a
+    // directory whose NAME carries '=' (a temp dir named run=3)
+    val base = graft.TempDirs.deleteOnExit(
+      Files.createTempDirectory("graft_run=3")).toString
+    val src = s"$base/src"
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "b"))
+      .toDF("k", "amount", "part")
       .write.partitionBy("part").parquet(s"$src/data/v0")
     ManifestLog.commit(src, 0,
       ManifestLog.partFilesRecursive(src, "data/v0"), Seq.empty,
       op = "write")
     val dst = newRoot()
     ManifestLog.cloneShallow(src, dst, 0)
-    val e = intercept[IllegalArgumentException] {
-      ManifestLog.materializeExternal(spark, dst)
-    }
-    assert(e.getMessage.contains("hive partition segments"))
-    // the clone itself still reads fine through the hive resolver
-    assert(ManifestLog.readVersionHive(spark, dst, 0).count() == 2)
+    // the clone's hive read resolves part from the refs' layout, not
+    // from the run=3 ancestor
+    val before = ManifestLog.readVersionHive(spark, dst, 0)
+    assert(before.columns.toSeq == Seq("k", "amount", "part"))
+    val want = before.orderBy("k").collect().toSeq
+    val locals = ManifestLog.materializeExternal(spark, dst)
+    assert(locals.nonEmpty && locals.forall(!_.startsWith("/")))
+    assert(locals.forall(_.contains("part=")),
+      "materialized files must carry the partition segments themselves")
+    val after = ManifestLog.filesAsOf(dst, 1)
+    assert(after.forall(!_.startsWith("/")),
+      "no absolute reference may survive a hive materialization")
+    // the point of it all: delete the whole source tree, the clone
+    // still reads identically — partition values included
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(src))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists)
+    assert(ManifestLog.readVersionHive(spark, dst, 1)
+      .orderBy("k").collect().toSeq == want)
+    // and a FLAT clone under the same '='-bearing ancestry no longer
+    // false-refuses (the r17 guard split the WHOLE path)
+    val flatSrc = s"$base/flat"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "amount")
+      .coalesce(1).write.parquet(s"$flatSrc/data/v0")
+    ManifestLog.commit(flatSrc, 0,
+      ManifestLog.partFiles(flatSrc, "data/v0"), Seq.empty, op = "write")
+    val dst2 = newRoot()
+    ManifestLog.cloneShallow(flatSrc, dst2, 0)
+    val flat = ManifestLog.materializeExternal(spark, dst2)
+    assert(flat.nonEmpty && flat.forall(f =>
+      !f.startsWith("/") && !f.contains("=")),
+      s"a flat clone must materialize FLAT despite the ancestor '=': " +
+        s"$flat")
   }
 
   test("clone-bootstrapped replica: the first sync is the metadata-" +

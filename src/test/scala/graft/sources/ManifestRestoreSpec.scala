@@ -178,6 +178,33 @@ class ManifestRestoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no longer exists"))
   }
 
+  test("the vacuum check covers BLOOM sidecars too (r18; r17 advice): " +
+      "a restore whose re-add would re-commit a reclaimed bloom ref " +
+      "refuses loudly instead of landing a point prune that fails " +
+      "deep inside a later scan") {
+    import spark.implicits._
+    val root = newRoot()
+    SinglePassWriter.writeCommit(
+      (0L until 20L).map(k => (k, k * 10L)).toDF("k", "amount")
+        .repartitionByRange(2, col("k")),
+      root, "data/v0", 0, statsCols = Seq("k"), bloomCol = Some("k"))
+    // v1 rewrites everything (removes the bloom-bearing files)
+    ManifestLog.readVersion(spark, root, 0)
+      .coalesce(1).write.parquet(s"$root/data/v1")
+    ManifestLog.commit(root, 1, ManifestLog.partFiles(root, "data/v1"),
+      removes = ManifestLog.filesAsOf(root, 0), op = "rewrite")
+    // reclaim ONE removed file's bloom sidecar (the data file stays —
+    // the old check, which only looked at adds + DV sidecars, passes)
+    val bloomSc = ManifestLog.bloomsAsOf(root, 0).values
+      .flatMap(_.values.map(_.sidecar)).head
+    Files.delete(java.nio.file.Paths.get(root, bloomSc))
+    val e = intercept[IllegalArgumentException] {
+      ManifestLog.restoreTo(root, 0)
+    }
+    assert(e.getMessage.contains("no longer exists"),
+      s"expected the vacuum refusal, got: ${e.getMessage}")
+  }
+
   test("a commit race re-derives the WHOLE restore from the fresh " +
       "snapshot: the racing writer's appended file is removed too") {
     import spark.implicits._

@@ -263,4 +263,110 @@ class SinglePassWriterSpec extends AnyFunSuite {
     assert(!ManifestLog.colStatsAsOf(root2, 0)
       .values.exists(_.contains("d")))
   }
+
+  test("bloom refs carry their KEY TYPE (r18 advice): the writer tags " +
+      "string blooms itself, mismatched probes degrade to must-read " +
+      "instead of false-negative pruning, and the tag round-trips " +
+      "manifest AND checkpoint folding") {
+    import spark.implicits._
+    // string-keyed bloom table
+    val rootS = newRoot()
+    SinglePassWriter.writeCommit(
+      Seq(("aa", 1L), ("bb", 2L), ("mm", 3L), ("zz", 4L))
+        .toDF("code", "v").repartitionByRange(2, col("code")),
+      rootS, "data/v0", 0, bloomCol = Some("code"))
+    val refsS = ManifestLog.bloomsAsOf(rootS, 0)
+    assert(refsS.nonEmpty && refsS.values.forall(_("code").str),
+      s"string blooms must be tagged: $refsS")
+    // a LONG probe of the string-bloomed column hashes differently —
+    // with the tag it skips the bloom (must-read, every file
+    // survives); without it, a false negative could DROP the
+    // containing file
+    assert(ManifestLog.filesMatchingPoint(rootS, 0, "code", 42L)
+      .size == ManifestLog.filesAsOf(rootS, 0).size)
+    // the string path still probes string blooms: the containing
+    // file always survives
+    assert(ManifestLog.filesMatchingStrPoint(rootS, 0, "code", "mm")
+      .exists(f => spark.read.parquet(s"$rootS/$f")
+        .filter(col("code") === "mm").count() == 1))
+    // long-keyed bloom table: the STRING path must skip it
+    val rootL = newRoot()
+    SinglePassWriter.writeCommit(
+      (0L until 20L).map(k => (k, k * 10L)).toDF("k", "v")
+        .repartitionByRange(2, col("k")),
+      rootL, "data/v0", 0, bloomCol = Some("k"))
+    assert(ManifestLog.bloomsAsOf(rootL, 0)
+      .values.forall(!_("k").str))
+    assert(ManifestLog.filesMatchingStrPoint(rootL, 0, "k", "7")
+      .size == ManifestLog.filesAsOf(rootL, 0).size,
+      "a string probe of a long-keyed bloom must be must-read")
+    // the tag survives checkpoint folding + manifest pruning
+    ManifestLog.writeCheckpoint(rootS, 0)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      rootS, "_log", f"${0L}%020d.json"))
+    assert(ManifestLog.bloomsAsOf(rootS, 0)
+      .values.forall(_("code").str),
+      "the str tag must survive the checkpoint fold")
+  }
+
+  test("null-count stats (r18): the write loop folds per-column null " +
+      "counts, IS NULL prunes zero-null files and IS NOT NULL prunes " +
+      "all-null files at planning time, count-less files are " +
+      "must-read, and the counts round-trip manifest AND checkpoint") {
+    import spark.implicits._
+    val root = newRoot()
+    def file(sub: String,
+        rows: Seq[(Long, Option[Long])]): Seq[SinglePassWriter.FileSummary] =
+      SinglePassWriter.writeFiles(
+        rows.toDF("k", "v").coalesce(1), root, sub,
+        statsCols = Seq("k", "v"))
+    // a: v never null; b: mixed; c: v ALWAYS null — one commit
+    val sa = file("data/a", (0L until 10L).map(k => (k, Some(k * 10L))))
+    val sb = file("data/b",
+      (10L until 20L).map(k => (k, if (k % 2 == 0) None else Some(k))))
+    val sc = file("data/c", (20L until 30L).map(k => (k, None)))
+    val all = sa ++ sb ++ sc
+    ManifestLog.commit(root, 0, adds = all.map(_.rel),
+      removes = Seq.empty, op = "write",
+      colStats = SinglePassWriter.colStatsOf(all, Seq("k", "v")),
+      nullStats = SinglePassWriter.nullStatsOf(all, Seq("k", "v")))
+    val ns = ManifestLog.nullStatsAsOf(root, 0)
+    assert(ns(sa.head.rel)("v") == ManifestLog.NullStat(0L, 10L))
+    assert(ns(sb.head.rel)("v") == ManifestLog.NullStat(5L, 10L))
+    assert(ns(sc.head.rel)("v") == ManifestLog.NullStat(10L, 10L))
+    def scannedFiles(f: org.apache.spark.sql.DataFrame): Long = {
+      f.collect()
+      f.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metrics("numFiles").value
+    }
+    def snap = ManifestLog.readVersion(spark, root, 0)
+    // IS NULL: the zero-null file a drops; b and c scan
+    assert(scannedFiles(snap.filter(col("v").isNull)) == 2)
+    assert(snap.filter(col("v").isNull).count() == 15)
+    // IS NOT NULL: the all-null file c drops; a and b scan
+    assert(scannedFiles(snap.filter(col("v").isNotNull)) == 2)
+    assert(snap.filter(col("v").isNotNull).count() == 15)
+    // an ordinary predicate composes for free through Catalyst's
+    // implicit IsNotNull: c (all-null, bounds-less for v) could
+    // never drop by range stats — the null count is what drops it
+    assert(scannedFiles(snap.filter(col("v") > 0L)) == 2)
+    // count-less files stay must-read: a raw commit without
+    // nullstats never prunes
+    val bare = newRoot()
+    val sb2 = SinglePassWriter.writeFiles(
+      (0L until 4L).map(k => (k, Option.empty[Long]))
+        .toDF("k", "v").coalesce(1), bare, "data/a",
+      statsCols = Seq("k"))
+    ManifestLog.commit(bare, 0, sb2.map(_.rel), Seq.empty, "write")
+    assert(scannedFiles(ManifestLog.readVersion(spark, bare, 0)
+      .filter(col("v").isNotNull)) == 1)
+    // round-trip through the checkpoint fold + manifest pruning
+    ManifestLog.writeCheckpoint(root, 0)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      root, "_log", f"${0L}%020d.json"))
+    assert(ManifestLog.nullStatsAsOf(root, 0) == ns,
+      "null counts must survive the checkpoint fold")
+    assert(scannedFiles(snap.filter(col("v").isNull)) == 2)
+  }
 }

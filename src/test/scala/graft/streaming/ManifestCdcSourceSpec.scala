@@ -45,10 +45,11 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
-  test("schema evolution and the row feed (r17): a range spanning " +
-      "the evolution is loudly rejected, a post-evolution start " +
-      "streams under the DECLARED schema, and the raw batch feed " +
-      "unifies generations with NULL for new columns") {
+  test("schema evolution and the row feed (r18): a drain spanning an " +
+      "ADDITIVE evolution continues WITHOUT restart — old-generation " +
+      "rows NULL-fill the appended columns, drained equals the batch " +
+      "feed — while a NON-additive change (column type) keeps the " +
+      "loud rejection") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_cdc_evo_stream").toString
     import spark.implicits._
@@ -61,30 +62,47 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
     ManifestLog.commit(root, 1, ManifestLog.partFiles(root, "data/v1"),
       Seq.empty, "evolve",
       schemaDdl = Some("k BIGINT, v BIGINT, w BIGINT"))
-    // spanning the boundary: the fixed-schema row feed must refuse —
-    // v0's adds were committed under a different declaration
+    // spanning the boundary (r18; closes the r17 restart-at-every-
+    // evolution contract): the old generation's (k, v) is a PREFIX of
+    // the stream's (k, v, w) — admitted, w NULL-filled. Both decode
+    // paths run: the vectorized reader pads with constant-null
+    // partition columns, the row reader with trailing null slots.
+    val (rows, _) = ManifestSink.cdcDrained(spark, root)
+    assert(rows.columns.toSeq ==
+      Seq("k", "v", "w", "_commit_version"))
+    val got = rows.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10L, -1L, 0L), (2L, 20L, -1L, 0L),
+      (3L, 30L, 300L, 1L)),
+      s"additive-span drain mis-shaped: $got")
+    // drained == the raw batch feed over the same range
+    val raw = ManifestLog.readChanges(spark, root, -1, 1)
+      .select("k", "v", "w", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == raw, "drained rows must equal the batch change feed")
+    // post-evolution start still streams only the new generation
+    val (tail, _) = ManifestSink.cdcDrained(spark, root,
+      startingVersion = 0L)
+    assert(tail.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSeq == Seq((3L, 30L, 300L)))
+    // NON-ADDITIVE change: v2 re-types v to STRING — the rejection
+    // pin stays (misaligned columns must never stream silently)
+    Seq((4L, "s", 400L)).toDF("k", "v", "w")
+      .coalesce(1).write.parquet(s"$root/data/v2")
+    ManifestLog.commit(root, 2, ManifestLog.partFiles(root, "data/v2"),
+      Seq.empty, "retype",
+      schemaDdl = Some("k BIGINT, v STRING, w BIGINT"))
     val e = intercept[Exception] {
       ManifestSink.cdcDrained(spark, root)
     }
     def causes(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ causes(t.getCause)
-    assert(causes(e).exists(_.contains("different declared schema")),
-      s"expected the evolution rejection, got: ${causes(e)}")
-    // starting AT the evolution streams the new generation under the
-    // declared 3-column schema
-    val (rows, _) = ManifestSink.cdcDrained(spark, root,
-      startingVersion = 0L)
-    assert(rows.columns.toSeq ==
-      Seq("k", "v", "w", "_commit_version"))
-    assert(rows.collect().map(r => (r.getLong(0), r.getLong(1),
-      r.getLong(2))).toSeq == Seq((3L, 30L, 300L)))
-    // the raw BATCH feed spans the boundary by planning every frame
-    // under the declared schema: gen-1 rows surface NULL w
-    val raw = ManifestLog.readChanges(spark, root, -1, 1)
-    assert(raw.columns.contains("w"))
-    assert(raw.filter(col("w").isNull).count() == 2 &&
-      raw.filter(col("w").isNotNull).count() == 1)
+    assert(causes(e).exists(_.contains("non-additive")),
+      s"expected the non-additive rejection, got: ${causes(e)}")
   }
 
   test("a LATE declaration that merely names the existing physical " +
