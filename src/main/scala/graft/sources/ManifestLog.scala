@@ -184,6 +184,15 @@ object ManifestLog {
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def manifestName(v: Long): String = f"$v%020d.json"
   private def checkpointName(v: Long): String = f"$v%020d.checkpoint.json"
+  // the checkpoint's tiny metadata sibling (r18): just (version,
+  // schema, checks), so the per-commit CHECK gate reads KBs instead
+  // of the full checkpoint — at 1M files the checkpoint is ~76 MiB
+  // and reading it per gated commit grew commit cost 8 ms → 297 ms
+  // (the log-scale probe's one cliff). Published idempotently beside
+  // the checkpoint; pre-r18 checkpoints without one fall back to the
+  // full read.
+  private def checkpointMetaName(v: Long): String =
+    f"$v%020d.checkpoint.meta.json"
 
   private val ManifestRe = "^\\d{20}\\.json$".r
   private val CheckpointRe = "^\\d{20}\\.checkpoint\\.json$".r
@@ -277,7 +286,11 @@ object ManifestLog {
         val db = provableDblBounds(sqlText)
         val sa = provableStrAtoms(sqlText)
         val tb = declared.flatMap(provableTypedBounds(sqlText, _))
-        if (lb.isEmpty && db.isEmpty && sa.isEmpty && tb.isEmpty)
+        // NOT-NULL constraints prove from the r18 null counts — the
+        // most common non-range shape leaves the attest fallback
+        val nn = provableNotNullAtoms(sqlText)
+        if (lb.isEmpty && db.isEmpty && sa.isEmpty && tb.isEmpty &&
+            nn.isEmpty)
           throw new IllegalArgumentException(
             s"requirement failed: table carries CHECK $n [$sqlText]" +
               ", which file stats cannot prove — commit adds " +
@@ -295,7 +308,11 @@ object ManifestLog {
           val provenStr = sa.exists(_.forall { case (c, op, v) =>
             ss.get(c).exists(strAtomProven(_, op, v))
           })
-          val provenTyped = tb.exists { case (longB, dblB, strA) =>
+          val ns = nullStats.getOrElse(f, Map.empty)
+          def notNullProven(c: String): Boolean =
+            ns.get(c).exists(_.nulls == 0L)
+          val provenNotNull = nn.exists(_.forall(notNullProven))
+          val provenTyped = tb.exists { case (longB, dblB, strA, nnc) =>
             longB.forall { case (c, (lo, hi)) =>
               cs.get(c).exists(s =>
                 !s.dbl && s.min >= lo && s.max <= hi) } &&
@@ -303,16 +320,19 @@ object ManifestLog {
               cs.get(c).exists(s =>
                 s.dbl && s.min >= lo && s.max <= hi) } &&
             strA.forall { case (c, op, v) =>
-              ss.get(c).exists(strAtomProven(_, op, v)) }
+              ss.get(c).exists(strAtomProven(_, op, v)) } &&
+            nnc.forall(notNullProven)
           }
-          require(provenLong || provenDbl || provenStr || provenTyped,
+          require(provenLong || provenDbl || provenStr ||
+              provenNotNull || provenTyped,
             s"add $f cannot prove CHECK $n [$sqlText]: committed " +
               "stats must sit inside the constraint's bounds IN THE " +
               "COLUMN'S TYPE (integral bounds prove against raw-long " +
               "stats, fractional against double-image stats, string " +
-              "atoms against string bounds; got " +
-              s"${cs.keySet ++ ss.keySet}) — validate rows and " +
-              "attest, or commit stats that prove it")
+              "atoms against string bounds, IS NOT NULL against a " +
+              "zero null count; got " +
+              s"${cs.keySet ++ ss.keySet ++ ns.keySet}) — validate " +
+              "rows and attest, or commit stats that prove it")
         }
       }
     }
@@ -524,6 +544,21 @@ object ManifestLog {
           q(s"$f|$c|${s.nulls}|${s.rows}") })).mkString(",") +
       "]}"
     store.publish(checkpointName(version), json) // false = lost race, ok
+    // the metadata sibling: derived state like the checkpoint itself,
+    // so a lost publish race is a no-op; a crash between the two
+    // publishes leaves a checkpoint without a sibling, which the
+    // metadata fold handles by falling back to the full read
+    val metaJson = s"""{"version":$version,"schema":[""" +
+      r.schemaDdl.map(d => q(java.util.Base64.getEncoder
+        .encodeToString(d.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)))).getOrElse("") +
+      """],"checks":[""" +
+      (if (r.checks.isEmpty) q("-")
+       else r.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+         q(s"$n|" + java.util.Base64.getEncoder.encodeToString(
+           e.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
+         .mkString(",")) + "]}"
+    store.publish(checkpointMetaName(version), metaJson)
   }
 
   private def parseStats(entries: Seq[String]): Map[String, FileStat] =
@@ -832,7 +867,7 @@ object ManifestLog {
   private[sources] def provableTypedBounds(sqlText: String,
       schema: org.apache.spark.sql.types.StructType)
       : Option[(Map[String, (Long, Long)], Map[String, (Long, Long)],
-          Seq[(String, String, String)])] = {
+          Seq[(String, String, String)], Seq[String])] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
@@ -869,10 +904,11 @@ object ManifestLog {
     }
     def succ(v: Long) = if (v == Long.MaxValue) v else v + 1
     def pred(v: Long) = if (v == Long.MinValue) v else v - 1
-    // one typed proof obligation: exactly one of the three shapes
+    // one typed proof obligation: exactly one of the four shapes
     final case class Ob(longB: Option[(String, (Long, Long))] = None,
         dblB: Option[(String, (Long, Long))] = None,
-        strA: Option[(String, String, String)] = None)
+        strA: Option[(String, String, String)] = None,
+        notNull: Option[String] = None)
     def rangeOf(op: String, v: Long): (Long, Long) = op match {
       case "=" => (v, v)
       case ">" => (succ(v), Long.MaxValue)
@@ -899,6 +935,10 @@ object ManifestLog {
       nameOf(a).flatMap(atom(_, op, l)).map(Seq(_))
     def walk(e: Expression): Option[Seq[Ob]] = e match {
       case And(a, b) => for (x <- walk(a); y <- walk(b)) yield x ++ y
+      // IS NOT NULL atoms prove from null counts regardless of type
+      // (the column must still resolve in the declared schema)
+      case IsNotNull(a) => nameOf(a).filter(types.contains)
+        .map(c => Seq(Ob(notNull = Some(c))))
       case EqualTo(a, l) if nameOf(a).isDefined => cmp(a, l, "=")
       case EqualTo(l, a) if nameOf(a).isDefined => cmp(a, l, "=")
       case GreaterThan(a, l) if nameOf(a).isDefined => cmp(a, l, ">")
@@ -923,8 +963,34 @@ object ManifestLog {
     scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(sqlText)).toOption.flatMap(walk).map { obs =>
       (intersect(obs.flatMap(_.longB)), intersect(obs.flatMap(_.dblB)),
-        obs.flatMap(_.strA))
+        obs.flatMap(_.strA), obs.flatMap(_.notNull))
     }
+  }
+
+  /** NOT-NULL decomposition of a CHECK expression (r18): the columns
+    * an AND-conjunction of bare `col IS NOT NULL` atoms constrains —
+    * provable from the manifest's per-file NULL COUNTS (nulls = 0
+    * proves the constraint for every committed row; `NULL IS NOT
+    * NULL` evaluates FALSE, so a null row VIOLATES, and the count is
+    * exact). Closes the "non-range constraints are never
+    * stats-provable" attest fallback for the most common non-range
+    * shape. Any other shape yields None. */
+  private[sources] def provableNotNullAtoms(
+      sqlText: String): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    def walk(e: Expression): Option[Seq[String]] = e match {
+      case And(a, b) => for (x <- walk(a); y <- walk(b)) yield x ++ y
+      case IsNotNull(a) => nameOf(a).map(Seq(_))
+      case _ => None
+    }
+    scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sqlText)).toOption.flatMap(walk)
   }
 
   /** Does `st` prove the string atom (op, lit) for every non-null
@@ -968,9 +1034,17 @@ object ManifestLog {
               java.util.Base64.getDecoder.decode(e.substring(i + 1)),
               java.nio.charset.StandardCharsets.UTF_8)
           }.toMap
+    val listing = store.list().toSet
     val ckpt = checkpointVersionsIn(store).filter(_ <= version).lastOption
     ckpt.foreach { cv =>
-      val json = store.read(checkpointName(cv))
+      // prefer the KB-sized metadata sibling (r18); a checkpoint
+      // published before the sibling existed (or whose sibling was
+      // lost to a crash between the two publishes) falls back to the
+      // full checkpoint read — same content, just more bytes
+      val json =
+        if (listing.contains(checkpointMetaName(cv)))
+          store.read(checkpointMetaName(cv))
+        else store.read(checkpointName(cv))
       foldSchema(field(json, "schema"))
       foldChecks(field(json, "checks"))
     }
@@ -1415,7 +1489,7 @@ object ManifestLog {
     else
       readFilesIndexed(spark, root, matching,
         dvs = r.dvs.filter { case (f, _) => matching.contains(f) },
-        declaredSchema = declared)
+        declaredSchema = declared, nullStats = r.nullStats)
   }
 
   /** DYNAMIC FILE PRUNING (r16) — the dim-driven sibling of
@@ -2006,6 +2080,7 @@ object ManifestLog {
       policy = policy, commitMs = commitMs,
       colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
       blooms = SinglePassWriter.bloomsOf(summaries, bloomCol),
+      nullStats = SinglePassWriter.nullStatsOf(summaries, statsCols),
       attest = true)
   }
 
@@ -2179,6 +2254,8 @@ object ManifestLog {
       colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
       strColStats =
         SinglePassWriter.strColStatsOf(summaries, strStatsCols),
+      nullStats =
+        SinglePassWriter.nullStatsOf(summaries, statsCols, strStatsCols),
       attest = true)
     summaries.map(_.rel)
   }
@@ -2455,6 +2532,8 @@ object ManifestLog {
             colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
             strColStats =
               SinglePassWriter.strColStatsOf(summaries, strStatsCols),
+            nullStats = SinglePassWriter.nullStatsOf(summaries,
+              statsCols, strStatsCols),
             schemaDdl = srcDdl.filterNot(d => mirrorDdl.contains(d)),
             attest = true)
           done = true
@@ -2989,7 +3068,8 @@ object ManifestLog {
           adds = summaries.map(_.rel), removes = Seq.empty,
           op = "merge", readFiles = candidates.toSet, policy = policy,
           dvs = dvs,
-          colStats = SinglePassWriter.colStatsOf(summaries, statsCols))
+          colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
+          nullStats = SinglePassWriter.nullStatsOf(summaries, statsCols))
       } catch {
         case LogicalConflict(v, d) =>
           if (attempt >= maxAttempts) throw LogicalConflict(v,
@@ -3047,6 +3127,7 @@ object ManifestLog {
       commit(root, newVersion, adds = summaries.map(_.rel),
         removes = doomed, op = "rewrite", policy = policy,
         colStats = SinglePassWriter.colStatsOf(summaries, statsCols),
+        nullStats = SinglePassWriter.nullStatsOf(summaries, statsCols),
         attest = true)
       summaries.map(_.rel)
     }
@@ -3279,16 +3360,7 @@ object ManifestLog {
   def vacuum(root: String, exclude: Seq[String] = Seq.empty,
       dryRun: Boolean = false): Seq[String] = {
     val store = storeFor(root)
-    val resolvable =
-      (versionsIn(store) ++ checkpointVersionsIn(store)).distinct.sorted
-    val replays = resolvable.map(v => replayIn(store, v))
-    val keep: Set[String] = replays.flatMap(_.files).toSet ++
-      replays.flatMap(_.blooms.valuesIterator.flatMap(
-        _.valuesIterator.map(_.sidecar))) ++
-      // each resolvable version's MOR reads need ITS deletion vectors
-      // (live files only — a dv whose file was removed is dead weight)
-      replays.flatMap(r => r.dvs.collect {
-        case (f, d) if r.files.contains(f) => d.sidecar })
+    val keep = vacuumKeepSet(store)
     val rootPath = Paths.get(root)
     val logRoot = logDir(root)
     val orphans = Using.resource(Files.walk(rootPath)) {
@@ -3307,6 +3379,56 @@ object ManifestLog {
     if (!dryRun)
       orphans.foreach(f => Files.deleteIfExists(rootPath.resolve(f)))
     orphans
+  }
+
+  /** The union of every resolvable version's referenced paths — live
+    * files, their bloom sidecars, and live-file DV sidecars — folded
+    * INCREMENTALLY (r18; found by the log-scale probe): the old fold
+    * ran a FULL replay per resolvable version, O(versions × live
+    * files) — ~40 minutes at 512 surviving versions over 1M files.
+    * This fold seeds ONE replay at the oldest resolvable version and
+    * walks the surviving manifests forward, accumulating only each
+    * version's ADDITIONS (a union over versions never shrinks, so
+    * removes need no re-accumulation; a file live at any resolvable
+    * version entered keep either in the seed or at its adding
+    * manifest). A resolvable version whose predecessor is missing —
+    * an isolated pre-horizon checkpoint — re-seeds with its own
+    * checkpoint replay; re-seed count is O(isolated checkpoints).
+    * Total cost: one checkpoint parse + one pass over the surviving
+    * tail, manifest-sized. */
+  private def vacuumKeepSet(store: LogStore): Set[String] = {
+    val manifests = versionsIn(store).toSet
+    val resolvable =
+      (versionsIn(store) ++ checkpointVersionsIn(store)).distinct.sorted
+    val keep = scala.collection.mutable.Set.empty[String]
+    var stateV = Long.MinValue
+    resolvable.foreach { v =>
+      if (stateV == v - 1 && manifests.contains(v)) {
+        // warm fold: this manifest's additions are the only NEW
+        // referenced paths this version can introduce
+        val json = store.read(manifestName(v))
+        keep ++= field(json, "adds")
+        keep ++= parseBlooms(field(json, "blooms")).valuesIterator
+          .flatMap(_.valuesIterator.map(_.sidecar))
+        // a committed dv's file is live at this version by the commit
+        // invariants (dvs never target a file the commit removes)
+        keep ++= parseDvs(field(json, "dvs")).valuesIterator
+          .map(_.sidecar)
+      } else {
+        // seed (first version, or a gap after an isolated checkpoint)
+        val r = replayIn(store, v)
+        keep ++= r.files
+        keep ++= r.blooms.valuesIterator.flatMap(
+          _.valuesIterator.map(_.sidecar))
+        // each resolvable version's MOR reads need ITS deletion
+        // vectors (live files only — a dv whose file was removed is
+        // dead weight)
+        keep ++= r.dvs.collect {
+          case (f, d) if r.files.contains(f) => d.sidecar }
+      }
+      stateV = v
+    }
+    keep.toSet
   }
 
   /** Relative paths of ALL parquet part-files under `root/$sub`,

@@ -182,8 +182,9 @@ class CommitProtocolSpec extends AnyFunSuite {
       ManifestLog.commitIn(store, 1, Seq("data/f1.parquet"), Seq.empty,
         op = "append", colStats = Map("data/f1.parquet" ->
           Map("v" -> ManifestLog.FileStat(5L, 10L))))
-      // a non-range constraint is never stats-provable: only attest
-      // (row validation) can carry an add past it
+      // an IS NOT NULL constraint cannot be proven by RANGE stats
+      // (bounds fold over non-null rows only) — without a null count
+      // (r18) only attest carries an add past it
       ManifestLog.commitIn(store, 2, Seq.empty, Seq.empty, op = "checks",
         checks = Some(Seq("v_set" -> "v IS NOT NULL")))
       intercept[IllegalArgumentException] {
@@ -291,6 +292,91 @@ class CommitProtocolSpec extends AnyFunSuite {
     val st =
       ManifestLog.colStatsAsOfIn(store, 3)("data/f3.parquet")("price")
     assert(st == ManifestLog.FileStat(key(5.5), key(9.0), dbl = true))
+  }
+
+  test("the CHECK gate survives retention through the checkpoint's " +
+      "KB-sized metadata sibling (r18; the log-scale probe's commit " +
+      "cliff), and a sibling-less checkpoint — the crash window " +
+      "between the two publishes — falls back to the full read") {
+    val store = ManifestLog.storeFor(newRoot())
+    ManifestLog.commitIn(store, 0, Seq.empty, Seq.empty, op = "init",
+      checks = Some(Seq("v_pos" -> "v > 0")))
+    ManifestLog.commitIn(store, 1, Seq("data/f1.parquet"), Seq.empty,
+      op = "append", colStats = Map("data/f1.parquet" ->
+        Map("v" -> ManifestLog.FileStat(1L, 9L))))
+    ManifestLog.writeCheckpointIn(store, 1)
+    assert(store.list().contains(
+      f"${1L}%020d.checkpoint.meta.json"),
+      "the checkpoint must publish its metadata sibling")
+    // prune the manifests: the constraint set now lives only in the
+    // checkpoint (+ sibling) — the gate must still see it
+    (0L to 1L).foreach(v => store.delete(f"$v%020d.json"))
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"), Seq.empty,
+        op = "append", colStats = Map("data/f2.parquet" ->
+          Map("v" -> ManifestLog.FileStat(0L, 9L))))
+    }
+    ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"), Seq.empty,
+      op = "append", colStats = Map("data/f2.parquet" ->
+        Map("v" -> ManifestLog.FileStat(2L, 9L))))
+    // crash window: the sibling never landed — the gate falls back
+    // to the full checkpoint and enforces identically
+    store.delete(f"${1L}%020d.checkpoint.meta.json")
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 3, Seq("data/f3.parquet"), Seq.empty,
+        op = "append", colStats = Map("data/f3.parquet" ->
+          Map("v" -> ManifestLog.FileStat(0L, 9L))))
+    }
+    ManifestLog.commitIn(store, 3, Seq("data/f3.parquet"), Seq.empty,
+      op = "append", colStats = Map("data/f3.parquet" ->
+        Map("v" -> ManifestLog.FileStat(3L, 9L))))
+  }
+
+  test("IS NOT NULL constraints PROVE from null counts (r18; retires " +
+      "the non-range attest fallback for the common shape): a " +
+      "zero-null add passes unattested, a null-bearing add refuses, " +
+      "count-less adds stay attest-only, and the typed mixed path " +
+      "composes range + IS NOT NULL in one constraint") {
+    val store = ManifestLog.storeFor(newRoot())
+    ManifestLog.commitIn(store, 0, Seq.empty, Seq.empty, op = "init",
+      schemaDdl = Some("k BIGINT, v BIGINT"),
+      checks = Some(Seq("v_set" -> "v IS NOT NULL")))
+    // a zero-null count is an exact proof (NULL IS NOT NULL = FALSE,
+    // so a null row violates; nulls = 0 means none can)
+    ManifestLog.commitIn(store, 1, Seq("data/f1.parquet"), Seq.empty,
+      op = "append", nullStats = Map("data/f1.parquet" ->
+        Map("v" -> ManifestLog.NullStat(0L, 10L))))
+    // a null-bearing batch refuses
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"), Seq.empty,
+        op = "append", nullStats = Map("data/f2.parquet" ->
+          Map("v" -> ManifestLog.NullStat(1L, 10L))))
+    }
+    // range stats alone cannot carry the proof (bounds fold over
+    // NON-null rows and say nothing about nulls)
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 2, Seq("data/f2.parquet"), Seq.empty,
+        op = "append", colStats = Map("data/f2.parquet" ->
+          Map("v" -> ManifestLog.FileStat(5L, 10L))))
+    }
+    // mixed shape through the typed path: range AND not-null
+    ManifestLog.commitIn(store, 2, Seq.empty, Seq.empty, op = "checks",
+      checks = Some(Seq("v_both" -> "v >= 0 AND v IS NOT NULL")))
+    ManifestLog.commitIn(store, 3, Seq("data/f3.parquet"), Seq.empty,
+      op = "append",
+      colStats = Map("data/f3.parquet" ->
+        Map("v" -> ManifestLog.FileStat(0L, 10L))),
+      nullStats = Map("data/f3.parquet" ->
+        Map("v" -> ManifestLog.NullStat(0L, 10L))))
+    intercept[IllegalArgumentException] {
+      ManifestLog.commitIn(store, 4, Seq("data/f4.parquet"), Seq.empty,
+        op = "append",
+        colStats = Map("data/f4.parquet" ->
+          Map("v" -> ManifestLog.FileStat(0L, 10L))),
+        nullStats = Map("data/f4.parquet" ->
+          Map("v" -> ManifestLog.NullStat(2L, 10L))))
+    }
+    assert(ManifestLog.versionsIn(store) == (0L to 3L))
   }
 
   test("mixed-type CHECK proofs resolve column types from the " +

@@ -87,6 +87,13 @@ val logCount = java.nio.file.Files.list(
   java.nio.file.Paths.get(root, "_log")).count()
 println(s"PROBE log dir: $logCount surviving files")
 
+// vacuum's keep-set fold over EVERY resolvable version (the walk
+// itself finds no data files — synthetic paths — so this times the
+// decision, which is the scale axis)
+val (orphans, vacMs) = ms { ManifestLog.vacuum(root, dryRun = true) }
+println(s"PROBE vacuum(dry): keep-set over all resolvable versions " +
+  s"in ${vacMs} ms (${orphans.size} orphans)")
+
 // cleanup: the probe writes only the _log dir
 import scala.jdk.CollectionConverters._
 java.nio.file.Files.walk(java.nio.file.Paths.get(root))
