@@ -1016,26 +1016,47 @@ object ManifestLog {
     * 1M-file checkpoint is a multi-second parse; schema/checks are a
     * few hundred bytes of it). Same resolution semantics: latest
     * declaration wins, the `-` sentinel clears the check set. */
+  /** Decode a manifest/checkpoint `schema` field (base64 DDL; the
+    * LAST entry wins) — shared by every fold site so the format has
+    * one reader. None = the field declared nothing. */
+  private def decodeSchemaField(entries: Seq[String]): Option[String] =
+    entries.lastOption.map(b64 => new String(
+      java.util.Base64.getDecoder.decode(b64),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Decode a `checks` field: None = no declaration in this record,
+    * Some(empty) = the explicit `-` drop-all sentinel, Some(set) =
+    * the declared set. Shared by every fold site. */
+  private def decodeChecksField(
+      entries: Seq[String]): Option[Map[String, String]] =
+    if (entries.isEmpty) None
+    else Some(
+      if (entries == Seq("-")) Map.empty
+      else entries.map { e =>
+        val i = e.lastIndexOf('|')
+        e.substring(0, i) -> new String(
+          java.util.Base64.getDecoder.decode(e.substring(i + 1)),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }.toMap)
+
   private def metaAsOfIn(store: LogStore,
       version: Long): (Option[String], Map[String, String]) = {
     var schemaDdl: Option[String] = None
     var checks = Map.empty[String, String]
-    def foldSchema(entries: Seq[String]): Unit =
-      entries.lastOption.foreach(b64 => schemaDdl = Some(new String(
-        java.util.Base64.getDecoder.decode(b64),
-        java.nio.charset.StandardCharsets.UTF_8)))
-    def foldChecks(entries: Seq[String]): Unit =
-      if (entries.nonEmpty)
-        checks =
-          if (entries == Seq("-")) Map.empty
-          else entries.map { e =>
-            val i = e.lastIndexOf('|')
-            e.substring(0, i) -> new String(
-              java.util.Base64.getDecoder.decode(e.substring(i + 1)),
-              java.nio.charset.StandardCharsets.UTF_8)
-          }.toMap
-    val listing = store.list().toSet
-    val ckpt = checkpointVersionsIn(store).filter(_ <= version).lastOption
+    def fold(json: String): Unit = {
+      decodeSchemaField(field(json, "schema"))
+        .foreach(d => schemaDdl = Some(d))
+      decodeChecksField(field(json, "checks")).foreach(checks = _)
+    }
+    // ONE directory listing serves the sibling lookup AND both
+    // version scans (this fold runs per gated commit — the hot path
+    // the r18 sibling exists for)
+    val listing = store.list()
+    val manifestVs = listing.filter(ManifestRe.matches)
+      .map(_.stripSuffix(".json").toLong).sorted
+    val ckptVs = listing.filter(CheckpointRe.matches)
+      .map(_.stripSuffix(".checkpoint.json").toLong).sorted
+    val ckpt = ckptVs.filter(_ <= version).lastOption
     ckpt.foreach { cv =>
       // prefer the KB-sized metadata sibling (r18); a checkpoint
       // published before the sibling existed (or whose sibling was
@@ -1045,16 +1066,11 @@ object ManifestLog {
         if (listing.contains(checkpointMetaName(cv)))
           store.read(checkpointMetaName(cv))
         else store.read(checkpointName(cv))
-      foldSchema(field(json, "schema"))
-      foldChecks(field(json, "checks"))
+      fold(json)
     }
-    versionsIn(store)
+    manifestVs
       .filter(v => v <= version && ckpt.forall(v > _))
-      .foreach { v =>
-        val json = store.read(manifestName(v))
-        foldSchema(field(json, "schema"))
-        foldChecks(field(json, "checks"))
-      }
+      .foreach(v => fold(store.read(manifestName(v))))
     (schemaDdl, checks)
   }
 
@@ -1073,20 +1089,10 @@ object ManifestLog {
     val dvs = scala.collection.mutable.Map.empty[String, DvRef]
     var schemaDdl: Option[String] = None
     def foldSchema(entries: Seq[String]): Unit =
-      entries.lastOption.foreach(b64 => schemaDdl = Some(new String(
-        java.util.Base64.getDecoder.decode(b64),
-        java.nio.charset.StandardCharsets.UTF_8)))
+      decodeSchemaField(entries).foreach(d => schemaDdl = Some(d))
     var checks = Map.empty[String, String]
     def foldChecks(entries: Seq[String]): Unit =
-      if (entries.nonEmpty)
-        checks =
-          if (entries == Seq("-")) Map.empty
-          else entries.map { e =>
-            val i = e.lastIndexOf('|')
-            e.substring(0, i) -> new String(
-              java.util.Base64.getDecoder.decode(e.substring(i + 1)),
-              java.nio.charset.StandardCharsets.UTF_8)
-          }.toMap
+      decodeChecksField(entries).foreach(checks = _)
     def foldTxns(entries: Seq[(String, Long)]): Unit =
       entries.foreach { case (app, b) =>
         txns(app) = txns.get(app).fold(b)(math.max(_, b)) }
@@ -1977,10 +1983,8 @@ object ManifestLog {
         replayIn(store, from).schemaDdl
       else None
     ((from + 1) to to).map { v =>
-      field(store.read(manifestName(v)), "schema").lastOption
-        .foreach(b64 => cur = Some(new String(
-          java.util.Base64.getDecoder.decode(b64),
-          java.nio.charset.StandardCharsets.UTF_8)))
+      decodeSchemaField(field(store.read(manifestName(v)), "schema"))
+        .foreach(d => cur = Some(d))
       v -> cur
     }.toMap
   }
@@ -2229,9 +2233,30 @@ object ManifestLog {
     // shared ancestry, so an '=' in an ancestor directory of the
     // source root never misroutes a flat clone (r17 advice)
     val extSegs = hiveSegsOf(ext)
-    if (extSegs.valuesIterator.exists(_.nonEmpty))
+    if (extSegs.valuesIterator.exists(_.nonEmpty)) {
+      // AMBIGUITY guard (review finding, r18): when every detected
+      // segment came from the trailing-'=' push-back — i.e. no ref
+      // carries an '='-segment BELOW the refs' raw common prefix —
+      // the layout is indistinguishable from a source whose own ROOT
+      // directory merely contains '=' (files directly beneath it).
+      // Rewriting would invent a phantom partition column silently;
+      // refuse loudly instead (a genuine single-valued partition
+      // layout hits this too — materialize it via an explicit
+      // readVersionHive + partitionBy rewrite, stated in the error).
+      val dirs = ext.map(_.split('/').toSeq.init)
+      val shortest = dirs.map(_.size).min
+      var p = 0
+      while (p < shortest && dirs.forall(_(p) == dirs.head(p))) p += 1
+      val belowRawPrefix = dirs.exists(_.drop(p).exists(_.contains('=')))
+      require(belowRawPrefix,
+        "external references carry '='-segments only in their SHARED " +
+          "ancestry — indistinguishable between a single-valued hive " +
+          "partition and a source root whose directory name contains " +
+          "'='; materialize explicitly (readVersionHive + partitionBy " +
+          "rewrite) or re-clone from a source path without '='")
       return materializeExternalHive(spark, root, latest, r, ext,
         extSegs, files, policy)
+    }
     val live = readFilesIndexed(spark, root, ext, r.colStats,
       r.dvs.filter { case (f, _) => ext.contains(f) },
       declaredSchema = r.schemaDdl.map(
@@ -2448,20 +2473,47 @@ object ManifestLog {
     // falls back NON-THROWING to the full fold (the unprunable-key
     // path below — correct, just unpruned, exactly what a
     // corpus-sized sync rewrites anyway).
-    val changedVals: Seq[Long] =
-      if (!integralKey) Seq.empty
-      else changedKeys.select(col(keyCol).cast(LongType)).distinct()
-        .limit(maxKeys + 1)
-        .collect().iterator.filterNot(_.isNullAt(0)).map(_.getLong(0))
-        .toSeq
-    val changedStrVals: Seq[String] =
-      if (!stringKey) Seq.empty
-      else changedKeys.select(col(keyCol)).distinct()
-        .limit(maxKeys + 1)
-        .collect().iterator.filterNot(_.isNullAt(0)).map(_.getString(0))
-        .toSeq
-    val keyPrunable = (integralKey && changedVals.size <= maxKeys) ||
-      (stringKey && changedStrVals.size <= maxKeys)
+    // the key's CANONICAL LONG image must match what the mirror
+    // writer's stats fold committed (SinglePassWriter.longAt):
+    // timestamps are epoch-MICROS and dates epoch-DAYS there — a
+    // plain long cast would collect epoch SECONDS for timestamps and
+    // prune with mismatched units, silently skipping files that DO
+    // hold changed keys (review finding, r18)
+    val keyImage = images.schema(keyCol).dataType match {
+      case TimestampType => unix_micros(col(keyCol))
+      case DateType => datediff(col(keyCol),
+        to_date(lit("1970-01-01"))).cast(LongType)
+      case _ => col(keyCol).cast(LongType)
+    }
+    // the bound is decided on the NON-NULL distinct count, with the
+    // null's presence tracked separately (review finding, r18): a
+    // null row inside a naive limit(maxKeys + 1) window could shrink
+    // the post-filter seq back under the bound with a TRUNCATED key
+    // set — pruning with it would skip files holding the missing
+    // keys' stale rows. distinct() yields at most ONE null row, so
+    // limit(maxKeys + 2) makes both the non-null count (up to the
+    // bound) and the null's presence exact.
+    def collectKeys(image: org.apache.spark.sql.Column)
+        : (Seq[org.apache.spark.sql.Row], Boolean) = {
+      val rows = changedKeys.select(image.as(keyCol)).distinct()
+        .limit(maxKeys + 2).collect().toSeq
+      (rows.filterNot(_.isNullAt(0)), rows.exists(_.isNullAt(0)))
+    }
+    val (changedVals: Seq[Long], nullLongKey: Boolean) =
+      if (!integralKey) (Seq.empty[Long], false)
+      else { val (r, n) = collectKeys(keyImage)
+        (r.map(_.getLong(0)), n) }
+    val (changedStrVals: Seq[String], nullStrKey: Boolean) =
+      if (!stringKey) (Seq.empty[String], false)
+      else { val (r, n) = collectKeys(col(keyCol))
+        (r.map(_.getString(0)), n) }
+    // a NULL-keyed change is unprunable: range stats and blooms fold
+    // non-null values only, so no file-level index can answer "which
+    // files hold the null-keyed rows" — fall back to the full fold
+    // (rare, correct, the same path an unprunable key type takes)
+    val keyPrunable =
+      (integralKey && !nullLongKey && changedVals.size <= maxKeys) ||
+      (stringKey && !nullStrKey && changedStrVals.size <= maxKeys)
     val store = storeFor(dstRoot)
     val statsCols = if (integralKey) Seq(keyCol) else Seq.empty
     val strStatsCols = if (stringKey) Seq(keyCol) else Seq.empty
@@ -2509,11 +2561,22 @@ object ManifestLog {
             // corpus-entity-sized and must shuffle (AQE still picks
             // broadcast if the ACTUAL size allows)
             val changedSide =
-              if (keyPrunable) broadcast(changedKeys) else changedKeys
-            readFilesIndexed(spark, dstRoot, touched, r.colStats,
+              (if (keyPrunable) broadcast(changedKeys) else changedKeys)
+                .alias("__ck")
+            val mirror = readFilesIndexed(spark, dstRoot, touched,
+                r.colStats,
                 r.dvs.filter { case (f, _) => touched.contains(f) },
                 declaredSchema = Some(upserts.schema))
-              .join(changedSide, keys, "left_anti")
+              .alias("__m")
+            // NULL-SAFE key equality (review finding, r18): a plain
+            // equality anti-join can never remove a NULL-keyed
+            // mirror row (NULL = NULL is not true), so a rewrite of
+            // a null-keyed entity would keep the stale row beside
+            // its new image — the same <=> pairing the image feed
+            // itself uses
+            val cond = keys.map(k =>
+              col(s"__m.$k") <=> col(s"__ck.$k")).reduce(_ && _)
+            mirror.join(changedSide, cond, "left_anti")
               .unionByName(upserts)
           }
         val sub =

@@ -402,6 +402,88 @@ class ManifestChangeImagesSpec extends AnyFunSuite {
       "a bounded non-intersecting sync still rewrites zero files")
   }
 
+  test("replicateTo's bound counts NON-NULL keys only (r18 review " +
+      "finding): a null key inside the limit window can never shrink " +
+      "a truncated set back under the bound — the replica stays " +
+      "exact with null-keyed rows present at and over the bound") {
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_replica_nullkey").toString
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_replica_nullkey_src").toString
+    import spark.implicits._
+    def land(sub: String,
+        rows: Seq[(java.lang.Long, Long)]): Seq[String] = {
+      rows.toDF("id", "amount").coalesce(1)
+        .write.parquet(s"$root/$sub")
+      ManifestLog.partFiles(root, sub)
+    }
+    // v0: three non-null entities + one NULL-keyed row
+    ManifestLog.commit(root, 0, land("data/v0",
+      Seq((1L, 10L), (2L, 20L), (3L, 30L),
+        (null.asInstanceOf[java.lang.Long], 99L))), Seq.empty, "write")
+    // bootstrap at maxKeys = 2: 3 distinct non-null keys → over-bound
+    // by the NON-NULL count (the old code could let the null absorb a
+    // limit slot and pass the bound with a truncated key set)
+    ManifestLog.replicateTo(spark, root, dst, keys = Seq("id"),
+      mirrorFiles = 2, maxKeys = 2)
+    // v1: rewrite everything — ids 1..3 change, the null row's
+    // payload changes too
+    val f1 = land("data/v1",
+      Seq((1L, 11L), (2L, 21L), (3L, 31L),
+        (null.asInstanceOf[java.lang.Long], 100L)))
+    ManifestLog.commit(root, 1, f1, ManifestLog.filesAsOf(root, 0),
+      "rewrite")
+    ManifestLog.replicateTo(spark, root, dst, keys = Seq("id"),
+      maxKeys = 2)
+    val v = ManifestLog.latestVersion(dst).get
+    val mir = ManifestLog.readVersion(spark, dst, v)
+      .select("id", "amount").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val src = ManifestLog.readVersion(spark, root, 1).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(mir == src, s"null-keyed over-bound sync diverged: $mir")
+  }
+
+  test("replicateTo prunes TIMESTAMP lead keys in the writer's " +
+      "epoch-MICROS image (r18 review finding): a plain long cast " +
+      "collects SECONDS and would mis-prune against micros-folded " +
+      "stats, leaving stale rows beside the upserts") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_replica_ts_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_replica_ts_dst").toString
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def land(sub: String, rows: Seq[(java.sql.Timestamp, Long)])
+        : Seq[String] = {
+      rows.toDF("t", "amount").coalesce(1).write.parquet(s"$root/$sub")
+      ManifestLog.partFiles(root, sub)
+    }
+    ManifestLog.commit(root, 0, land("data/v0",
+      (0L until 8L).map(i => (ts(1700000000L + i), i * 10L))),
+      Seq.empty, "write")
+    ManifestLog.replicateTo(spark, root, dst, keys = Seq("t"),
+      mirrorFiles = 2)
+    // one key's payload changes by COW rewrite
+    val f1 = land("data/v1",
+      (0L until 8L).map(i =>
+        (ts(1700000000L + i), if (i == 3) 999L else i * 10L)))
+    ManifestLog.commit(root, 1, f1, ManifestLog.filesAsOf(root, 0),
+      "rewrite")
+    ManifestLog.replicateTo(spark, root, dst, keys = Seq("t"))
+    val v = ManifestLog.latestVersion(dst).get
+    // with mismatched units NO mirror file intersects the changed
+    // keys → the stale t=+3 row survives beside the upsert → count
+    // and payload diverge
+    val mir = ManifestLog.readVersion(spark, dst, v)
+      .select("t", "amount").orderBy("t").collect().toSeq
+    val src = ManifestLog.readVersion(spark, root, 1)
+      .orderBy("t").collect().toSeq
+    assert(mir == src, s"timestamp-keyed sync diverged: got $mir")
+  }
+
   test("a pruned tail fails loudly — images are never silently " +
       "reconstructed over missing actions") {
     val root = fixture()

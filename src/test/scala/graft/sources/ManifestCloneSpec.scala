@@ -236,6 +236,36 @@ class ManifestCloneSpec extends AnyFunSuite {
       !f.startsWith("/") && !f.contains("=")),
       s"a flat clone must materialize FLAT despite the ancestor '=': " +
         s"$flat")
+    // the AMBIGUOUS shape stays loud (r18 review finding): when every
+    // '='-segment sits in the refs' SHARED ancestry — files directly
+    // under an '='-named directory — hive layout and a plain
+    // '='-named source root are indistinguishable, and a silent
+    // rewrite would invent a phantom partition column
+    val ambRoot = s"$base/amb=1"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "amount")
+      .coalesce(1).write.parquet(s"$ambRoot/stage")
+    // commit the files DIRECTLY under the '='-named root
+    ManifestLog.partFiles(ambRoot, "stage").foreach { f =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(ambRoot, f),
+        java.nio.file.Paths.get(ambRoot, f.stripPrefix("stage/")))
+    }
+    val ambFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(ambRoot))
+      .iterator()
+    val ambRel = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(ambFiles).asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .toSeq.sorted
+    ManifestLog.commit(ambRoot, 0, ambRel, Seq.empty, op = "write")
+    val dst3 = newRoot()
+    ManifestLog.cloneShallow(ambRoot, dst3, 0)
+    val e = intercept[IllegalArgumentException] {
+      ManifestLog.materializeExternal(spark, dst3)
+    }
+    assert(e.getMessage.contains("SHARED ancestry"),
+      s"expected the ambiguity refusal, got: ${e.getMessage}")
   }
 
   test("clone-bootstrapped replica: the first sync is the metadata-" +
