@@ -613,4 +613,68 @@ class ManifestLogSpec extends AnyFunSuite {
     // at/after the checkpoint: exact via checkpoint-seeded replay
     assert(ManifestLog.filesAsOf(root, 5) == Seq("data/v5/f.parquet"))
   }
+
+  test("hiveSegsOf resolves layout below the shared ancestry (r18): " +
+      "relative paths are all-layout, absolute refs strip the common " +
+      "prefix, single-valued trailing partitions push back, ancestor " +
+      "'=' directories above the layout are never segments") {
+    import ManifestLog.hiveSegsOf
+    // relative: every directory k=v segment is layout; file names are
+    // never segments
+    assert(hiveSegsOf(Seq("data/v0/day=3/part-0.parquet")) ==
+      Map("data/v0/day=3/part-0.parquet" -> Seq(("day", "3"))))
+    // absolute, multi-valued: ancestry (incl. an '='-named ancestor)
+    // strips; the differing k=v dirs are layout
+    val multi = Seq("/tmp/run=9/src/data/k=1/f.parquet",
+      "/tmp/run=9/src/data/k=2/g.parquet")
+    assert(hiveSegsOf(multi) == Map(
+      multi(0) -> Seq(("k", "1")), multi(1) -> Seq(("k", "2"))))
+    // absolute, single-valued: k=1 lands in the common prefix and is
+    // PUSHED BACK into the layout (still a partition)
+    val single = Seq("/tmp/src/data/k=1/f.parquet",
+      "/tmp/src/data/k=1/g.parquet")
+    assert(hiveSegsOf(single) == Map(
+      single(0) -> Seq(("k", "1")), single(1) -> Seq(("k", "1"))))
+    // absolute, flat under a deeper non-'=' dir: an '='-ancestor
+    // ABOVE it contributes nothing
+    val flat = Seq("/tmp/run=9/src/data/f.parquet",
+      "/tmp/run=9/src/data/g.parquet")
+    assert(hiveSegsOf(flat).values.forall(_.isEmpty))
+    // mixed rel + abs resolve independently
+    val mixed = hiveSegsOf(Seq("data/day=5/h.parquet",
+      "/tmp/src/data/f.parquet"))
+    assert(mixed("data/day=5/h.parquet") == Seq(("day", "5")) &&
+      mixed("/tmp/src/data/f.parquet").isEmpty)
+  }
+
+  test("typed CHECK decompositions stay strict (r18): OR and " +
+      "unresolvable columns yield None; flipped literals normalize; " +
+      "IS NOT NULL atoms resolve standalone and inside typed mixes") {
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL(
+      "qty BIGINT, price DOUBLE, grade STRING")
+    // OR is never provable from per-file stats
+    assert(ManifestLog.provableTypedBounds(
+      "qty >= 10 OR price <= 0.5", schema).isEmpty)
+    assert(ManifestLog.provableNotNullAtoms(
+      "qty IS NOT NULL OR price IS NOT NULL").isEmpty)
+    // a column missing from the declared schema kills the typed path
+    assert(ManifestLog.provableTypedBounds(
+      "ghost >= 10", schema).isEmpty)
+    // flipped literal sides normalize to the same bound
+    val a = ManifestLog.provableTypedBounds("qty >= 10", schema).get
+    val b = ManifestLog.provableTypedBounds("10 <= qty", schema).get
+    assert(a == b && a._1("qty")._1 == 10L)
+    // integral literal on a DOUBLE column proves in image space
+    val img = ManifestLog.provableTypedBounds("price >= 5", schema).get
+    assert(img._2("price")._1 == ManifestFileIndex.dblKey(5.0))
+    // IS NOT NULL: standalone and inside a typed mix
+    assert(ManifestLog.provableNotNullAtoms(
+      "qty IS NOT NULL AND grade IS NOT NULL")
+      .contains(Seq("qty", "grade")))
+    val mix = ManifestLog.provableTypedBounds(
+      "qty >= 0 AND price IS NOT NULL", schema).get
+    assert(mix._1("qty") == ((0L, Long.MaxValue)) &&
+      mix._4 == Seq("price"))
+  }
 }
