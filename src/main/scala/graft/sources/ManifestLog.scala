@@ -502,6 +502,16 @@ object ManifestLog {
       else if (checkpointVersionsIn(store).contains(version))
         field(store.read(checkpointName(version)), "at")
       else Seq.empty
+    // the DVS-EVER bit (r19; r18 verdict next-8 #7): "has this table
+    // EVER committed a deletion vector through `version`" folds
+    // forward through checkpoints, so the image feed's unresolvable-
+    // baseline probe reads one KB sibling + the tail instead of
+    // scanning every surviving manifest's dvs field (O(versions)
+    // driver reads per feed open at log scale). Strictly MORE
+    // conservative than the surviving-metadata scan it accelerates: a
+    // historical vector whose refs were later compacted away still
+    // sets the bit (its baseline genuinely is unclassifiable).
+    val dvsEver = if (dvsEverThrough(store, version)) "1" else "0"
     val json = s"""{"version":$version,"files":[""" +
       r.files.map(q).mkString(",") + """],"stats":[""" +
       r.files.flatMap(f => r.stats.get(f).map(st =>
@@ -542,7 +552,7 @@ object ManifestLog {
       r.files.flatMap(f => r.nullStats.get(f).toSeq
         .flatMap(_.toSeq.sortBy(_._1).map { case (c, s) =>
           q(s"$f|$c|${s.nulls}|${s.rows}") })).mkString(",") +
-      "]}"
+      """],"dvsever":[""" + q(dvsEver) + "]}"
     store.publish(checkpointName(version), json) // false = lost race, ok
     // the metadata sibling: derived state like the checkpoint itself,
     // so a lost publish race is a no-op; a crash between the two
@@ -557,8 +567,31 @@ object ManifestLog {
        else r.checks.toSeq.sortBy(_._1).map { case (n, e) =>
          q(s"$n|" + java.util.Base64.getEncoder.encodeToString(
            e.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
-         .mkString(",")) + "]}"
+         .mkString(",")) +
+      """],"dvsever":[""" + q(dvsEver) + "]}"
     store.publish(checkpointMetaName(version), metaJson)
+  }
+
+  /** Has the table EVER committed a deletion vector through
+    * `version`? Folded from the nearest checkpoint's own bit plus the
+    * tail manifests' dvs fields — O(tail) once checkpoints carry the
+    * bit. A LEGACY checkpoint (pre-r19, no dvsever field) contributes
+    * its surviving dv refs instead: exactly the guarantee the old
+    * surviving-metadata scan gave, so the bit written on top of a
+    * legacy log is never WEAKER than the scan it replaces. */
+  private[sources] def dvsEverThrough(store: LogStore,
+      version: Long): Boolean = {
+    val ckpt = checkpointVersionsIn(store).filter(_ <= version).lastOption
+    val base = ckpt.exists { cv =>
+      val json = store.read(checkpointName(cv))
+      field(json, "dvsever").headOption match {
+        case Some(bit) => bit == "1"
+        case None => field(json, "dvs").nonEmpty
+      }
+    }
+    base || versionsIn(store)
+      .filter(v => v <= version && ckpt.forall(v > _))
+      .exists(v => field(store.read(manifestName(v)), "dvs").nonEmpty)
   }
 
   private def parseStats(entries: Seq[String]): Map[String, FileStat] =
@@ -1039,6 +1072,18 @@ object ManifestLog {
           java.nio.charset.StandardCharsets.UTF_8)
       }.toMap)
 
+  /** Schema DDL + CHECK set as of `version` via a METADATA-ONLY fold:
+    * the KB checkpoint sibling (or the full checkpoint when the
+    * sibling is missing) plus the tail manifests — the r18 fix that
+    * keeps the gated-commit hot path flat at log scale. NOTE (r18
+    * advice): the flatness depends on checkpoints EXISTING — a table
+    * committed without any [[CheckpointPolicy]] still folds every
+    * manifest per gated commit, the same O(versions) shape
+    * [[replayIn]] has always had there. Acceptable by policy (the
+    * probe's measured per-manifest cost is ~µs and such tables are
+    * short-history by construction), but a long-lived gated table
+    * should commit with a policy — the 1M-file probe's 94 ms/commit
+    * number is the WITH-checkpoint path. */
   private def metaAsOfIn(store: LogStore,
       version: Long): (Option[String], Map[String, String]) = {
     var schemaDdl: Option[String] = None
@@ -1431,7 +1476,7 @@ object ManifestLog {
       r.blooms.getOrElse(f, Map.empty).get(column).forall { ref =>
         // a STRING-keyed bloom cannot answer a long probe (different
         // hash → false negatives = wrong pruning); mismatch = must-read
-        ref.str || {
+        ref.str || legacyStrBloom(r, f, column) || {
           val bits =
             Files.readAllBytes(resolvePath(root, ref.sidecar).toPath)
           FileBloom.mightContain(bits, ref.m, ref.k, value)
@@ -1439,6 +1484,20 @@ object ManifestLog {
       }
     }
   }
+
+  /** LEGACY-BLOOM guard (r19; r18 advice): string-keyed blooms
+    * committed BEFORE the r18 key-type tag parse as untagged
+    * (str = false), so a long-hash probe against them could
+    * false-negative — wrong pruning on legacy logs. An untagged bloom
+    * whose column carries STRING bounds and no long stats for the
+    * same file can only have been folded over string keys; treat it
+    * as string-keyed → must-read on the long-probe paths. (Newly
+    * written blooms are always tagged, so this never weakens a
+    * current-generation prune.) */
+  private def legacyStrBloom(r: Replay, f: String,
+      column: String): Boolean =
+    r.strColStats.getOrElse(f, Map.empty).contains(column) &&
+      !r.colStats.getOrElse(f, Map.empty).contains(column)
 
   /** STRING point-lookup prune (r17): the live files whose bloom
     * for `column` might contain the STRING `value` — keyed through
@@ -1530,7 +1589,9 @@ object ManifestLog {
         .forall(st => sorted.exists(k => k >= st.min && k <= st.max))
       lazy val bloomMaybe = r.blooms.getOrElse(f, Map.empty).get(column)
         .forall { ref =>
-          ref.str || { // string-keyed blooms cannot answer long probes
+          // string-keyed blooms (tagged, or legacy-untagged proven by
+          // the file's stats classes) cannot answer long probes
+          ref.str || legacyStrBloom(r, f, column) || {
             val bits =
               Files.readAllBytes(resolvePath(root, ref.sidecar).toPath)
             sorted.exists(k =>
@@ -1824,12 +1885,33 @@ object ManifestLog {
         // folded into a surviving checkpoint (the policy checkpoints
         // before it prunes), so "no dv field anywhere in surviving
         // metadata" proves the empty baseline — otherwise loud.
-        val dvVisible =
-          (versionsIn(store).iterator.map(v =>
-            field(store.read(manifestName(v)), "dvs")) ++
-            checkpointVersionsIn(store).iterator.map(cv =>
-              field(store.read(checkpointName(cv)), "dvs")))
-            .exists(_.nonEmpty)
+        // FAST PATH (r19; r18 verdict next-8 #7): the latest
+        // checkpoint's folded dvs-ever bit covers all history ≤ it —
+        // read the KB meta sibling (or the checkpoint) + the tail
+        // manifests, O(tail) instead of O(versions); a legacy log
+        // without the bit falls back to the full surviving-metadata
+        // scan unchanged.
+        val listing = store.list()
+        val ckpts = checkpointVersionsIn(store)
+        val everBit = ckpts.lastOption.flatMap { cv =>
+          val json =
+            if (listing.contains(checkpointMetaName(cv)))
+              store.read(checkpointMetaName(cv))
+            else store.read(checkpointName(cv))
+          field(json, "dvsever").headOption
+        }
+        val dvVisible = everBit match {
+          case Some(bit) =>
+            bit == "1" || versionsIn(store).filter(_ > ckpts.last)
+              .exists(v =>
+                field(store.read(manifestName(v)), "dvs").nonEmpty)
+          case None =>
+            (versionsIn(store).iterator.map(v =>
+              field(store.read(manifestName(v)), "dvs")) ++
+              ckpts.iterator.map(cv =>
+                field(store.read(checkpointName(cv)), "dvs")))
+              .exists(_.nonEmpty)
+        }
         require(!dvVisible,
           s"change-image baseline $from not resolvable and the log " +
             "carries deletion vectors — pre-images cannot be " +
@@ -2164,7 +2246,22 @@ object ManifestLog {
     * pushed back into the layout (a partition column with a single
     * live value is common to every path but is still layout). File
     * names are never segments. Relative refs resolve against the
-    * table's own root — their whole directory path is layout. */
+    * table's own root — their whole directory path is layout.
+    *
+    * DOCUMENTED AMBIGUITY (r19; r18 advice): a single-valued LEADING
+    * '='-segment is indistinguishable, from paths alone, from an
+    * '='-named directory sitting immediately above the layout (a
+    * clone of one partition directory `.../dt=2026-08-16/hour=*`
+    * reads the same as a source ROOT named `dt=2026-08-16` holding an
+    * hour-partitioned table). This parse resolves it AS LAYOUT — the
+    * view [[readVersionHive]] has always given, self-consistent
+    * across reads and pinned by ManifestLogSpec — and
+    * [[materializeExternal]] bakes the same column in permanently.
+    * Callers cloning FROM a path whose directories contain '=' must
+    * either rename the source path or materialize explicitly
+    * (readVersionHive + a hand partitionBy rewrite); the all-pushed-
+    * back case, where NO below-prefix segment corroborates a layout,
+    * stays a loud refusal in materializeExternal. */
   private[sources] def hiveSegsOf(files: Seq[String])
       : Map[String, Seq[(String, String)]] = {
     def kv(s: String) = {
@@ -2411,13 +2508,27 @@ object ManifestLog {
     * root to stay reachable from the mirror's readers (the clone
     * contract); the default `"feed"` keeps the physically
     * independent bootstrap. */
+  /** Is the replica sync's full key-TUPLE set provably within the
+    * driver bound? Single-key syncs inherit the lead-key bound (the
+    * sets are identical); multi-key syncs count the distinct tuple
+    * frame through a limit, so the job's work is capped at maxKeys+1
+    * rows regardless of the true cardinality. Seam for the broadcast
+    * hint decision (r19), pinned by ManifestReplicaSpec. */
+  private[sources] def replicaTupleBounded(changedKeys: DataFrame,
+      nKeys: Int, maxKeys: Int): Boolean =
+    nKeys == 1 ||
+      changedKeys.distinct().limit(maxKeys + 1).count() <= maxKeys
+
   def replicateTo(spark: SparkSession, srcRoot: String, dstRoot: String,
       keys: Seq[String], upTo: Option[Long] = None,
       appId: String = "graft_replica", mirrorFiles: Int = 0,
       maxAttempts: Int = 5, bootstrap: String = "feed",
-      maxKeys: Int = 100000): Long = {
+      maxKeys: Int = 100000,
+      maxVersionsPerSync: Option[Long] = None): Long = {
     require(bootstrap == "feed" || bootstrap == "clone",
       s"bootstrap must be 'feed' or 'clone', got '$bootstrap'")
+    require(maxVersionsPerSync.forall(_ > 0),
+      "maxVersionsPerSync must be positive")
     if (bootstrap == "clone" && latestVersion(dstRoot).isEmpty &&
         lastTxn(dstRoot, appId).isEmpty) {
       val bootTo = upTo.getOrElse(latestVersion(srcRoot).getOrElse(
@@ -2427,6 +2538,44 @@ object ManifestLog {
         txn = Some((appId, bootTo)))
       return bootTo
     }
+    val srcLatest = latestVersion(srcRoot).getOrElse(
+      throw new IllegalArgumentException(s"empty source log: $srcRoot"))
+    val to = upTo.getOrElse(srcLatest)
+    val applied = lastTxn(dstRoot, appId).getOrElse(-1L)
+    if (applied >= to) return applied // replay: already mirrored
+    // CHUNKED SYNC (r19; r18 verdict watch-item 2): readChangeImages
+    // builds one plan branch per version in the range, so a batch
+    // sync whose cursor lags K commits unions K per-version subplans
+    // — at a 10k-version lag the DRIVER's plan analysis alone is the
+    // bottleneck. maxVersionsPerSync mirrors the streaming source's
+    // maxVersionsPerTrigger: the sync loops bounded image-feed
+    // windows, each committed ATOMICALLY with its own txn marker, so
+    // the plan never carries more than the bound's branches and a
+    // crash mid-loop resumes at the last completed window for free
+    // (the next call's marker re-check skips it). Window order is
+    // version order, and each window folds its keys' latest images,
+    // so the final mirror state is exactly the one-shot sync's — the
+    // same trickle-sync sequence the registered rows already prove.
+    maxVersionsPerSync match {
+      case Some(m) if to - applied > m =>
+        var cur = applied
+        while (cur < to)
+          cur = replicateWindow(spark, srcRoot, dstRoot, keys,
+            math.min(cur + m, to), appId, mirrorFiles, maxAttempts,
+            maxKeys)
+        cur
+      case _ =>
+        replicateWindow(spark, srcRoot, dstRoot, keys, to, appId,
+          mirrorFiles, maxAttempts, maxKeys)
+    }
+  }
+
+  /** One atomic sync window of [[replicateTo]]: mirror everything up
+    * to source version `to`, commit with the txn marker (appId, to).
+    * A marker already >= `to` is a completed replay — no-op. */
+  private def replicateWindow(spark: SparkSession, srcRoot: String,
+      dstRoot: String, keys: Seq[String], to: Long, appId: String,
+      mirrorFiles: Int, maxAttempts: Int, maxKeys: Int): Long = {
     // mirrorFiles <= 0 = auto: at least the cluster's parallelism, so
     // a corpus-sized BOOTSTRAP sync writes with every core (8 files
     // was a serialization chokepoint at the 100x rung) while trickle
@@ -2437,9 +2586,6 @@ object ManifestLog {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val srcLatest = latestVersion(srcRoot).getOrElse(
-      throw new IllegalArgumentException(s"empty source log: $srcRoot"))
-    val to = upTo.getOrElse(srcLatest)
     val applied = lastTxn(dstRoot, appId).getOrElse(-1L)
     if (applied >= to) return applied // replay: already mirrored
     val images = readChangeImages(spark, srcRoot, applied, to, keys)
@@ -2514,6 +2660,18 @@ object ManifestLog {
     val keyPrunable =
       (integralKey && !nullLongKey && changedVals.size <= maxKeys) ||
       (stringKey && !nullStrKey && changedStrVals.size <= maxKeys)
+    // the BROADCAST HINT is decided on the full key-TUPLE count (r19;
+    // r18 verdict watch-item 1): keyPrunable bounds only the LEAD
+    // key's distinct count, but the anti-join's build side is the
+    // whole key-tuple frame — a multi-column-key sync with few lead
+    // values and a corpus-sized tuple set must NOT be hinted into
+    // memory (AQE still picks broadcast when the actual size allows).
+    // Single-key syncs reuse the lead bound (lead set = tuple set);
+    // multi-key syncs pay one bounded count job (the limit caps the
+    // work, same trick as the key collect above). Lazy: only computed
+    // when a prunable sync actually has files to rewrite.
+    lazy val tupleBounded = replicaTupleBounded(changedKeys,
+      keys.size, maxKeys)
     val store = storeFor(dstRoot)
     val statsCols = if (integralKey) Seq(keyCol) else Seq.empty
     val strStatsCols = if (stringKey) Seq(keyCol) else Seq.empty
@@ -2556,12 +2714,13 @@ object ManifestLog {
             // generations, and a footer-inferred schema would either
             // crash the union or silently DROP the new column from
             // the rewrite (old-generation rows correctly surface NULL)
-            // the broadcast hint is only sound when the key set is
-            // bounded — an over-bound sync's changed keys are
+            // the broadcast hint is only sound when the FULL TUPLE
+            // set is bounded — an over-bound sync's changed keys are
             // corpus-entity-sized and must shuffle (AQE still picks
             // broadcast if the ACTUAL size allows)
             val changedSide =
-              (if (keyPrunable) broadcast(changedKeys) else changedKeys)
+              (if (keyPrunable && tupleBounded) broadcast(changedKeys)
+               else changedKeys)
                 .alias("__ck")
             val mirror = readFilesIndexed(spark, dstRoot, touched,
                 r.colStats,

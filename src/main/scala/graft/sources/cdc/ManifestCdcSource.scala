@@ -296,9 +296,9 @@ private[cdc] class ManifestCdcStream(root: String, startingVersion: Long,
         // image feed surface NULL for pre-evolution rows. Anything
         // non-additive (a type change, a rename, a reorder) stays
         // LOUD — misaligned columns must never stream silently.
-        val pad: StructType =
+        val (pad: StructType, expectWidth: Int) =
           if (adds.isEmpty || !declaringTable || streamShape.isEmpty)
-            new StructType()
+            (new StructType(), -1)
           else {
             val vShape = ddlAt(v) match {
               case Some(d) => shape(StructType.fromDDL(d))
@@ -317,10 +317,11 @@ private[cdc] class ManifestCdcStream(root: String, startingVersion: Long,
                 "relative to the stream's — not replayable as a " +
                 "fixed-schema row feed; restart the stream at or " +
                 "after the evolution, or consume the change-image feed")
-            StructType(missing)
+            (StructType(missing), vShape.size)
           }
         adds.map(f => CdcInputPartition(
-          ManifestLog.resolvePath(root, f).getAbsolutePath, v, pad))
+          ManifestLog.resolvePath(root, f).getAbsolutePath, v, pad,
+          expectWidth))
     }.toArray
   }
 
@@ -340,9 +341,19 @@ private[cdc] class ManifestCdcStream(root: String, startingVersion: Long,
   * predates (empty for current-generation files) — NULL-filled by
   * both readers, ordered between the file's own columns and the
   * trailing `_commit_version` (additive evolution appends, so the
-  * old generation is a prefix of the stream schema). */
+  * old generation is a prefix of the stream schema).
+  *
+  * `expectWidth` (r19; r18 advice): the physical column count this
+  * file's GENERATION declared — pad was derived from the declared
+  * DDL, so a file physically NARROWER than its generation (a buggy
+  * writer, a corrupted add) would otherwise emit misaligned rows
+  * with the version stamp in the wrong slot. Both readers require
+  * footer width == expectWidth and fail as loudly as the
+  * non-additive case; -1 = undeclared table (single generation by
+  * construction, footer is ground truth). */
 private[cdc] case class CdcInputPartition(absPath: String,
-    version: Long, pad: StructType = new StructType())
+    version: Long, pad: StructType = new StructType(),
+    expectWidth: Int = -1)
     extends InputPartition
 
 /** `mode=versions` cursor feed: the closed version range [lo, hi]
@@ -365,7 +376,8 @@ private[cdc] class CdcReaderFactory extends PartitionReaderFactory {
     partition match {
       case VersionsInputPartition(lo, hi) => new VersionsReader(lo, hi)
       case p: CdcInputPartition =>
-        new CdcPartitionReader(p.absPath, p.version, p.pad.size)
+        new CdcPartitionReader(p.absPath, p.version, p.pad.size,
+          p.expectWidth)
     }
 
   // VECTORIZED batch path (r15 verdict #3): the per-batch file set
@@ -381,7 +393,7 @@ private[cdc] class CdcReaderFactory extends PartitionReaderFactory {
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[CdcInputPartition]
-    new CdcColumnarReader(p.absPath, p.version, p.pad)
+    new CdcColumnarReader(p.absPath, p.version, p.pad, p.expectWidth)
   }
 }
 
@@ -393,9 +405,19 @@ private[cdc] class CdcReaderFactory extends PartitionReaderFactory {
   * schema contract (flat required/optional primitives, checked at
   * inferSchema) keeps the two paths' supported type set identical. */
 private[cdc] class CdcColumnarReader(absPath: String, version: Long,
-    pad: StructType = new StructType())
+    pad: StructType = new StructType(), expectWidth: Int = -1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+
+  // physical-width gate (r19; r18 advice): a file narrower than its
+  // generation's declared shape would slide the pad/version columns
+  // into the wrong slots — loud, like the non-additive rejection
+  if (expectWidth >= 0) {
+    val n = ManifestCdc.footerSchema(absPath).getFieldCount
+    require(n == expectWidth,
+      s"file $absPath carries $n physical columns but its commit's " +
+        s"declared schema has $expectWidth — row feed would misalign")
+  }
 
   private val reader = new VectorizedParquetRecordReader(false, 4096)
   reader.initialize(absPath, null) // null = every column, file order
@@ -421,13 +443,18 @@ private[cdc] class CdcColumnarReader(absPath: String, version: Long,
   * pruning; those belong to the real parquet scan — the point here is
   * the STREAMING PROTOCOL being driven by the log). */
 private[cdc] class CdcPartitionReader(absPath: String, version: Long,
-    padCount: Int = 0) extends PartitionReader[InternalRow] {
+    padCount: Int = 0, expectWidth: Int = -1)
+    extends PartitionReader[InternalRow] {
   private val conf = new Configuration()
   private val reader = org.apache.parquet.hadoop.ParquetReader
     .builder(new GroupReadSupport(), new HPath(absPath))
     .withConf(conf).build()
   private val msg = ManifestCdc.footerSchema(absPath)
   private val n = msg.getFieldCount
+  // physical-width gate (r19; r18 advice) — see CdcColumnarReader
+  require(expectWidth < 0 || n == expectWidth,
+    s"file $absPath carries $n physical columns but its commit's " +
+      s"declared schema has $expectWidth — row feed would misalign")
   private var current: Group = _
 
   override def next(): Boolean = {

@@ -484,6 +484,158 @@ class ManifestChangeImagesSpec extends AnyFunSuite {
     assert(mir == src, s"timestamp-keyed sync diverged: got $mir")
   }
 
+  test("CHUNKED batch replication (r19): a sync whose cursor lags K " +
+      "versions loops bounded windows — each its own atomic marker-" +
+      "carrying commit, so the image plan never unions more than the " +
+      "bound's versions — and the final mirror equals the one-shot " +
+      "sync's exactly") {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_rep_chunk_src").toString
+    val dstChunk = java.nio.file.Files
+      .createTempDirectory("graft_rep_chunk_a").toString
+    val dstOne = java.nio.file.Files
+      .createTempDirectory("graft_rep_chunk_b").toString
+    import spark.implicits._
+    def land(sub: String, rows: Seq[(Long, Long)]): Seq[String] = {
+      rows.toDF("id", "amount").coalesce(1).write.parquet(s"$src/$sub")
+      ManifestLog.partFiles(src, sub)
+    }
+    // 6 versions: appends + one COW rewrite mid-stream, so windows
+    // cross a rewriting commit too
+    var prev = land("data/v0", Seq((1L, 10L), (2L, 20L)))
+    ManifestLog.commit(src, 0, prev, Seq.empty, "write")
+    for (v <- 1L to 4L) {
+      val f = land(s"data/v$v", Seq((10 * v, v), (10 * v + 1, v)))
+      ManifestLog.commit(src, v, f, Seq.empty, "append")
+    }
+    val f5 = land("data/v5", Seq((1L, 11L), (2L, 20L)))
+    ManifestLog.commit(src, 5, f5, prev, "rewrite")
+    // chunked: bound 2 over a 6-version lag → 3 windows = 3 commits
+    val got = ManifestLog.replicateTo(spark, src, dstChunk,
+      keys = Seq("id"), maxVersionsPerSync = Some(2L))
+    assert(got == 5L)
+    assert(ManifestLog.lastTxn(dstChunk, "graft_replica").contains(5L))
+    val mirrorVs = ManifestLog.versions(dstChunk)
+    assert(mirrorVs.size == 3,
+      s"expected 3 window commits, got $mirrorVs")
+    // every window left a marker on ITS OWN commit (resumability: a
+    // crash between windows resumes at the last completed one)
+    // one-shot twin: identical final content
+    ManifestLog.replicateTo(spark, src, dstOne, keys = Seq("id"))
+    def state(root: String) = ManifestLog.readVersion(spark, root,
+        ManifestLog.latestVersion(root).get)
+      .select("id", "amount").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(state(dstChunk) == state(dstOne))
+    // replay: a second chunked call is a no-op at the marker
+    assert(ManifestLog.replicateTo(spark, src, dstChunk,
+      keys = Seq("id"), maxVersionsPerSync = Some(2L)) == 5L)
+    assert(ManifestLog.versions(dstChunk).size == 3)
+  }
+
+  test("multi-key replication bounds the BROADCAST HINT on the full " +
+      "tuple count (r19; r18 watch-item 1): few lead values over a " +
+      "large tuple set takes the no-hint path and still syncs " +
+      "exactly; the decision seam is pinned directly") {
+    import spark.implicits._
+    // seam pins: single-key trusts the lead bound without a job;
+    // multi-key counts the tuple frame through the limit
+    val tuples = (1L to 200L).map(i => (1L, i))
+      .toDF("a", "b")
+    assert(ManifestLog.replicaTupleBounded(tuples, nKeys = 1,
+      maxKeys = 100))
+    assert(!ManifestLog.replicaTupleBounded(tuples, nKeys = 2,
+      maxKeys = 100))
+    assert(ManifestLog.replicaTupleBounded(tuples.limit(50), nKeys = 2,
+      maxKeys = 100))
+    // end-to-end: composite key (grp, id) where the LEAD key has ONE
+    // distinct value (within any bound) but the tuple set exceeds
+    // maxKeys=8 — the sync must not hint, and must still converge
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_rep_tuple_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_rep_tuple_dst").toString
+    def land(sub: String, rows: Seq[(Long, Long, Long)]): Seq[String] = {
+      rows.toDF("grp", "id", "amount").coalesce(1)
+        .write.parquet(s"$src/$sub")
+      ManifestLog.partFiles(src, sub)
+    }
+    val f0 = land("data/v0", (1L to 20L).map(i => (7L, i, i * 10)))
+    ManifestLog.commit(src, 0, f0, Seq.empty, "write")
+    ManifestLog.replicateTo(spark, src, dst, keys = Seq("grp", "id"),
+      maxKeys = 8)
+    val f1 = land("data/v1",
+      (1L to 20L).map(i => (7L, i, if (i == 3) 999L else i * 10)))
+    ManifestLog.commit(src, 1, f1, f0, "rewrite")
+    ManifestLog.replicateTo(spark, src, dst, keys = Seq("grp", "id"),
+      maxKeys = 8)
+    val mir = ManifestLog.readVersion(spark, dst,
+        ManifestLog.latestVersion(dst).get)
+      .select("grp", "id", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2).toSeq
+    val want = ManifestLog.readVersion(spark, src, 1)
+      .select("grp", "id", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2).toSeq
+    assert(mir == want, s"multi-key no-hint sync diverged: $mir")
+  }
+
+  test("DVS-EVER bit (r19): checkpoints fold 'has this table ever " +
+      "committed a vector' — an unresolvable image baseline on a " +
+      "vector-using table stays LOUD even after compaction dropped " +
+      "every surviving dv ref, and a never-vectored table's feed " +
+      "opens through the O(tail) fast path") {
+    import spark.implicits._
+    // --- vector-using table: dv at v1, compacted away at v2 ---
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dvsever").toString
+    def land(r: String, sub: String, rows: Seq[(Long, Long)]) = {
+      rows.toDF("id", "amount").coalesce(1).write.parquet(s"$r/$sub")
+      ManifestLog.partFiles(r, sub)
+    }
+    val f0 = land(root, "data/v0", (1L to 8L).map(i => (i, i * 10)))
+    ManifestLog.commit(root, 0, f0, Seq.empty, "write")
+    ManifestLog.deleteWhereMor(spark, root, 0, 1,
+      org.apache.spark.sql.functions.col("id") === 3L)
+    // v2: COW rewrite folds the vector away — no surviving dv refs
+    val f2 = land(root, "data/v2",
+      (1L to 8L).filter(_ != 3L).map(i => (i, i * 10)))
+    ManifestLog.commit(root, 2, f2, ManifestLog.filesAsOf(root, 1),
+      "rewrite")
+    val f3 = land(root, "data/v3", Seq((9L, 90L)))
+    ManifestLog.commit(root, 3, f3, Seq.empty, "append")
+    ManifestLog.writeCheckpoint(root, 2)
+    assert(ManifestLog.dvsAsOf(root, 3).isEmpty)
+    // prune manifests 0..1 behind the checkpoint → baseline v1 is
+    // unresolvable, surviving metadata carries NO dvs field at all
+    ManifestLog.expireVersionsBefore(root, 2)
+    val store = ManifestLog.storeFor(root)
+    assert(ManifestLog.dvsEverThrough(store, 3))
+    val e = intercept[IllegalArgumentException](
+      ManifestLog.readChangeImages(spark, root, 1, 3, Seq("id")))
+    assert(e.getMessage.contains("deletion vectors"),
+      s"wrong refusal: ${e.getMessage}")
+    // --- never-vectored twin: same shape, feed opens clean ---
+    val clean = java.nio.file.Files
+      .createTempDirectory("graft_dvsever_clean").toString
+    val g0 = land(clean, "data/v0", (1L to 8L).map(i => (i, i * 10)))
+    ManifestLog.commit(clean, 0, g0, Seq.empty, "write")
+    val g1 = land(clean, "data/v1",
+      (1L to 8L).filter(_ != 3L).map(i => (i, i * 10)))
+    ManifestLog.commit(clean, 1, g1, g0, "rewrite")
+    val g2 = land(clean, "data/v2", Seq((9L, 90L)))
+    ManifestLog.commit(clean, 2, g2, Seq.empty, "append")
+    ManifestLog.writeCheckpoint(clean, 1)
+    ManifestLog.expireVersionsBefore(clean, 1)
+    assert(!ManifestLog.dvsEverThrough(
+      ManifestLog.storeFor(clean), 2))
+    // baseline v0 unresolvable but provably vector-free → the feed
+    // over the intact tail serves (one append version = 1 insert row)
+    assert(ManifestLog.readChangeImages(spark, clean, 0, 2,
+      Seq("id")).count() > 0)
+  }
+
   test("a pruned tail fails loudly — images are never silently " +
       "reconstructed over missing actions") {
     val root = fixture()

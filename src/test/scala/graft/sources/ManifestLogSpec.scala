@@ -645,6 +645,17 @@ class ManifestLogSpec extends AnyFunSuite {
       "/tmp/src/data/f.parquet"))
     assert(mixed("data/day=5/h.parquet") == Seq(("day", "5")) &&
       mixed("/tmp/src/data/f.parquet").isEmpty)
+    // DOCUMENTED AMBIGUITY pin (r19; r18 advice): a single-valued
+    // LEADING segment coexisting with below-prefix segments resolves
+    // AS LAYOUT — from paths alone it is indistinguishable from an
+    // '='-named directory above an hour-partitioned source root, and
+    // this is the consciously chosen (and readVersionHive-consistent)
+    // side; see the hiveSegsOf scaladoc for the caller contract
+    val lead = Seq("/w/events/dt=2026-08-16/hour=1/f.parquet",
+      "/w/events/dt=2026-08-16/hour=2/g.parquet")
+    assert(hiveSegsOf(lead) == Map(
+      lead(0) -> Seq(("dt", "2026-08-16"), ("hour", "1")),
+      lead(1) -> Seq(("dt", "2026-08-16"), ("hour", "2"))))
   }
 
   test("typed CHECK decompositions stay strict (r18): OR and " +
@@ -676,5 +687,46 @@ class ManifestLogSpec extends AnyFunSuite {
       "qty >= 0 AND price IS NOT NULL", schema).get
     assert(mix._1("qty") == ((0L, Long.MaxValue)) &&
       mix._4 == Seq("price"))
+  }
+
+  test("LEGACY untagged string blooms are must-read on the long-probe " +
+      "paths (r19; r18 advice): a pre-r18 string-keyed bloom parses " +
+      "with str=false — probing it with long hashes could false-" +
+      "negative, so a bloom whose column carries string bounds and no " +
+      "long stats never prunes a long probe") {
+    import ManifestLog.{BloomRef, StrStat}
+    val root = freshRoot()
+    val m = 1024; val k = 4
+    // the bloom was FOLDED OVER STRING KEYS (the r17 writer), but its
+    // committed ref is UNTAGGED — exactly what a pre-r18 manifest
+    // round-trips to
+    val p = java.nio.file.Paths.get(root, "data/v0/a.bloom")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, FileBloom.build(
+      Seq("x1", "x2").iterator.map(FileBloom.strKey), m, k))
+    ManifestLog.commit(root, 0,
+      Seq("data/v0/a.parquet", "data/v0/b.parquet"), Seq.empty, "write",
+      blooms = Map("data/v0/a.parquet" ->
+        Map("code" -> BloomRef("code", "data/v0/a.bloom", m, k))),
+      strColStats = Map("data/v0/a.parquet" ->
+        Map("code" -> StrStat("x1", "x2"))))
+    // the long probes must keep the file (must-read), never prune it
+    // through the mismatched hash
+    assert(ManifestLog.filesMatchingPoint(root, 0, "code", 42L)
+      .contains("data/v0/a.parquet"))
+    val store = ManifestLog.storeFor(root)
+    assert(ManifestLog.filesMatchingKeysIn(store, root, 0, "code",
+      Seq(42L)).contains("data/v0/a.parquet"))
+    // a PROPERLY TAGGED long bloom on the same shape still prunes —
+    // the guard keys on the stats classes, not on bloom presence
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "data/v0/c.bloom"),
+      FileBloom.build(Seq(7L, 8L).iterator, m, k))
+    ManifestLog.commit(root, 1, Seq("data/v0/c.parquet"), Seq.empty,
+      "write", blooms = Map("data/v0/c.parquet" ->
+        Map("id" -> BloomRef("id", "data/v0/c.bloom", m, k))))
+    val hit = ManifestLog.filesMatchingPoint(root, 1, "id", 9999L)
+    assert(!hit.contains("data/v0/c.parquet"),
+      s"tagged long bloom should still prune: $hit")
   }
 }

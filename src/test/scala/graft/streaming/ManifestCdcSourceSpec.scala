@@ -338,4 +338,23 @@ class ManifestCdcSourceSpec extends AnyFunSuite {
     assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty,
       "accumulated images must equal the full batch feed")
   }
+
+  test("a file physically NARROWER than its commit's declared schema " +
+      "fails the row feed loudly (r19; r18 advice) — the pad/version " +
+      "columns would otherwise land in the wrong slots") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_width").toString
+    import spark.implicits._
+    // the commit DECLARES (k, v) but the landed file carries only k —
+    // a buggy writer / corrupted add
+    Seq(Tuple1(1L)).toDF("k").coalesce(1).write.parquet(s"$root/data/v0")
+    ManifestLog.commit(root, 0, ManifestLog.partFiles(root, "data/v0"),
+      Seq.empty, "write", schemaDdl = Some("k BIGINT, v BIGINT"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      ManifestSink.cdcDrained(spark, root))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("misalign")),
+      s"expected the width gate, got: ${chain(e)}")
+  }
 }
