@@ -48,6 +48,7 @@ object Registry {
     graft.queries.MaintenanceQueries.all ++
     graft.queries.MorQueries.all ++
     graft.queries.WriterQueries.all ++
+    graft.queries.EmbeddingTableQueries.all ++
     graft.queries.EvolutionQueries.all ++
     graft.queries.ConcurrencyQueries.all ++
     graft.queries.SqlTextQueries.all ++

@@ -116,13 +116,9 @@ private[cdc] object ManifestCdc {
     ManifestLog.schemaDdlAsOf(root, latest) match {
       case Some(ddl) =>
         val declared = StructType.fromDDL(ddl)
-        val ok: Set[org.apache.spark.sql.types.DataType] =
-          Set(LongType, IntegerType, DoubleType,
-            org.apache.spark.sql.types.FloatType,
-            org.apache.spark.sql.types.BooleanType,
-            org.apache.spark.sql.types.StringType)
-        declared.fields.foreach(f => require(ok(f.dataType),
-          s"manifest CDC source supports flat primitive columns; " +
+        declared.fields.foreach(f => require(okType(f.dataType),
+          s"manifest CDC source supports flat primitive and " +
+            s"array-of-primitive columns; " +
             s"declared schema carries ${f.name}: ${f.dataType}"))
         StructType(declared.fields.toSeq :+
           StructField("_commit_version", LongType, nullable = false))
@@ -143,24 +139,61 @@ private[cdc] object ManifestCdc {
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
 
+  /** The feed's supported column types (r19: + arrays of primitives —
+    * the embedding shape the r18 verdict's top gap named). */
+  private[cdc] def okType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType
+        | BooleanType | StringType => true
+    case org.apache.spark.sql.types.ArrayType(et, _) => et match {
+      case LongType | IntegerType | DoubleType | FloatType
+          | BooleanType | StringType => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private[cdc] def primType(p: PrimitiveType)
+      : org.apache.spark.sql.types.DataType =
+    p.getPrimitiveTypeName match {
+      case PrimitiveType.PrimitiveTypeName.INT64 => LongType
+      case PrimitiveType.PrimitiveTypeName.INT32 => IntegerType
+      case PrimitiveType.PrimitiveTypeName.DOUBLE => DoubleType
+      case PrimitiveType.PrimitiveTypeName.FLOAT => FloatType
+      case PrimitiveType.PrimitiveTypeName.BOOLEAN => BooleanType
+      case PrimitiveType.PrimitiveTypeName.BINARY => StringType
+      case other => throw new IllegalArgumentException(
+        s"unsupported parquet primitive $other in CDC source")
+    }
+
+  /** The single primitive element of a standard 3-level LIST group —
+    * loud on anything else (maps, structs, legacy 2-level lists). */
+  private[cdc] def listElementOf(
+      f: org.apache.parquet.schema.Type): PrimitiveType = {
+    val g = f.asGroupType()
+    require(g.getLogicalTypeAnnotation ==
+        org.apache.parquet.schema.LogicalTypeAnnotation.listType() &&
+        g.getFieldCount == 1 && !g.getType(0).isPrimitive &&
+        g.getType(0).asGroupType().getFieldCount == 1 &&
+        g.getType(0).asGroupType().getType(0).isPrimitive,
+      s"manifest CDC source supports flat primitive and standard " +
+        s"LIST-of-primitive columns; got $f")
+    g.getType(0).asGroupType().getType(0).asPrimitiveType()
+  }
+
   def dataFields(msg: MessageType): Seq[StructField] =
     (0 until msg.getFieldCount).map { i =>
       val f = msg.getType(i)
-      require(f.isPrimitive,
-        s"manifest CDC source supports flat primitive columns; got $f")
-      val p = f.asPrimitiveType()
-      val dt = p.getPrimitiveTypeName match {
-        case PrimitiveType.PrimitiveTypeName.INT64 => LongType
-        case PrimitiveType.PrimitiveTypeName.INT32 => IntegerType
-        case PrimitiveType.PrimitiveTypeName.DOUBLE => DoubleType
-        case PrimitiveType.PrimitiveTypeName.FLOAT => FloatType
-        case PrimitiveType.PrimitiveTypeName.BOOLEAN => BooleanType
-        case PrimitiveType.PrimitiveTypeName.BINARY => StringType
-        case other => throw new IllegalArgumentException(
-          s"unsupported parquet primitive $other in CDC source")
-      }
+      val dt =
+        if (f.isPrimitive) primType(f.asPrimitiveType())
+        else {
+          val el = listElementOf(f)
+          org.apache.spark.sql.types.ArrayType(primType(el),
+            containsNull = el.getRepetition !=
+              org.apache.parquet.schema.Type.Repetition.REQUIRED)
+        }
       StructField(f.getName, dt,
-        nullable = p.getRepetition !=
+        nullable = f.getRepetition !=
           org.apache.parquet.schema.Type.Repetition.REQUIRED)
     }
 }
@@ -462,6 +495,28 @@ private[cdc] class CdcPartitionReader(absPath: String, version: Long,
     current != null
   }
 
+  // per-column element type for LIST columns (null = primitive
+  // column) — resolved once, not per row
+  private val listElem: Array[PrimitiveType.PrimitiveTypeName] =
+    (0 until n).map { i =>
+      val f = msg.getType(i)
+      if (f.isPrimitive) null
+      else ManifestCdc.listElementOf(f).getPrimitiveTypeName
+    }.toArray
+
+  private def primAt(g: Group, i: Int,
+      t: PrimitiveType.PrimitiveTypeName): Any = t match {
+    case PrimitiveType.PrimitiveTypeName.INT64 => g.getLong(i, 0)
+    case PrimitiveType.PrimitiveTypeName.INT32 => g.getInteger(i, 0)
+    case PrimitiveType.PrimitiveTypeName.DOUBLE => g.getDouble(i, 0)
+    case PrimitiveType.PrimitiveTypeName.FLOAT => g.getFloat(i, 0)
+    case PrimitiveType.PrimitiveTypeName.BOOLEAN => g.getBoolean(i, 0)
+    case PrimitiveType.PrimitiveTypeName.BINARY =>
+      UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+    case other => throw new IllegalStateException(
+      s"unsupported primitive $other")
+  }
+
   override def get(): InternalRow = {
     // slots n..n+padCount-1 stay null: the stream-schema columns this
     // file's generation predates (additive evolution, r18)
@@ -470,21 +525,24 @@ private[cdc] class CdcPartitionReader(absPath: String, version: Long,
     while (i < n) {
       out(i) =
         if (current.getFieldRepetitionCount(i) == 0) null
-        else msg.getType(i).asPrimitiveType().getPrimitiveTypeName match {
-          case PrimitiveType.PrimitiveTypeName.INT64 =>
-            current.getLong(i, 0)
-          case PrimitiveType.PrimitiveTypeName.INT32 =>
-            current.getInteger(i, 0)
-          case PrimitiveType.PrimitiveTypeName.DOUBLE =>
-            current.getDouble(i, 0)
-          case PrimitiveType.PrimitiveTypeName.FLOAT =>
-            current.getFloat(i, 0)
-          case PrimitiveType.PrimitiveTypeName.BOOLEAN =>
-            current.getBoolean(i, 0)
-          case PrimitiveType.PrimitiveTypeName.BINARY =>
-            UTF8String.fromBytes(current.getBinary(i, 0).getBytes)
-          case other => throw new IllegalStateException(
-            s"unsupported primitive $other")
+        else if (listElem(i) == null)
+          primAt(current,
+            i, msg.getType(i).asPrimitiveType().getPrimitiveTypeName)
+        else {
+          // standard 3-level LIST → catalyst GenericArrayData; a
+          // "list" entry with no "element" is a null element (r19)
+          val lg = current.getGroup(i, 0)
+          val m = lg.getFieldRepetitionCount(0)
+          val arr = new Array[Any](m)
+          var j = 0
+          while (j < m) {
+            val e = lg.getGroup(0, j)
+            arr(j) =
+              if (e.getFieldRepetitionCount(0) == 0) null
+              else primAt(e, 0, listElem(i))
+            j += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
         }
       i += 1
     }

@@ -369,4 +369,74 @@ class SinglePassWriterSpec extends AnyFunSuite {
       "null counts must survive the checkpoint fold")
     assert(scannedFiles(snap.filter(col("v").isNull)) == 2)
   }
+
+  test("ARRAY columns (r19): standard 3-level LIST round-trip — " +
+      "values, EMPTY arrays, NULL arrays and NULL ELEMENTS all " +
+      "survive — while scalar stats fold beside the array payload " +
+      "and prune exactly as on a flat table") {
+    import spark.implicits._
+    val root = newRoot()
+    val rows: Seq[(Long, Seq[java.lang.Float], String)] = Seq(
+      (1L, Seq[java.lang.Float](1.5f, -2.25f, 3.0f), "a"),
+      (2L, Seq.empty[java.lang.Float], "b"), // empty ≠ null
+      (3L, null, "c"),                       // null array
+      (4L, Seq[java.lang.Float](0.5f, null, 7.125f), "d")) // null elem
+    val df = rows.toDF("id", "emb", "tag")
+      .repartitionByRange(2, col("id"))
+    val sums = SinglePassWriter.writeFiles(df, root, "data/v0",
+      statsCols = Seq("id"))
+    ManifestLog.commit(root, 0, sums.map(_.rel), Seq.empty, "write",
+      colStats = SinglePassWriter.colStatsOf(sums, Seq("id")))
+    val back = ManifestLog.readVersion(spark, root, 0)
+    assert(back.schema("emb").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true))
+    val got = back.select("id", "emb", "tag").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null
+        else r.getSeq[java.lang.Float](1).toList,
+        r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, List[java.lang.Float](1.5f, -2.25f, 3.0f), "a"),
+      (2L, Nil, "b"),
+      (3L, null, "c"),
+      (4L, List[java.lang.Float](0.5f, null, 7.125f), "d")),
+      s"array round-trip diverged: $got")
+    // scalar stats coexist: the id range prune still drops the other
+    // file even though the payload column is a must-read array
+    val hit = ManifestLog.filesMatchingCols(root, 0,
+      Seq(("id", 1L, 1L)))
+    assert(hit.size == 1, s"expected 1 pruned file, got $hit")
+    // double + long element types bind too
+    val root2 = newRoot()
+    val s2 = SinglePassWriter.writeFiles(
+      Seq((1L, Seq(1.5d, 2.5d), Seq(7L, 8L))).toDF("id", "dv", "lv")
+        .coalesce(1), root2, "data/v0")
+    ManifestLog.commit(root2, 0, s2.map(_.rel), Seq.empty, "write")
+    val r2 = ManifestLog.readVersion(spark, root2, 0).collect()(0)
+    assert(r2.getSeq[Double](1) == Seq(1.5d, 2.5d) &&
+      r2.getSeq[Long](2) == Seq(7L, 8L))
+  }
+
+  test("ARRAY gates stay scalar-only and loud (r19): stats, blooms " +
+      "and check columns on an array refuse; an array of an " +
+      "unsupported element type refuses at schema binding") {
+    import spark.implicits._
+    val root = newRoot()
+    val df = Seq((1L, Seq(1.0f))).toDF("id", "emb").coalesce(1)
+    intercept[IllegalArgumentException](SinglePassWriter.writeFiles(
+      df, root, "data/a", statsCols = Seq("emb")))
+    intercept[IllegalArgumentException](SinglePassWriter.writeFiles(
+      df, root, "data/b", bloomCol = Some("emb")))
+    intercept[IllegalArgumentException](SinglePassWriter.writeFiles(
+      df, root, "data/c", checkCols = Seq("emb")))
+    // array<array<float>> is not a flat-primitive element — refused
+    // at schema binding, before any job runs
+    val nested = Seq((1L, Seq(Seq(1.0f)))).toDF("id", "m").coalesce(1)
+    val e = intercept[IllegalArgumentException](
+      SinglePassWriter.writeFiles(nested, root, "data/d"))
+    assert(e.getMessage.contains("arrays of flat primitives"),
+      s"wrong refusal: ${e.getMessage}")
+  }
 }
