@@ -41,6 +41,17 @@ trait LogStore {
   /** Remove `name`; absent names are a no-op (retention pruning is
     * idempotent and may race another pruner). */
   def delete(name: String): Unit
+
+  /** BINARY sidecar publish/read (r19, the parquet checkpoint's
+    * seam): the same atomic create-if-absent contract as [[publish]].
+    * The default binding rides the string primitives via Base64, so
+    * every store is correct by construction; bindings with native
+    * byte IO (POSIX) override to skip the 4/3 inflation. */
+  def publishBytes(name: String, content: Array[Byte]): Boolean =
+    publish(name, java.util.Base64.getEncoder.encodeToString(content))
+
+  def readBytes(name: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(read(name))
 }
 
 /** POSIX directory-backed store: the local/NFS production binding. */
@@ -69,6 +80,19 @@ final class PosixLogStore(dir: Path) extends LogStore {
 
   override def delete(name: String): Unit =
     Files.deleteIfExists(dir.resolve(name))
+
+  override def publishBytes(name: String,
+      content: Array[Byte]): Boolean = {
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, s".stage-", ".bin")
+    Files.write(tmp, content)
+    try { Files.createLink(dir.resolve(name), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  override def readBytes(name: String): Array[Byte] =
+    Files.readAllBytes(dir.resolve(name))
 }
 
 /** Compare-and-swap in-memory store: the object-store-shaped mock.

@@ -193,6 +193,10 @@ object ManifestLog {
   // full read.
   private def checkpointMetaName(v: Long): String =
     f"$v%020d.checkpoint.meta.json"
+  // the columnar per-file-state sidecar (r19; see [[CheckpointCodec]])
+  // of a `pq`-marked checkpoint
+  private def checkpointParquetName(v: Long): String =
+    f"$v%020d.checkpoint.parquet"
 
   private val ManifestRe = "^\\d{20}\\.json$".r
   private val CheckpointRe = "^\\d{20}\\.checkpoint\\.json$".r
@@ -489,7 +493,17 @@ object ManifestLog {
     * the immutable manifests, so publication is idempotent — the same
     * atomic-publish protocol as [[commitIn]] but a lost race is a
     * no-op, not a conflict. */
-  def writeCheckpointIn(store: LogStore, version: Long): Unit = {
+  /** `parquet = true` (the default since r19) publishes the per-file
+    * state as a columnar sidecar + a KB JSON checkpoint carrying only
+    * the scalar fields and a `pq` marker (see [[CheckpointCodec]]);
+    * `false` keeps the legacy all-JSON layout — the seam the
+    * equality pin in LogStoreCrashSpec and legacy-log tests use.
+    * Publish order is sidecar FIRST, JSON second: the JSON publish is
+    * the atomic commit point, an orphaned sidecar from a crash
+    * in between is invisible (and byte-identical on the retry, the
+    * content being a pure function of the immutable manifests). */
+  def writeCheckpointIn(store: LogStore, version: Long,
+      parquet: Boolean = true): Unit = {
     val r = replayIn(store, version)
     def q(s: String) = "\"" + s + "\""
     // fold the version's own commit timestamp (when recorded) so the
@@ -512,6 +526,32 @@ object ManifestLog {
     // historical vector whose refs were later compacted away still
     // sets the bit (its baseline genuinely is unclassifiable).
     val dvsEver = if (dvsEverThrough(store, version)) "1" else "0"
+    if (parquet) {
+      // the replay's per-file maps are live-only by construction
+      // (removes drop their entries in the fold), same invariant the
+      // legacy JSON writer leans on via its files-major iteration
+      val sidecar = CheckpointCodec.encode(CheckpointCodec.PerFileState(
+        r.files, r.stats, r.colStats, r.strColStats, r.nullStats,
+        r.blooms, r.dvs))
+      store.publishBytes(checkpointParquetName(version), sidecar)
+      val json = s"""{"version":$version,"pq":["1"],"txns":[""" +
+        r.txns.toSeq.sortBy(_._1).map { case (app, b) => q(s"$app|$b") }
+          .mkString(",") + """],"schema":[""" +
+        r.schemaDdl.map(d => q(java.util.Base64.getEncoder
+          .encodeToString(d.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)))).getOrElse("") +
+        """],"checks":[""" +
+        (if (r.checks.isEmpty) q("-")
+         else r.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+           q(s"$n|" + java.util.Base64.getEncoder.encodeToString(
+             e.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
+           .mkString(",")) +
+        """],"at":[""" + at.map(q).mkString(",") +
+        """],"dvsever":[""" + q(dvsEver) + "]}"
+      store.publish(checkpointName(version), json)
+      publishCheckpointMeta(store, version, r, at, dvsEver)
+      return
+    }
     val json = s"""{"version":$version,"files":[""" +
       r.files.map(q).mkString(",") + """],"stats":[""" +
       r.files.flatMap(f => r.stats.get(f).map(st =>
@@ -558,6 +598,12 @@ object ManifestLog {
     // so a lost publish race is a no-op; a crash between the two
     // publishes leaves a checkpoint without a sibling, which the
     // metadata fold handles by falling back to the full read
+    publishCheckpointMeta(store, version, r, at, dvsEver)
+  }
+
+  private def publishCheckpointMeta(store: LogStore, version: Long,
+      r: Replay, at: Seq[String], dvsEver: String): Unit = {
+    def q(s: String) = "\"" + s + "\""
     val metaJson = s"""{"version":$version,"schema":[""" +
       r.schemaDdl.map(d => q(java.util.Base64.getEncoder
         .encodeToString(d.getBytes(
@@ -1119,7 +1165,7 @@ object ManifestLog {
     (schemaDdl, checks)
   }
 
-  private def replayIn(store: LogStore, version: Long): Replay = {
+  private[sources] def replayIn(store: LogStore, version: Long): Replay = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.Map.empty[String, FileStat]
     val colStats =
@@ -1144,14 +1190,39 @@ object ManifestLog {
     val ckpt = checkpointVersionsIn(store).filter(_ <= version).lastOption
     ckpt.foreach { cv =>
       val json = store.read(checkpointName(cv))
-      field(json, "files").foreach(live.add)
-      stats ++= parseStats(field(json, "stats"))
-      colStats ++= parseColStats(field(json, "colstats"))
-      strColStats ++= parseStrColStats(field(json, "strstats"))
-      nullStats ++= parseNullStats(field(json, "nullstats"))
-      blooms ++= parseBlooms(field(json, "blooms"))
+      if (field(json, "pq").nonEmpty) {
+        // columnar checkpoint (r19): the per-file state rides the
+        // parquet sidecar; the JSON keeps only the scalar fields. A
+        // marked checkpoint without its sidecar is impossible under
+        // the publish order (sidecar first) — a missing read here is
+        // genuine corruption and stays loud. Partials fold straight
+        // into the replay's own mutable state (the per-file column
+        // maps MERGE across partials — a file can straddle a
+        // row-group boundary).
+        CheckpointCodec.decodeParts(
+            store.readBytes(checkpointParquetName(cv))).foreach { p =>
+          p.files.foreach(live.add)
+          stats ++= p.stats
+          dvs ++= p.dvs
+          p.colStats.foreach { case (f, m) =>
+            colStats(f) = colStats.getOrElse(f, Map.empty) ++ m }
+          p.strColStats.foreach { case (f, m) =>
+            strColStats(f) = strColStats.getOrElse(f, Map.empty) ++ m }
+          p.nullStats.foreach { case (f, m) =>
+            nullStats(f) = nullStats.getOrElse(f, Map.empty) ++ m }
+          p.blooms.foreach { case (f, m) =>
+            blooms(f) = blooms.getOrElse(f, Map.empty) ++ m }
+        }
+      } else {
+        field(json, "files").foreach(live.add)
+        stats ++= parseStats(field(json, "stats"))
+        colStats ++= parseColStats(field(json, "colstats"))
+        strColStats ++= parseStrColStats(field(json, "strstats"))
+        nullStats ++= parseNullStats(field(json, "nullstats"))
+        blooms ++= parseBlooms(field(json, "blooms"))
+        dvs ++= parseDvs(field(json, "dvs"))
+      }
       foldTxns(parseTxns(field(json, "txns")))
-      dvs ++= parseDvs(field(json, "dvs"))
       foldSchema(field(json, "schema"))
       foldChecks(field(json, "checks"))
     }
@@ -2382,68 +2453,91 @@ object ManifestLog {
     summaries.map(_.rel)
   }
 
-  /** The hive half of [[materializeExternal]] (r18): rewrite the
-    * hive-layout external references into the table's OWN `k=v`
-    * layout — partition values re-derived from the committed paths
-    * (keyed by scan-reported file identity, never by re-parsing
-    * paths inside the index, whose per-entry parse would see the
-    * source's ancestors on absolute refs), MOR-filtered, planned
-    * under the declared schema, re-written with `partitionBy` so the
-    * new files' own segments carry the values. Requires every ref to
-    * share the SAME segment list: a partition-spec-evolved (prefix)
-    * layout cannot rewrite through partitionBy without turning
-    * absent values into the default-partition sentinel — a SILENT
-    * NULL→string corruption — so it stays loud. */
+  /** The hive half of [[materializeExternal]] (r18; spec-evolved
+    * layouts r19): rewrite the hive-layout external references into
+    * the table's OWN `k=v` layout — partition values re-derived from
+    * the committed paths (keyed by scan-reported file identity, never
+    * by re-parsing paths inside the index, whose per-entry parse
+    * would see the source's ancestors on absolute refs),
+    * MOR-filtered, planned under the declared schema, re-written with
+    * `partitionBy` so the new files' own segments carry the values.
+    *
+    * PARTITION-SPEC-EVOLVED (prefix) layouts (r19; the r18 verdict's
+    * task 5 — previously a loud refusal): the GENERATIONS — distinct
+    * segment-name lists — are distinguishable from the committed
+    * paths, so each generation rewrites through its OWN partitionBy
+    * column set (the zero-segment generation, files from before the
+    * first spec addition, rewrites flat) and every file's original
+    * segment list survives verbatim — no absent value ever meets the
+    * default-partition sentinel. The [[readVersionHive]] PREFIX rule
+    * is enforced up front: a genuinely mixed (non-prefix) layout has
+    * no hive read to be byte-identical to and stays loud. The type
+    * rule is GLOBAL per column, exactly readVersionHive's view, so
+    * the materialized table reads type-identically to the clone. */
   private def materializeExternalHive(spark: SparkSession, root: String,
       latest: Long, r: Replay, ext: Seq[String],
       extSegs: Map[String, Seq[(String, String)]], files: Int,
       policy: Option[CheckpointPolicy]): Seq[String] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val names = extSegs(ext.head).map(_._1)
-    require(ext.forall(f => extSegs(f).map(_._1) == names),
-      "hive-layout materialization needs every external reference " +
-        s"to carry the same partition segments (fullest: $names) — " +
-        "a partition-spec-evolved (prefix) layout would turn absent " +
-        "values into the default-partition sentinel; read through " +
-        "readVersionHive and rewrite by hand")
-    // the same type rule readVersionHive applies: LongType when every
-    // value parses, StringType otherwise — so the materialized
-    // table's hive read is type-identical to the clone's
+    val fullest = ext.map(f => extSegs(f).map(_._1)).maxBy(_.size)
+    require(ext.forall(f => fullest.startsWith(extSegs(f).map(_._1))),
+      "hive-layout materialization needs every external reference's " +
+        "partition segments to be a PREFIX of the fullest layout " +
+        s"$fullest — the shape partition-spec addition produces; a " +
+        "mixed (non-additive) layout is not resolvable by " +
+        "readVersionHive; read and rewrite by hand")
     val segMaps: Map[String, Map[String, String]] =
       ext.map(f => f -> extSegs(f).toMap).toMap
-    val longTyped = names.map { n =>
-      n -> ext.forall(f =>
-        scala.util.Try(segMaps(f)(n).toLong).isSuccess)
+    val longTyped = fullest.map { n =>
+      val vals = ext.flatMap(f => segMaps(f).get(n))
+      n -> vals.forall(v => scala.util.Try(v.toLong).isSuccess)
     }.toMap
-    val live = readFilesIndexed(spark, root, ext, r.colStats,
-      r.dvs.filter { case (f, _) => ext.contains(f) },
-      declaredSchema = r.schemaDdl.map(StructType.fromDDL))
-    val pvRows: Seq[org.apache.spark.sql.Row] = ext.map { f =>
-      org.apache.spark.sql.Row.fromSeq(
-        scanPath(root, f) +: names.map(n => segMaps(f)(n)))
-    }
-    val pvSchema = StructType(
-      StructField("__mz_f", StringType, nullable = false) +:
-        names.map(n => StructField(n, StringType, nullable = false)))
-    val pv = names.foldLeft(spark.createDataFrame(
-        spark.sparkContext.parallelize(pvRows, 1), pvSchema)) {
-      (d, n) =>
-        if (longTyped(n)) d.withColumn(n, col(n).cast(LongType)) else d
-    }
-    val withParts = live
-      .withColumn("__mz_f", col("_metadata.file_path"))
-      .join(broadcast(pv), "__mz_f").drop("__mz_f")
-    // one task per partition directory (hash on the partition cols) —
-    // `files` overrides for skewed layouts
-    val df =
-      if (files > 0) withParts.repartition(files, names.map(col): _*)
-      else withParts.repartition(names.map(col): _*)
+    val declared = r.schemaDdl.map(StructType.fromDDL)
+    val nFlat = if (files > 0) files
+      else math.max(8, spark.sparkContext.defaultParallelism)
     val sub = s"data/mz${latest + 1}-" +
       java.util.UUID.randomUUID().toString.take(8)
-    df.write.partitionBy(names: _*)
-      .parquet(new java.io.File(root, sub).getAbsolutePath)
-    val adds = partFilesRecursive(root, sub)
+    // prefix rule → generations have pairwise-distinct sizes, so the
+    // per-generation sub dir is collision-free by construction
+    val generations = ext.groupBy(f => extSegs(f).map(_._1)).toSeq
+      .sortBy(_._1.size)
+    val adds = generations.flatMap { case (names, gFiles) =>
+      val live = readFilesIndexed(spark, root, gFiles, r.colStats,
+        r.dvs.filter { case (f, _) => gFiles.contains(f) },
+        declaredSchema = declared)
+      val gSub = s"$sub/g${names.size}"
+      if (names.isEmpty) {
+        // the pre-partitioning generation: flat files stay flat
+        live.repartition(nFlat)
+          .write.parquet(new java.io.File(root, gSub).getAbsolutePath)
+      } else {
+        val pvRows: Seq[org.apache.spark.sql.Row] = gFiles.map { f =>
+          org.apache.spark.sql.Row.fromSeq(
+            scanPath(root, f) +: names.map(n => segMaps(f)(n)))
+        }
+        val pvSchema = StructType(
+          StructField("__mz_f", StringType, nullable = false) +:
+            names.map(n => StructField(n, StringType, nullable = false)))
+        val pv = names.foldLeft(spark.createDataFrame(
+            spark.sparkContext.parallelize(pvRows, 1), pvSchema)) {
+          (d, n) =>
+            if (longTyped(n)) d.withColumn(n, col(n).cast(LongType))
+            else d
+        }
+        val withParts = live
+          .withColumn("__mz_f", col("_metadata.file_path"))
+          .join(broadcast(pv), "__mz_f").drop("__mz_f")
+        // one task per partition directory (hash on the partition
+        // cols) — `files` overrides for skewed layouts
+        val df =
+          if (files > 0) withParts.repartition(files, names.map(col): _*)
+          else withParts.repartition(names.map(col): _*)
+        df.write.partitionBy(names: _*)
+          .parquet(new java.io.File(root, gSub).getAbsolutePath)
+      }
+      partFilesRecursive(root, gSub)
+    }
     require(adds.nonEmpty, "hive materialization landed no files")
     // attested: content-preserving by construction, like the flat path
     commit(root, latest + 1, adds = adds, removes = ext,

@@ -116,6 +116,97 @@ class LogStoreCrashSpec extends AnyFunSuite {
     }
   }
 
+  /** A metadata-rich 2-commit table: every per-file state class the
+    * checkpoint carries (single+named stats incl. a double-image tag,
+    * string bounds, null counts, long+string blooms, a dv, txns,
+    * schema, checks, a commit timestamp). */
+  private def buildRich(store: LogStore): Unit = {
+    import ManifestLog.{BloomRef, DvRef, FileStat, NullStat, StrStat}
+    ManifestLog.commitIn(store, 0,
+      Seq("data/a.parquet", "data/b.parquet"), Seq.empty, "write",
+      stats = Map("data/a.parquet" -> FileStat(0, 9)),
+      colStats = Map("data/a.parquet" ->
+        Map("k" -> FileStat(0, 9), "p" -> FileStat(10, 99, dbl = true))),
+      blooms = Map("data/b.parquet" -> Map(
+        "k" -> BloomRef("k", "data/b.bloom", 64, 4),
+        "s" -> BloomRef("s", "data/b.s.bloom", 64, 4, str = true))),
+      txn = Some(("w", 1L)),
+      schemaDdl = Some("k BIGINT, c STRING"),
+      checks = Some(Seq("k_nn" -> "k IS NOT NULL")),
+      strColStats = Map("data/b.parquet" ->
+        Map("c" -> StrStat("aa", "zz"))),
+      nullStats = Map("data/a.parquet" ->
+        Map("k" -> NullStat(2, 10))))
+    ManifestLog.commitIn(store, 1, Seq("data/c.parquet"), Seq.empty,
+      "append", dvs = Map("data/a.parquet" -> DvRef("data/a.dv", 3L)),
+      txn = Some(("w", 2L)), commitMs = Some(1700000000000L),
+      attest = true)
+  }
+
+  for ((label, mk) <- stores) {
+
+    test(s"[$label] PARQUET checkpoints (r19): replay through the " +
+        "columnar sidecar equals the legacy all-JSON checkpoint's " +
+        "replay field-for-field, before and after manifest pruning, " +
+        "and the marked JSON is scalar-only") {
+      val pq = mk(); val legacy = mk()
+      buildRich(pq); buildRich(legacy)
+      ManifestLog.writeCheckpointIn(pq, 1) // parquet default
+      ManifestLog.writeCheckpointIn(legacy, 1, parquet = false)
+      assert(pq.list().contains(f"${1L}%020d.checkpoint.parquet"))
+      assert(!legacy.list().contains(f"${1L}%020d.checkpoint.parquet"))
+      val marked = pq.read(f"${1L}%020d.checkpoint.json")
+      assert(marked.contains("\"pq\"") &&
+        !marked.contains("data/a.parquet"),
+        "marked checkpoint must carry scalars only")
+      assert(ManifestLog.replayIn(pq, 1) == ManifestLog.replayIn(legacy, 1),
+        "columnar and JSON checkpoint replays diverged")
+      // prune every manifest behind the checkpoint on both stores —
+      // each checkpoint now resolves alone
+      Seq(pq, legacy).foreach(s => (0L to 1L).foreach(v =>
+        s.delete(f"$v%020d.json")))
+      val a = ManifestLog.replayIn(pq, 1)
+      val b = ManifestLog.replayIn(legacy, 1)
+      assert(a == b, s"post-prune replays diverged: $a vs $b")
+      assert(a.files == Seq("data/a.parquet", "data/b.parquet",
+        "data/c.parquet"), "live-set order must survive the sidecar")
+      assert(a.dvs("data/a.parquet").nDeleted == 3L &&
+        a.blooms("data/b.parquet")("s").str &&
+        a.colStats("data/a.parquet")("p").dbl &&
+        a.nullStats("data/a.parquet")("k").nulls == 2L &&
+        a.txns == Map("w" -> 2L) &&
+        a.schemaDdl.contains("k BIGINT, c STRING") &&
+        a.checks == Map("k_nn" -> "k IS NOT NULL"))
+      // scalar consumers on the marked checkpoint: time travel + the
+      // metadata fold + the dvs-ever bit
+      assert(ManifestLog.versionAtTimestampIn(pq, 1700000000001L) == 1L)
+      assert(ManifestLog.dvsEverThrough(pq, 1))
+    }
+
+    test(s"[$label] crash BETWEEN sidecar and JSON publish (r19): the " +
+        "orphan sidecar is invisible to every reader, and the retry " +
+        "completes through the lost-race no-op with an exact replay") {
+      val store = mk()
+      buildRich(store)
+      val before = ManifestLog.replayIn(store, 1)
+      ManifestLog.writeCheckpointIn(store, 1)
+      // simulate the crash window: sidecar landed, JSON (the atomic
+      // commit point) and meta sibling never published
+      store.delete(f"${1L}%020d.checkpoint.json")
+      store.delete(f"${1L}%020d.checkpoint.meta.json")
+      assert(ManifestLog.checkpointVersionsIn(store).isEmpty,
+        "an orphan sidecar must never surface as a checkpoint")
+      assert(ManifestLog.replayIn(store, 1) == before)
+      // the retry: publishBytes loses to its own orphan (derived
+      // state, byte-identical), JSON publish completes the protocol
+      ManifestLog.writeCheckpointIn(store, 1)
+      assert(ManifestLog.checkpointVersionsIn(store) == Seq(1L))
+      (0L to 1L).foreach(v => store.delete(f"$v%020d.json"))
+      assert(ManifestLog.replayIn(store, 1) == before,
+        "retry-after-crash checkpoint must replay exactly")
+    }
+  }
+
   test("[posix] torn stage litter on disk is invisible to list/replay " +
       "and swept stage temps never leak into version space") {
     val dir = java.nio.file.Files.createTempDirectory("graft_torn")

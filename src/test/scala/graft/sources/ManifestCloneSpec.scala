@@ -268,6 +268,90 @@ class ManifestCloneSpec extends AnyFunSuite {
       s"expected the ambiguity refusal, got: ${e.getMessage}")
   }
 
+  test("materializeExternal handles PARTITION-SPEC-EVOLVED (prefix) " +
+      "hive layouts (r19; the r18 loud refusal): each generation " +
+      "rewrites through its OWN partitionBy column set — flat " +
+      "pre-partitioning files stay flat, no absent value ever meets " +
+      "the default-partition sentinel — and the clone reads " +
+      "byte-identical through readVersionHive after source deletion; " +
+      "a genuinely mixed (non-prefix) layout still refuses") {
+    import spark.implicits._
+    val base = graft.TempDirs.deleteOnExit(
+      Files.createTempDirectory("graft_specevo")).toString
+    val src = s"$base/src"
+    // generation 0: flat (before any partitioning) — every
+    // generation's files share the physical shape (k, amount); the
+    // generations differ ONLY in their segment lists
+    Seq((1L, 10L)).toDF("k", "amount")
+      .coalesce(1).write.parquet(s"$src/data/v0")
+    ManifestLog.commit(src, 0, ManifestLog.partFiles(src, "data/v0"),
+      Seq.empty, op = "write")
+    // generation 1: partitioned by part (long-typed values)
+    Seq((2L, 20L, 1L), (3L, 30L, 2L))
+      .toDF("k", "amount", "part")
+      .write.partitionBy("part").parquet(s"$src/data/v1")
+    ManifestLog.commit(src, 1,
+      ManifestLog.partFilesRecursive(src, "data/v1"), Seq.empty,
+      op = "append")
+    // generation 2: spec addition — partitioned by (part, sub)
+    Seq((4L, 40L, 2L, "y"), (5L, 50L, 3L, "z"))
+      .toDF("k", "amount", "part", "sub")
+      .write.partitionBy("part", "sub").parquet(s"$src/data/v2")
+    ManifestLog.commit(src, 2,
+      ManifestLog.partFilesRecursive(src, "data/v2"), Seq.empty,
+      op = "append")
+    val dst = newRoot()
+    ManifestLog.cloneShallow(src, dst, 2)
+    val before = ManifestLog.readVersionHive(spark, dst, 0)
+    // hive view: part/sub resolve from segments where present, NULL
+    // for the generations that predate each spec addition
+    val want = before.select("k", "part", "sub").orderBy("k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "-" else r.getString(2))).toSeq
+    val locals = ManifestLog.materializeExternal(spark, dst)
+    assert(locals.nonEmpty && locals.forall(!_.startsWith("/")))
+    // each generation kept its own segment list
+    assert(locals.exists(f => !f.contains("=")),
+      s"flat generation must stay flat: $locals")
+    assert(locals.exists(f => f.contains("part=") && !f.contains("sub=")),
+      s"gen-1 must carry part only: $locals")
+    assert(locals.exists(f => f.contains("part=") && f.contains("sub=")),
+      s"gen-2 must carry part and sub: $locals")
+    assert(!locals.exists(_.contains("__HIVE_DEFAULT_PARTITION__")),
+      s"no sentinel values, ever: $locals")
+    // source gone → identical hive read
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(src))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists)
+    val after = ManifestLog.readVersionHive(spark, dst, 1)
+      .select("k", "part", "sub").orderBy("k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "-" else r.getString(2))).toSeq
+    assert(after == want, s"spec-evolved materialization diverged: " +
+      s"$after vs $want")
+    // non-prefix (genuinely mixed) layouts keep the loud refusal
+    val bad = s"$base/bad"
+    Seq((1L, 10L, "a")).toDF("k", "amount", "part")
+      .write.partitionBy("part").parquet(s"$bad/data/v0")
+    ManifestLog.commit(bad, 0,
+      ManifestLog.partFilesRecursive(bad, "data/v0"), Seq.empty,
+      op = "write")
+    Seq((2L, 20L, "b")).toDF("k", "amount", "other")
+      .write.partitionBy("other").parquet(s"$bad/data/v1")
+    ManifestLog.commit(bad, 1,
+      ManifestLog.partFilesRecursive(bad, "data/v1"), Seq.empty,
+      op = "append")
+    val dstBad = newRoot()
+    ManifestLog.cloneShallow(bad, dstBad, 1)
+    val e = intercept[IllegalArgumentException](
+      ManifestLog.materializeExternal(spark, dstBad))
+    assert(e.getMessage.contains("PREFIX of the fullest"),
+      s"expected the prefix refusal, got: ${e.getMessage}")
+  }
+
   test("clone-bootstrapped replica: the first sync is the metadata-" +
       "sized clone + txn marker, tail syncs stay key-pruned and " +
       "LOCALIZE only the touched references") {

@@ -66,8 +66,19 @@ println(s"PROBE replay(2nd): ${replay2Ms} ms (${files2.size} files)")
 val (_, ckptMs) = ms { ManifestLog.writeCheckpointIn(store, nVersions.toLong) }
 val ckptBytes = java.nio.file.Files.size(java.nio.file.Paths.get(
   root, "_log", f"${nVersions.toLong}%020d.checkpoint.json"))
+// the columnar sidecar (r19) carries the per-file state; the JSON is
+// scalar-only — report both so the size/parse comparison vs the r18
+// flat-JSON numbers (76 MiB / 4.5 s replay) is direct
+val pqPath = java.nio.file.Paths.get(
+  root, "_log", f"${nVersions.toLong}%020d.checkpoint.parquet")
+val pqBytes = if (java.nio.file.Files.exists(pqPath))
+  java.nio.file.Files.size(pqPath) else 0L
 println(s"PROBE checkpoint: write ${ckptMs} ms, " +
-  s"size ${ckptBytes / 1048576} MiB (${ckptBytes} B) at ${files.size} files")
+  s"json ${ckptBytes} B + sidecar ${pqBytes / 1048576} MiB " +
+  s"(${pqBytes} B) at ${files.size} files")
+val (filesPq, replayPqMs) = ms { ManifestLog.filesAsOfIn(store, nVersions) }
+println(s"PROBE replay(via columnar ckpt): ${replayPqMs} ms " +
+  s"(${filesPq.size} files)")
 
 val (tsV, tsMs) = ms {
   ManifestLog.versionAtTimestampIn(store, 1700000000000L + 9500L * 1000L)
