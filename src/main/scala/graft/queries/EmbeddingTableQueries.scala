@@ -136,5 +136,78 @@ object EmbeddingTableQueries {
         .orderBy("vec_id")
     })
 
-  val all: Seq[GraftQuery] = Seq(embAnn, embCdc)
+  private val embReplica = GraftQuery(
+    name = "lake_embeddings_replica",
+    doc = "CDC REPLICATION OF AN ARRAY-CARRYING TABLE (r19): the " +
+      "committed embeddings table mirrored through replicateTo - the " +
+      "change-image feed packs the ARRAY payload into its row images, " +
+      "the key-pruned fold anti-joins on vec_id, and the mirror lands " +
+      "through the single-pass writer's LIST binding with fresh " +
+      "vec_id stats for the NEXT sync's prune. Three syncs: the " +
+      "corpus bootstrap, then a COW rewrite of one parity cohort " +
+      "(label flipped to -1 for vec_id < 50) that must rewrite only " +
+      "key-intersecting mirror files, then a replayed no-op. The " +
+      "mirror is read back and proven against the raw corpus with " +
+      "the update applied - a lost array element, a stale row beside " +
+      "its upsert, or a mis-keyed prune all fail the hash.",
+    oracle = Some("""
+      SELECT vec_id,
+             CASE WHEN vec_id < 50 THEN -1 ELSE label END AS label,
+             list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE))) AS norm2
+      FROM embeddings
+      ORDER BY vec_id"""),
+    run = (s, dir) => {
+      // a DEDICATED source root (never the shared embTableRoot — the
+      // rewrite below would poison the CDC drain row's append-only
+      // feed): v0+v1 parity appends, v2 a COW rewrite flipping
+      // vec_id < 50 labels to -1 in the touched files only
+      val src = graft.TempDirs.cachedDir("graft_embrepsrc", dir) { r =>
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        ManifestLog.commit(r, 0, Seq.empty, Seq.empty, op = "declare",
+          schemaDdl =
+            Some("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+        ManifestLog.appendChecked(s,
+          e.filter(col("vec_id") % 2 === 0)
+            .repartitionByRange(4, col("vec_id")),
+          r, "data/b0", statsCols = Seq("vec_id"))
+        ManifestLog.appendChecked(s,
+          e.filter(col("vec_id") % 2 === 1)
+            .repartitionByRange(4, col("vec_id")),
+          r, "data/b1", statsCols = Seq("vec_id"))
+      }
+      val dst = graft.TempDirs.cachedDir("graft_embmirror", dir) { d =>
+        // sync 1: the corpus bootstrap over the two append versions
+        ManifestLog.replicateTo(s, src, d, keys = Seq("vec_id"))
+        // source moves on: the COW rewrite of key-intersecting files
+        val touched = ManifestLog.filesMatchingCols(src, 2L,
+          Seq(("vec_id", 0L, 49L)))
+        val rewrite = ManifestLog.readVersionWhereCols(s, src, 2L,
+            Seq(("vec_id", 0L, 49L)))
+          .withColumn("label", when(col("vec_id") < 50, lit(-1))
+            .otherwise(col("label")))
+        val sums = graft.sources.SinglePassWriter.writeFiles(
+          rewrite.repartitionByRange(2, col("vec_id")), src, "data/rw3",
+          statsCols = Seq("vec_id"))
+        ManifestLog.commit(src, 3L, sums.map(_.rel), touched,
+          "rewrite", colStats = graft.sources.SinglePassWriter
+            .colStatsOf(sums, Seq("vec_id")),
+          attest = true)
+        // sync 2: must rewrite ONLY key-intersecting mirror files
+        ManifestLog.replicateTo(s, src, d, keys = Seq("vec_id"))
+      }
+      // replay: the marker makes a repeated sync a no-op (both Bench
+      // passes execute this; the mirror must not grow)
+      ManifestLog.replicateTo(s, src, dst, keys = Seq("vec_id"))
+      val mirror = ManifestLog.readVersion(s, dst,
+        ManifestLog.latestVersion(dst).get)
+      mirror.select(col("vec_id"), col("label"),
+          VectorOps.dot(VectorOps.asDouble(col("embedding")),
+            VectorOps.asDouble(col("embedding"))).as("norm2"))
+        .orderBy("vec_id")
+    })
+
+  val all: Seq[GraftQuery] = Seq(embAnn, embCdc, embReplica)
 }

@@ -625,7 +625,7 @@ object ManifestLog {
     * its surviving dv refs instead: exactly the guarantee the old
     * surviving-metadata scan gave, so the bit written on top of a
     * legacy log is never WEAKER than the scan it replaces. */
-  private[sources] def dvsEverThrough(store: LogStore,
+  def dvsEverThrough(store: LogStore,
       version: Long): Boolean = {
     val ckpt = checkpointVersionsIn(store).filter(_ <= version).lastOption
     val base = ckpt.exists { cv =>

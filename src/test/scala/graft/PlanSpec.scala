@@ -48,7 +48,8 @@ class PlanSpec extends AnyFunSuite {
       "lake_snapshot_partitioned", "lake_write_singlepass",
       "lake_join_dfp_strings", "lake_skipping_strbloom",
       "stream_sink_point",
-      "stream_cdc_replica_clone")
+      "stream_cdc_replica_clone",
+      "lake_embeddings_ann")
     manifestRows.foreach { name =>
       // pre-AQE plan: an empty-result row (the sf0.001 point lookup)
       // AQE-collapses to EmptyRelation in the FINAL plan, erasing the
@@ -123,6 +124,25 @@ class PlanSpec extends AnyFunSuite {
     val total = graft.sources.ManifestLog.filesAsOf(root, 0).size
     assert(pruned < total,
       s"double stats must prune the price files: read $pruned of $total")
+  }
+
+  test("embeddings-over-manifest ANN: the tiny query side broadcasts " +
+      "(nested-loop on the non-equi self-pair condition), the 200k-" +
+      "vector corpus side streams once from the manifest scan, and " +
+      "nothing degenerates to a cartesian (r19)") {
+    val p = scanPlan("lake_embeddings_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"ANN must never plan a cartesian:\n${p.take(3000)}")
+    // the committed vec_id stats ride the scan's index entries — the
+    // ARRAY payload column is must-read (no stats), but the scalar
+    // prune machinery stays live beside it
+    val root = queries.EmbeddingTableQueries.embTableRoot(spark, dir)
+    val cs = graft.sources.ManifestLog.colStatsAsOf(root,
+      graft.sources.ManifestLog.latestVersion(root).get)
+    assert(cs.nonEmpty && cs.values.forall(_.contains("vec_id")),
+      "every embedding file must commit scalar vec_id stats")
   }
 
   test("null-count skipping prunes IS NOT NULL to the null-free " +

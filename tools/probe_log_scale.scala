@@ -85,6 +85,13 @@ val (tsV, tsMs) = ms {
 }
 println(s"PROBE timestamp-resolve: v$tsV in ${tsMs} ms")
 
+// the image feed's unresolvable-baseline probe (r19): the dvs-ever
+// bit makes it one KB sibling read + the post-checkpoint tail,
+// instead of a dvs-field scan over every surviving manifest
+val (everBit, everMs) = ms { ManifestLog.dvsEverThrough(store, nVersions.toLong) }
+println(s"PROBE dvs-ever feed-open probe: $everBit in ${everMs} ms " +
+  s"(O(tail); was O(${nVersions} manifest reads))")
+
 val (expired, expMs) = ms {
   ManifestLog.expireVersionsBefore(root, nVersions - 500L)
 }
