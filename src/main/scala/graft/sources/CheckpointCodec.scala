@@ -65,7 +65,8 @@ object CheckpointCodec {
       .named("s"),
     Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
       .named("t"),
-    Types.optional(BOOLEAN).named("g"))
+    Types.optional(BOOLEAN).named("g"),
+    Types.optional(BOOLEAN).named("h"))
 
   // ---- in-memory parquet IO (driver-side, zero temp files) ----
 
@@ -168,6 +169,9 @@ object CheckpointCodec {
       if (r.g) {
         rc.startField("g", 7); rc.addBoolean(true); rc.endField("g", 7)
       }
+      if (r.h) {
+        rc.startField("h", 8); rc.addBoolean(true); rc.endField("h", 8)
+      }
       rc.endMessage()
     }
   }
@@ -220,7 +224,9 @@ object CheckpointCodec {
       st.blooms.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1)).foreach {
         case (c, b) => row(5, f) { r =>
           r.c = c; r.s = b.sidecar
-          r.setA(b.m.toLong); r.setB(b.k.toLong); r.g = b.str }
+          r.setA(b.m.toLong); r.setB(b.k.toLong); r.g = b.str
+          // the legacy-untyped quarantine mark survives the fold
+          r.h = b.legacy && !b.str }
       }
       st.dvs.get(f).foreach(d => row(6, f) { r =>
         r.s = d.sidecar; r.setA(d.nDeleted) })
@@ -247,10 +253,11 @@ object CheckpointCodec {
     var s: String = _
     var t: String = _
     var g = false
+    var h = false
     def setA(v: Long): Unit = { a = v; hasA = true }
     def setB(v: Long): Unit = { b = v; hasB = true }
     def clear(): Unit = {
-      c = null; s = null; t = null; g = false
+      c = null; s = null; t = null; g = false; h = false
       hasA = false; hasB = false
     }
   }
@@ -276,7 +283,9 @@ object CheckpointCodec {
         override def addBinary(v: Binary): Unit =
           buf.t = v.toStringUsingUTF8 },
       new PrimitiveConverter {
-        override def addBoolean(v: Boolean): Unit = buf.g = v })
+        override def addBoolean(v: Boolean): Unit = buf.g = v },
+      new PrimitiveConverter {
+        override def addBoolean(v: Boolean): Unit = buf.h = v })
     override def getConverter(i: Int): Converter = converters(i)
     override def start(): Unit = buf.clear()
     override def end(): Unit = ()
@@ -368,8 +377,8 @@ object CheckpointCodec {
       val (bs, _) = longs(4)
       val ss = strs(5)
       val ts = strs(6)
-      val gs = {
-        val cd = cols.get(7); val cr = store.getColumnReader(cd)
+      def bools(ci: Int): Array[Boolean] = {
+        val cd = cols.get(ci); val cr = store.getColumnReader(cd)
         val maxDl = cd.getMaxDefinitionLevel
         val v = new Array[Boolean](n)
         var i = 0
@@ -380,6 +389,8 @@ object CheckpointCodec {
         }
         v
       }
+      val gs = bools(7)
+      val hs = bools(8)
       val p = new Partial
       var i = 0
       while (i < n) {
@@ -398,7 +409,7 @@ object CheckpointCodec {
           case 5 => p.blooms(fs(i)) =
             p.blooms.getOrElse(fs(i), Map.empty) +
               (cs(i) -> BloomRef(cs(i), ss(i), as(i).toInt,
-                bs(i).toInt, gs(i)))
+                bs(i).toInt, gs(i), legacy = hs(i)))
           case 6 => p.dvs(fs(i)) = DvRef(ss(i), as(i))
           case k => throw new IllegalStateException(
             s"unknown checkpoint row kind $k")

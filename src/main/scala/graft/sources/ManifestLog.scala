@@ -148,9 +148,20 @@ object ManifestLog {
     * different value and produces FALSE NEGATIVES, i.e. silently
     * wrong file pruning; a type mismatch now degrades to must-read
     * instead. Serialized as a trailing `|s` on the flat entry
-    * (absent = long), like the colstats `|d` marker. */
+    * (absent = long), like the colstats `|d` marker.
+    *
+    * `legacy` (r19 review finding): an UNTAGGED ref parsed from a
+    * manifest written before the format carried its `fmt` version
+    * field — its key type is unknowable from metadata (pre-r18 string
+    * blooms parse str = false), so the LONG-probe paths treat it as
+    * must-read unless the same file carries long colStats for the
+    * column (the writer folds bloom keys and stats from the same
+    * canonical image, so long stats prove a long-keyed fold).
+    * Re-serialization (checkpoints, clones) preserves the mark as a
+    * trailing `|l` so folding a legacy log into an fmt-2 checkpoint
+    * never launders the uncertainty away. */
   final case class BloomRef(column: String, sidecar: String, m: Int,
-      k: Int, str: Boolean = false)
+      k: Int, str: Boolean = false, legacy: Boolean = false)
 
   /** The full fold of the log up to a version: live files, their
     * single-column stats, their NAMED-column stats (path → column →
@@ -396,7 +407,8 @@ object ManifestLog {
     val bloomArr = arr(adds.flatMap(f =>
       blooms.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
         case (c, r) => s"$f|$c|${r.sidecar}|${r.m}|${r.k}" +
-          (if (r.str) "|s" else "") })))
+          (if (r.str) "|s" else "") +
+          (if (r.legacy && !r.str) "|l" else "") })))
     val txnArr = arr(txn.toSeq.map { case (app, b) => s"$app|$b" })
     val dvArr = arr(dvs.toSeq.sortBy(_._1).map {
       case (f, d) => s"$f|${d.sidecar}|${d.nDeleted}" })
@@ -443,7 +455,7 @@ object ManifestLog {
     val nullStatArr = arr(adds.flatMap(f =>
       nullStats.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
         case (c, s) => s"$f|$c|${s.nulls}|${s.rows}" })))
-    val json = s"""{"version":$version,"op":"$op",""" +
+    val json = s"""{"version":$version,"op":"$op","fmt":["2"],""" +
       s""""adds":${arr(adds)},"removes":${arr(removes)},""" +
       s""""stats":$statArr,"colstats":$colStatArr,""" +
       s""""blooms":$bloomArr,"txn":$txnArr,"dvs":$dvArr,""" +
@@ -534,25 +546,16 @@ object ManifestLog {
         r.files, r.stats, r.colStats, r.strColStats, r.nullStats,
         r.blooms, r.dvs))
       store.publishBytes(checkpointParquetName(version), sidecar)
-      val json = s"""{"version":$version,"pq":["1"],"txns":[""" +
-        r.txns.toSeq.sortBy(_._1).map { case (app, b) => q(s"$app|$b") }
-          .mkString(",") + """],"schema":[""" +
-        r.schemaDdl.map(d => q(java.util.Base64.getEncoder
-          .encodeToString(d.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8)))).getOrElse("") +
-        """],"checks":[""" +
-        (if (r.checks.isEmpty) q("-")
-         else r.checks.toSeq.sortBy(_._1).map { case (n, e) =>
-           q(s"$n|" + java.util.Base64.getEncoder.encodeToString(
-             e.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
-           .mkString(",")) +
-        """],"at":[""" + at.map(q).mkString(",") +
+      val json = s"""{"version":$version,"pq":["1"],"fmt":["2"],""" +
+        s""""txns":[${txnsJson(r)}],"schema":[${schemaJson(r)}],""" +
+        s""""checks":[${checksJson(r)}],"at":[""" +
+        at.map(q).mkString(",") +
         """],"dvsever":[""" + q(dvsEver) + "]}"
       store.publish(checkpointName(version), json)
       publishCheckpointMeta(store, version, r, at, dvsEver)
       return
     }
-    val json = s"""{"version":$version,"files":[""" +
+    val json = s"""{"version":$version,"fmt":["2"],"files":[""" +
       r.files.map(q).mkString(",") + """],"stats":[""" +
       r.files.flatMap(f => r.stats.get(f).map(st =>
         q(s"$f|${st.min}|${st.max}"))).mkString(",") +
@@ -565,22 +568,13 @@ object ManifestLog {
       r.files.flatMap(f => r.blooms.get(f).toSeq
         .flatMap(_.toSeq.sortBy(_._1).map { case (c, b) =>
           q(s"$f|$c|${b.sidecar}|${b.m}|${b.k}" +
-            (if (b.str) "|s" else "")) })).mkString(",") +
-      """],"txns":[""" +
-      r.txns.toSeq.sortBy(_._1).map { case (app, b) => q(s"$app|$b") }
-        .mkString(",") + """],"dvs":[""" +
+            (if (b.str) "|s" else "") +
+            (if (b.legacy && !b.str) "|l" else "")) })).mkString(",") +
+      """],"txns":[""" + txnsJson(r) + """],"dvs":[""" +
       r.files.flatMap(f => r.dvs.get(f).map(d =>
         q(s"$f|${d.sidecar}|${d.nDeleted}"))).mkString(",") +
-      """],"schema":[""" +
-      r.schemaDdl.map(d => q(java.util.Base64.getEncoder
-        .encodeToString(d.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8)))).getOrElse("") +
-      """],"checks":[""" +
-      (if (r.checks.isEmpty) q("-")
-       else r.checks.toSeq.sortBy(_._1).map { case (n, e) =>
-         q(s"$n|" + java.util.Base64.getEncoder.encodeToString(
-           e.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
-         .mkString(",")) +
+      """],"schema":[""" + schemaJson(r) +
+      """],"checks":[""" + checksJson(r) +
       """],"at":[""" + at.map(q).mkString(",") + """],"strstats":[""" +
       r.files.flatMap(f => r.strColStats.get(f).toSeq
         .flatMap(_.toSeq.sortBy(_._1).map { case (c, st) =>
@@ -604,40 +598,60 @@ object ManifestLog {
   private def publishCheckpointMeta(store: LogStore, version: Long,
       r: Replay, at: Seq[String], dvsEver: String): Unit = {
     def q(s: String) = "\"" + s + "\""
-    val metaJson = s"""{"version":$version,"schema":[""" +
-      r.schemaDdl.map(d => q(java.util.Base64.getEncoder
-        .encodeToString(d.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8)))).getOrElse("") +
-      """],"checks":[""" +
-      (if (r.checks.isEmpty) q("-")
-       else r.checks.toSeq.sortBy(_._1).map { case (n, e) =>
-         q(s"$n|" + java.util.Base64.getEncoder.encodeToString(
-           e.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
-         .mkString(",")) +
-      """],"dvsever":[""" + q(dvsEver) + "]}"
+    val metaJson = s"""{"version":$version,"schema":[${schemaJson(r)}],""" +
+      s""""checks":[${checksJson(r)}],""" +
+      """"dvsever":[""" + q(dvsEver) + "]}"
     store.publish(checkpointMetaName(version), metaJson)
   }
 
+  // the scalar checkpoint fields, serialized ONCE (review finding,
+  // r19: three hand-rolled copies of these fragments — checkpoint,
+  // pq checkpoint, meta sibling — had to be kept byte-identical by
+  // hand, a silent format fork waiting to happen)
+  private def ckptQ(s: String) = "\"" + s + "\""
+  private def txnsJson(r: Replay): String =
+    r.txns.toSeq.sortBy(_._1).map { case (app, b) =>
+      ckptQ(s"$app|$b") }.mkString(",")
+  private def schemaJson(r: Replay): String =
+    r.schemaDdl.map(d => ckptQ(java.util.Base64.getEncoder
+      .encodeToString(d.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)))).getOrElse("")
+  private def checksJson(r: Replay): String =
+    if (r.checks.isEmpty) ckptQ("-")
+    else r.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+      ckptQ(s"$n|" + java.util.Base64.getEncoder.encodeToString(
+        e.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
+      .mkString(",")
+
   /** Has the table EVER committed a deletion vector through
-    * `version`? Folded from the nearest checkpoint's own bit plus the
-    * tail manifests' dvs fields — O(tail) once checkpoints carry the
-    * bit. A LEGACY checkpoint (pre-r19, no dvsever field) contributes
-    * its surviving dv refs instead: exactly the guarantee the old
-    * surviving-metadata scan gave, so the bit written on top of a
-    * legacy log is never WEAKER than the scan it replaces. */
+    * `version`? When the nearest checkpoint ≤ `version` carries the
+    * bit, the answer is that bit OR'd with the tail manifests' dvs
+    * fields — O(tail). When it does NOT (a legacy, pre-r19
+    * checkpoint), the fallback reproduces the FULL surviving-metadata
+    * scan — every checkpoint ≤ `version` and every surviving manifest
+    * ≤ `version`, not just the last checkpoint + tail: earlier
+    * checkpoints are never auto-deleted and can be the only survivors
+    * still carrying a dv ref after a compaction + prune, so a
+    * last-checkpoint-only fallback would bake a FALSE "0" into the
+    * next checkpoint and the image feed's fast path would then
+    * silently serve an empty DV baseline where the old scan refused
+    * loudly (review finding, r19). The bit written on top of a legacy
+    * log is therefore never weaker than the scan it replaces. */
   def dvsEverThrough(store: LogStore,
       version: Long): Boolean = {
-    val ckpt = checkpointVersionsIn(store).filter(_ <= version).lastOption
-    val base = ckpt.exists { cv =>
-      val json = store.read(checkpointName(cv))
-      field(json, "dvsever").headOption match {
-        case Some(bit) => bit == "1"
-        case None => field(json, "dvs").nonEmpty
-      }
+    val ckpts = checkpointVersionsIn(store).filter(_ <= version)
+    ckpts.lastOption.flatMap(cv =>
+      field(store.read(checkpointName(cv)), "dvsever").headOption) match {
+      case Some(bit) =>
+        bit == "1" || versionsIn(store)
+          .filter(v => v <= version && v > ckpts.last)
+          .exists(v => field(store.read(manifestName(v)), "dvs").nonEmpty)
+      case None =>
+        ckpts.exists(cv =>
+          field(store.read(checkpointName(cv)), "dvs").nonEmpty) ||
+        versionsIn(store).filter(_ <= version).exists(v =>
+          field(store.read(manifestName(v)), "dvs").nonEmpty)
     }
-    base || versionsIn(store)
-      .filter(v => v <= version && ckpt.forall(v > _))
-      .exists(v => field(store.read(manifestName(v)), "dvs").nonEmpty)
   }
 
   private def parseStats(entries: Seq[String]): Map[String, FileStat] =
@@ -703,20 +717,33 @@ object ManifestLog {
       e.substring(0, i) -> e.substring(i + 1).toLong
     }
 
-  /** "path|col|sidecar|m|k[|s]" → path → col → ref ('|'-free fields,
-    * enforced at commit, make rightmost-split parsing unambiguous;
-    * the optional trailing "|s" marks a string-keyed bloom and can
-    * never be confused with k, which is numeric). */
-  private def parseBlooms(
-      entries: Seq[String]): Map[String, Map[String, BloomRef]] =
+  /** "path|col|sidecar|m|k[|s][|l]" → path → col → ref ('|'-free
+    * fields, enforced at commit, make rightmost-split parsing
+    * unambiguous; the optional trailing "|s" marks a string-keyed
+    * bloom, "|l" a legacy-untyped one — neither can be confused with
+    * k, which is numeric). `legacyDefault` is true when the source
+    * json predates the `fmt` version field: every untagged ref in it
+    * was written before key-type tags existed and parses legacy. */
+  private def parseBlooms(entries: Seq[String],
+      legacyDefault: Boolean): Map[String, Map[String, BloomRef]] =
     entries.map { raw =>
-      val str = raw.endsWith("|s")
-      val e = if (str) raw.dropRight(2) else raw
+      var e = raw
+      var str = false
+      var legacy = legacyDefault
+      var more = true
+      while (more) {
+        if (e.endsWith("|l")) { legacy = true; e = e.dropRight(2) }
+        else if (e.endsWith("|s")) { str = true; e = e.dropRight(2) }
+        else more = false
+      }
       val i = e.lastIndexOf('|'); val j = e.lastIndexOf('|', i - 1)
       val k = e.lastIndexOf('|', j - 1); val l = e.lastIndexOf('|', k - 1)
       (e.substring(0, l), e.substring(l + 1, k),
         BloomRef(e.substring(l + 1, k), e.substring(k + 1, j),
-          e.substring(j + 1, i).toInt, e.substring(i + 1).toInt, str))
+          e.substring(j + 1, i).toInt, e.substring(i + 1).toInt, str,
+          // a TYPE-TAGGED ref's key type is known even in a legacy
+          // json — quarantine applies to untagged refs only
+          legacy = legacy && !str))
     }.groupBy(_._1).view.mapValues(
       _.map(t => t._2 -> t._3).toMap).toMap
 
@@ -1219,7 +1246,8 @@ object ManifestLog {
         colStats ++= parseColStats(field(json, "colstats"))
         strColStats ++= parseStrColStats(field(json, "strstats"))
         nullStats ++= parseNullStats(field(json, "nullstats"))
-        blooms ++= parseBlooms(field(json, "blooms"))
+        blooms ++= parseBlooms(field(json, "blooms"),
+          legacyDefault = field(json, "fmt").isEmpty)
         dvs ++= parseDvs(field(json, "dvs"))
       }
       foldTxns(parseTxns(field(json, "txns")))
@@ -1239,7 +1267,8 @@ object ManifestLog {
         colStats ++= parseColStats(field(json, "colstats"))
         strColStats ++= parseStrColStats(field(json, "strstats"))
         nullStats ++= parseNullStats(field(json, "nullstats"))
-        blooms ++= parseBlooms(field(json, "blooms"))
+        blooms ++= parseBlooms(field(json, "blooms"),
+          legacyDefault = field(json, "fmt").isEmpty)
         foldTxns(parseTxns(field(json, "txn")))
         // a later DV REPLACES the file's earlier one (each vector is
         // written as old ∪ newly-dead, so last-wins is exact); a later
@@ -1547,7 +1576,7 @@ object ManifestLog {
       r.blooms.getOrElse(f, Map.empty).get(column).forall { ref =>
         // a STRING-keyed bloom cannot answer a long probe (different
         // hash → false negatives = wrong pruning); mismatch = must-read
-        ref.str || legacyStrBloom(r, f, column) || {
+        ref.str || legacyUntypedBloom(r, f, column, ref) || {
           val bits =
             Files.readAllBytes(resolvePath(root, ref.sidecar).toPath)
           FileBloom.mightContain(bits, ref.m, ref.k, value)
@@ -1556,18 +1585,22 @@ object ManifestLog {
     }
   }
 
-  /** LEGACY-BLOOM guard (r19; r18 advice): string-keyed blooms
-    * committed BEFORE the r18 key-type tag parse as untagged
-    * (str = false), so a long-hash probe against them could
-    * false-negative — wrong pruning on legacy logs. An untagged bloom
-    * whose column carries STRING bounds and no long stats for the
-    * same file can only have been folded over string keys; treat it
-    * as string-keyed → must-read on the long-probe paths. (Newly
-    * written blooms are always tagged, so this never weakens a
-    * current-generation prune.) */
-  private def legacyStrBloom(r: Replay, f: String,
-      column: String): Boolean =
-    r.strColStats.getOrElse(f, Map.empty).contains(column) &&
+  /** LEGACY-BLOOM guard (r19; r18 advice, widened by this round's
+    * review): a bloom parsed UNTAGGED from a pre-`fmt` manifest
+    * ([[BloomRef.legacy]]) has an unknowable key type — pre-r18
+    * string blooms parse str = false, and a long-hash probe against
+    * one false-negatives, i.e. silently wrong pruning. The long-probe
+    * paths treat such a ref as must-read UNLESS the same file carries
+    * long colStats for the column (the writer folds bloom keys and
+    * stats from one canonical image, so long stats prove a long-keyed
+    * fold). This subsumes the narrower string-bounds heuristic the
+    * first r19 cut used: a legacy string bloom committed with NO
+    * string bounds — blooms and stats are independent commit
+    * parameters — is quarantined too. Newly written (fmt-2) blooms
+    * are always type-tagged and never quarantined. */
+  private def legacyUntypedBloom(r: Replay, f: String,
+      column: String, ref: BloomRef): Boolean =
+    ref.legacy &&
       !r.colStats.getOrElse(f, Map.empty).contains(column)
 
   /** STRING point-lookup prune (r17): the live files whose bloom
@@ -1660,9 +1693,9 @@ object ManifestLog {
         .forall(st => sorted.exists(k => k >= st.min && k <= st.max))
       lazy val bloomMaybe = r.blooms.getOrElse(f, Map.empty).get(column)
         .forall { ref =>
-          // string-keyed blooms (tagged, or legacy-untagged proven by
-          // the file's stats classes) cannot answer long probes
-          ref.str || legacyStrBloom(r, f, column) || {
+          // string-keyed (tagged) and legacy-untyped (quarantined)
+          // blooms cannot answer long probes
+          ref.str || legacyUntypedBloom(r, f, column, ref) || {
             val bits =
               Files.readAllBytes(resolvePath(root, ref.sidecar).toPath)
             sorted.exists(k =>
@@ -3724,7 +3757,8 @@ object ManifestLog {
         // referenced paths this version can introduce
         val json = store.read(manifestName(v))
         keep ++= field(json, "adds")
-        keep ++= parseBlooms(field(json, "blooms")).valuesIterator
+        keep ++= parseBlooms(field(json, "blooms"),
+          legacyDefault = field(json, "fmt").isEmpty).valuesIterator
           .flatMap(_.valuesIterator.map(_.sidecar))
         // a committed dv's file is live at this version by the commit
         // invariants (dvs never target a file the commit removes)

@@ -442,16 +442,6 @@ private[cdc] class CdcColumnarReader(absPath: String, version: Long,
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 
-  // physical-width gate (r19; r18 advice): a file narrower than its
-  // generation's declared shape would slide the pad/version columns
-  // into the wrong slots — loud, like the non-additive rejection
-  if (expectWidth >= 0) {
-    val n = ManifestCdc.footerSchema(absPath).getFieldCount
-    require(n == expectWidth,
-      s"file $absPath carries $n physical columns but its commit's " +
-        s"declared schema has $expectWidth — row feed would misalign")
-  }
-
   private val reader = new VectorizedParquetRecordReader(false, 4096)
   reader.initialize(absPath, null) // null = every column, file order
   // old-generation files NULL-fill the columns they predate as
@@ -464,6 +454,18 @@ private[cdc] class CdcColumnarReader(absPath: String, version: Long,
     new GenericInternalRow(
       Array.fill[Any](pad.size)(null) :+ (version: Any)))
   reader.enableReturningBatches()
+  // physical-width gate (r19; r18 advice): a file narrower than its
+  // generation's declared shape would slide the pad/version columns
+  // into the wrong slots — loud, like the non-additive rejection.
+  // Derived from the reader's OWN initialized batch (file columns +
+  // pads + the stamp), so the gate costs no second footer read on
+  // the streaming hot path (review finding, r19).
+  if (expectWidth >= 0) {
+    val n = reader.resultBatch().numCols() - pad.size - 1
+    require(n == expectWidth,
+      s"file $absPath carries $n physical columns but its commit's " +
+        s"declared schema has $expectWidth — row feed would misalign")
+  }
 
   override def next(): Boolean = reader.nextBatch()
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =

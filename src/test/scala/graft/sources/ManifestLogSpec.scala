@@ -689,44 +689,102 @@ class ManifestLogSpec extends AnyFunSuite {
       mix._4 == Seq("price"))
   }
 
-  test("LEGACY untagged string blooms are must-read on the long-probe " +
-      "paths (r19; r18 advice): a pre-r18 string-keyed bloom parses " +
-      "with str=false — probing it with long hashes could false-" +
-      "negative, so a bloom whose column carries string bounds and no " +
-      "long stats never prunes a long probe") {
-    import ManifestLog.{BloomRef, StrStat}
+  test("LEGACY untagged blooms are quarantined on the long-probe " +
+      "paths (r19; r18 advice + review widening): a ref parsed from " +
+      "a pre-fmt manifest has an unknowable key type — must-read " +
+      "unless the file's long colStats prove a long-keyed fold — and " +
+      "the quarantine mark survives checkpoint folding; fmt-2 blooms " +
+      "keep full pruning") {
+    import ManifestLog.FileStat
     val root = freshRoot()
     val m = 1024; val k = 4
-    // the bloom was FOLDED OVER STRING KEYS (the r17 writer), but its
-    // committed ref is UNTAGGED — exactly what a pre-r18 manifest
-    // round-trips to
-    val p = java.nio.file.Paths.get(root, "data/v0/a.bloom")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, FileBloom.build(
-      Seq("x1", "x2").iterator.map(FileBloom.strKey), m, k))
-    ManifestLog.commit(root, 0,
-      Seq("data/v0/a.parquet", "data/v0/b.parquet"), Seq.empty, "write",
-      blooms = Map("data/v0/a.parquet" ->
-        Map("code" -> BloomRef("code", "data/v0/a.bloom", m, k))),
-      strColStats = Map("data/v0/a.parquet" ->
-        Map("code" -> StrStat("x1", "x2"))))
-    // the long probes must keep the file (must-read), never prune it
-    // through the mismatched hash
+    def sidecar(rel: String, keys: Iterator[Long]): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, FileBloom.build(keys, m, k))
+    }
+    // a: a STRING-keyed bloom a pre-r18 writer committed UNTAGGED and
+    //    WITHOUT any stats (blooms and stats are independent params)
+    // b: a LONG-keyed legacy bloom WITH long colStats [0, 9] (the
+    //    corroboration that permits probing)
+    sidecar("data/v0/a.bloom",
+      Seq("x1", "x2").iterator.map(FileBloom.strKey))
+    sidecar("data/v0/b.bloom", Seq(7L, 8L).iterator)
+    // forge the pre-fmt manifest verbatim (no fmt field, no tags) —
+    // the commit API can no longer produce this shape
+    val store = ManifestLog.storeFor(root)
+    store.publish(f"${0L}%020d.json",
+      """{"version":0,"op":"write","adds":["data/v0/a.parquet",""" +
+        """"data/v0/b.parquet","data/v0/plain.parquet"],"removes":[],""" +
+        """"stats":[],"colstats":["data/v0/b.parquet|id|0|9"],""" +
+        """"blooms":["data/v0/a.parquet|code|data/v0/a.bloom|1024|4",""" +
+        """"data/v0/b.parquet|id|data/v0/b.bloom|1024|4"],"txn":[],""" +
+        """"dvs":[],"at":[],"schema":[],"checks":[],"strstats":[],""" +
+        """"nullstats":[]}""")
+    // a's long probes MUST keep the file — probing string-keyed bits
+    // with long hashes false-negatives (silently wrong pruning)
     assert(ManifestLog.filesMatchingPoint(root, 0, "code", 42L)
       .contains("data/v0/a.parquet"))
-    val store = ManifestLog.storeFor(root)
     assert(ManifestLog.filesMatchingKeysIn(store, root, 0, "code",
       Seq(42L)).contains("data/v0/a.parquet"))
-    // a PROPERLY TAGGED long bloom on the same shape still prunes —
-    // the guard keys on the stats classes, not on bloom presence
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(root, "data/v0/c.bloom"),
-      FileBloom.build(Seq(7L, 8L).iterator, m, k))
-    ManifestLog.commit(root, 1, Seq("data/v0/c.parquet"), Seq.empty,
-      "write", blooms = Map("data/v0/c.parquet" ->
-        Map("id" -> BloomRef("id", "data/v0/c.bloom", m, k))))
+    // b's long colStats corroborate a long-keyed fold: the bloom MAY
+    // prune (9999 in [0,9]? no — stats prune; probe key 3 in range,
+    // not in bloom → bloom prunes)
+    assert(!ManifestLog.filesMatchingKeysIn(store, root, 0, "id",
+      Seq(3L)).contains("data/v0/b.parquet"),
+      "corroborated legacy long bloom must still prune")
+    assert(ManifestLog.filesMatchingKeysIn(store, root, 0, "id",
+      Seq(7L)).contains("data/v0/b.parquet"),
+      "no false negatives on the corroborated path")
+    // the quarantine survives the CHECKPOINT fold (the |l mark):
+    // folding a legacy log into an fmt-2 checkpoint must not launder
+    // the uncertainty away
+    ManifestLog.writeCheckpoint(root, 0)
+    store.delete(f"${0L}%020d.json")
+    assert(ManifestLog.filesMatchingPoint(root, 0, "code", 42L)
+      .contains("data/v0/a.parquet"),
+      "legacy quarantine must survive checkpoint folding")
+    assert(!ManifestLog.filesMatchingKeysIn(store, root, 0, "id",
+      Seq(3L)).contains("data/v0/b.parquet"))
+    // an fmt-2 (current-writer) long bloom without stats still prunes
+    sidecar("data/v1/c.bloom", Seq(7L, 8L).iterator)
+    ManifestLog.commit(root, 1, Seq("data/v1/c.parquet"), Seq.empty,
+      "write", blooms = Map("data/v1/c.parquet" ->
+        Map("id" -> ManifestLog.BloomRef("id", "data/v1/c.bloom", m, k))))
     val hit = ManifestLog.filesMatchingPoint(root, 1, "id", 9999L)
-    assert(!hit.contains("data/v0/c.parquet"),
-      s"tagged long bloom should still prune: $hit")
+    assert(!hit.contains("data/v1/c.parquet"),
+      s"fmt-2 long bloom should still prune: $hit")
+  }
+
+  test("dvsEverThrough's legacy fallback reproduces the FULL " +
+      "surviving-metadata scan (r19 review finding): an EARLIER " +
+      "legacy checkpoint still carrying a dv ref sets the bit even " +
+      "when the LAST legacy checkpoint's dv set is empty — a " +
+      "last-checkpoint-only fallback would bake a false 0 and the " +
+      "image feed would silently serve an empty DV baseline") {
+    val root = freshRoot()
+    val store = ManifestLog.storeFor(root)
+    // forge the legacy log shape directly: cv0 carries a dv, cv1
+    // (after a compaction dropped the ref) carries none; manifests
+    // pruned — only the two LEGACY checkpoints survive
+    store.publish(f"${2L}%020d.checkpoint.json",
+      """{"version":2,"files":["data/f.parquet"],"stats":[],""" +
+        """"colstats":[],"blooms":[],"txns":[],""" +
+        """"dvs":["data/f.parquet|ext/f.dv|3"],"schema":[],""" +
+        """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
+    store.publish(f"${3L}%020d.checkpoint.json",
+      """{"version":3,"files":["data/g.parquet"],"stats":[],""" +
+        """"colstats":[],"blooms":[],"txns":[],"dvs":[],"schema":[],""" +
+        """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
+    assert(ManifestLog.dvsEverThrough(store, 3),
+      "the earlier checkpoint's surviving dv ref must set the bit")
+    // and a truly clean legacy pair stays 0
+    val clean = freshRoot()
+    val s2 = ManifestLog.storeFor(clean)
+    s2.publish(f"${2L}%020d.checkpoint.json",
+      """{"version":2,"files":["data/f.parquet"],"stats":[],""" +
+        """"colstats":[],"blooms":[],"txns":[],"dvs":[],"schema":[],""" +
+        """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
+    assert(!ManifestLog.dvsEverThrough(s2, 2))
   }
 }
