@@ -209,5 +209,57 @@ object EmbeddingTableQueries {
         .orderBy("vec_id")
     })
 
-  val all: Seq[GraftQuery] = Seq(embAnn, embCdc, embReplica)
+  private val structTable = GraftQuery(
+    name = "lake_struct_manifest",
+    doc = "FLAT STRUCT columns through the manifest table path (r19, " +
+      "completing the nested-shape coverage beside arrays): the " +
+      "documents corpus committed through appendChecked with its " +
+      "metadata packed as meta STRUCT<lang, source, n_chars> - a " +
+      "declared nested schema, a CHECK on the scalar key, per-file " +
+      "doc_id stats folded in the same pass that encodes the struct " +
+      "group - then snapshot-read through the manifest index, " +
+      "CDC-drained through the row feed (both nested decode paths), " +
+      "and the struct fields re-flattened against the raw corpus. A " +
+      "swapped slot, lost null or misaligned stamp fails the hash.",
+    oracle = Some("""
+      SELECT doc_id, lang, source, n_chars,
+             1 + doc_id % 2 AS commit_version
+      FROM documents
+      ORDER BY doc_id"""),
+    run = (s, dir) => {
+      val root = graft.TempDirs.cachedDir("graft_structtable", dir) { r =>
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"),
+            struct(col("lang"), col("source"), col("n_chars"))
+              .as("meta"))
+        ManifestLog.commit(r, 0, Seq.empty, Seq.empty, op = "declare",
+          schemaDdl = Some("doc_id BIGINT, meta STRUCT<lang: STRING, " +
+            "source: STRING, n_chars: BIGINT>"),
+          checks = Some(Seq("did_nn" -> "doc_id IS NOT NULL")))
+        ManifestLog.appendChecked(s,
+          d.filter(col("doc_id") % 2 === 0)
+            .repartitionByRange(4, col("doc_id")),
+          r, "data/b0", statsCols = Seq("doc_id"))
+        ManifestLog.appendChecked(s,
+          d.filter(col("doc_id") % 2 === 1)
+            .repartitionByRange(4, col("doc_id")),
+          r, "data/b1", statsCols = Seq("doc_id"))
+      }
+      // snapshot read proves the manifest-planned scan resolves the
+      // nested schema; the DRAIN proves both row-feed decode paths
+      val snap = ManifestLog.readVersion(s, root,
+        ManifestLog.latestVersion(root).get)
+      require(snap.schema("meta").dataType
+        .isInstanceOf[org.apache.spark.sql.types.StructType],
+        "snapshot must surface the struct column")
+      val (rows, _) = graft.streaming.ManifestSink.cdcDrained(s, root)
+      rows.select(col("doc_id"),
+          col("meta.lang").as("lang"),
+          col("meta.source").as("source"),
+          col("meta.n_chars").as("n_chars"),
+          col("_commit_version").as("commit_version"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[GraftQuery] = Seq(embAnn, embCdc, embReplica, structTable)
 }

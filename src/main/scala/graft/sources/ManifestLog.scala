@@ -1887,38 +1887,6 @@ object ManifestLog {
           .map(col).toSeq: _*)
   }
 
-  /** ROW-LEVEL CHANGE FEED with `_change_type` images (r15 verdict #4)
-    * — the missing half of [[readChanges]], correct for REWRITING
-    * commits too: for each version v in (`from`, `to`], the rows of
-    * v's REMOVED files (the pre state the commit retired) full-outer
-    * join the rows of its ADDED files on `keys`, and every key
-    * classifies as exactly one of
-    *
-    *   - `insert`           (post image; key absent from the removed rows)
-    *   - `delete`           (pre image; key absent from the added rows)
-    *   - `update_preimage` + `update_postimage` (both images; payload
-    *                         differs between the sides)
-    *
-    * while rows CARRIED unchanged through the rewrite produce nothing —
-    * the per-row change-data-feed consumers need (Delta's CDF
-    * `_change_type` column) reconstructed from the log's file-level
-    * actions, no stored change files required.
-    *
-    * Why this is log-driven, not snapshot-driven: only the files the
-    * commit TOUCHED are read (a commit rewriting 2 of 80,000 files
-    * reads 4 files, never two table snapshots), the join shuffles only
-    * those rows once per version, and rows in untouched files appear
-    * on neither side — which is exactly the "unchanged" answer. For an
-    * append-only commit (no removes) the join degenerates to a
-    * zero-shuffle all-inserts scan; a delete-only commit to
-    * all-deletes. Null-safe key equality keeps null keys paired.
-    *
-    * Output: `keys` ++ payload columns (from the image side) ++
-    * `_change_type` ++ `_commit_version`. Requires every manifest in
-    * the range (same loud pruned-tail contract as [[changesBetween]]).
-    * `keys` must identify a row within a version for the images to be
-    * row-accurate (the same requirement Delta's MERGE puts on its
-    * match condition). */
   /** The rows of `files` at exactly the row indexes each file's NEW
     * vector added over its OLD one — a MOR delete's per-row death
     * certificates, read as a broadcast SEMI join against the delta
@@ -1957,6 +1925,44 @@ object ManifestLog {
         "left_semi")
   }
 
+  /** ROW-LEVEL CHANGE FEED with `_change_type` images (r15 verdict #4)
+    * — the missing half of [[readChanges]], correct for REWRITING
+    * commits too: for each version v in (`from`, `to`], the rows of
+    * v's REMOVED files (the pre state the commit retired) full-outer
+    * join the rows of its ADDED files on `keys`, and every key
+    * classifies as exactly one of
+    *
+    *   - `insert`           (post image; key absent from the removed rows)
+    *   - `delete`           (pre image; key absent from the added rows)
+    *   - `update_preimage` + `update_postimage` (both images; payload
+    *                         differs between the sides)
+    *
+    * while rows CARRIED unchanged through the rewrite produce nothing —
+    * the per-row change-data-feed consumers need (Delta's CDF
+    * `_change_type` column) reconstructed from the log's file-level
+    * actions, no stored change files required.
+    *
+    * Why this is log-driven, not snapshot-driven: only the files the
+    * commit TOUCHED are read (a commit rewriting 2 of 80,000 files
+    * reads 4 files, never two table snapshots), the join shuffles only
+    * those rows once per version, and rows in untouched files appear
+    * on neither side — which is exactly the "unchanged" answer. For an
+    * append-only commit (no removes) the join degenerates to a
+    * zero-shuffle all-inserts scan; a delete-only commit to
+    * all-deletes. Null-safe key equality keeps null keys paired.
+    *
+    * Output: `keys` ++ payload columns (from the image side) ++
+    * `_change_type` ++ `_commit_version`. Requires every manifest in
+    * the range (same loud pruned-tail contract as [[changesBetween]]).
+    * `keys` must identify a row within a version for the images to be
+    * row-accurate (the same requirement Delta's MERGE puts on its
+    * match condition).
+    *
+    * PLAN SIZE: one logical branch per version in the range — callers
+    * syncing an UNBOUNDED lag must window the range (the streaming
+    * bridge bounds it with maxVersionsPerTrigger; [[replicateTo]]
+    * with maxVersionsPerSync, r19); at a 10k-version lag the driver's
+    * plan analysis alone would dominate. */
   def readChangeImages(spark: SparkSession, root: String, from: Long,
       to: Long, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -74,7 +74,7 @@ object SinglePassWriter {
     * blooms and CHECK proofs stay scalar-only — a nested column is
     * must-read by the index's conservative contract for unknown
     * columns, which is what an embedding payload should be. */
-  private def listElement(name: String,
+  private def flatPrimitive(col: String, fieldName: String,
       et: DataType): PrimitiveType = {
     val b = et match {
       case FloatType => Types.optional(FLOAT)
@@ -84,10 +84,26 @@ object SinglePassWriter {
       case BooleanType => Types.optional(BOOLEAN)
       case StringType => Types.optional(BINARY).as(stringType())
       case other => throw new IllegalArgumentException(
-        s"single-pass writer supports arrays of flat primitives; " +
-          s"got array<$other> (column $name)")
+        s"single-pass writer supports arrays and structs of flat " +
+          s"primitives; got $other (at $col)")
     }
-    b.named("element")
+    b.named(fieldName)
+  }
+
+  private def listElement(name: String, et: DataType): PrimitiveType =
+    flatPrimitive(name, "element", et)
+
+  /** One primitive value into slot `j` of `g` — the shared leaf of
+    * the array and struct encoders. */
+  private def addPrim(g: org.apache.parquet.example.data.Group,
+      j: Int, et: DataType, v: Any): Unit = et match {
+    case FloatType => g.add(j, v.asInstanceOf[Float])
+    case DoubleType => g.add(j, v.asInstanceOf[Double])
+    case LongType => g.add(j, v.asInstanceOf[Long])
+    case IntegerType => g.add(j, v.asInstanceOf[Int])
+    case BooleanType => g.add(j, v.asInstanceOf[Boolean])
+    case StringType => g.add(j, v.asInstanceOf[String])
+    case dt => throw new IllegalStateException(dt.toString)
   }
 
   private def parquetType(f: StructField)
@@ -97,6 +113,15 @@ object SinglePassWriter {
       case ArrayType(et, _) =>
         return Types.optionalList()
           .element(listElement(f.name, et)).named(f.name)
+      // flat STRUCT of primitives (r19): a plain optional group —
+      // the standard shape Spark's writer emits and both readers map
+      // straight back to StructType; nesting deeper than one level
+      // is refused by flatPrimitive (loud, not silent)
+      case st: StructType =>
+        return st.fields.foldLeft(Types.optionalGroup()) { (b, sf) =>
+          b.addField(flatPrimitive(s"${f.name}.${sf.name}", sf.name,
+            sf.dataType))
+        }.named(f.name)
       case _ => ()
     }
     val b = f.dataType match {
@@ -352,15 +377,17 @@ object SinglePassWriter {
                 val lg = g.addGroup(f.name)
                 row.getSeq[Any](i).foreach { v =>
                   val e = lg.addGroup(0)
-                  if (v != null) et match {
-                    case FloatType => e.add(0, v.asInstanceOf[Float])
-                    case DoubleType => e.add(0, v.asInstanceOf[Double])
-                    case LongType => e.add(0, v.asInstanceOf[Long])
-                    case IntegerType => e.add(0, v.asInstanceOf[Int])
-                    case BooleanType => e.add(0, v.asInstanceOf[Boolean])
-                    case StringType => e.add(0, v.asInstanceOf[String])
-                    case dt => throw new IllegalStateException(dt.toString)
-                  }
+                  if (v != null) addPrim(e, 0, et, v)
+                }
+              case st: StructType =>
+                // flat struct: one optional group, one primitive per
+                // field (a NULL struct leaves the group absent; a
+                // null field leaves its slot absent)
+                val sg = g.addGroup(f.name)
+                val sr = row.getStruct(i)
+                st.fields.indices.foreach { j =>
+                  if (!sr.isNullAt(j))
+                    addPrim(sg, j, st.fields(j).dataType, sr.get(j))
                 }
               case dt => throw new IllegalStateException(dt.toString)
             }

@@ -139,17 +139,22 @@ private[cdc] object ManifestCdc {
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
 
-  /** The feed's supported column types (r19: + arrays of primitives —
-    * the embedding shape the r18 verdict's top gap named). */
+  /** The feed's supported column types (r19: + arrays and flat
+    * structs of primitives — the embedding/metadata shapes the r18
+    * verdict's top gap named). */
   private[cdc] def okType(
       dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType
         | BooleanType | StringType => true
-    case org.apache.spark.sql.types.ArrayType(et, _) => et match {
-      case LongType | IntegerType | DoubleType | FloatType
-          | BooleanType | StringType => true
-      case _ => false
-    }
+    case org.apache.spark.sql.types.ArrayType(et, _) => okPrim(et)
+    case st: StructType => st.fields.forall(f => okPrim(f.dataType))
+    case _ => false
+  }
+
+  private def okPrim(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType
+        | BooleanType | StringType => true
     case _ => false
   }
 
@@ -166,19 +171,36 @@ private[cdc] object ManifestCdc {
         s"unsupported parquet primitive $other in CDC source")
     }
 
+  private[cdc] def isList(f: org.apache.parquet.schema.Type): Boolean =
+    !f.isPrimitive && f.asGroupType().getLogicalTypeAnnotation ==
+      org.apache.parquet.schema.LogicalTypeAnnotation.listType()
+
   /** The single primitive element of a standard 3-level LIST group —
-    * loud on anything else (maps, structs, legacy 2-level lists). */
+    * loud on anything else (maps, legacy 2-level lists). */
   private[cdc] def listElementOf(
       f: org.apache.parquet.schema.Type): PrimitiveType = {
     val g = f.asGroupType()
-    require(g.getLogicalTypeAnnotation ==
-        org.apache.parquet.schema.LogicalTypeAnnotation.listType() &&
+    require(isList(f) &&
         g.getFieldCount == 1 && !g.getType(0).isPrimitive &&
         g.getType(0).asGroupType().getFieldCount == 1 &&
         g.getType(0).asGroupType().getType(0).isPrimitive,
-      s"manifest CDC source supports flat primitive and standard " +
-        s"LIST-of-primitive columns; got $f")
+      s"manifest CDC source supports flat primitive, standard " +
+        s"LIST-of-primitive and flat STRUCT-of-primitive columns; " +
+        s"got $f")
     g.getType(0).asGroupType().getType(0).asPrimitiveType()
+  }
+
+  /** A plain (non-LIST) group of primitives → its fields (r19 struct
+    * support) — loud on deeper nesting. */
+  private[cdc] def structFieldsOf(
+      f: org.apache.parquet.schema.Type): Seq[PrimitiveType] = {
+    val g = f.asGroupType()
+    require((0 until g.getFieldCount).forall(j =>
+        g.getType(j).isPrimitive),
+      s"manifest CDC source supports flat primitive, standard " +
+        s"LIST-of-primitive and flat STRUCT-of-primitive columns; " +
+        s"got $f")
+    (0 until g.getFieldCount).map(j => g.getType(j).asPrimitiveType())
   }
 
   def dataFields(msg: MessageType): Seq[StructField] =
@@ -186,12 +208,15 @@ private[cdc] object ManifestCdc {
       val f = msg.getType(i)
       val dt =
         if (f.isPrimitive) primType(f.asPrimitiveType())
-        else {
+        else if (isList(f)) {
           val el = listElementOf(f)
           org.apache.spark.sql.types.ArrayType(primType(el),
             containsNull = el.getRepetition !=
               org.apache.parquet.schema.Type.Repetition.REQUIRED)
-        }
+        } else StructType(structFieldsOf(f).map(p =>
+          StructField(p.getName, primType(p),
+            nullable = p.getRepetition !=
+              org.apache.parquet.schema.Type.Repetition.REQUIRED)))
       StructField(f.getName, dt,
         nullable = f.getRepetition !=
           org.apache.parquet.schema.Type.Repetition.REQUIRED)
@@ -497,13 +522,17 @@ private[cdc] class CdcPartitionReader(absPath: String, version: Long,
     current != null
   }
 
-  // per-column element type for LIST columns (null = primitive
-  // column) — resolved once, not per row
-  private val listElem: Array[PrimitiveType.PrimitiveTypeName] =
-    (0 until n).map { i =>
+  // per-column decode shape, resolved once (not per row): null = a
+  // primitive column; a bare PrimitiveTypeName = a LIST's element
+  // type; an Array of them = a flat struct's field types (r19)
+  private val colShape: Array[AnyRef] =
+    (0 until n).map[AnyRef] { i =>
       val f = msg.getType(i)
       if (f.isPrimitive) null
-      else ManifestCdc.listElementOf(f).getPrimitiveTypeName
+      else if (ManifestCdc.isList(f))
+        ManifestCdc.listElementOf(f).getPrimitiveTypeName
+      else ManifestCdc.structFieldsOf(f)
+        .map(_.getPrimitiveTypeName).toArray
     }.toArray
 
   private def primAt(g: Group, i: Int,
@@ -527,24 +556,38 @@ private[cdc] class CdcPartitionReader(absPath: String, version: Long,
     while (i < n) {
       out(i) =
         if (current.getFieldRepetitionCount(i) == 0) null
-        else if (listElem(i) == null)
-          primAt(current,
-            i, msg.getType(i).asPrimitiveType().getPrimitiveTypeName)
-        else {
-          // standard 3-level LIST → catalyst GenericArrayData; a
-          // "list" entry with no "element" is a null element (r19)
-          val lg = current.getGroup(i, 0)
-          val m = lg.getFieldRepetitionCount(0)
-          val arr = new Array[Any](m)
-          var j = 0
-          while (j < m) {
-            val e = lg.getGroup(0, j)
-            arr(j) =
-              if (e.getFieldRepetitionCount(0) == 0) null
-              else primAt(e, 0, listElem(i))
-            j += 1
-          }
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+        else colShape(i) match {
+          case null =>
+            primAt(current, i,
+              msg.getType(i).asPrimitiveType().getPrimitiveTypeName)
+          case el: PrimitiveType.PrimitiveTypeName =>
+            // standard 3-level LIST → catalyst GenericArrayData; a
+            // "list" entry with no "element" is a null element (r19)
+            val lg = current.getGroup(i, 0)
+            val m = lg.getFieldRepetitionCount(0)
+            val arr = new Array[Any](m)
+            var j = 0
+            while (j < m) {
+              val e = lg.getGroup(0, j)
+              arr(j) =
+                if (e.getFieldRepetitionCount(0) == 0) null
+                else primAt(e, 0, el)
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+          case fts: Array[PrimitiveType.PrimitiveTypeName] =>
+            // flat struct → nested InternalRow; absent slots are
+            // null fields (r19)
+            val sg = current.getGroup(i, 0)
+            val sv = new Array[Any](fts.length)
+            var j = 0
+            while (j < fts.length) {
+              sv(j) =
+                if (sg.getFieldRepetitionCount(j) == 0) null
+                else primAt(sg, j, fts(j))
+              j += 1
+            }
+            new GenericInternalRow(sv)
         }
       i += 1
     }

@@ -419,6 +419,34 @@ class SinglePassWriterSpec extends AnyFunSuite {
       r2.getSeq[Long](2) == Seq(7L, 8L))
   }
 
+  test("flat STRUCT columns (r19): values, NULL structs and null " +
+      "fields round-trip through the optional-group encoding beside " +
+      "scalar stats") {
+    import spark.implicits._
+    val root = newRoot()
+    val rows: Seq[(Long, (String, java.lang.Long))] = Seq(
+      (1L, ("en", java.lang.Long.valueOf(10L))),
+      (2L, (null, java.lang.Long.valueOf(20L))), // null field
+      (3L, null))                                // null struct
+    val df = rows.toDF("id", "meta").coalesce(1)
+    val sums = SinglePassWriter.writeFiles(df, root, "data/v0",
+      statsCols = Seq("id"))
+    ManifestLog.commit(root, 0, sums.map(_.rel), Seq.empty, "write",
+      colStats = SinglePassWriter.colStatsOf(sums, Seq("id")))
+    val got = ManifestLog.readVersion(spark, root, 0)
+      .selectExpr("id", "meta._1", "meta._2").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "-" else r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "en", 10L), (2L, "-", 20L), (3L, "-", -1L)),
+      s"struct round-trip diverged: $got")
+    // nested struct-in-struct refuses loudly
+    intercept[IllegalArgumentException](SinglePassWriter.writeFiles(
+      Seq((1L, ((1L, 2L), "x"))).toDF("id", "m").coalesce(1),
+      root, "data/bad"))
+  }
+
   test("ARRAY gates stay scalar-only and loud (r19): stats, blooms " +
       "and check columns on an array refuse; an array of an " +
       "unsupported element type refuses at schema binding") {
@@ -436,7 +464,7 @@ class SinglePassWriterSpec extends AnyFunSuite {
     val nested = Seq((1L, Seq(Seq(1.0f)))).toDF("id", "m").coalesce(1)
     val e = intercept[IllegalArgumentException](
       SinglePassWriter.writeFiles(nested, root, "data/d"))
-    assert(e.getMessage.contains("arrays of flat primitives"),
+    assert(e.getMessage.contains("flat primitives"),
       s"wrong refusal: ${e.getMessage}")
   }
 }
