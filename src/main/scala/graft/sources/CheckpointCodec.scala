@@ -32,7 +32,7 @@ import graft.sources.ManifestLog.{BloomRef, DvRef, FileStat, NullStat, StrStat}
   *   kind:0 file(f)            kind:1 stat(f,a=min,b=max)
   *   kind:2 colstat(f,c,a,b,g=dbl)  kind:3 strstat(f,c,s=min,t=max)
   *   kind:4 nullstat(f,c,a=nulls,b=rows)
-  *   kind:5 bloom(f,c,s=sidecar,a=m,b=k,g=str)
+  *   kind:5 bloom(f,c,s=sidecar,a=m,b=k,g=str,h=legacy)
   *   kind:6 dv(f,s=sidecar,a=nDeleted)
   * }}}
   * Rows are written file-major in replay order, so the decoded live
@@ -312,17 +312,27 @@ object CheckpointCodec {
   }
 
   /** Decode one row group through RAW COLUMN READERS — no record
-    * assembly, no per-row converter dispatch: each of the 8 flat
+    * assembly, no per-row converter dispatch: each of the 9 flat
     * columns reads its (definition level, value) stream into arrays
     * in one tight loop, then a single row loop folds the arrays into
     * the partial maps. Measured ~3× over the RecordReader form at a
     * 1M-file checkpoint; combined with row-group parallelism it is
-    * what holds full replay under the probe's budget. */
+    * what holds full replay under the probe's budget.
+    *
+    * ADDITIVE SIDECAR EVOLUTION (r19 review finding): a column the
+    * FILE's footer lacks decodes as its all-default array instead of
+    * crashing the page-store lookup — the `h` (bloom-legacy) column
+    * was appended after the first pq sidecars shipped, and a sidecar
+    * format change must read old sidecars exactly as the manifest
+    * format reads old manifests. New columns must always be appended
+    * LAST and default-meaningful. */
   private def decodeGroup(input: InputFile, gi: Int): Partial = {
     val reader = ParquetFileReader.open(input)
     try {
       val pages = reader.readRowGroup(gi)
       val n = pages.getRowCount.toInt
+      val fileCols =
+        reader.getFooter.getFileMetaData.getSchema.getFieldCount
       // dummy converter tree: column readers only need it structurally
       val dummy = new RowConverter(new RowBuf)
       val store = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
@@ -390,7 +400,9 @@ object CheckpointCodec {
         v
       }
       val gs = bools(7)
-      val hs = bools(8)
+      val hs =
+        if (fileCols > 8) bools(8)
+        else new Array[Boolean](n) // pre-h sidecar: legacy = false
       val p = new Partial
       var i = 0
       while (i < n) {

@@ -640,15 +640,23 @@ object ManifestLog {
   def dvsEverThrough(store: LogStore,
       version: Long): Boolean = {
     val ckpts = checkpointVersionsIn(store).filter(_ <= version)
-    ckpts.lastOption.flatMap(cv =>
-      field(store.read(checkpointName(cv)), "dvsever").headOption) match {
+    val lastJson = ckpts.lastOption.map(cv =>
+      store.read(checkpointName(cv)))
+    lastJson.flatMap(j => field(j, "dvsever").headOption) match {
       case Some(bit) =>
         bit == "1" || versionsIn(store)
           .filter(v => v <= version && v > ckpts.last)
           .exists(v => field(store.read(manifestName(v)), "dvs").nonEmpty)
       case None =>
-        ckpts.exists(cv =>
-          field(store.read(checkpointName(cv)), "dvs").nonEmpty) ||
+        // fallback: every checkpoint's bit-or-refs (each read ONCE;
+        // earlier fmt-2 checkpoints' bits count too — review
+        // finding, r19) plus every surviving manifest's refs
+        lastJson.exists(j => field(j, "dvs").nonEmpty) ||
+        ckpts.dropRight(1).exists { cv =>
+          val j = store.read(checkpointName(cv))
+          field(j, "dvsever").headOption.contains("1") ||
+            field(j, "dvs").nonEmpty
+        } ||
         versionsIn(store).filter(_ <= version).exists(v =>
           field(store.read(manifestName(v)), "dvs").nonEmpty)
     }

@@ -117,9 +117,9 @@ private[cdc] object ManifestCdc {
       case Some(ddl) =>
         val declared = StructType.fromDDL(ddl)
         declared.fields.foreach(f => require(okType(f.dataType),
-          s"manifest CDC source supports flat primitive and " +
-            s"array-of-primitive columns; " +
-            s"declared schema carries ${f.name}: ${f.dataType}"))
+          s"manifest CDC source supports flat primitive, " +
+            s"array-of-primitive and flat struct-of-primitive " +
+            s"columns; declared schema carries ${f.name}: ${f.dataType}"))
         StructType(declared.fields.toSeq :+
           StructField("_commit_version", LongType, nullable = false))
       case None =>
@@ -191,12 +191,18 @@ private[cdc] object ManifestCdc {
   }
 
   /** A plain (non-LIST) group of primitives → its fields (r19 struct
-    * support) — loud on deeper nesting. */
+    * support) — loud on deeper nesting AND on REPEATED shapes (a
+    * repeated group or repeated field is a legacy 2-level /
+    * protobuf-style list; decoding it as a struct would keep only the
+    * first repetition, silent data loss — review finding, r19). */
   private[cdc] def structFieldsOf(
       f: org.apache.parquet.schema.Type): Seq[PrimitiveType] = {
+    import org.apache.parquet.schema.Type.Repetition
     val g = f.asGroupType()
-    require((0 until g.getFieldCount).forall(j =>
-        g.getType(j).isPrimitive),
+    require(f.getRepetition != Repetition.REPEATED &&
+        (0 until g.getFieldCount).forall(j =>
+          g.getType(j).isPrimitive &&
+            g.getType(j).getRepetition != Repetition.REPEATED),
       s"manifest CDC source supports flat primitive, standard " +
         s"LIST-of-primitive and flat STRUCT-of-primitive columns; " +
         s"got $f")
@@ -487,9 +493,15 @@ private[cdc] class CdcColumnarReader(absPath: String, version: Long,
   // the streaming hot path (review finding, r19).
   if (expectWidth >= 0) {
     val n = reader.resultBatch().numCols() - pad.size - 1
-    require(n == expectWidth,
-      s"file $absPath carries $n physical columns but its commit's " +
-        s"declared schema has $expectWidth — row feed would misalign")
+    if (n != expectWidth) {
+      // the gate fires AFTER initialize() opened the file — close the
+      // reader before throwing or the handle leaks across task
+      // retries (review finding, r19)
+      reader.close()
+      throw new IllegalArgumentException(
+        s"file $absPath carries $n physical columns but its commit's " +
+          s"declared schema has $expectWidth — row feed would misalign")
+    }
   }
 
   override def next(): Boolean = reader.nextBatch()

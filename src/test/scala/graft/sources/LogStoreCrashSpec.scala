@@ -183,6 +183,54 @@ class LogStoreCrashSpec extends AnyFunSuite {
       assert(ManifestLog.dvsEverThrough(pq, 1))
     }
 
+    test(s"[$label] a pre-h (8-column) pq sidecar still decodes (r19 " +
+        "review finding): the legacy-bloom column was appended after " +
+        "the first sidecars shipped, and additive sidecar evolution " +
+        "must read them with legacy defaulting to false — never crash " +
+        "the page-store lookup") {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val store = mk()
+      // forge the original 8-column sidecar layout on disk
+      val oldSchema: MessageType = new MessageType("graft_ckpt",
+        Types.required(INT32).named("kind"),
+        Types.required(BINARY).as(LogicalTypeAnnotation.stringType())
+          .named("f"),
+        Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+          .named("c"),
+        Types.optional(INT64).named("a"),
+        Types.optional(INT64).named("b"),
+        Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+          .named("s"),
+        Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+          .named("t"),
+        Types.optional(BOOLEAN).named("g"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_preh")
+        .resolve("side.parquet")
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(tmp.toString))
+        .withType(oldSchema).build()
+      val fac = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(oldSchema)
+      val g0 = fac.newGroup(); g0.add(0, 0); g0.add(1, "data/x.parquet")
+      w.write(g0)
+      val g5 = fac.newGroup(); g5.add(0, 5); g5.add(1, "data/x.parquet")
+      g5.add(2, "id"); g5.add(3, 1024L); g5.add(4, 4L)
+      g5.add(5, "data/x.bloom")
+      w.write(g5); w.close()
+      store.publishBytes(f"${0L}%020d.checkpoint.parquet",
+        java.nio.file.Files.readAllBytes(tmp))
+      store.publish(f"${0L}%020d.checkpoint.json",
+        """{"version":0,"pq":["1"],"fmt":["2"],"txns":[],"schema":[],""" +
+          """"checks":["-"],"at":[],"dvsever":["0"]}""")
+      val r = ManifestLog.replayIn(store, 0)
+      assert(r.files == Seq("data/x.parquet"))
+      val ref = r.blooms("data/x.parquet")("id")
+      assert(ref.sidecar == "data/x.bloom" && ref.m == 1024 &&
+        !ref.str && !ref.legacy,
+        s"pre-h sidecar must decode with legacy=false: $ref")
+    }
+
     test(s"[$label] crash BETWEEN sidecar and JSON publish (r19): the " +
         "orphan sidecar is invisible to every reader, and the retry " +
         "completes through the lost-race no-op with an exact replay") {

@@ -778,6 +778,22 @@ class ManifestLogSpec extends AnyFunSuite {
         """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
     assert(ManifestLog.dvsEverThrough(store, 3),
       "the earlier checkpoint's surviving dv ref must set the bit")
+    // an earlier fmt-2 checkpoint's BIT (refs compacted away) counts
+    // in the fallback too — a writer-downgrade shape, but the bit is
+    // evidence exactly like a surviving ref (review finding, r19)
+    val rootB = freshRoot()
+    val sB = ManifestLog.storeFor(rootB)
+    sB.publish(f"${2L}%020d.checkpoint.json",
+      """{"version":2,"files":["data/f.parquet"],"stats":[],""" +
+        """"colstats":[],"blooms":[],"txns":[],"dvs":[],"schema":[],""" +
+        """"checks":["-"],"at":[],"strstats":[],"nullstats":[],""" +
+        """"dvsever":["1"]}""")
+    sB.publish(f"${3L}%020d.checkpoint.json",
+      """{"version":3,"files":["data/g.parquet"],"stats":[],""" +
+        """"colstats":[],"blooms":[],"txns":[],"dvs":[],"schema":[],""" +
+        """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
+    assert(ManifestLog.dvsEverThrough(sB, 3),
+      "an earlier checkpoint's dvsever bit must survive the fallback")
     // and a truly clean legacy pair stays 0
     val clean = freshRoot()
     val s2 = ManifestLog.storeFor(clean)

@@ -62,6 +62,34 @@ class CdcRowReaderSpec extends AnyFunSuite {
       s"row-reader decode diverged: $got")
   }
 
+  test("non-annotated REPEATED shapes refuse loudly (r19 review " +
+      "finding): a protobuf-style 2-level list would decode as a " +
+      "'struct' keeping only the first repetition — silent data loss") {
+    import org.apache.parquet.schema.{MessageType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val dir = graft.TempDirs.deleteOnExit(java.nio.file.Files
+      .createTempDirectory("graft_cdc_proto")).toString
+    val msg: MessageType = new MessageType("m",
+      Types.required(INT64).named("id"),
+      Types.optionalGroup()
+        .addField(Types.repeated(INT64).named("v"))
+        .named("tags"))
+    val abs = s"$dir/proto.parquet"
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(abs)).withType(msg).build()
+    val g = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      msg).newGroup()
+    g.add(0, 1L)
+    val tg = g.addGroup(1); tg.add(0, 7L); tg.add(0, 8L)
+    w.write(g); w.close()
+    val e = intercept[IllegalArgumentException] {
+      val r = new CdcPartitionReader(abs, 0L)
+      try { while (r.next()) r.get() } finally r.close()
+    }
+    assert(e.getMessage.contains("STRUCT-of-primitive"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
   test("physical-width gate fires on BOTH readers (r19; r18 advice)") {
     val abs = landArrays() // 3 physical columns
     val e1 = intercept[IllegalArgumentException](
