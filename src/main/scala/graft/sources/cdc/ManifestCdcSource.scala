@@ -521,12 +521,21 @@ private[cdc] class CdcPartitionReader(absPath: String, version: Long,
   private val reader = org.apache.parquet.hadoop.ParquetReader
     .builder(new GroupReadSupport(), new HPath(absPath))
     .withConf(conf).build()
-  private val msg = ManifestCdc.footerSchema(absPath)
+  // the footer read and the width gate both fire AFTER the builder
+  // opened the file — close the reader before any throw or the handle
+  // leaks across task retries, the same edge the columnar twin closes
+  // (r20; r19 advice)
+  private val msg =
+    try ManifestCdc.footerSchema(absPath)
+    catch { case t: Throwable => reader.close(); throw t }
   private val n = msg.getFieldCount
   // physical-width gate (r19; r18 advice) — see CdcColumnarReader
-  require(expectWidth < 0 || n == expectWidth,
-    s"file $absPath carries $n physical columns but its commit's " +
-      s"declared schema has $expectWidth — row feed would misalign")
+  if (expectWidth >= 0 && n != expectWidth) {
+    reader.close()
+    throw new IllegalArgumentException(
+      s"file $absPath carries $n physical columns but its commit's " +
+        s"declared schema has $expectWidth — row feed would misalign")
+  }
   private var current: Group = _
 
   override def next(): Boolean = {

@@ -636,6 +636,49 @@ class ManifestChangeImagesSpec extends AnyFunSuite {
       Seq("id")).count() > 0)
   }
 
+  test("unresolvable-baseline probe shares dvsEverThrough's " +
+      "conservative fallback (r20; r19 advice): an earlier PQ " +
+      "checkpoint whose dv refs ride the parquet sidecar is the only " +
+      "surviving DV evidence, the newest checkpoint is bitless " +
+      "(mixed-version writer) — the feed must refuse loudly, not " +
+      "silently serve an empty DV baseline") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dvsever_pq").toString
+    def land(sub: String, rows: Seq[(Long, Long)]) = {
+      rows.toDF("id", "amount").coalesce(1).write.parquet(s"$root/$sub")
+      ManifestLog.partFiles(root, sub)
+    }
+    val f0 = land("data/v0", (1L to 8L).map(i => (i, i * 10)))
+    ManifestLog.commit(root, 0, f0, Seq.empty, "write")
+    // v1: MOR delete — the dv ref lives on
+    ManifestLog.deleteWhereMor(spark, root, 0, 1,
+      org.apache.spark.sql.functions.col("id") === 3L)
+    // PQ checkpoint at 1: dv refs in the SIDECAR, inline "dvs" empty
+    ManifestLog.writeCheckpoint(root, 1)
+    val f2 = land("data/v2", Seq((9L, 90L)))
+    ManifestLog.commit(root, 2, f2, Seq.empty, "append")
+    // forge a NEWER legacy checkpoint without the bit — the
+    // rollback/mixed-version writer shape; it now masks the pq
+    // checkpoint as "last"
+    val store = ManifestLog.storeFor(root)
+    store.publish(f"${2L}%020d.checkpoint.json",
+      """{"version":2,"files":["data/v2/x.parquet"],"stats":[],""" +
+        """"colstats":[],"blooms":[],"txns":[],"dvs":[],"schema":[],""" +
+        """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
+    // prune manifests 0..1 → baseline v0 is unresolvable and the dv
+    // evidence survives ONLY as the pq checkpoint's dvsever bit (its
+    // refs are sidecar-borne — the pre-r20 duplicate scan read only
+    // inline "dvs" fields and returned a false negative here)
+    ManifestLog.expireVersionsBefore(root, 2)
+    assert(ManifestLog.dvsEverThrough(store, Long.MaxValue),
+      "the pq checkpoint's bit must survive the bitless-last fallback")
+    val e = intercept[IllegalArgumentException](
+      ManifestLog.readChangeImages(spark, root, 0, 2, Seq("id")))
+    assert(e.getMessage.contains("deletion vectors"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
   test("a pruned tail fails loudly — images are never silently " +
       "reconstructed over missing actions") {
     val root = fixture()

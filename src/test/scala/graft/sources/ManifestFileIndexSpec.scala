@@ -415,6 +415,42 @@ class ManifestFileIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("collectBoundedKeys (r20; r19 verdict what's-wrong #1): the " +
+      "dim-key collect is bounded INSIDE the plan — an over-bound " +
+      "frame materializes at most maxKeys + 2 rows on the driver " +
+      "(never the corpus), a null at exactly the bound neither " +
+      "truncates nor miscounts, and the over-bound read still " +
+      "refuses loudly") {
+    import spark.implicits._
+    // 1M distinct keys against bound 10: the seam returns ≤ 12 rows —
+    // the pre-r20 code collected all 1M before checking the bound
+    val got = ManifestLog.collectBoundedKeys(
+      spark.range(1000000).toDF("k"), 10)
+    assert(got.size <= 12,
+      s"collect not plan-bounded: ${got.size} rows reached the driver")
+    // exactly maxKeys non-null keys + a null: the +2 window keeps the
+    // non-null count exact (5 ≤ bound) instead of a truncated set
+    // sneaking back under it; the null is dropped — a null key never
+    // matches an equi-join, so the prune stays exact without it
+    val withNull = Seq[java.lang.Long](1L, 2L, 3L, 4L, 5L, null)
+      .toDF("k")
+    val rows = ManifestLog.collectBoundedKeys(withNull, 5)
+    assert(rows.size == 5 && rows.forall(!_.isNullAt(0)))
+    // end-to-end: a corpus-sized dim refuses loudly and CHEAPLY
+    val root = statsTable()
+    val e = intercept[IllegalArgumentException] {
+      ManifestLog.readVersionKeys(spark, root, 0, "user_id",
+        spark.range(1000000).toDF("k"), maxKeys = 100)
+    }
+    assert(e.getMessage.contains("bloom filter"),
+      s"wrong refusal: ${e.getMessage}")
+    // a null-bearing but under-bound dim still prunes and reads
+    val dimN = Seq[java.lang.Long](3L, 25L, null).toDF("k")
+    val df = ManifestLog.readVersionKeys(spark, root, 0, "user_id",
+      dimN)
+    assert(df.filter(col("user_id").isin(3L, 25L)).count() == 2)
+  }
+
   test("100k-file manifest: resolve + planning-time prune is " +
       "metadata-flat (no filesystem touched)") {
     val entries = (0 until 100000).map { i =>

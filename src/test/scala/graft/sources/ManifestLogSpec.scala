@@ -803,4 +803,89 @@ class ManifestLogSpec extends AnyFunSuite {
         """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
     assert(!ManifestLog.dvsEverThrough(s2, 2))
   }
+
+  test("Replay folds the dvs-ever bit from the same reads the " +
+      "checkpoint writer needs (r20; retires the duplicate O(tail) " +
+      "pass): exact from genesis, inherited from a bitted " +
+      "checkpoint, undecided ONLY behind a legacy checkpoint — " +
+      "where writeCheckpoint falls back to the full scan and still " +
+      "writes the right bit") {
+    // genesis fold, never vectored → exactly Some(false)
+    val a = freshRoot(); val sA = ManifestLog.storeFor(a)
+    ManifestLog.commit(a, 0, Seq("data/a.parquet"), Seq.empty, "write")
+    assert(ManifestLog.replayIn(sA, 0).dvsEver.contains(false))
+    assert(ManifestLog.replayIn(sA, 0).dvsEver.contains(
+      ManifestLog.dvsEverThrough(sA, 0)))
+    // a dv commit latches it — and it stays latched after a COW
+    // rewrite drops every surviving ref (strictly-conservative, same
+    // contract as dvsEverThrough)
+    ManifestLog.commit(a, 1, Seq.empty, Seq.empty, "delete",
+      dvs = Map("data/a.parquet" -> ManifestLog.DvRef("ext/a.dv", 2L)))
+    ManifestLog.commit(a, 2, Seq("data/b.parquet"),
+      Seq("data/a.parquet"), "rewrite")
+    assert(ManifestLog.replayIn(sA, 2).dvsEver.contains(true))
+    assert(ManifestLog.dvsEverThrough(sA, 2))
+    // a checkpoint inherits the bit; checkpoint-seeded replays stay
+    // exact (versions ≤ the checkpoint need no manifest reads at all)
+    ManifestLog.writeCheckpoint(a, 2)
+    ManifestLog.commit(a, 3, Seq("data/c.parquet"), Seq.empty, "append")
+    assert(ManifestLog.replayIn(sA, 3).dvsEver.contains(true))
+    assert(ManifestLog.replayIn(sA, 3).dvsEver.contains(
+      ManifestLog.dvsEverThrough(sA, 3)))
+    // forged legacy log: cv2 carries the only dv evidence, cv3 is
+    // clean and bitless, manifest v4 clean → the cv3-seeded replay is
+    // honestly UNDECIDED (None), never a baked false 0
+    val b = freshRoot(); val sB = ManifestLog.storeFor(b)
+    sB.publish(f"${2L}%020d.checkpoint.json",
+      """{"version":2,"files":["data/f.parquet"],"stats":[],""" +
+        """"colstats":[],"blooms":[],"txns":[],""" +
+        """"dvs":["data/f.parquet|ext/f.dv|3"],"schema":[],""" +
+        """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
+    sB.publish(f"${3L}%020d.checkpoint.json",
+      """{"version":3,"files":["data/g.parquet"],"stats":[],""" +
+        """"colstats":[],"blooms":[],"txns":[],"dvs":[],"schema":[],""" +
+        """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
+    sB.publish(f"${4L}%020d.json",
+      """{"version":4,"adds":["data/h.parquet"],"removes":[],""" +
+        """"op":["append"]}""")
+    assert(ManifestLog.replayIn(sB, 4).dvsEver.isEmpty,
+      "a legacy-seeded replay must stay undecided, not guess")
+    // the writer's fallback reproduces the full surviving-metadata
+    // scan, so the NEW checkpoint bakes the RIGHT bit
+    ManifestLog.writeCheckpointIn(sB, 4)
+    assert(sB.read(f"${4L}%020d.checkpoint.json").contains(
+      """"dvsever":["1"]"""),
+      "the legacy fallback must find the earlier checkpoint's dv ref")
+    assert(ManifestLog.replayIn(sB, 4).dvsEver.contains(true))
+    // a legacy checkpoint whose OWN surviving refs prove 'ever' is
+    // decided without any fallback
+    assert(ManifestLog.replayIn(sB, 2).dvsEver.contains(true))
+  }
+
+  test("dvsEverThrough prefers the KB meta sibling for the bit " +
+      "(r20): a bit present only in the sibling is honored — the " +
+      "probe must not require the full checkpoint read, and an " +
+      "r18-era sibling without the bit falls through unchanged") {
+    val root = freshRoot(); val s = ManifestLog.storeFor(root)
+    // legacy-clean checkpoint + sibling carrying the bit (the shape a
+    // partial writer upgrade leaves behind)
+    s.publish(f"${2L}%020d.checkpoint.json",
+      """{"version":2,"files":["data/f.parquet"],"stats":[],""" +
+        """"colstats":[],"blooms":[],"txns":[],"dvs":[],"schema":[],""" +
+        """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
+    s.publish(f"${2L}%020d.checkpoint.meta.json",
+      """{"version":2,"schema":[],"checks":["-"],"dvsever":["1"]}""")
+    assert(ManifestLog.dvsEverThrough(s, 2),
+      "the sibling's bit must be honored")
+    // r18-era sibling WITHOUT the bit: falls through to the full
+    // checkpoint (which here is clean and bitless → fallback → false)
+    val r2 = freshRoot(); val s2 = ManifestLog.storeFor(r2)
+    s2.publish(f"${2L}%020d.checkpoint.json",
+      """{"version":2,"files":["data/f.parquet"],"stats":[],""" +
+        """"colstats":[],"blooms":[],"txns":[],"dvs":[],"schema":[],""" +
+        """"checks":["-"],"at":[],"strstats":[],"nullstats":[]}""")
+    s2.publish(f"${2L}%020d.checkpoint.meta.json",
+      """{"version":2,"schema":[],"checks":["-"]}""")
+    assert(!ManifestLog.dvsEverThrough(s2, 2))
+  }
 }
