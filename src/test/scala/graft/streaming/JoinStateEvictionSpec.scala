@@ -8,16 +8,17 @@ import graft.sources.Readers
 
 /** The r12 verdict #2 pin: stream-stream join WATERMARK EVICTION as
   * measured state metrics, not a docstring. Both exact-join layouts add
-  * a derived hour-bucket equi-key (`EventStream.bucketedJoinSides`) and
-  * the hotkey variant adds a floor-bucket conjunct that
-  * `StreamingJoinHelper` cannot turn into a state-value watermark (the
-  * "Failed to extract state value watermark" WARN in the bench tail —
-  * the `div`-floor term is non-linear, so extraction skips it). The
-  * claim to prove is that the REDUNDANT plain-range conjunct kept
-  * eviction alive: across a multi-batch run with an advancing
-  * watermark, `StreamingQueryProgress.stateOperators` must show
-  * buffered join rows being REMOVED, and the final retained state must
-  * sit well below the run's peak. If eviction were broken the state
+  * a derived hour-bucket equi-key (`EventStream.bucketedJoinSides`).
+  * Since r20 every conjunct of both joins is LINEAR in the watermarked
+  * columns (the hotkey left edge is the strict `b_bts > a_ts − 5 min`,
+  * exactly the old floor bound on the 5-min-aligned b_bts domain), so
+  * `StreamingJoinHelper` must extract the state value watermark
+  * cleanly — the "Failed to extract state value watermark" WARN the
+  * former `div`-floor conjunct logged on every run is pinned ABSENT
+  * here by a log capture, and across a multi-batch run with an
+  * advancing watermark `StreamingQueryProgress.stateOperators` must
+  * show buffered join rows being REMOVED, with the final retained
+  * state well below the run's peak. If eviction were broken the state
   * would be monotone non-decreasing until the final batch — exactly
   * what these assertions reject.
   */
@@ -103,9 +104,39 @@ class JoinStateEvictionSpec extends AnyFunSuite {
         "entire stream at once despite the advancing watermark")
   }
 
-  test("hotkey join: eviction survives the non-extractable conjunct") {
-    val (df, progress) = EventStream
-      .streamStreamJoinHotkeyDrainedWithProgress(spark, multiFileDir, Some(1))
+  test("hotkey join: every conjunct is watermark-extractable (r20) — " +
+      "no StreamingJoinHelper WARN, state evicts, output unchanged") {
+    // capture WARN-level events for the duration of the drained run:
+    // the pre-r20 floor conjunct logged 'Failed to extract state
+    // value watermark' at EVERY micro-batch plan, so an empty capture
+    // across a 4-batch run proves extraction now succeeds
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val appender = new org.apache.logging.log4j.core.appender
+        .AbstractAppender("graft-warn-capture", null, null, false,
+          Array.empty) {
+      override def append(
+          e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender,
+      org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    val (df, progress) =
+      try EventStream.streamStreamJoinHotkeyDrainedWithProgress(
+        spark, multiFileDir, Some(1))
+      finally {
+        rootCfg.removeAppender("graft-warn-capture")
+        ctx.updateLoggers()
+        appender.stop()
+      }
+    val warns = captured.toArray(Array.empty[String])
+      .filter(_.contains("Failed to extract state value watermark"))
+    assert(warns.isEmpty,
+      s"state-watermark extraction still fails: ${warns.headOption}")
     val multi = df.orderBy("user_id", "signup_id", "purchase_bucket_us")
       .collect().map(_.toSeq).toSeq
     val single = EventStream
@@ -118,11 +149,14 @@ class JoinStateEvictionSpec extends AnyFunSuite {
 
     val (peak, fin, removed, batches) = joinStateStats(progress)
     assert(batches >= 4, s"expected >= 4 micro-batches, got $batches")
-    assert(removed > 0,
-      "hotkey join state never evicted - the StreamingJoinHelper WARN " +
-        "would then be a real leak, not a skipped redundant conjunct")
+    assert(removed > 0, "hotkey join state never evicted")
     assert(fin < peak,
       s"final state $fin !< peak $peak - state never drained")
+    // with extraction working on every conjunct the plateau is what
+    // the window implies: a small tail of the horizon, not the bulk
+    assert(fin < peak / 2,
+      s"final state $fin >= half of peak $peak - the extracted " +
+        "horizon is not evicting at what the condition implies")
     // the watermarked dedup feeding the join must also stay bounded
     val dedupRemoved = progress.flatMap(_.stateOperators)
       .filter(_.operatorName.toLowerCase.contains("dedup"))
