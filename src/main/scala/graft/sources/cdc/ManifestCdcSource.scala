@@ -118,7 +118,7 @@ private[cdc] object ManifestCdc {
         val declared = StructType.fromDDL(ddl)
         declared.fields.foreach(f => require(okType(f.dataType),
           s"manifest CDC source supports flat primitive, " +
-            s"array-of-primitive and flat struct-of-primitive " +
+            s"array-of-primitive/struct and flat struct-of-primitive " +
             s"columns; declared schema carries ${f.name}: ${f.dataType}"))
         StructType(declared.fields.toSeq :+
           StructField("_commit_version", LongType, nullable = false))
@@ -146,6 +146,10 @@ private[cdc] object ManifestCdc {
       dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType
         | BooleanType | StringType => true
+    // r20: + LIST of flat struct (token spans, chat turns); deeper
+    // nesting and MAP stay out — loud, not silent
+    case org.apache.spark.sql.types.ArrayType(est: StructType, _) =>
+      est.fields.forall(f => okPrim(f.dataType))
     case org.apache.spark.sql.types.ArrayType(et, _) => okPrim(et)
     case st: StructType => st.fields.forall(f => okPrim(f.dataType))
     case _ => false
@@ -175,19 +179,43 @@ private[cdc] object ManifestCdc {
     !f.isPrimitive && f.asGroupType().getLogicalTypeAnnotation ==
       org.apache.parquet.schema.LogicalTypeAnnotation.listType()
 
-  /** The single primitive element of a standard 3-level LIST group —
-    * loud on anything else (maps, legacy 2-level lists). */
-  private[cdc] def listElementOf(
-      f: org.apache.parquet.schema.Type): PrimitiveType = {
+  /** The element of a standard 3-level LIST group — a primitive or
+    * (r20) a plain un-annotated group of non-REPEATED primitives (the
+    * ARRAY<STRUCT<primitives>> shape) — loud on anything else (maps,
+    * legacy 2-level lists, nested lists, deeper struct nesting). */
+  private[cdc] def listElementTypeOf(f: org.apache.parquet.schema.Type)
+      : org.apache.parquet.schema.Type = {
+    import org.apache.parquet.schema.Type.Repetition
     val g = f.asGroupType()
     require(isList(f) &&
         g.getFieldCount == 1 && !g.getType(0).isPrimitive &&
-        g.getType(0).asGroupType().getFieldCount == 1 &&
-        g.getType(0).asGroupType().getType(0).isPrimitive,
+        g.getType(0).asGroupType().getFieldCount == 1,
       s"manifest CDC source supports flat primitive, standard " +
-        s"LIST-of-primitive and flat STRUCT-of-primitive columns; " +
-        s"got $f")
-    g.getType(0).asGroupType().getType(0).asPrimitiveType()
+        s"LIST-of-primitive/struct and flat STRUCT-of-primitive " +
+        s"columns; got $f")
+    val el = g.getType(0).asGroupType().getType(0)
+    require(el.getRepetition != Repetition.REPEATED &&
+        (el.isPrimitive ||
+          (el.asGroupType().getLogicalTypeAnnotation == null &&
+            (0 until el.asGroupType().getFieldCount).forall(j =>
+              el.asGroupType().getType(j).isPrimitive &&
+                el.asGroupType().getType(j).getRepetition !=
+                  Repetition.REPEATED))),
+      s"manifest CDC source supports flat primitive, standard " +
+        s"LIST-of-primitive/struct and flat STRUCT-of-primitive " +
+        s"columns; got $f")
+    el
+  }
+
+  /** The single PRIMITIVE element of a standard 3-level LIST group —
+    * loud on anything else (maps, legacy 2-level lists, struct
+    * elements — callers that accept those use listElementTypeOf). */
+  private[cdc] def listElementOf(
+      f: org.apache.parquet.schema.Type): PrimitiveType = {
+    val el = listElementTypeOf(f)
+    require(el.isPrimitive,
+      s"expected a primitive LIST element; got $f")
+    el.asPrimitiveType()
   }
 
   /** A plain (non-LIST) group of primitives → its fields (r19 struct
@@ -215,8 +243,14 @@ private[cdc] object ManifestCdc {
       val dt =
         if (f.isPrimitive) primType(f.asPrimitiveType())
         else if (isList(f)) {
-          val el = listElementOf(f)
-          org.apache.spark.sql.types.ArrayType(primType(el),
+          val el = listElementTypeOf(f)
+          val edt =
+            if (el.isPrimitive) primType(el.asPrimitiveType())
+            else StructType(structFieldsOf(el).map(p =>
+              StructField(p.getName, primType(p),
+                nullable = p.getRepetition !=
+                  org.apache.parquet.schema.Type.Repetition.REQUIRED)))
+          org.apache.spark.sql.types.ArrayType(edt,
             containsNull = el.getRepetition !=
               org.apache.parquet.schema.Type.Repetition.REQUIRED)
         } else StructType(structFieldsOf(f).map(p =>
@@ -510,6 +544,11 @@ private[cdc] class CdcColumnarReader(absPath: String, version: Long,
   override def close(): Unit = reader.close()
 }
 
+/** colShape marker for a LIST column whose elements are flat structs
+  * (r20): the element group's field types in order. */
+private[cdc] case class CdcListOfStruct(
+    fts: Array[PrimitiveType.PrimitiveTypeName])
+
 /** Plain row-by-row Group decoding of one added parquet file — the
   * miniature source's executor-side reader (no vectorization, no
   * pruning; those belong to the real parquet scan — the point here is
@@ -545,13 +584,18 @@ private[cdc] class CdcPartitionReader(absPath: String, version: Long,
 
   // per-column decode shape, resolved once (not per row): null = a
   // primitive column; a bare PrimitiveTypeName = a LIST's element
-  // type; an Array of them = a flat struct's field types (r19)
+  // type; an Array of them = a flat struct's field types (r19);
+  // a ListOfStruct = a LIST whose elements are flat structs (r20)
   private val colShape: Array[AnyRef] =
     (0 until n).map[AnyRef] { i =>
       val f = msg.getType(i)
       if (f.isPrimitive) null
-      else if (ManifestCdc.isList(f))
-        ManifestCdc.listElementOf(f).getPrimitiveTypeName
+      else if (ManifestCdc.isList(f)) {
+        val el = ManifestCdc.listElementTypeOf(f)
+        if (el.isPrimitive) el.asPrimitiveType().getPrimitiveTypeName
+        else CdcListOfStruct(ManifestCdc.structFieldsOf(el)
+          .map(_.getPrimitiveTypeName).toArray)
+      }
       else ManifestCdc.structFieldsOf(f)
         .map(_.getPrimitiveTypeName).toArray
     }.toArray
@@ -593,6 +637,33 @@ private[cdc] class CdcPartitionReader(absPath: String, version: Long,
               arr(j) =
                 if (e.getFieldRepetitionCount(0) == 0) null
                 else primAt(e, 0, el)
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+          case CdcListOfStruct(fts) =>
+            // LIST of flat struct (r20): a "list" entry with no
+            // "element" group is a null element; absent struct slots
+            // are null fields — the same contract as the flat cases
+            val lg = current.getGroup(i, 0)
+            val m = lg.getFieldRepetitionCount(0)
+            val arr = new Array[Any](m)
+            var j = 0
+            while (j < m) {
+              val e = lg.getGroup(0, j)
+              arr(j) =
+                if (e.getFieldRepetitionCount(0) == 0) null
+                else {
+                  val sg = e.getGroup(0, 0)
+                  val sv = new Array[Any](fts.length)
+                  var k = 0
+                  while (k < fts.length) {
+                    sv(k) =
+                      if (sg.getFieldRepetitionCount(k) == 0) null
+                      else primAt(sg, k, fts(k))
+                    k += 1
+                  }
+                  new GenericInternalRow(sv)
+                }
               j += 1
             }
             new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)

@@ -145,6 +145,31 @@ class PlanSpec extends AnyFunSuite {
       "every embedding file must commit scalar vec_id stats")
   }
 
+  test("pruned IVF ANN reads ONLY the probed cells' files (r20; the " +
+      "r19 verdict's top next item): the corpus scan's file count is " +
+      "strictly below the table's committed live set — vector search " +
+      "over the manifest table no longer full-scans per query batch") {
+    val df = Registry.byName("lake_embeddings_ann_pruned").run(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val manifestScan = scans.find(
+      _.relation.location.isInstanceOf[graft.sources.ManifestFileIndex])
+      .getOrElse(fail("no manifest scan in lake_embeddings_ann_pruned"))
+    val pruned = manifestScan.selectedPartitions.totalNumberOfFiles
+    val root = queries.EmbeddingTableQueries.embIvfRoot(spark, dir)
+    val total = graft.sources.ManifestLog.filesAsOf(root,
+      graft.sources.ManifestLog.latestVersion(root).get).size
+    assert(pruned < total,
+      s"probed cells must prune the corpus files: read $pruned of $total")
+    // and the committed layout actually clusters: every file carries
+    // cell stats for the prune to act on
+    val cs = graft.sources.ManifestLog.colStatsAsOf(root,
+      graft.sources.ManifestLog.latestVersion(root).get)
+    assert(cs.nonEmpty && cs.values.forall(_.contains("cell")),
+      "every IVF file must commit scalar cell stats")
+  }
+
   test("null-count skipping prunes IS NOT NULL to the null-free " +
       "files at planning time (file-count pin, r18)") {
     val df = Registry.byName("lake_skipping_nulls").run(spark, dir)

@@ -756,6 +756,97 @@ class ManifestLogSpec extends AnyFunSuite {
       s"fmt-2 long bloom should still prune: $hit")
   }
 
+  test("retagBlooms (r20; r19 verdict next-8 #7): a forged pre-fmt " +
+      "log regains its bloom prunes after the explicit retag — long " +
+      "colStats retag a long fold, a parquet footer retags a string " +
+      "fold, undecidable refs stay quarantined, and the quarantine " +
+      "semantics WITHOUT the op are unchanged") {
+    val root = freshRoot()
+    val m = 1024; val k = 4
+    def sidecar(rel: String, keys: Iterator[Long]): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, FileBloom.build(keys, m, k))
+    }
+    // a: string-keyed legacy bloom, NO stats — only the file's own
+    //    footer can prove the key type (the data-pass evidence)
+    sidecar("data/v0/a.bloom",
+      Seq("x1", "x2").iterator.map(FileBloom.strKey))
+    // b: long-keyed legacy bloom WITH long colStats (metadata evidence)
+    sidecar("data/v0/b.bloom", Seq(7L, 8L).iterator)
+    // u: legacy bloom with no stats and no readable file — undecidable
+    sidecar("data/v0/u.bloom", Seq(1L).iterator)
+    // the real a.parquet: one BINARY(STRING) `code` column, so the
+    // footer decides string keys
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val msg: MessageType = new MessageType("m",
+        Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+          .named("code"))
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(s"$root/data/v0/a.parquet"))
+        .withType(msg).build()
+      val g = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(msg).newGroup()
+      g.add(0, "x1")
+      w.write(g); w.close()
+    }
+    val store = ManifestLog.storeFor(root)
+    store.publish(f"${0L}%020d.json",
+      """{"version":0,"op":"write","adds":["data/v0/a.parquet",""" +
+        """"data/v0/b.parquet","data/v0/u.parquet"],"removes":[],""" +
+        """"stats":[],"colstats":["data/v0/b.parquet|id|0|9"],""" +
+        """"blooms":["data/v0/a.parquet|code|data/v0/a.bloom|1024|4",""" +
+        """"data/v0/b.parquet|id|data/v0/b.bloom|1024|4",""" +
+        """"data/v0/u.parquet|zz|data/v0/u.bloom|1024|4"],"txn":[],""" +
+        """"dvs":[],"at":[],"schema":[],"checks":[],"strstats":[],""" +
+        """"nullstats":[]}""")
+    // BEFORE the op: the r19 quarantine — a and u are must-read on
+    // long probes, a's STRING probe cannot prune (untyped = str false)
+    assert(ManifestLog.filesMatchingPoint(root, 0, "code", 42L)
+      .contains("data/v0/a.parquet"))
+    assert(ManifestLog.filesMatchingStrPoint(root, 0, "code", "zz")
+      .contains("data/v0/a.parquet"),
+      "an untyped ref must not answer string probes either")
+    val n = ManifestLog.retagBlooms(root)
+    assert(n == 2, s"expected 2 retagged refs (a, b), got $n")
+    val v = ManifestLog.latestVersion(root).get
+    val refs = ManifestLog.bloomsAsOf(root, v)
+    assert(refs("data/v0/a.parquet")("code") ==
+      ManifestLog.BloomRef("code", "data/v0/a.bloom", m, k, str = true),
+      s"footer evidence must retag a string fold: $refs")
+    assert(refs("data/v0/b.parquet")("id") ==
+      ManifestLog.BloomRef("id", "data/v0/b.bloom", m, k),
+      s"colStats evidence must retag a long fold: $refs")
+    assert(refs("data/v0/u.parquet")("zz").legacy,
+      "an undecidable ref must stay quarantined")
+    // AFTER: a's string probe PRUNES absent values, keeps present
+    // ones, and long probes on it stay conservatively must-read
+    assert(!ManifestLog.filesMatchingStrPoint(root, v, "code", "zz")
+      .contains("data/v0/a.parquet"),
+      "the retagged string bloom must prune")
+    assert(ManifestLog.filesMatchingStrPoint(root, v, "code", "x1")
+      .contains("data/v0/a.parquet"), "no false negatives")
+    assert(ManifestLog.filesMatchingPoint(root, v, "code", 42L)
+      .contains("data/v0/a.parquet"),
+      "a string bloom can never answer a long probe")
+    // b prunes as a first-class fmt-2 long bloom
+    assert(!ManifestLog.filesMatchingKeysIn(store, root, v, "id",
+      Seq(3L)).contains("data/v0/b.parquet"))
+    assert(ManifestLog.filesMatchingKeysIn(store, root, v, "id",
+      Seq(7L)).contains("data/v0/b.parquet"))
+    // u stays must-read on every path
+    assert(ManifestLog.filesMatchingPoint(root, v, "zz", 42L)
+      .contains("data/v0/u.parquet"))
+    // WITHOUT the op (reads at v0) the quarantine is untouched
+    assert(ManifestLog.filesMatchingPoint(root, 0, "code", 42L)
+      .contains("data/v0/a.parquet"))
+    // idempotent: nothing left to retag, no new commit
+    assert(ManifestLog.retagBlooms(root) == 0 &&
+      ManifestLog.latestVersion(root).contains(v))
+  }
+
   test("dvsEverThrough's legacy fallback reproduces the FULL " +
       "surviving-metadata scan (r19 review finding): an EARLIER " +
       "legacy checkpoint still carrying a dv ref sets the bit even " +

@@ -62,6 +62,50 @@ class CdcRowReaderSpec extends AnyFunSuite {
       s"row-reader decode diverged: $got")
   }
 
+  test("row reader decodes LIST-of-STRUCT columns (r20): values, " +
+      "empty array, NULL array, null element and null FIELD — the " +
+      "token-span shape through the fallback path") {
+    import spark.implicits._
+    val root = graft.TempDirs.deleteOnExit(java.nio.file.Files
+      .createTempDirectory("graft_cdc_los")).toString
+    val rows: Seq[(Long, Seq[(java.lang.Long, String)])] = Seq(
+      (1L, Seq((java.lang.Long.valueOf(0L), "s0"),
+        (java.lang.Long.valueOf(10L), null))),
+      (2L, Seq.empty),
+      (3L, null),
+      (4L, Seq(null, (java.lang.Long.valueOf(5L), "s5"))))
+    SinglePassWriter.writeFiles(
+      rows.toDF("id", "spans").orderBy("id").coalesce(1),
+      root, "data/v0")
+    val abs = new java.io.File(root, "data/v0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val r = new CdcPartitionReader(abs, version = 9L, padCount = 0,
+      expectWidth = 2)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    while (r.next()) {
+      val row = r.get()
+      val spans =
+        if (row.isNullAt(1)) null
+        else {
+          val a = row.getArray(1)
+          (0 until a.numElements()).map(j =>
+            if (a.isNullAt(j)) "null"
+            else {
+              val s = a.getStruct(j, 2)
+              (if (s.isNullAt(0)) "-" else s.getLong(0).toString) +
+                "|" + (if (s.isNullAt(1)) "-"
+                  else s.getUTF8String(1).toString)
+            }).mkString(",")
+        }
+      got += ((row.getLong(0), spans, row.getLong(2)))
+    }
+    r.close()
+    assert(got.toList == List((1L, "0|s0,10|-", 9L), (2L, "", 9L),
+      (3L, null, 9L), (4L, "null,5|s5", 9L)),
+      s"list-of-struct row decode diverged: $got")
+  }
+
   test("non-annotated REPEATED shapes refuse loudly (r19 review " +
       "finding): a protobuf-style 2-level list would decode as a " +
       "'struct' keeping only the first repetition — silent data loss") {
