@@ -361,7 +361,14 @@ object EmbeddingTableQueries {
           .select(col("vec_id"), col("embedding"), col("label"),
             col("cell"))
           .repartitionByRange(16, col("cell"), col("vec_id")),
-        root, "data/ivf", statsCols = Seq("cell", "vec_id"))
+        root, "data/ivf", statsCols = Seq("cell", "vec_id"),
+        // the vec_id BLOOM serves point fetches on the UNclustered
+        // key: cell-clustered files span the whole vec_id domain, so
+        // [min, max] stats cannot answer "which files hold queries
+        // 0..3" — the bloom prunes that lookup to the queries' own
+        // few files (r20; without it the query fetch decoded the
+        // whole corpus' arrays for 4 rows)
+        bloomCol = Some("vec_id"))
       cent.coalesce(1).write.mode("overwrite")
         .parquet(s"$root/aux_centroids")
     }
@@ -481,24 +488,38 @@ object EmbeddingTableQueries {
     run = (s, dir) => {
       val root = embIvfRoot(s, dir)
       val v = ManifestLog.latestVersion(root).get
-      val qRaw = table(s, dir, "embeddings").filter(col("vec_id") < 4)
+      // the query batch is fetched from the manifest table itself
+      // through the vec_id BLOOM point-prune (the cell clustering
+      // leaves vec_id stats unable to answer a point fetch): only the
+      // files that might hold vec_id 0..3 are decoded — both sides of
+      // the search are manifest-planned
+      val qRaw = ManifestLog.readVersionKeys(s, root, v, "vec_id",
+          s.range(0, 4).toDF("vec_id"))
+        .filter(col("vec_id") < 4)
       val cent = s.read.parquet(s"$root/aux_centroids")
-      val probes = probeCells(s, qRaw, cent, nProbe = 2)
+      // the query side — (query_id, probed cell, prepared vector) —
+      // is nQueries x nProbe rows; materialize it ONCE
+      // (localCheckpoint, the registry's tiny-reused-frame
+      // convention): it feeds both the prune's key set and the
+      // candidate join, and without the cut each consumer re-scans
+      // the raw corpus for the 4 query rows (measured 3x the query's
+      // whole warm cost at the 100x rung)
+      val qp = probeCells(s, qRaw, cent, nProbe = 2)
+        .join(VectorOps.prepared(qRaw, "vec_id", "embedding")
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn")),
+          "query_id")
+        .localCheckpoint(true)
       // THE PRUNED SCAN: the probed cell set prunes the corpus files
       // through the committed per-file cell stats (dynamic file
       // pruning; exact membership is re-applied at the join below, so
       // a false-positive file costs IO, never correctness)
       val corpus = ManifestLog.readVersionKeys(s, root, v, "cell",
-        probes.select("cell"))
+        qp.select("cell"))
       val pv = corpus.select(col("vec_id").as("neighbor_id"),
           col("cell"), VectorOps.asDouble(col("embedding")).as("cv"))
         .withColumn("cn", VectorOps.l2norm(col("cv")))
         .filter(col("cn") > 0 && col("cn") < Double.PositiveInfinity)
-      val qp = probes.join(
-        VectorOps.prepared(qRaw, "vec_id", "embedding")
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qn")),
-        "query_id")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       pv.join(broadcast(qp), Seq("cell"))

@@ -55,11 +55,15 @@ println(s"PROBE10M commits: total ${totalCommitMs} ms for $nVersions " +
   s"commits (${totalCommitMs / nVersions} ms/commit); first-100 " +
   s"${earlyMs / 100} ms/commit, last-100 ${lateMs / 100} ms/commit")
 
-val (files, replayMs) = ms { ManifestLog.filesAsOfIn(store, nVersions) }
-println(s"PROBE10M replay: filesAsOf($nVersions) = ${files.size} files " +
+// keep only SIZES across steps: retaining three full 10M-entry
+// replays inflates every later step with GC pressure (first-run
+// artifact: the via-ckpt replay read 173 s contended/retained, then
+// 25.7 s clean post-expire on the same path)
+val (nF, replayMs) = ms { ManifestLog.filesAsOfIn(store, nVersions).size }
+println(s"PROBE10M replay: filesAsOf($nVersions) = ${nF} files " +
   s"in ${replayMs} ms")
-val (files2, replay2Ms) = ms { ManifestLog.filesAsOfIn(store, nVersions) }
-println(s"PROBE10M replay(2nd): ${replay2Ms} ms (${files2.size} files)")
+val (nF2, replay2Ms) = ms { ManifestLog.filesAsOfIn(store, nVersions).size }
+println(s"PROBE10M replay(2nd): ${replay2Ms} ms (${nF2} files)")
 
 val (_, ckptMs) = ms { ManifestLog.writeCheckpointIn(store, nVersions.toLong) }
 val ckptBytes = java.nio.file.Files.size(java.nio.file.Paths.get(
@@ -70,10 +74,10 @@ val pqBytes = if (java.nio.file.Files.exists(pqPath))
   java.nio.file.Files.size(pqPath) else 0L
 println(s"PROBE10M checkpoint: write ${ckptMs} ms, " +
   s"json ${ckptBytes} B + sidecar ${pqBytes / 1048576} MiB " +
-  s"(${pqBytes} B) at ${files.size} files")
-val (filesPq, replayPqMs) = ms { ManifestLog.filesAsOfIn(store, nVersions) }
+  s"(${pqBytes} B) at ${nF} files")
+val (nFpq, replayPqMs) = ms { ManifestLog.filesAsOfIn(store, nVersions).size }
 println(s"PROBE10M replay(via columnar ckpt): ${replayPqMs} ms " +
-  s"(${filesPq.size} files)")
+  s"(${nFpq} files)")
 
 val (tsV, tsMs) = ms {
   ManifestLog.versionAtTimestampIn(store, 1700000000000L + 9500L * 1000L)
@@ -87,10 +91,10 @@ val (expired, expMs) = ms {
   ManifestLog.expireVersionsBefore(root, nVersions - 500L)
 }
 println(s"PROBE10M expire: ${expired.size} versions expired in ${expMs} ms")
-val (files3, replay3Ms) = ms {
-  ManifestLog.filesAsOfIn(store, nVersions.toLong)
+val (nF3, replay3Ms) = ms {
+  ManifestLog.filesAsOfIn(store, nVersions.toLong).size
 }
-println(s"PROBE10M replay(post-expire): ${replay3Ms} ms (${files3.size} files)")
+println(s"PROBE10M replay(post-expire): ${replay3Ms} ms (${nF3} files)")
 
 val logCount = java.nio.file.Files.list(
   java.nio.file.Paths.get(root, "_log")).count()
