@@ -341,7 +341,10 @@ object EmbeddingTableQueries {
     * trained centroids land beside the table as plain parquet index
     * metadata (the Faiss-header role — k tiny (n, Σq) rows, not a
     * governed table). Training is the integer-exact Lloyd of
-    * ops/KMeans (k=8, 2 rounds, first-k seed), so DuckDB replays
+    * ops/KMeans (k=16 — NOT the pipeline_* family's k=8: 16 cells
+    * keep the 4-query probe set well under the cell count so the
+    * prune has room to drop files, and the oracle's c0 seed
+    * hard-codes the same 16 — 2 rounds, first-k seed), so DuckDB replays
     * cells, probes and candidates bit for bit. */
   def embIvfRoot(s: SparkSession, dir: String): String =
     graft.TempDirs.cachedDir("graft_embivf", dir) { root =>

@@ -395,7 +395,13 @@ object ManifestLog {
     // blooms may also target files that are ALREADY LIVE (r20: the
     // retagBlooms maintenance op re-declares a live file's ref set
     // with corrected key-type tags — same precedent as dvs); a bloom
-    // for a file this commit removes would be dead on arrival
+    // for a file this commit removes would be dead on arrival.
+    // LIVENESS of a non-add target is the CALLER's contract (checking
+    // it here would cost the full replay the r18 gate work removed):
+    // a ref for a dead/unknown path is INERT — never consulted by a
+    // scan, dropped by the next checkpoint's files-major fold — so
+    // the failure mode is lost metadata, never wrong results.
+    // retagBlooms derives its targets from the replay's own live set.
     require(blooms.forall { case (f, bs) =>
       flatSafe(f) && !removes.contains(f) && bs.forall { case (c, r) =>
         flatSafe(c) && flatSafe(r.sidecar) && r.m > 0 &&

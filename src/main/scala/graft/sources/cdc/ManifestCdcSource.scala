@@ -585,20 +585,26 @@ private[cdc] class CdcPartitionReader(absPath: String, version: Long,
   // per-column decode shape, resolved once (not per row): null = a
   // primitive column; a bare PrimitiveTypeName = a LIST's element
   // type; an Array of them = a flat struct's field types (r19);
-  // a ListOfStruct = a LIST whose elements are flat structs (r20)
+  // a ListOfStruct = a LIST whose elements are flat structs (r20).
+  // Shape resolution can THROW on an unsupported column (MAP, nested
+  // list, repeated field) — close the open reader first, like the
+  // width gate above (r20 review finding: the close-before-throw fix
+  // missed this third throwing initializer)
   private val colShape: Array[AnyRef] =
-    (0 until n).map[AnyRef] { i =>
-      val f = msg.getType(i)
-      if (f.isPrimitive) null
-      else if (ManifestCdc.isList(f)) {
-        val el = ManifestCdc.listElementTypeOf(f)
-        if (el.isPrimitive) el.asPrimitiveType().getPrimitiveTypeName
-        else CdcListOfStruct(ManifestCdc.structFieldsOf(el)
-          .map(_.getPrimitiveTypeName).toArray)
-      }
-      else ManifestCdc.structFieldsOf(f)
-        .map(_.getPrimitiveTypeName).toArray
-    }.toArray
+    try {
+      (0 until n).map[AnyRef] { i =>
+        val f = msg.getType(i)
+        if (f.isPrimitive) null
+        else if (ManifestCdc.isList(f)) {
+          val el = ManifestCdc.listElementTypeOf(f)
+          if (el.isPrimitive) el.asPrimitiveType().getPrimitiveTypeName
+          else CdcListOfStruct(ManifestCdc.structFieldsOf(el)
+            .map(_.getPrimitiveTypeName).toArray)
+        }
+        else ManifestCdc.structFieldsOf(f)
+          .map(_.getPrimitiveTypeName).toArray
+      }.toArray
+    } catch { case t: Throwable => reader.close(); throw t }
 
   private def primAt(g: Group, i: Int,
       t: PrimitiveType.PrimitiveTypeName): Any = t match {
