@@ -232,6 +232,55 @@ class ManifestChangeImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("replicateTo mirrors an ARRAY<STRUCT> table (r20): the image " +
+      "feed packs the nested payload, the mirror re-lands through " +
+      "the writer's LIST-of-group binding, and a COW update " +
+      "round-trips every span — empty arrays, null elements and " +
+      "null fields included") {
+    import spark.implicits._
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_los_repl_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_los_repl_dst").toString
+    def land(sub: String,
+        rows: Seq[(Long, Seq[(java.lang.Long, String)])]): Seq[String] = {
+      rows.toDF("doc_id", "spans").coalesce(1)
+        .write.parquet(s"$src/$sub")
+      ManifestLog.partFiles(src, sub)
+    }
+    val f0 = land("data/v0", Seq(
+      (1L, Seq[(java.lang.Long, String)]((java.lang.Long.valueOf(0L), "s0"), (java.lang.Long.valueOf(10L), null))),
+      (2L, Seq.empty[(java.lang.Long, String)]),
+      (3L, null),
+      (4L, Seq[(java.lang.Long, String)](null, (java.lang.Long.valueOf(5L), "s5")))))
+    ManifestLog.commit(src, 0, f0, Seq.empty, "write")
+    ManifestLog.replicateTo(spark, src, dst, keys = Seq("doc_id"))
+    // COW update: doc 4 gains a span, doc 2 stays empty
+    val f1 = land("data/v1", Seq(
+      (1L, Seq[(java.lang.Long, String)]((java.lang.Long.valueOf(0L), "s0"), (java.lang.Long.valueOf(10L), null))),
+      (2L, Seq.empty[(java.lang.Long, String)]),
+      (3L, null),
+      (4L, Seq[(java.lang.Long, String)](null, (java.lang.Long.valueOf(5L), "s5"), (java.lang.Long.valueOf(7L), "s7")))))
+    ManifestLog.commit(src, 1, f1, f0, "rewrite")
+    ManifestLog.replicateTo(spark, src, dst, keys = Seq("doc_id"))
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.select("doc_id", "spans").collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) null
+          else r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+            if (e == null) "null"
+            else (if (e.isNullAt(0)) "-" else e.getLong(0).toString) +
+              "|" + (if (e.isNullAt(1)) "-" else e.getString(1)))
+            .mkString(","))
+      }.sortBy(_._1).toSeq
+    val mir = shape(ManifestLog.readVersion(spark, dst,
+      ManifestLog.latestVersion(dst).get))
+    val want = shape(ManifestLog.readVersion(spark, src, 1))
+    assert(mir == want && mir == Seq((1L, "0|s0,10|-"), (2L, ""),
+      (3L, null), (4L, "null,5|s5,7|s7")),
+      s"nested replica diverged: $mir vs $want")
+  }
+
   test("replicateTo prunes the mirror fold to key-intersecting files " +
       "(r17): an untouched-key sync rewrites ZERO files, and a " +
       "metadata-only source range still advances the cursor") {
