@@ -66,11 +66,15 @@ object KMeans {
     cent
   }
 
-  /** Argmin assignment of every point to its nearest centroid:
-    * dist = Σ(n·x − s)² / n² with ties broken by lowest cid. `min_by`
-    * over a (dist, cid) struct keeps the argmin partially-aggregable —
-    * no window sort, map-side combine does the k-way comparison. */
-  def assign(points: DataFrame, centroids: DataFrame): DataFrame =
+  /** The (point × centroid) frame with the EXACT scaled-integer
+    * distance — the ONE definition of Σ(n·x − s)²/n² every consumer
+    * ranks by: [[assign]] takes the argmin, the pruned-ANN probe
+    * (EmbeddingTableQueries.probeCells) takes rank ≤ nProbe, and the
+    * DuckDB oracles replay the identical arithmetic. Extracted (r20
+    * second review pass) so the two Spark copies cannot silently
+    * desynchronize from each other or from the committed cells. */
+  def centroidDistances(points: DataFrame,
+      centroids: DataFrame): DataFrame =
     points.crossJoin(broadcast(centroids))
       .withColumn("a",
         aggregate(
@@ -79,6 +83,13 @@ object KMeans {
           lit(0L), (acc, v) => acc + v))
       .withColumn("dist",
         col("a").cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
+
+  /** Argmin assignment of every point to its nearest centroid:
+    * dist = Σ(n·x − s)² / n² with ties broken by lowest cid. `min_by`
+    * over a (dist, cid) struct keeps the argmin partially-aggregable —
+    * no window sort, map-side combine does the k-way comparison. */
+  def assign(points: DataFrame, centroids: DataFrame): DataFrame =
+    centroidDistances(points, centroids)
       .groupBy("vec_id")
       .agg(min_by(struct(col("cid"), col("q")),
         struct(col("dist"), col("cid"))).as("best"))

@@ -377,20 +377,17 @@ object EmbeddingTableQueries {
     }
 
   /** Cells probed per query: the nProbe nearest trained centroids by
-    * the exact scaled integer distance Σ(q·n − s)²/n², ties on cid —
-    * the same arithmetic KMeans.assign ranks with, so the oracle
-    * replays the probe exactly. */
+    * the exact scaled integer distance, ties on cid — rank ≤ nProbe
+    * over [[graft.ops.KMeans.centroidDistances]], the SAME shared
+    * arithmetic KMeans.assign argmins (rank 1 of this ordering), so
+    * the probe can never desynchronize from the committed cells and
+    * the oracle replays it exactly. */
   private def probeCells(s: SparkSession, queries: DataFrame,
       centroids: DataFrame, nProbe: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cid"))
-    graft.ops.KMeans.quantize(queries).crossJoin(broadcast(centroids))
-      .withColumn("a", aggregate(
-        zip_with(col("q"), col("sv"),
-          (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("dist", col("a").cast(DoubleType) /
-        (col("n") * col("n")).cast(DoubleType))
+    graft.ops.KMeans.centroidDistances(
+        graft.ops.KMeans.quantize(queries), centroids)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cid").as("cell"))

@@ -392,22 +392,28 @@ object ManifestLog {
     require(colStats.forall { case (f, cs) =>
       adds.contains(f) && cs.keySet.forall(flatSafe) },
       "colstats must describe committed adds with round-trippable columns")
-    // blooms may also target files that are ALREADY LIVE (r20: the
-    // retagBlooms maintenance op re-declares a live file's ref set
-    // with corrected key-type tags — same precedent as dvs); a bloom
-    // for a file this commit removes would be dead on arrival.
-    // LIVENESS of a non-add target is the CALLER's contract (checking
-    // it here would cost the full replay the r18 gate work removed):
-    // a ref for a dead/unknown path is INERT — never consulted by a
-    // scan, dropped by the next checkpoint's files-major fold — so
-    // the failure mode is lost metadata, never wrong results.
-    // retagBlooms derives its targets from the replay's own live set.
+    // a PURE-METADATA commit (no adds, no removes) may target blooms
+    // at files that are ALREADY LIVE (r20: the retagBlooms
+    // maintenance op re-declares a live file's ref set with corrected
+    // key-type tags — same precedent as dvs). Every data-carrying
+    // commit keeps the strict adds-only rule, so a writer whose
+    // bloom map drifts from its adds (a renamed path, a typo) still
+    // fails LOUDLY here instead of committing an inert ref (r20
+    // second review pass). LIVENESS of the metadata-commit targets is
+    // the caller's contract (checking it would cost the full replay
+    // the r18 gate work removed): a ref for a dead path is INERT —
+    // never consulted by a scan, dropped by the next checkpoint's
+    // files-major fold — so the failure mode is lost metadata, never
+    // wrong results. retagBlooms derives its targets from the
+    // replay's own live set.
+    val metadataOnly = adds.isEmpty && removes.isEmpty
     require(blooms.forall { case (f, bs) =>
-      flatSafe(f) && !removes.contains(f) && bs.forall { case (c, r) =>
-        flatSafe(c) && flatSafe(r.sidecar) && r.m > 0 &&
-          (r.m & (r.m - 1)) == 0 && r.k > 0 } },
-      "blooms must describe adds or live files (never removes); " +
-        "round-trippable fields; m a power of two")
+      (adds.contains(f) || (metadataOnly && flatSafe(f))) &&
+        bs.forall { case (c, r) =>
+          flatSafe(c) && flatSafe(r.sidecar) && r.m > 0 &&
+            (r.m & (r.m - 1)) == 0 && r.k > 0 } },
+      "blooms must describe committed adds (or, on a pure-metadata " +
+        "commit, live files); round-trippable fields; m a power of two")
     require(txn.forall { case (app, b) => flatSafe(app) && b >= 0 },
       "txn appId must be round-trippable with a non-negative batchId")
     // dvs target files that are ALREADY LIVE (a merge-on-read delete
@@ -1709,13 +1715,40 @@ object ManifestLog {
             val msg = pr.getFooter.getFileMetaData.getSchema
             (0 until msg.getFieldCount).map(msg.getType)
               .filter(_.isPrimitive).flatMap { t =>
-                t.asPrimitiveType().getPrimitiveTypeName match {
-                  case org.apache.parquet.schema.PrimitiveType
-                      .PrimitiveTypeName.BINARY => Some(t.getName -> true)
-                  case org.apache.parquet.schema.PrimitiveType
-                      .PrimitiveTypeName.INT64 |
-                    org.apache.parquet.schema.PrimitiveType
-                      .PrimitiveTypeName.INT32 => Some(t.getName -> false)
+                // the LOGICAL annotation must corroborate, not just
+                // the physical type (r20 second review pass): a raw
+                // un-annotated BINARY proves nothing about the key
+                // fold — only a STRING column implies the strKey
+                // hash every string-bloom writer used. Long keys
+                // accept the writer's own canonical-image encodings
+                // (plain integers, epoch-day dates, epoch-µs
+                // timestamps); any other annotation (decimal, MILLIS
+                // timestamps, …) stays undecidable → quarantined.
+                import org.apache.parquet.schema.LogicalTypeAnnotation
+                import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                val ann = t.getLogicalTypeAnnotation
+                (t.asPrimitiveType().getPrimitiveTypeName, ann) match {
+                  case (BINARY, a)
+                      if a == LogicalTypeAnnotation.stringType() =>
+                    Some(t.getName -> true)
+                  case (INT64, null) | (INT32, null) =>
+                    Some(t.getName -> false)
+                  case (INT32, a)
+                      if a == LogicalTypeAnnotation.dateType() =>
+                    Some(t.getName -> false)
+                  case (INT64,
+                      a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+                      if a.getUnit ==
+                        LogicalTypeAnnotation.TimeUnit.MICROS =>
+                    Some(t.getName -> false)
+                  case (INT32,
+                      a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                      if a.getBitWidth == 32 && a.isSigned =>
+                    Some(t.getName -> false)
+                  case (INT64,
+                      a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                      if a.getBitWidth == 64 && a.isSigned =>
+                    Some(t.getName -> false)
                   case _ => None
                 }
               }.toMap

@@ -774,8 +774,25 @@ class ManifestLogSpec extends AnyFunSuite {
       Seq("x1", "x2").iterator.map(FileBloom.strKey))
     // b: long-keyed legacy bloom WITH long colStats (metadata evidence)
     sidecar("data/v0/b.bloom", Seq(7L, 8L).iterator)
-    // u: legacy bloom with no stats and no readable file — undecidable
+    // u: legacy bloom whose file EXISTS but carries a raw
+    //    un-annotated BINARY column — the physical type alone proves
+    //    nothing about the key fold (r20 second review pass), so the
+    //    footer pass must refuse to decide and the ref must stay
+    //    quarantined
     sidecar("data/v0/u.bloom", Seq(1L).iterator)
+    locally {
+      import org.apache.parquet.schema.{MessageType, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val msg: MessageType = new MessageType("m",
+        Types.optional(BINARY).named("zz"))
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(s"$root/data/v0/u.parquet"))
+        .withType(msg).build()
+      val g = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(msg).newGroup()
+      g.add(0, "raw-bytes")
+      w.write(g); w.close()
+    }
     // the real a.parquet: one BINARY(STRING) `code` column, so the
     // footer decides string keys
     locally {
@@ -820,7 +837,8 @@ class ManifestLogSpec extends AnyFunSuite {
       ManifestLog.BloomRef("id", "data/v0/b.bloom", m, k),
       s"colStats evidence must retag a long fold: $refs")
     assert(refs("data/v0/u.parquet")("zz").legacy,
-      "an undecidable ref must stay quarantined")
+      "an un-annotated BINARY column must stay quarantined — the " +
+        "physical type alone cannot prove the key fold")
     // AFTER: a's string probe PRUNES absent values, keeps present
     // ones, and long probes on it stay conservatively must-read
     assert(!ManifestLog.filesMatchingStrPoint(root, v, "code", "zz")
