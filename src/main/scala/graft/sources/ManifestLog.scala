@@ -375,9 +375,15 @@ object ManifestLog {
     require((adds ++ removes).forall(flatSafe),
       "committed paths must not contain '|', ',', '\"' or ']' — " +
         "the flat manifest format cannot round-trip them")
+    // membership checks below run against SETS (r20): a 100k-add bulk
+    // commit with per-file colStats used to pay adds.contains — an
+    // O(adds) Seq scan — PER map entry, i.e. 10^10 comparisons; the
+    // probe that found it spent minutes per commit on pure validation
+    val addSet = adds.toSet
+    val removeSet = removes.toSet
     // stats ride as flat "path|min|max" strings so the self-authored
     // parser stays one shape
-    require(stats.keySet.forall(adds.contains),
+    require(stats.keySet.forall(addSet),
       "stats must describe committed adds")
     // the unnamed channel's flat "path|min|max" entries carry no type
     // tag — a dbl-tagged stat committed through it would round-trip
@@ -390,7 +396,7 @@ object ManifestLog {
     // colstats ride as "path|col|min|max"; blooms as
     // "path|col|sidecar|m|k"; txn as "appId|batchId"
     require(colStats.forall { case (f, cs) =>
-      adds.contains(f) && cs.keySet.forall(flatSafe) },
+      addSet(f) && cs.keySet.forall(flatSafe) },
       "colstats must describe committed adds with round-trippable columns")
     // a PURE-METADATA commit (no adds, no removes) may target blooms
     // at files that are ALREADY LIVE (r20: the retagBlooms
@@ -408,7 +414,7 @@ object ManifestLog {
     // replay's own live set.
     val metadataOnly = adds.isEmpty && removes.isEmpty
     require(blooms.forall { case (f, bs) =>
-      (adds.contains(f) || (metadataOnly && flatSafe(f))) &&
+      (addSet(f) || (metadataOnly && flatSafe(f))) &&
         bs.forall { case (c, r) =>
           flatSafe(c) && flatSafe(r.sidecar) && r.m > 0 &&
             (r.m & (r.m - 1)) == 0 && r.k > 0 } },
@@ -421,7 +427,7 @@ object ManifestLog {
     // a dv for a file this same commit removes would be dead on arrival
     require(dvs.forall { case (f, d) =>
       flatSafe(f) && flatSafe(d.sidecar) && d.nDeleted > 0 &&
-        !removes.contains(f) },
+        !removeSet(f) },
       "dvs need round-trippable paths, a positive dead-row count, and " +
         "must not target a file this commit removes")
     val statArr = arr(adds.flatMap(f =>
@@ -433,7 +439,7 @@ object ManifestLog {
     // adds first (byte-identical to the pre-r20 layout for every
     // caller whose bloom keys are adds), then live-file retag targets
     val bloomFiles = adds ++
-      blooms.keys.filterNot(adds.contains).toSeq.sorted
+      blooms.keys.filterNot(addSet).toSeq.sorted
     val bloomArr = arr(bloomFiles.flatMap(f =>
       blooms.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
         case (c, r) => s"$f|$c|${r.sidecar}|${r.m}|${r.k}" +
@@ -468,7 +474,7 @@ object ManifestLog {
     // because the bounds are ARBITRARY user strings (every delimiter
     // the flat format cannot round-trip is fair game in data)
     require(strColStats.forall { case (f, cs) =>
-      adds.contains(f) && cs.keySet.forall(flatSafe) },
+      addSet(f) && cs.keySet.forall(flatSafe) },
       "strstats must describe committed adds with round-trippable " +
         "columns")
     def b64s(s: String) = java.util.Base64.getEncoder.encodeToString(
@@ -478,7 +484,7 @@ object ManifestLog {
         case (c, st) => s"$f|$c|${b64s(st.min)}|${b64s(st.max)}" })))
     // null stats ride as "path|col|nulls|rows" (r18); nulls ∈ [0, rows]
     require(nullStats.forall { case (f, ns) =>
-      adds.contains(f) && ns.forall { case (c, s) =>
+      addSet(f) && ns.forall { case (c, s) =>
         flatSafe(c) && s.nulls >= 0 && s.rows >= s.nulls } },
       "nullstats must describe committed adds with round-trippable " +
         "columns and 0 <= nulls <= rows")
@@ -1249,18 +1255,21 @@ object ManifestLog {
   }
 
   private[sources] def replayIn(store: LogStore, version: Long): Replay = {
+    // concrete HashMaps so the columnar-checkpoint fold can PRESIZE
+    // them (r20): a 10M-entry build pays ~20 doubling rehashes
+    // otherwise — measured 42% of the put cost at that scale
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    val stats = scala.collection.mutable.Map.empty[String, FileStat]
+    val stats = scala.collection.mutable.HashMap.empty[String, FileStat]
     val colStats =
-      scala.collection.mutable.Map.empty[String, Map[String, FileStat]]
+      scala.collection.mutable.HashMap.empty[String, Map[String, FileStat]]
     val strColStats =
-      scala.collection.mutable.Map.empty[String, Map[String, StrStat]]
+      scala.collection.mutable.HashMap.empty[String, Map[String, StrStat]]
     val nullStats =
-      scala.collection.mutable.Map.empty[String, Map[String, NullStat]]
+      scala.collection.mutable.HashMap.empty[String, Map[String, NullStat]]
     val blooms =
-      scala.collection.mutable.Map.empty[String, Map[String, BloomRef]]
-    val txns = scala.collection.mutable.Map.empty[String, Long]
-    val dvs = scala.collection.mutable.Map.empty[String, DvRef]
+      scala.collection.mutable.HashMap.empty[String, Map[String, BloomRef]]
+    val txns = scala.collection.mutable.HashMap.empty[String, Long]
+    val dvs = scala.collection.mutable.HashMap.empty[String, DvRef]
     // a fold from genesis decides the dvs-ever bit exactly; a
     // checkpoint-seeded fold inherits the checkpoint's bit (or stays
     // undecided on a legacy checkpoint unless its refs prove "ever")
@@ -1286,8 +1295,16 @@ object ManifestLog {
         // into the replay's own mutable state (the per-file column
         // maps MERGE across partials — a file can straddle a
         // row-group boundary).
-        CheckpointCodec.decodeParts(
-            store.readBytes(checkpointParquetName(cv))).foreach { p =>
+        val parts = CheckpointCodec.decodeParts(
+          store.readBytes(checkpointParquetName(cv)))
+        live.sizeHint(parts.iterator.map(_.files.size).sum)
+        stats.sizeHint(parts.iterator.map(_.stats.size).sum)
+        colStats.sizeHint(parts.iterator.map(_.colStats.size).sum)
+        strColStats.sizeHint(parts.iterator.map(_.strColStats.size).sum)
+        nullStats.sizeHint(parts.iterator.map(_.nullStats.size).sum)
+        blooms.sizeHint(parts.iterator.map(_.blooms.size).sum)
+        dvs.sizeHint(parts.iterator.map(_.dvs.size).sum)
+        parts.foreach { p =>
           p.files.foreach(live.add)
           stats ++= p.stats
           dvs ++= p.dvs
@@ -1935,8 +1952,11 @@ object ManifestLog {
   private def readPrunedIndexed(spark: SparkSession, root: String,
       version: Long, files: Seq[String]): DataFrame = {
     val r = replayIn(storeFor(root), version)
+    // set-membership, not Seq scans: dvs x files is quadratic at the
+    // 10M-file decade (r20)
+    val fileSet = files.toSet
     readFilesIndexed(spark, root, files, r.colStats,
-      r.dvs.filter { case (f, _) => files.contains(f) },
+      r.dvs.filter { case (f, _) => fileSet(f) },
       r.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL),
       r.nullStats)
   }
@@ -2036,7 +2056,8 @@ object ManifestLog {
       checkpointVersionsIn(store).contains(version),
       s"version $version not in manifest log")
     val r = replayIn(store, version)
-    r.dvs.filter { case (f, _) => r.files.contains(f) }
+    val live = r.files.toSet
+    r.dvs.filter { case (f, _) => live(f) }
   }
 
   def dvsAsOf(root: String, version: Long): Map[String, DvRef] =
@@ -2212,10 +2233,11 @@ object ManifestLog {
         // pre side, two sources: rows of the files this commit
         // RETIRED (minus their already-dead rows), and rows this
         // commit's new VECTORS killed in files that stay live
+        val removeSet = removes.toSet
         val preRemoved =
           if (removes.isEmpty) None
           else Some(readFilesIndexed(spark, root, removes,
-            dvs = dvState.filter { case (f, _) => removes.contains(f) },
+            dvs = dvState.filter { case (f, _) => removeSet(f) },
             declaredSchema = declared))
         val preDelta =
           if (dvEntries.isEmpty) None
@@ -2230,7 +2252,8 @@ object ManifestLog {
         val post =
           if (adds.isEmpty) None
           else Some(readFilesIndexed(spark, root, adds,
-            dvs = dvState.filter { case (f, _) => adds.contains(f) },
+            dvs = { val addSet = adds.toSet
+              dvState.filter { case (f, _) => addSet(f) } },
             declaredSchema = declared))
         val pre = (preRemoved, preDelta) match {
           case (Some(a), Some(b)) => Some(a.unionByName(b))
@@ -3156,7 +3179,8 @@ object ManifestLog {
       ManifestFileIndex.read(spark, root, entries,
         declaredSchema = r.schemaDdl.map(
           org.apache.spark.sql.types.StructType.fromDDL)),
-      r.dvs.filter { case (f, _) => r.files.contains(f) })
+      { val live = r.files.toSet
+        r.dvs.filter { case (f, _) => live(f) } })
   }
 
   /** Snapshot read of a HIVE-PARTITIONED manifest table (r16): the
@@ -3218,7 +3242,8 @@ object ManifestLog {
       ManifestFileIndex.read(spark, root, entries, schema,
         declaredSchema = r.schemaDdl.map(
           org.apache.spark.sql.types.StructType.fromDDL)),
-      r.dvs.filter { case (f, _) => r.files.contains(f) })
+      { val live = r.files.toSet
+        r.dvs.filter { case (f, _) => live(f) } })
   }
 
   private def entryFor(root: String, rel: String,
@@ -3246,7 +3271,8 @@ object ManifestLog {
         files.map(f => entryFor(root, f, stats.getOrElse(f, Map.empty),
           nullStats = nullStats.getOrElse(f, Map.empty))),
         declaredSchema = declaredSchema),
-      dvs.filter { case (f, _) => files.contains(f) })
+      { val fileSet = files.toSet
+        dvs.filter { case (f, _) => fileSet(f) } })
 
   /** The abs-path string a [[ManifestFileIndex]] scan reports in
     * `_metadata.file_path` for the live file `rel` — the SAME
@@ -3398,7 +3424,7 @@ object ManifestLog {
     import spark.implicits._
     require(candidates.nonEmpty, "buildDvs needs candidate files")
     val r = replayIn(storeFor(root), version)
-    require(candidates.forall(r.files.contains),
+    require({ val live = r.files.toSet; candidates.forall(live) },
       "DV candidates must be live files of the read version")
     // scan WITHOUT the MOR filter: already-dead rows that re-match
     // simply union into the new vector (old ∪ new dedups them).
@@ -3956,8 +3982,8 @@ object ManifestLog {
         // each resolvable version's MOR reads need ITS deletion
         // vectors (live files only — a dv whose file was removed is
         // dead weight)
-        keep ++= r.dvs.collect {
-          case (f, d) if r.files.contains(f) => d.sidecar }
+        keep ++= { val live = r.files.toSet
+          r.dvs.collect { case (f, d) if live(f) => d.sidecar } }
       }
       stateV = v
     }
