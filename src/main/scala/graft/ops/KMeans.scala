@@ -59,10 +59,11 @@ object KMeans {
     * LAST assignment. A cluster that loses all members simply drops out
     * (k shrinks) — the oracle's identical arithmetic drops it too.
     */
-  def train(points: DataFrame, k: Int, iters: Int): DataFrame = {
+  def train(points: DataFrame, k: Int, iters: Int,
+      dims: Int): DataFrame = {
     var cent = points.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), lit(1L).as("n"), col("q").as("sv"))
-    for (_ <- 1 to iters) cent = update(assign(points, cent))
+    for (_ <- 1 to iters) cent = update(assign(points, cent), dims)
     cent
   }
 
@@ -76,11 +77,14 @@ object KMeans {
   def centroidDistances(points: DataFrame,
       centroids: DataFrame): DataFrame =
     points.crossJoin(broadcast(centroids))
+      // r20 optimization round: the HOF fold aggregate(zip_with(...))
+      // evaluates interpreted (outside whole-stage codegen) and
+      // allocates a 64-element intermediate array per (point, centroid)
+      // pair — ScaledSqDistExpr is the codegen'd twin with identical
+      // exact-Long arithmetic (guide §4; the graft_dot precedent)
       .withColumn("a",
-        aggregate(
-          zip_with(col("q"), col("sv"),
-            (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
-          lit(0L), (acc, v) => acc + v))
+        graft.functions.VectorExpressions.scaledSqDist(
+          col("q"), col("sv"), col("n")))
       .withColumn("dist",
         col("a").cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
 
@@ -96,16 +100,23 @@ object KMeans {
       .select(col("vec_id"), col("best.cid").as("cid"),
         col("best.q").as("q"))
 
-  /** Update step: exact (n, Σq) per centroid. Explodes to (cid, dim, x)
-    * — fixed-width longs, dims·n rows pre-combine — sums per (cid, dim),
-    * then reassembles the sum vector ordered by dim. */
-  def update(assigned: DataFrame): DataFrame =
+  /** Update step: exact (n, Σq) per centroid, as ONE partial-aggregable
+    * shuffle of per-dim column sums (r20 optimization round, guide
+    * §2.3/§2.4): `dims` sum aggregates over `q[i]` + a member count,
+    * reassembled into the sum vector in dim order. The previous shape —
+    * posexplode to (cid, dim, x), groupBy (cid, dim), groupBy (cid) —
+    * fanned every point into `dims` shuffle rows and paid a second
+    * Exchange for the reassembly; this one combines map-side to k rows
+    * of `dims` longs per task and shuffles only those. Results are
+    * identical for the rectangular inputs every caller feeds (vectors
+    * exactly `dims` long, as quantize/slices construct): per-dim Long
+    * sums are order-independent, `sum` skips the same nulls the
+    * exploded sum skipped, and `get()` nulls past-the-end indices the
+    * exploded form never produced. */
+  def update(assigned: DataFrame, dims: Int): DataFrame =
     assigned
-      .select(col("cid"), posexplode(col("q")).as(Seq("dim", "x")))
-      .groupBy("cid", "dim")
-      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
       .groupBy("cid")
-      .agg(max(col("cnt")).as("n"),
-        transform(array_sort(collect_list(struct(col("dim"), col("sx")))),
-          e => e.getField("sx")).as("sv"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until dims).map(i =>
+          sum(get(col("q"), lit(i)))): _*).as("sv"))
 }

@@ -141,10 +141,8 @@ object Pq {
       .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
     points.crossJoin(broadcast(centroids))
       .withColumn("a",
-        aggregate(
-          zip_with(col("q"), col("sv"),
-            (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
-          lit(0L), (acc, v) => acc + v))
+        graft.functions.VectorExpressions.scaledSqDist(
+          col("q"), col("sv"), col("n")))
       .withColumn("dist",
         col("a").cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
       .withColumn("rk", row_number().over(w))
@@ -156,11 +154,12 @@ object Pq {
     * sv) — k codewords per subspace, seeded from the first k vec_ids
     * (the portable first-k convention of [[KMeans.train]]). A codeword
     * that loses all members drops out of its subspace only. */
-  def train(pts: DataFrame, k: Int, iters: Int): DataFrame = {
+  def train(pts: DataFrame, k: Int, iters: Int,
+      sd: Int = 8): DataFrame = {
     var cb = pts.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("cid"), lit(1L).as("n"),
         col("q").as("sv"))
-    for (_ <- 1 to iters) cb = update(assign(pts, cb))
+    for (_ <- 1 to iters) cb = update(assign(pts, cb), sd)
     cb
   }
 
@@ -169,11 +168,11 @@ object Pq {
     * and group keys. */
   def assign(pts: DataFrame, codebook: DataFrame): DataFrame =
     pts.join(broadcast(codebook), "sub")
+      // codegen'd twin of the HOF fold — identical exact-Long
+      // arithmetic (r20 optimization round, guide §4)
       .withColumn("a",
-        aggregate(
-          zip_with(col("q"), col("sv"),
-            (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
-          lit(0L), (acc, v) => acc + v))
+        graft.functions.VectorExpressions.scaledSqDist(
+          col("q"), col("sv"), col("n")))
       .withColumn("dist",
         col("a").cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
       .groupBy("vec_id", "sub")
@@ -183,16 +182,17 @@ object Pq {
         col("best.q").as("q"))
 
   /** Update step: exact (n, Σq) per (sub, cid) — KMeans.update keyed by
-    * subspace too. */
-  def update(assigned: DataFrame): DataFrame =
+    * subspace too: one partial-aggregable shuffle of `sd` per-dim column
+    * sums (r20 optimization round, guide §2.3/§2.4 — the explode +
+    * double-groupBy shape shuffled sd rows per subvector and paid a
+    * second Exchange to reassemble). Identical results for the
+    * rectangular sd-long subvectors every caller constructs. */
+  def update(assigned: DataFrame, sd: Int = 8): DataFrame =
     assigned
-      .select(col("sub"), col("cid"), posexplode(col("q")).as(Seq("dim", "x")))
-      .groupBy("sub", "cid", "dim")
-      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
       .groupBy("sub", "cid")
-      .agg(max(col("cnt")).as("n"),
-        transform(array_sort(collect_list(struct(col("dim"), col("sx")))),
-          e => e.getField("sx")).as("sv"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until sd).map(i =>
+          sum(get(col("q"), lit(i)))): _*).as("sv"))
 
   /** PQ codes: (vec_id, sub, code) — the m-byte compressed form. */
   def encode(pts: DataFrame, codebook: DataFrame): DataFrame =
@@ -206,10 +206,8 @@ object Pq {
   def adcTables(queries: DataFrame, codebook: DataFrame): DataFrame =
     queries.join(broadcast(codebook), "sub")
       .withColumn("a",
-        aggregate(
-          zip_with(col("q"), col("sv"),
-            (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
-          lit(0L), (acc, v) => acc + v))
+        graft.functions.VectorExpressions.scaledSqDist(
+          col("q"), col("sv"), col("n")))
       .select(col("query_id"), col("sub"), col("cid"),
         (col("a").cast(DoubleType) /
           (col("n") * col("n")).cast(DoubleType)).as("d"))

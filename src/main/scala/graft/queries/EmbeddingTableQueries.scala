@@ -352,7 +352,7 @@ object EmbeddingTableQueries {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"))
       val pts = KMeans.quantize(e)
-      val cent = KMeans.train(pts, k = 16, iters = 2)
+      val cent = KMeans.train(pts, k = 16, iters = 2, dims = 64)
       val cells = KMeans.assign(pts, cent)
         .select(col("vec_id"), col("cid").as("cell"))
       ManifestLog.commit(root, 0, Seq.empty, Seq.empty, op = "declare",

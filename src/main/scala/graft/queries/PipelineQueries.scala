@@ -2390,14 +2390,14 @@ object PipelineQueries {
           transform(col("embedding"),
             x => floor(least(greatest(x.cast(DoubleType), lit(-1.0)),
               lit(1.0)) * 127).cast(LongType)).as("qv"))
-        .withColumn("saa", aggregate(zip_with(col("qv"), col("qv"),
-          (a, b) => a * b), lit(0L), (acc, v) => acc + v))
+        .withColumn("saa", graft.functions.VectorExpressions.dotLong(
+          col("qv"), col("qv")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // squared L2 to ONE selected vector via the dot identity - the
       // center rides into the plan as a literal, nothing shuffles
       def distTo(sv: Seq[Long], sSaa: Long): Column =
-        col("saa") - lit(2L) * aggregate(zip_with(col("qv"), typedlit(sv),
-          (a, b) => a * b), lit(0L), (acc, v) => acc + v) + lit(sSaa)
+        col("saa") - lit(2L) * graft.functions.VectorExpressions.dotLong(
+          col("qv"), typedlit(sv)) + lit(sSaa)
       val seed = prep.orderBy("vec_id").head()
       var selVec = seed.getSeq[Long](1)
       var selSaa = seed.getLong(2)
@@ -2479,7 +2479,8 @@ object PipelineQueries {
     run = (s, dir) => {
       import graft.ops.KMeans
       val cent = KMeans.train(
-        KMeans.quantize(table(s, dir, "embeddings")), k = 8, iters = 2)
+        KMeans.quantize(table(s, dir, "embeddings")), k = 8, iters = 2,
+        dims = 64)
       cent.select(col("cid"), col("n"),
           posexplode(col("sv")).as(Seq("dim", "s_sum")))
         .select(col("cid"), col("dim").cast(LongType).as("dim"),
@@ -2730,9 +2731,8 @@ object PipelineQueries {
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val exd = full.select(col("vec_id").as("neighbor_id"), col("q"))
       .join(broadcast(q20), col("neighbor_id") =!= col("query_id"))
-      .withColumn("d2", aggregate(
-        zip_with(col("qq"), col("q"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("d2", graft.functions.VectorExpressions.scaledSqDist(
+        col("qq"), col("q"), lit(1L)))
     val wE = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("neighbor_id"))
     // exact top-3 feeds the hit join AND the n_queries aggregate:
@@ -3053,7 +3053,7 @@ object PipelineQueries {
     val src = if (capped) cappedEmb(s, dir) else table(s, dir, "embeddings")
     val pts = KMeans.quantize(src)
       .localCheckpoint(true) // feeds coarse train, assign AND queries
-    val cells = KMeans.train(pts, k = 8, iters = 2)
+    val cells = KMeans.train(pts, k = 8, iters = 2, dims = 64)
       .localCheckpoint(true) // k tiny rows derived through 2 rounds
     val assigned = KMeans.assign(pts, cells)
     val rsp = Pq.slices(Pq.residuals(assigned, cells), m = 8, sd = 8,
@@ -3085,10 +3085,8 @@ object PipelineQueries {
     val tables = qrsp
       .join(broadcast(cb.withColumnRenamed("cid", "code")), "sub")
       .withColumn("a",
-        aggregate(
-          zip_with(col("q"), col("sv"),
-            (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
-          lit(0L), (acc, v) => acc + v))
+        graft.functions.VectorExpressions.scaledSqDist(
+          col("q"), col("sv"), col("n")))
       .select(col("vec_id").as("query_id"), col("cid").as("cell"),
         col("sub"), col("code"),
         (col("a").cast(DoubleType) /
@@ -3613,7 +3611,7 @@ object PipelineQueries {
       import graft.ops.KMeans
       val emb = table(s, dir, "embeddings")
       val pts = KMeans.quantize(emb)
-      val cent = KMeans.train(pts, k = 8, iters = 2)
+      val cent = KMeans.train(pts, k = 8, iters = 2, dims = 64)
       // the assignment feeds FIVE plan branches (sizes, both pair
       // sides via capped, the final left join) — without this cut the
       // whole Lloyd train re-expands per branch (measured: 15 centroid
@@ -3762,7 +3760,7 @@ object PipelineQueries {
       val corpusPts = pts.filter(col("vec_id") % 10 =!= 7)
       val batchPts = pts.filter(col("vec_id") % 10 === 7)
       // the standing index: centroids trained on the CORPUS only
-      val cent = KMeans.train(corpusPts, k = 8, iters = 2)
+      val cent = KMeans.train(corpusPts, k = 8, iters = 2, dims = 64)
       // both assignments fan into multiple branches (pair sides, cell
       // sizes, the final left join); cut once like semanticDedup
       val corpusCells = KMeans.assign(corpusPts, cent)
@@ -3891,20 +3889,18 @@ object PipelineQueries {
         .join(table(s, dir, "documents")
           .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
         .localCheckpoint(true)
+      // one partial-aggregable shuffle of 64 per-dim column sums (r20
+      // optimization round, guide §2.3/§2.4 — same rewrite as
+      // KMeans.update; identical results on the rectangular 64-dim q)
       val cent = pts
-        .select(col("lang"), posexplode(col("q")).as(Seq("dim", "x")))
-        .groupBy("lang", "dim")
-        .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
         .groupBy("lang")
-        .agg(max(col("cnt")).as("n"),
-          transform(array_sort(collect_list(struct(col("dim"), col("sx")))),
-            e => e.getField("sx")).as("sv"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until 64).map(i =>
+            sum(get(col("q"), lit(i)))): _*).as("sv"))
       val scored = pts.join(broadcast(cent), "lang")
         .withColumn("num",
-          aggregate(
-            zip_with(col("q"), col("sv"),
-              (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
-            lit(0L), (acc, v) => acc + v))
+          graft.functions.VectorExpressions.scaledSqDist(
+            col("q"), col("sv"), col("n")))
         .withColumn("dist",
           col("num").cast(DoubleType) / (col("n") * col("n"))
             .cast(DoubleType))

@@ -651,7 +651,7 @@ class PlanSpec extends AnyFunSuite {
     import graft.ops.KMeans
     val pts = KMeans.quantize(graft.sources.Readers
       .table(spark, dir, "embeddings"))
-    val lazyAssign = KMeans.assign(pts, KMeans.train(pts, 8, 2))
+    val lazyAssign = KMeans.assign(pts, KMeans.train(pts, 8, 2, dims = 64))
     val tp = lazyAssign.queryExecution.sparkPlan.toString
     assert("BroadcastNestedLoopJoin BuildRight, Cross".r
       .findAllIn(tp).size == 3, s"centroids not broadcast per round:\n$tp")

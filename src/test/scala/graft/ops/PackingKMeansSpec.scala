@@ -140,7 +140,7 @@ class PackingKMeansSpec extends AnyFunSuite {
       (0L, Seq(0L, 1L)), (2L, Seq(1L, 0L)), (4L, Seq(2L, 2L)),
       (1L, Seq(100L, 99L)), (3L, Seq(99L, 100L)), (5L, Seq(101L, 101L))
     ).toDF("vec_id", "q")
-    val cent = KMeans.train(pts, k = 2, iters = 2)
+    val cent = KMeans.train(pts, k = 2, iters = 2, dims = 2)
       .select("cid", "n", "sv").as[(Long, Long, Seq[Long])]
       .collect().sortBy(_._1)
     assert(cent.map(c => (c._1, c._2)).toSeq == Seq((0L, 3L), (1L, 3L)))
