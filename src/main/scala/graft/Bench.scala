@@ -11,7 +11,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,6 +24,11 @@ object Bench {
       // SURVEY §6 records the delta vs the default HDFS-backed provider)
       .config(graft.streaming.EventStream.StateStoreKey,
         sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs"))
+    // fork-free local fs (see graft.sources.NioLocalFs): without the
+    // hadoop native lib every local create/chmod/stat forks a subprocess
+    // - 5-10 ms per file that a production cluster never pays
+    val spark = graft.sources.NioLocalFs.SessionConfs
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Caches.quietNoisyLogs()

@@ -7,13 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Readers.NanosAsLongKey, "true")
       .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
       .config("spark.ui.enabled", "false")
+    // fork-free local fs - see graft.sources.NioLocalFs
+    val spark = graft.sources.NioLocalFs.SessionConfs
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Caches.quietNoisyLogs()
