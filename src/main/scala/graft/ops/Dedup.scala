@@ -178,8 +178,14 @@ object Dedup {
     // are a sparse subset of the corpus, so the iteration state is the
     // dup set, not the corpus (at 100 TB: millions of rows per round,
     // not billions). Singletons rejoin via the final left-join coalesce.
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // Init fuses the FIRST propagation step into the same shuffle the
+    // plain `distinct()` init already paid (groupBy u ≡ distinct u):
+    // label₀ = min(u, min direct neighbor) instead of u — one whole
+    // round's join+aggregate+action removed at every scale, identical
+    // fixpoint (r20; guide §1.2 "remove passes").
+    var labels = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("nbr0"))
+      .select(col("u").as("id"), least(col("u"), col("nbr0")).as("label"))
       .localCheckpoint(true)
     // monotone non-increasing label sum → cheap convergence probe; carry
     // the previous round's sum instead of re-aggregating it. sum() over
