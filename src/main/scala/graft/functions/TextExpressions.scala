@@ -119,6 +119,87 @@ object RollingHashExpr {
   }
 }
 
+/** One-pass hashed bag-of-words bucketing: text → array<bigint> of
+  * per-token feature buckets — the codegen'd twin of
+  * [[graft.ops.HashedLinear.bucketsExprSql]]'s triple-nested
+  * higher-order functions (transform ∘ aggregate ∘ transform ∘ split),
+  * which evaluate INTERPRETED with one lambda frame and one single-char
+  * UTF8String allocation per character of every document. This walks
+  * the string once with zero per-char allocation and the IDENTICAL
+  * arithmetic, so results are bit-equal (pinned by test) and the DuckDB
+  * oracles replaying the HOF formulation in SQL stay authoritative.
+  *
+  * Replicated semantics of the HOF chain (probed empirically, r20):
+  *  - `split(text, ' ')` is a limit=-1 regex split on a single space:
+  *    consecutive / leading / trailing spaces yield EMPTY tokens, all
+  *    kept; empty input is ONE empty token. So token count is always
+  *    (number of spaces + 1).
+  *  - `ascii(c)` over `split(t, '')` folds per Unicode CODE POINT (a
+  *    non-BMP char is one element, its full code point the value); an
+  *    empty token folds [ascii('') = 0] → (0·31+0) mod M = 0, the same
+  *    value as folding zero chars, so the empty-token case needs no
+  *    special branch.
+  *  - fold: h ← (h·31 + cp) mod 1000003, then bucket = h mod `buckets`
+  *    (all operands non-negative — Scala %, Spark % and DuckDB % agree).
+  */
+case class TokenBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if buckets >= 1 => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"token_buckets expects string and buckets>=1, got " +
+        s"${dt.simpleString}, buckets=$buckets")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenBucketsExpr.compute(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenBucketsExpr.compute($a, $buckets);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TokenBucketsExpr {
+  private val M = 1000003L
+  private val B = 31L
+
+  def compute(u: UTF8String, buckets: Int): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    var count = 1
+    var i = 0
+    while (i < n) { if (s.charAt(i) == ' ') count += 1; i += 1 }
+    val out = new Array[Long](count)
+    var h = 0L
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (s.charAt(i) == ' ') {
+        out(k) = h % buckets
+        k += 1
+        h = 0L
+        i += 1
+      } else {
+        val cp = s.codePointAt(i)
+        h = (h * B + cp) % M
+        i += Character.charCount(cp)
+      }
+    }
+    out(k) = h % buckets
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 object TextExpressions {
   def wordShingles(words: Column, n: Int): Column =
     GraftColumnBridge.column(
@@ -127,4 +208,8 @@ object TextExpressions {
   def rollingHash(text: Column): Column =
     GraftColumnBridge.column(
       RollingHashExpr(GraftColumnBridge.expression(text)))
+
+  def tokenBuckets(text: Column, buckets: Int): Column =
+    GraftColumnBridge.column(
+      TokenBucketsExpr(GraftColumnBridge.expression(text), buckets))
 }

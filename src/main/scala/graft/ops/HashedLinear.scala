@@ -63,10 +63,20 @@ object HashedLinear {
   val Stopwords: Seq[String] =
     Seq("a", "the", "of", "and", "in", "to", "is")
 
+  /** Per-token bucket array of a text column — the codegen'd one-pass
+    * expression ([[graft.functions.TokenBucketsExpr]]; the HOF
+    * formulation in [[bucketsExprSql]] evaluates interpreted, one lambda
+    * frame + single-char allocation per character — measured at 3× the
+    * cost of the scan+split it decorates). Bit-equal to the HOF twin by
+    * construction and by test pin. */
+  def bucketsCol(textCol: String): Column =
+    graft.functions.TextExpressions.tokenBuckets(col(textCol), Buckets)
+
   /** SQL-expression string for the per-token bucket array of a text
     * column: char-polynomial hash (acc·31 + ascii, mod 1000003) of each
-    * whitespace token, folded into [0, Buckets). Shared verbatim by
-    * training, inference, and (transliterated) the DuckDB oracle. */
+    * whitespace token, folded into [0, Buckets). The higher-order twin
+    * of [[bucketsCol]] — kept as the differential reference and as the
+    * formulation the DuckDB oracles transliterate. */
   def bucketsExprSql(textCol: String): String =
     s"""transform(split($textCol, ' '),
           t -> aggregate(transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT)),

@@ -197,7 +197,7 @@ object CurationQueries {
       // re-tokenizing the corpus per consumer
       val prep = table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          expr(HashedLinear.bucketsExprSql("text")).as("bk"))
+          HashedLinear.bucketsCol("text").as("bk"))
         .localCheckpoint(true)
       val tgtVal = prep.agg(min("source")).first().getString(0)
       // histograms as driver arrays (<= 4096 rows each - the
@@ -716,7 +716,7 @@ object CurationQueries {
           TextOps.markerHits(w, Seq("the", "a")).cast(LongType)
             .as("n_stop"),
           size(array_distinct(w)).cast(LongType).as("n_dis"),
-          expr(HashedLinear.bucketsExprSql("text")).as("bk"))
+          HashedLinear.bucketsCol("text").as("bk"))
         .withColumn("reason0",
           when(col("n_tok") < 30, "too_short")
             .when(col("n_tok") > 90, "too_long")

@@ -4462,7 +4462,7 @@ object PipelineQueries {
       val prep = table(s, dir, "documents")
         .select(col("doc_id"),
           HashedLinear.labelCol("text").as("label"),
-          expr(HashedLinear.bucketsExprSql("text")).as("__bk"),
+          HashedLinear.bucketsCol("text").as("__bk"),
           size(split(col("text"), " ")).cast(LongType).as("__ntok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = HashedLinear.trainRateDiff(prep, "label", "__bk")
@@ -4555,7 +4555,7 @@ object PipelineQueries {
         .select(col("doc_id"),
           (Sampling.hash32(col("doc_id")) % 5).as("fold"),
           HashedLinear.labelCol("text").as("label"),
-          expr(HashedLinear.bucketsExprSql("text")).as("__bk"),
+          HashedLinear.bucketsCol("text").as("__bk"),
           size(split(col("text"), " ")).cast(LongType).as("__ntok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val train = prep.filter(col("fold") =!= 0)

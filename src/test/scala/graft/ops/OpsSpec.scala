@@ -648,4 +648,32 @@ class OpsSpec extends AnyFunSuite {
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
     assert(rootMsg(ex).contains("bucket out of range"))
   }
+
+  test("TokenBucketsExpr is bit-equal to the interpreted HOF chain") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.HashedLinear
+    // real corpus: every document's bucket array must match the
+    // triple-HOF formulation the DuckDB oracles transliterate
+    val docs = graft.sources.Readers.table(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select(col("text"))
+    // adversarial shapes: consecutive/leading/trailing spaces (empty
+    // tokens), empty string, single token, non-ASCII BMP and non-BMP
+    // code points, tabs (NOT a separator for the single-space split)
+    val edges = Seq("", " ", "  ", "a", "a b", "a  b ", " a", "a\tb",
+      "héllo wörld", "😀 x", "x 😀",
+      "the quick brown fox").toDF("text")
+    Seq(docs, edges).foreach { df =>
+      val both = df.select(
+        HashedLinear.bucketsCol("text").as("fast"),
+        expr(HashedLinear.bucketsExprSql("text")).as("slow"))
+      assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0)
+    }
+    // null text stays null in both
+    val nr = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(HashedLinear.bucketsCol("text").as("fast"),
+        expr(HashedLinear.bucketsExprSql("text")).as("slow"))
+      .collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
 }
