@@ -32,7 +32,7 @@ object PipelineQueries {
   private val ThresholdDen = 5
   private val Threshold = ThresholdNum.toDouble / ThresholdDen
 
-  /** documents → (doc_id, text, w tokens, sh 3-gram shingles).
+  /** documents → (doc_id, sh 3-gram shingles).
     * Materialized eagerly by default: every current consumer fans it into
     * 2-4 plan branches (self-join sides, the verify step, label
     * propagation), and without the cut Spark recomputes tokenize+shingle
@@ -40,13 +40,17 @@ object PipelineQueries {
     * scale this is the `.persist()` on the shared pipeline prefix
     * (SURVEY §3.2). Pass `materialize = false` from any future
     * single-branch consumer — an eager cut there would only block
-    * pushdown and add block-manager pressure for no reuse. */
+    * pushdown and add block-manager pressure for no reuse.
+    * Projects to (doc_id, sh) BEFORE the pin (r20; guide §2.3 "project
+    * before the exchange"): no consumer of the materialized frame reads
+    * `text` or the token array — the queries that need text (quality
+    * ranks, Levenshtein) re-read the documents scan — so carrying them
+    * through the checkpoint doubled the pinned bytes for nothing. */
   private def docShingles(s: SparkSession, dir: String,
       materialize: Boolean = true): DataFrame = {
     val w = TextOps.tokens(col("text"))
     val df = table(s, dir, "documents")
-      .select(col("doc_id"), col("text"), w.as("w"))
-      .withColumn("sh", TextOps.shingles(col("w"), 3))
+      .select(col("doc_id"), TextOps.shingles(w, 3).as("sh"))
     if (materialize) df.localCheckpoint(true) else df
   }
 
