@@ -133,8 +133,9 @@ object PipelineQueries {
     val w = TextOps.tokens(col("text"))
     table(s, dir, "documents")
       .filter(Sampling.hash32(col("doc_id")) < lit(thr))
-      .select(col("doc_id"), col("text"), w.as("w"))
-      .withColumn("sh", TextOps.shingles(col("w"), 3))
+      // (doc_id, sh) only — the sole consumer (the gated inverted-index
+      // baseline) never reads text or the token array (r20; guide §2.3)
+      .select(col("doc_id"), TextOps.shingles(w, 3).as("sh"))
       .localCheckpoint(true)
   }
 
@@ -1750,7 +1751,10 @@ object PipelineQueries {
         .filter(col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
           col("stop_ratio") <= 0.3 && col("ttr") >= 0.2)
         .withColumn("sh", TextOps.shingles(w, 3))
-        .select("doc_id", "text", "sh")
+        // quality is length(text) — precompute the 8-byte value and
+        // drop the text bytes BEFORE the pin (r20; guide §2.3): the
+        // downstream stages read only (doc_id, sh, q)
+        .select(col("doc_id"), length(col("text")).as("q"), col("sh"))
         // survivors feed four downstream stages (pair join x2 sides,
         // components, quality ranking) — materialize the gate once
         .localCheckpoint(true)
@@ -1760,8 +1764,7 @@ object PipelineQueries {
       val comp = Dedup.canonicalIds(survivors, "doc_id", pairs,
         "doc_a", "doc_b")
       // stage 4: highest-quality keeper per component
-      val quality = survivors.select(col("doc_id"),
-        length(col("text")).as("q"))
+      val quality = survivors.select(col("doc_id"), col("q"))
       val rankW = Window.partitionBy(col("canonical_id"))
         .orderBy(col("q").desc, col("doc_id"))
       val keepers = comp.join(quality, "doc_id")
