@@ -135,6 +135,27 @@ class DualGenerationSpec extends AnyFunSuite {
     assert(Readers.eventsTsType(spark, rel) == TimestampNTZType)
   }
 
+  test("table() memo reuses the plan and invalidates on rewrite") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tablememo")
+    val dir = base.toString
+    val p = base.resolve("events.parquet")
+    writeNanosFile(p.toString)
+    // same session + same content → the SAME DataFrame instance (the
+    // whole point: no per-call DataSource re-resolution)
+    val a = Readers.table(spark, dir, "events")
+    val b = Readers.table(spark, dir, "events")
+    assert(a eq b, "memo must return the constructed frame")
+    // rewrite the SAME path with the other generation: the memo must
+    // hand back a FRESH plan (content key = size+mtime+child fold)
+    java.nio.file.Files.delete(p)
+    writeMicrosNtzDir(p.toString)
+    val c = Readers.table(spark, dir, "events")
+    assert(!(c eq a), "rewrite must invalidate the memoized plan")
+    // and the fresh plan must actually read the new generation
+    assert(c.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("normalizeTs refuses a non-UTC session for the NTZ generation") {
     val base = java.nio.file.Files.createTempDirectory("graft_dualtz")
     val dir = base.resolve("events.parquet").toString
