@@ -52,23 +52,46 @@ object Readers {
     // executes from the parquet files on every action, nothing about
     // results or data blocks is cached. Staleness is handled by the
     // same content key the events footer probe uses (size + mtime +
-    // child fold), so a fixture rewriting a path in place gets a fresh
-    // plan; the session is part of the key because a DataFrame is bound
-    // to the session that analyzed it.
-    val key = s"${System.identityHashCode(spark)}:$name:${tsCacheKey(path)}"
-    if (dfCache.size() > 256) dfCache.clear() // bound (long test JVMs)
-    dfCache.computeIfAbsent(key, { _ =>
-      if (name == "events") {
-        require(spark.conf.get(NanosAsLongKey, "false") == "true",
-          s"set $NanosAsLongKey=true in the SparkSession builder " +
-            "(session-level, once) before reading the events table")
-        normalizeTs(spark.read.parquet(path))
-      } else spark.read.parquet(path)
-    })
+    // fileKey/child fold), so a fixture rewriting a path in place gets
+    // a fresh plan. The outer map is a WeakHashMap keyed on the SESSION
+    // OBJECT (a DataFrame is bound to the session that analyzed it):
+    // identity is exact — no hash-reuse serving a stopped session's
+    // frame — and a stopped, unreferenced session's entries become
+    // collectible instead of pinning its plans for the JVM's life
+    // (r20 review findings). Construction runs OUTSIDE any map lock
+    // (putIfAbsent, benign duplicate resolution) so concurrent first
+    // reads never serialize on the ~80 ms resolution I/O.
+    val perSession = {
+      val got = dfCache.synchronized(dfCache.get(spark))
+      if (got != null) got
+      else dfCache.synchronized {
+        var m = dfCache.get(spark)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+          dfCache.put(spark, m)
+        }
+        m
+      }
+    }
+    val key = s"$name:${tsCacheKey(path)}"
+    val hit = perSession.get(key)
+    if (hit != null) hit
+    else {
+      val built =
+        if (name == "events") {
+          require(spark.conf.get(NanosAsLongKey, "false") == "true",
+            s"set $NanosAsLongKey=true in the SparkSession builder " +
+              "(session-level, once) before reading the events table")
+          normalizeTs(spark.read.parquet(path))
+        } else spark.read.parquet(path)
+      if (perSession.size() > 64) perSession.clear() // stale-key bound
+      val prev = perSession.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
-  private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val dfCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   /** Normalize the events `ts` column to a session-zoned µs TimestampType
     * whatever the file's physical unit surfaced as:
@@ -147,7 +170,16 @@ object Readers {
           kids.foreach { k => sz += k.length(); mt = mt max k.lastModified() }
           s"$p@d${kids.length}:$sz:$mt"
         }
-      } else if (f.exists) s"$p@${f.length}:${f.lastModified}"
+      } else if (f.exists) {
+        // fold the filesystem fileKey (inode) in: a delete+recreate of
+        // a single file can land with the same length inside one mtime
+        // tick, but it always gets a fresh inode (r20 review finding)
+        val fk =
+          try String.valueOf(java.nio.file.Files.readAttributes(p,
+            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+          catch { case _: Exception => "" }
+        s"$p@${f.length}:${f.lastModified}:$fk"
+      }
       else path
     } catch { case _: Exception => path }
 
